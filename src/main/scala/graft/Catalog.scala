@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.sqlx.AggOp
+
+/** A queryable table: its DataFrame plus the zenodb-style classification of
+  * columns into dims (metadata, groupable/filterable) and vals (float64
+  * measures) with an optional time column (SURVEY.md §1.2).
+  *
+  * `fieldAgg` records, for stored/derived sources, each measure's aggregate
+  * kind — the information the reference keeps as each field's expression
+  * (table.go:34-64) and uses for bare-column re-aggregation (the SubMerge
+  * relation, planner/local.go:85-97). Raw sources default every measure to
+  * SUM.
+  */
+final case class TableDef(
+    name: String,
+    df: DataFrame,
+    timeCol: Option[String],
+    dims: Seq[String],
+    vals: Seq[String],
+    fieldAgg: Map[String, AggOp] = Map.empty,
+    hasPointsCol: Boolean = false,
+    /** Declared bucket resolution for materialized tables; raw sources None. */
+    resolution: Option[scala.concurrent.duration.FiniteDuration] = None)
+
+/** Registry of queryable tables. Parquet-backed construction classifies
+  * columns by type: Float/Double columns are measures, everything else is a
+  * dimension, the first timestamp column is the time axis.
+  */
+final class Catalog(private val tables: Map[String, TableDef]) {
+  def get(name: String): TableDef =
+    tables.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"Table or view '$name' not found (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+  def contains(name: String): Boolean = tables.contains(name.toLowerCase)
+  def names: Seq[String] = tables.keys.toSeq.sorted
+  def add(t: TableDef): Catalog = new Catalog(tables + (t.name.toLowerCase -> t))
+}
+
+object Catalog {
+
+  val testTableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Classify one DataFrame into a TableDef by schema. Timestamp columns are
+    * normalized to session-TZ TimestampType (parquet ms-timestamps arrive as
+    * TIMESTAMP_NTZ in Spark 4; driver data is UTC, session is UTC, so the
+    * cast is value-preserving). A LongType column literally named `ts` is
+    * treated as epoch nanos (parquet TIMESTAMP(NANOS) read via
+    * `nanosAsLong`).
+    */
+  def classify(name: String, df0: DataFrame): TableDef = {
+    import org.apache.spark.sql.functions._
+    var df = df0
+    df0.schema.fields.foreach { f =>
+      f.dataType match {
+        case TimestampNTZType =>
+          df = df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          // integer `div`: epoch nanos exceed double's exact range
+          df = df.withColumn(f.name,
+            timestamp_millis(expr(s"`${f.name}` div 1000000")))
+        case _ => ()
+      }
+    }
+    val fields = df.schema.fields
+    val timeCol = fields.collectFirst {
+      case f if f.dataType == TimestampType => f.name
+    }
+    val vals = fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toSeq
+    val dims = fields.map(_.name)
+      .filterNot(vals.contains).filterNot(timeCol.contains).toSeq
+    TableDef(name.toLowerCase, df, timeCol, dims, vals,
+      hasPointsCol = fields.exists(_.name == "_points"))
+  }
+
+  /** Load every parquet table under a scale-factor dir lazily. */
+  def fromParquetDir(spark: SparkSession, dir: String,
+                     names: Seq[String] = testTableNames): Catalog = {
+    // parquet TIMESTAMP(NANOS) (events.ts) is unreadable without this legacy
+    // switch; classify() converts the resulting long back to a timestamp
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new Catalog(names.flatMap { n =>
+      val path = s"$dir/$n.parquet"
+      try Some(n -> classify(n, spark.read.parquet(path)))
+      catch { case _: Exception => None }
+    }.toMap)
+  }
+}

@@ -1,49 +1,332 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 (or one
-  * LLM-pipeline extension), reading the driver-generated parquet tables under
-  * the given scale-factor directory. [[oracleSql]] carries a DuckDB-equivalent
-  * ANSI query for the driver's hash-compare; column names are aliased
-  * identically on both sides and every query carries a total-order ORDER BY so
-  * row order is deterministic.
+  * Every entry routes through the graft engine (zenodb-dialect SQL →
+  * [[Engine.sql]] → DataFrame) over the driver-generated parquet tables, so
+  * the oracle compare validates the parser + planner + column builders
+  * end-to-end, one entry per operator of SURVEY.md §2.
+  *
+  * Numeric discipline for exact hash-matching against DuckDB: aggregate only
+  * exactly-representable values (integer-valued doubles, or cents-scaled
+  * `SUM(x*100)/100`) so sums are order-independent; divisions happen once on
+  * exact operands; every query carries a total-order ORDER BY.
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Queries that use relative time would need a pinned "now"; all driver
+    * queries use data-absolute predicates instead, so any fixed value works.
+    */
+  private val FixedNow = 886809600000L // 1998-02-07T00:00:00Z (post-TPC-H range)
+
+  private def gq(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Engine.sql(Catalog.fromParquetDir(s, dir), sql, () => FixedNow)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_sum_group")(spark, "/root/testdata/sf0.001")
+
+  private val MaxD = "1.7976931348623157e308"
+
+  // 30d / 90d in millis for the period/stride/shift oracle arithmetic
+  private val D30 = 30L * 86400000L
+  private val D90 = 90L * 86400000L
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.3 SUM/COUNT aggregation + §2.4 Group (the heart of the reference)
-    "q1_agg" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).cast("double").as("_points"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }
+    // §2.3 SUM default + _points, §2.4 Group
+    "q_sum_group" -> gq(
+      """SELECT l_quantity AS sum_qty, SUM(l_extendedprice * 100) / 100 AS sum_price,
+        |  _points
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // §2.3 MIN/MAX/COUNT/AVG
+    "q_minmax_avg" -> gq(
+      """SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+        |  COUNT(l_quantity) AS cnt, AVG(l_quantity) AS av
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.2 WHERE grammar: LIKE (regex/substring), IN list, comparison
+    "q_where_like_in" -> gq(
+      """SELECT SUM(p_retailprice * 100) / 100 AS sum_price, _points
+        |FROM part
+        |WHERE p_type LIKE 'BRASS' AND p_size IN (5, 10, 15, 20, 25, 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // §2.3 IF conditional aggregation
+    "q_if" -> gq(
+      """SELECT IF(l_returnflag = 'R', l_quantity) AS returned,
+        |  l_quantity AS total
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // §2.3 BOUNDED (discard, not clamp)
+    "q_bounded" -> gq(
+      """SELECT AVG(BOUNDED(l_quantity, 10, 40)) AS av,
+        |  COUNT(BOUNDED(l_quantity, 10, 40)) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.3 WAVG
+    "q_wavg" -> gq(
+      """SELECT WAVG(l_discount * 100, l_quantity) AS wd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.3 binary arithmetic incl the zenodb division-by-zero rule
+    "q_div_zero" -> gq(
+      """SELECT l_quantity / COUNT(BOUNDED(l_quantity, -5, -1)) AS div0,
+        |  COUNT(BOUNDED(l_quantity, -5, -1)) / COUNT(BOUNDED(l_quantity, -9, -6)) AS zz,
+        |  IF(l_returnflag = 'R', l_quantity) / l_quantity AS ratio
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // §2.3 comparisons/logic as 0/1 values
+    "q_conds" -> gq(
+      """SELECT l_quantity > 500000 AS big,
+        |  l_quantity <= 500000 OR l_quantity > 9999999 AS small
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.3 CONST field + global group
+    "q_const_points" -> gq(
+      """SELECT 5.1 AS cval, _points FROM lineitem GROUP BY _""".stripMargin),
+
+    // §2.3 post-agg arithmetic over _points
+    "q_rate" -> gq(
+      """SELECT l_quantity / _points AS avg_qty, _points
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.4 period() time bucketing
+    "q_period" -> gq(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev, _points
+        |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
+    // §2.4 stride sampling
+    "q_stride" -> gq(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev, _points
+        |FROM orders GROUP BY _, period('30d'), STRIDE('90d')
+        |ORDER BY _time""".stripMargin),
+
+    // §2.3 SHIFT (time self-alignment)
+    "q_shift" -> gq(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev,
+        |  SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS prev_rev
+        |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
+    // §2.4 CROSSTAB pivot
+    "q_crosstab" -> gq(
+      """SELECT l_quantity AS qty FROM lineitem
+        |GROUP BY l_linestatus, CROSSTAB(l_returnflag)
+        |ORDER BY l_linestatus""".stripMargin),
+
+    // §2.4 CROSSTABT with totals
+    "q_crosstabt" -> gq(
+      """SELECT l_quantity AS qty FROM lineitem
+        |GROUP BY l_linestatus, CROSSTABT(l_returnflag)
+        |ORDER BY l_linestatus""".stripMargin),
+
+    // §2.2 HAVING over computed fields
+    "q_having" -> gq(
+      """SELECT l_quantity AS qty FROM lineitem GROUP BY l_suppkey
+        |HAVING qty > 0 ORDER BY l_suppkey""".stripMargin),
+
+    // §2.5 Sort + Offset + Limit
+    "q_limit_offset" -> gq(
+      """SELECT l_quantity AS qty FROM lineitem GROUP BY l_partkey
+        |ORDER BY qty DESC, l_partkey LIMIT 5, 10""".stripMargin),
+
+    // §2.7 FROM-subquery re-aggregation
+    "q_subquery" -> gq(
+      """SELECT qty, _points FROM
+        |  (SELECT l_quantity AS qty FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY _""".stripMargin),
+
+    // §2.7 IN-subquery semi-join
+    "q_in_subquery" -> gq(
+      """SELECT l_quantity AS qty FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.4 GROUP BY * (all dims)
+    "q_group_all" -> gq(
+      """SELECT SUM(s_acctbal * 100) / 100 AS bal FROM supplier
+        |GROUP BY * ORDER BY s_suppkey""".stripMargin),
+
+    // §2.6 dimension functions deriving group keys
+    "q_dim_fns" -> gq(
+      """SELECT SUM(c_acctbal * 100) / 100 AS bal, _points FROM customer
+        |GROUP BY SUBSTR(c_name, 18, 1) AS lastd,
+        |  CONCAT('-', c_mktsegment, 'X') AS seg
+        |ORDER BY lastd, seg""".stripMargin),
+
+    // §2.3 PERCENTILE (bounded, interpolated)
+    "q_percentile" -> gq(
+      """SELECT PERCENTILE(l_quantity, 50, 0, 100, 2) AS p50,
+        |  PERCENTILE(l_quantity, 95, 0, 100, 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.8 events stream table: window + dims (exact min/max/count only)
+    "q_events_window" -> gq(
+      """SELECT MIN(value) AS mn, MAX(value) AS mx, _points
+        |FROM events GROUP BY event_type, period('6h')
+        |ORDER BY _time, event_type""".stripMargin),
+
+    // §2.3 LN/LOG2/LOG10 at read time
+    "q_math" -> gq(
+      """SELECT LN(l_quantity) AS l1, LOG2(l_quantity) AS l2,
+        |  LOG10(l_quantity) AS l3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Aliases match the Spark side exactly (the
+    * driver sorts columns by name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
+    "q_sum_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_price,
+        |  sum(l_extendedprice * 100) / 100 AS sum_price,
         |  CAST(count(*) AS DOUBLE) AS "_points"
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_minmax_avg" ->
+      """SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx,
+        |  CAST(count(l_quantity) AS DOUBLE) AS cnt, avg(l_quantity) AS av
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_where_like_in" ->
+      """SELECT p_brand, sum(p_retailprice * 100) / 100 AS sum_price,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM part
+        |WHERE p_type LIKE '%BRASS%' AND p_size IN (5, 10, 15, 20, 25, 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_if" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS returned,
+        |  sum(l_quantity) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bounded" ->
+      """SELECT l_returnflag,
+        |  avg(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN l_quantity END) AS av,
+        |  CAST(count(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN l_quantity END) AS DOUBLE) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_wavg" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN sum(l_quantity) = 0 THEN 0.0
+        |       ELSE sum(l_discount * 100 * l_quantity) / sum(l_quantity) END AS wd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_div_zero" ->
+      s"""SELECT l_linestatus,
+        |  CASE WHEN sum(l_quantity) = 0 THEN 0.0 ELSE $MaxD END AS div0,
+        |  0.0 AS zz,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) / sum(l_quantity) AS ratio
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_conds" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN sum(l_quantity) > 500000 THEN 1.0 ELSE 0.0 END AS big,
+        |  CASE WHEN sum(l_quantity) <= 500000 OR sum(l_quantity) > 9999999
+        |       THEN 1.0 ELSE 0.0 END AS small
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_const_points" ->
+      """SELECT 5.1 AS cval, CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM lineitem""".stripMargin,
+
+    "q_rate" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_period" ->
+      s"""SELECT make_timestamp(CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) * 1000) AS _time,
+        |  sum(o_totalprice * 100) / 100 AS rev,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stride" ->
+      s"""SELECT make_timestamp(CAST(floor(epoch_ms(o_orderdate) / $D90) * $D90 AS BIGINT) * 1000) AS _time,
+        |  sum(o_totalprice * 100) / 100 AS rev,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM orders WHERE epoch_ms(o_orderdate) % $D90 < $D30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shift" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
+        |    sum(o_totalprice * 100) / 100 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT make_timestamp(a.t * 1000) AS _time, a.rev AS rev, p.rev AS prev_rev
+        |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
+
+    "q_crosstab" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN lower(l_returnflag) = 'a' THEN l_quantity END) AS a_qty,
+        |  sum(CASE WHEN lower(l_returnflag) = 'n' THEN l_quantity END) AS n_qty,
+        |  sum(CASE WHEN lower(l_returnflag) = 'r' THEN l_quantity END) AS r_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_crosstabt" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN lower(l_returnflag) = 'a' THEN l_quantity END) AS a_qty,
+        |  sum(CASE WHEN lower(l_returnflag) = 'n' THEN l_quantity END) AS n_qty,
+        |  sum(CASE WHEN lower(l_returnflag) = 'r' THEN l_quantity END) AS r_qty,
+        |  sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 0 ORDER BY 1""".stripMargin,
+
+    "q_limit_offset" ->
+      """SELECT l_partkey, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY qty DESC, l_partkey LIMIT 10 OFFSET 5""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT sum(qty) AS qty, CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM (SELECT sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey)""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT l_returnflag, sum(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_group_all" ->
+      """SELECT s_name, s_nationkey, s_suppkey,
+        |  sum(s_acctbal * 100) / 100 AS bal
+        |FROM supplier GROUP BY 1, 2, 3 ORDER BY s_suppkey""".stripMargin,
+
+    "q_dim_fns" ->
+      """SELECT substr(c_name, 18, 1) AS lastd,
+        |  concat_ws('-', c_mktsegment, 'X') AS seg,
+        |  sum(c_acctbal * 100) / 100 AS bal,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(least(greatest(l_quantity, 0), 100), 0.50) AS p50,
+        |  quantile_cont(least(greatest(l_quantity, 0), 100), 0.95) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 21600000) * 21600000 AS BIGINT) * 1000) AS _time,
+        |  event_type, min(value) AS mn, max(value) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_math" ->
+      """SELECT l_returnflag,
+        |  ln(sum(l_quantity)) AS l1,
+        |  ln(sum(l_quantity)) / ln(2) AS l2,
+        |  log(sum(l_quantity)) AS l3
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,302 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.sqlx._
+
+/** Lowers the measure/dimension expression IR to Spark [[Column]]s.
+  *
+  * A SELECT list compiles in two layers, mirroring how Catalyst evaluates an
+  * Aggregate: per-row *value* expressions feed aggregate functions, and
+  * *post-aggregation* arithmetic composes the aggregate results
+  * (the reference's Update vs Get split, /root/reference/expr/expr.go:83-124).
+  * Identical aggregate subtrees are deduped by canonical form so
+  * `errors / requests` style derived fields share the underlying agg columns.
+  */
+object Builders {
+
+  /** zenodb division rule (/root/reference/expr/calcs.go:24-31):
+    * x/0 = 0 when x==0, else MaxFloat64.
+    */
+  def zdiv(num: Column, den: Column): Column =
+    when(den === 0.0, when(num === 0.0, lit(0.0)).otherwise(lit(Double.MaxValue)))
+      .otherwise(num / den)
+
+  /** Conds produce 0/1 doubles; AND/OR test `> 0`
+    * (/root/reference/expr/conds.go:3-90).
+    */
+  def zcond(op: String, l: Column, r: Column): Column = {
+    val b = op match {
+      case "<"   => l < r
+      case "<="  => l <= r
+      case "="   => l === r
+      case "<>"  => l =!= r
+      case ">="  => l >= r
+      case ">"   => l > r
+      case "AND" => (l > 0.0) && (r > 0.0)
+      case "OR"  => (l > 0.0) || (r > 0.0)
+      case other => throw new IllegalArgumentException(s"unknown cond $other")
+    }
+    when(b, lit(1.0)).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------------------------
+  // Dimension expressions
+  // -------------------------------------------------------------------------
+
+  /** Lower a dim expression. `resolve` maps a dim name to its Column.
+    * IN-subqueries must be rewritten by the planner before lowering.
+    */
+  def dim(e: DExpr, resolve: String => Column): Column = e match {
+    case DCol(n)      => resolve(n)
+    case DConst(null) => lit(null)
+    case DConst(v)    => lit(v)
+    case DCmp(op, l, r) =>
+      val (lc, rc) = (dim(l, resolve), dim(r, resolve))
+      op match {
+        case "="         => lc === rc
+        case "<>" | "!=" => lc =!= rc
+        case "<"         => lc < rc
+        case "<="        => lc <= rc
+        case ">"         => lc > rc
+        case ">="        => lc >= rc
+        case other       => throw new IllegalArgumentException(s"cmp $other")
+      }
+    case DAnd(l, r) => dim(l, resolve) && dim(r, resolve)
+    case DOr(l, r)  => dim(l, resolve) || dim(r, resolve)
+    case DNot(c)    => !dim(c, resolve)
+    // goexpr LIKE is a bare regex match, not SQL %-wildcards — the reference
+    // test uses patterns like '172.56.' (sql/sql_test.go:69). Unanchored.
+    case DLike(c, pattern, neg) =>
+      val m = dim(c, resolve).rlike(pattern)
+      if (neg) !m else m
+    case DIn(c, values, neg) =>
+      val m = dim(c, resolve).isin(values: _*)
+      if (neg) !m else m
+    case DInSub(_, _, _) =>
+      throw new IllegalStateException(
+        "IN-subquery must be lowered by the planner (left-semi join)")
+    case DIsNull(c, neg) =>
+      if (neg) dim(c, resolve).isNotNull else dim(c, resolve).isNull
+    case DFn(name, args) => dimFn(name, args.map(dim(_, resolve)), args)
+  }
+
+  /** Dimension functions (/root/reference/sql/sql.go:76-123 registry). */
+  private def dimFn(name: String, cols: Seq[Column], raw: Seq[DExpr]): Column =
+    name.toUpperCase match {
+      case "CONCAT" => concat_ws(constStr(raw.head), cols.tail: _*)
+      case "SPLIT" =>
+        split(cols.head, java.util.regex.Pattern.quote(constStr(raw(1))))
+          .getItem(constInt(raw(2)))
+      case "SUBSTR"     => cols.head.substr(cols(1), cols(2))
+      case "REPLACEALL" => regexp_replace(cols.head, constStr(raw(1)), constStr(raw(2)))
+      case "LEN"        => length(cols.head)
+      case "ANY"        => coalesce(cols: _*)
+      case "ARRAY"      => array(cols: _*)
+      case "DECODE" =>
+        // DECODE(expr, v1, r1, v2, r2, ..., default) — Oracle style.
+        val subject = cols.head
+        val rest = cols.tail
+        val default = if (rest.size % 2 == 1) rest.last else lit(null)
+        val pairs = rest.dropRight(rest.size % 2).grouped(2).toSeq
+        pairs.foldRight(default) { case (pair, acc) =>
+          when(subject === pair(0), pair(1)).otherwise(acc)
+        }
+      case "RAND" => rand()
+      case other =>
+        throw new IllegalArgumentException(s"unknown dim function $other")
+    }
+
+  private def constStr(e: DExpr): String = e match {
+    case DConst(s: String) => s
+    case other =>
+      throw new IllegalArgumentException(s"expected string const, got $other")
+  }
+  private def constInt(e: DExpr): Int = e match {
+    case DConst(l: java.lang.Long)   => l.toInt
+    case DConst(d: java.lang.Double) => d.toInt
+    case other =>
+      throw new IllegalArgumentException(s"expected int const, got $other")
+  }
+
+  // -------------------------------------------------------------------------
+  // Measure expressions
+  // -------------------------------------------------------------------------
+
+  /** A time-shifted value: `alias` must carry `srcExpr`'s value from
+    * `offsetMillis` earlier within the same group — the planner lowers this
+    * with a self-join on the shifted time bucket (the SubMerge-shift of
+    * /root/reference/expr/shift.go:62-72 re-expressed over windows).
+    */
+  final case class ShiftReq(alias: String, srcExpr: Column, offsetMillis: Long)
+
+  /** `fields`/`having` take an agg-alias resolver so the same compiled SELECT
+    * list can be projected against differently-named agg columns — the plain
+    * path resolves `__aN -> col("__aN")`, the CROSSTAB path resolves
+    * `__aN -> col("<pivotval>___aN")` per pivot value.
+    */
+  final case class Compiled(
+      aggs: Seq[Column],                 // aggregate columns (aliased __aN)
+      shifts: Seq[ShiftReq],             // post-agg time-shift requirements
+      fields: Seq[(String, (String => Column) => Column)],
+      having: Option[(String => Column) => Column]) {
+    def fieldCols: Seq[(String, Column)] =
+      fields.map { case (n, mk) => n -> mk(col _).as(n) }
+    def havingCol: Option[Column] = having.map(_(col _))
+  }
+
+  /** Compile a SELECT list (+ optional HAVING) into aggregate columns and
+    * post-agg projections. `resolveVal` maps measure names to per-row value
+    * columns; `resolveDim` maps dim names for IF conditions.
+    */
+  def compile(
+      fields: Seq[FieldSel],
+      having: Option[MExpr],
+      resolveVal: String => Column,
+      resolveDim: String => Column): Compiled = {
+
+    // canonical key -> (alias, aggregate column)
+    val aggs = scala.collection.mutable.LinkedHashMap.empty[String, (String, Column)]
+    // canonical key -> ShiftReq
+    val shifts = scala.collection.mutable.LinkedHashMap.empty[String, ShiftReq]
+
+    type PostB = (String => Column) => Column
+
+    def aggRef(key: String, mk: => Column): String = {
+      val (alias, _) = aggs.getOrElseUpdate(key, {
+        val a = s"__a${aggs.size}"
+        (a, mk.as(a))
+      })
+      alias
+    }
+
+    // Per-row value expression (feeds an aggregate function).
+    def value(e: MExpr, cond: Option[Column]): Column = {
+      def gate(c: Column): Column = cond match {
+        case Some(p) => when(p, c)
+        case None    => c
+      }
+      e match {
+        case MField(n)        => gate(resolveVal(n))
+        case MConst(v)        => gate(lit(v))
+        case MBounded(c, lo, hi) =>
+          val v = value(c, cond)
+          when(v.between(lo, hi), v) // outside range => unset (NULL), not clamped
+        case MArith(op, l, r) =>
+          val (lc, rc) = (value(l, cond), value(r, cond))
+          op match {
+            case "+" => lc + rc
+            case "-" => lc - rc
+            case "*" => lc * rc
+            case "/" => zdiv(lc, rc)
+          }
+        case MMath(fn, c) => mathFn(fn, value(c, cond))
+        case other =>
+          throw new IllegalArgumentException(
+            s"not a per-row value expression: $other (aggregates can wrap " +
+              "only fields, constants, BOUNDED and arithmetic — " +
+              "reference expr/aggregate.go:47-56)")
+      }
+    }
+
+    def condKey(cond: Option[Column]): String =
+      cond.map(_.toString).getOrElse("")
+
+    // Post-aggregation expression builder; agg nodes register aggregates and
+    // defer alias lookup to the resolver (plain vs per-pivot-value columns).
+    def post(e: MExpr, cond: Option[Column]): PostB = e match {
+      case MConst(v) => _ => lit(v)
+      case MArith(op, l, r) =>
+        val (lb, rb) = (post(l, cond), post(r, cond))
+        res => op match {
+          case "+" => lb(res) + rb(res)
+          case "-" => lb(res) - rb(res)
+          case "*" => lb(res) * rb(res)
+          case "/" => zdiv(lb(res), rb(res))
+        }
+      case MCond(op, l, r) =>
+        val (lb, rb) = (post(l, cond), post(r, cond))
+        res => zcond(op, lb(res), rb(res))
+      case MMath(fn, c) =>
+        val cb = post(c, cond)
+        res => mathFn(fn, cb(res))
+      case MBounded(c, lo, hi) =>
+        // BOUNDED above an aggregate: out-of-range results become unset
+        val cb = post(c, cond)
+        res => { val v = cb(res); when(v.between(lo, hi), v) }
+      case MIf(c, inner) =>
+        val p = dim(c, resolveDim)
+        post(inner, cond.map(_ && p).orElse(Some(p)))
+      case MShift(inner, off, _) =>
+        val key = s"${MExpr.canonical(inner)}|${condKey(cond)}|$off"
+        val req = shifts.getOrElseUpdate(key, {
+          ShiftReq(s"__s${shifts.size}", post(inner, cond)(col _), off)
+        })
+        _ => col(req.alias)
+      case MAgg(op, child) =>
+        val key = s"${MExpr.canonical(e)}|${condKey(cond)}"
+        val alias = aggRef(key, op match {
+          case AggOp.Sum   => sum(value(child, cond))
+          case AggOp.Min   => min(value(child, cond))
+          case AggOp.Max   => max(value(child, cond))
+          case AggOp.Count => count(value(child, cond)).cast("double")
+          case AggOp.Avg   => avg(value(child, cond))
+        })
+        res => res(alias)
+      case MWAvg(x, w) =>
+        // count += w; total += x*w; Get = total/count, 0 when count==0
+        // (/root/reference/expr/avg.go:19-21,52-63,109-113)
+        val base = s"${MExpr.canonical(e)}|${condKey(cond)}"
+        val tot = aggRef(base + ":tot", sum(value(x, cond) * value(w, cond)))
+        val cnt = aggRef(base + ":cnt", sum(value(w, cond)))
+        res => when(res(cnt) === 0.0, lit(0.0)).otherwise(res(tot) / res(cnt))
+      case MPercentile(child, p, lo, hi, precision) =>
+        // Inputs are clamped into [lo,hi]; p is a constant percentage.
+        // Exact interpolated percentile (Catalyst's Percentile aggregate) —
+        // the HDR-sketch mergeable variant (graft.functions) replaces this
+        // for stored tables where sketch reuse matters.
+        val pv = constOf(p) / 100.0
+        val v0 = value(child, cond)
+        val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
+        val key = s"${MExpr.canonical(e)}|${condKey(cond)}"
+        val alias = aggRef(key, percentile(v, lit(pv)).cast("double"))
+        res => res(alias)
+      case MPercentileOpt(child, p) =>
+        throw new IllegalArgumentException(
+          s"PERCENTILE(${MExpr.canonical(child)}, ${MExpr.canonical(p)}) sketch " +
+            "reuse requires the stored-sketch aggregate (graft.functions)")
+      case MField(n) =>
+        // Bare field at post-agg level: a reference to a SELECT alias
+        // (HAVING over computed fields). The planner keeps field columns in
+        // scope when evaluating HAVING.
+        _ => col(n)
+      case MBare(n) =>
+        throw new IllegalStateException(
+          s"unresolved bare column $n — the planner must default it to an " +
+            "aggregate before compilation")
+    }
+
+    val fieldBs = fields.map { fs => fs.name -> post(fs.expr, None) }
+    val havingB = having.map(h => post(h, None))
+
+    Compiled(
+      aggs.values.toSeq.map(_._2),
+      shifts.values.toSeq,
+      fieldBs,
+      havingB)
+  }
+
+  private def mathFn(fn: String, c: Column): Column = fn.toUpperCase match {
+    case "LN"    => log(c)
+    case "LOG2"  => log2(c)
+    case "LOG10" => log10(c)
+    case other   => throw new IllegalArgumentException(s"math fn $other")
+  }
+
+  private def constOf(e: MExpr): Double = e match {
+    case MConst(v) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected constant, got $other (reference percentile.go:91-100)")
+  }
+}

@@ -1,0 +1,325 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Catalog, TableDef}
+import graft.exprs.Builders
+import graft.sqlx._
+
+/** Lowers the query IR to a declarative DataFrame chain and lets Catalyst do
+  * the physical planning: parquet scan with pushed filters → partial/final
+  * hash aggregation around a single shuffle on the group keys → optional
+  * pivot / shift self-join / HAVING filter → sort/offset/limit (Catalyst
+  * TakeOrderedAndProject for sort+limit).
+  *
+  * This replaces the reference's hand-built operator pipeline
+  * (table scan → RowFilter → Group → Flatten → FlatRowFilter → Sort →
+  * Offset → Limit, /root/reference/planner/local.go:15-65): every stage maps
+  * onto a Spark relational operator, so pushdown/pruning/partial-agg are
+  * Catalyst's problem, not ours.
+  */
+final class Planner(catalog: Catalog, now: () => Long = () => System.currentTimeMillis()) {
+
+  def plan(q: Query): DataFrame = planQuery(q)._1
+
+  /** Info the outer query needs when this query is a FROM-subquery. */
+  final case class PlanInfo(
+      timePresent: Boolean,
+      dims: Seq[String],
+      vals: Seq[String],
+      fieldAgg: Map[String, AggOp])
+
+  private def planQuery(q: Query): (DataFrame, PlanInfo) = {
+    val src: TableDef = q.from match {
+      case FromTable(n) => catalog.get(n)
+      case FromSub(sub) =>
+        val (df, info) = planQuery(sub)
+        TableDef(
+          name = "__sub",
+          df = df,
+          timeCol = if (info.timePresent) Some("_time") else None,
+          dims = info.dims,
+          vals = info.vals,
+          fieldAgg = info.fieldAgg,
+          hasPointsCol = info.vals.contains("_points"))
+    }
+
+    var base = src.df
+
+    // Unknown dims resolve to NULL rather than erroring (the reference keys
+    // missing dims as nil, planner_test.go "unknown dims" scenarios).
+    val dimResolve: String => Column = n =>
+      if (base.columns.contains(n)) col(n) else lit(null)
+
+    // ---- WHERE (dims only — measures can't be filtered pre-aggregation,
+    //      /root/reference/core/filter.go) + IN-subqueries as semi-joins ----
+    q.where.foreach { w =>
+      val (plain, subqs) = splitInSubqueries(w)
+      plain.foreach { p => base = base.filter(Builders.dim(p, dimResolve)) }
+      subqs.foreach { case DInSub(DCol(d), sub0, negated) =>
+        // Only membership matters: rewrite the subquery's fields to _points
+        // and group by its single selected dimension (the reference's
+        // subquery fixup, planner/subquery.go:102-131 + sql.go:1054-1064).
+        val dimName = sub0.fields.headOption.map(_.name)
+          .orElse(sub0.groupBy.headOption.map(_.name))
+          .getOrElse(throw new IllegalArgumentException(
+            "IN subquery must select exactly one dimension"))
+        val sub = sub0.copy(
+          fields = Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))),
+          selectAll = false,
+          groupBy = if (sub0.groupBy.nonEmpty) sub0.groupBy
+                    else Seq(GroupDim(dimName)),
+          orderBy = Nil)
+        val (subDf, subInfo) = planQuery(sub)
+        require(subInfo.dims.size == 1,
+          s"IN subquery must select exactly one dimension, got ${subInfo.dims}")
+        val rhs = subDf.select(col(subInfo.dims.head).as(d)).distinct()
+        base = base.join(rhs, Seq(d), if (negated) "left_anti" else "left_semi")
+      case other => throw new IllegalArgumentException(s"unsupported IN-subquery shape: $other")
+      }
+    }
+
+    // ---- ASOF / UNTIL time-range filter ----
+    val nowMs = now()
+    def pointMs(p: TimePoint): Long = p match {
+      case TimeAbs(ms) => ms
+      case TimeRel(off) => nowMs + off // offsets are negative-in-SQL
+    }
+    (q.asOf, q.until) match {
+      case (None, None) => ()
+      case (a, u) =>
+        val tc = src.timeCol.getOrElse(throw new IllegalArgumentException(
+          s"ASOF/UNTIL requires a time column on ${src.name}"))
+        a.foreach(p => base = base.filter(col(tc) >= timestamp_millis(lit(pointMs(p)))))
+        u.foreach(p => base = base.filter(col(tc) < timestamp_millis(lit(pointMs(p)))))
+    }
+
+    // ---- group keys ----
+    val dimCols: Seq[(String, Column)] =
+      if (q.groupByAll) src.dims.sorted.map(d => d -> col(d))
+      else q.groupBy.map {
+        case GroupDim(n)     => n -> dimResolve(n)
+        case GroupExpr(n, e) => n -> Builders.dim(e, dimResolve)
+      }
+    val dimNames = dimCols.map(_._1)
+
+    // Effective resolution: query period, else the table's own declared
+    // resolution (materialized tables re-bucket; raw sources stay unbucketed).
+    val effRes: Option[Long] =
+      q.resolution.map(_.toMillis).orElse(src.resolution.map(_.toMillis))
+    val strideMs: Option[Long] = q.stride.map(_.toMillis)
+    val bucketMs: Option[Long] = strideMs.orElse(effRes)
+
+    val timeKey: Option[Column] = (bucketMs, src.timeCol) match {
+      case (Some(b), Some(tc)) =>
+        // stride keeps only the first `resolution` slice of each stride
+        // bucket (/root/reference/encoding/seq.go:308-312 submerge gate)
+        strideMs.foreach { s =>
+          effRes.filter(_ < s).foreach { r =>
+            base = base.filter(unix_millis(col(tc)) % s < r)
+          }
+        }
+        // floor-to-bucket via double floor: epoch-millis ≪ 2^53 so exact
+        Some(timestamp_millis(
+          (floor(unix_millis(col(tc)) / lit(b.toDouble)) * b).cast("long")).as("_time"))
+      case (Some(_), None) =>
+        throw new IllegalArgumentException(s"period() requires a time column on ${src.name}")
+      case _ => None
+    }
+    val timeNames = timeKey.map(_ => "_time").toSeq
+
+    // ---- resolve bare columns + SELECT * expansion ----
+    // Bare columns in HAVING that name a SELECT alias reference the computed
+    // field; elsewhere they default to the source's aggregate for that column.
+    var aliases = Set.empty[String]
+    def fieldAggOf(n: String): AggOp = src.fieldAgg.getOrElse(n, AggOp.Sum)
+    def resolveBare(e: MExpr): MExpr = e match {
+      case MBare(n) if aliases(n) => MField(n)
+      case MBare(n)            => MAgg(fieldAggOf(n), MField(n))
+      case MAgg(op, c)         => MAgg(op, resolveBare(c))
+      case MWAvg(x, w)         => MWAvg(resolveBare(x), resolveBare(w))
+      case MPercentile(c, p, lo, hi, pr) =>
+        MPercentile(resolveBare(c), resolveBare(p), lo, hi, pr)
+      case MPercentileOpt(c, p) => MPercentileOpt(resolveBare(c), resolveBare(p))
+      case MIf(cond, c)        => MIf(cond, resolveBare(c))
+      case MBounded(c, lo, hi) => MBounded(resolveBare(c), lo, hi)
+      case MShift(c, off, sfx) => MShift(resolveBare(c), off, sfx)
+      case MArith(op, l, r)    => MArith(op, resolveBare(l), resolveBare(r))
+      case MCond(op, l, r)     => MCond(op, resolveBare(l), resolveBare(r))
+      case MMath(fn, c)        => MMath(fn, resolveBare(c))
+      case other               => other
+    }
+
+    val explicit = q.fields.map(f => FieldSel(f.name, resolveBare(f.expr)))
+    val fields: Seq[FieldSel] =
+      if (!q.selectAll) explicit
+      else {
+        val known = explicit.map(_.name).toSet
+        val starFields =
+          src.vals.filterNot(known).filterNot(_ == "_points").map { v =>
+            FieldSel(v, MAgg(fieldAggOf(v), MField(v)))
+          } ++
+            (if (known("_points")) Nil
+             else Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))))
+        explicit ++ starFields
+      }
+    require(fields.nonEmpty, "empty SELECT list")
+
+    val resolveVal: String => Column = {
+      case "_point" => if (src.hasPointsCol) col("_points") else lit(1.0)
+      case n        => col(n)
+    }
+    aliases = fields.map(_.name).toSet
+    val having = q.having.map(resolveBare)
+    val compiled = Builders.compile(fields, having, resolveVal, dimResolve)
+
+    // ---- aggregate ----
+    val keyCols: Seq[Column] = timeKey.toSeq ++ dimCols.map { case (n, c) => c.as(n) }
+
+    val out: DataFrame =
+      if (q.crosstab.nonEmpty) {
+        planCrosstab(q, base, compiled, keyCols, timeNames ++ dimNames)
+      } else {
+        var agged = base.groupBy(keyCols: _*)
+          .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+
+        // shift self-joins: the row at bucket t supplies __sN for bucket t+off
+        if (compiled.shifts.nonEmpty) {
+          require(timeKey.nonEmpty, "SHIFT requires time bucketing (period)")
+          val joinKeys = "_time" +: dimNames
+          compiled.shifts.foreach { sh =>
+            val shifted = agged.select(
+              (dimNames.map(col) :+
+                timestamp_millis(unix_millis(col("_time")) + sh.offsetMillis).as("_time") :+
+                sh.srcExpr.as(sh.alias)): _*)
+            agged = agged.join(shifted, joinKeys, "left")
+          }
+        }
+
+        var df = agged
+        compiled.fieldCols.foreach { case (n, c) => df = df.withColumn(n, c) }
+        compiled.havingCol.foreach { h =>
+          df = df.withColumn("__having", h).filter(col("__having") > 0.0)
+        }
+        df.select((timeNames ++ dimNames ++ fields.map(_.name)).map(col): _*)
+      }
+
+    // ---- sort / offset / limit ----
+    var sorted = out
+    if (q.orderBy.nonEmpty) {
+      val cols = q.orderBy.map(o => if (o.desc) col(o.name).desc else col(o.name).asc)
+      sorted = sorted.orderBy(cols: _*)
+    }
+    if (q.offset > 0) sorted = sorted.offset(q.offset)
+    q.limit.foreach(l => sorted = sorted.limit(l))
+
+    val fieldAggInfo: Map[String, AggOp] =
+      fields.map(f => f.name -> rootAgg(f.expr)).toMap
+    (sorted, PlanInfo(timeKey.nonEmpty, dimNames,
+      fields.map(_.name), fieldAggInfo))
+  }
+
+  /** CROSSTAB/CROSSTABT pivot (/root/reference/core/group.go:113-246):
+    * the crosstab expression's distinct values become column groups named
+    * `<value>_<field>` (lowercased, multi-arg values joined by `_`), with
+    * `total_<field>` columns for CROSSTABT. HAVING evaluates on the
+    * *unpivoted* totals (the reference exempts `_having` from pivoting).
+    */
+  private def planCrosstab(
+      q: Query,
+      base0: DataFrame,
+      compiled: Builders.Compiled,
+      keyCols: Seq[Column],
+      keyNames: Seq[String]): DataFrame = {
+    require(compiled.shifts.isEmpty, "SHIFT inside CROSSTAB is not supported")
+    val ctExprs = q.crosstab.map(e => Builders.dim(e, base0.col).cast("string"))
+    val ctCol = lower(if (ctExprs.size == 1) ctExprs.head
+                      else concat_ws("_", ctExprs: _*))
+    val base = base0.withColumn("__ct", ctCol)
+
+    // pivot values are data-dependent; collect them sorted for deterministic
+    // column order (the reference buffers rows and sorts values too)
+    val pivotVals: Seq[String] = base.select(col("__ct")).where(col("__ct").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+    val pivoted = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
+      .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+
+    // spark names pivot outputs "<val>_<aggAlias>" for multi-agg, "<val>" for
+    // single-agg — normalize resolution accordingly. Pivot values may contain
+    // dots/spaces ("/index.html"), so quote with backticks on lookup.
+    def bq(n: String): Column = col(s"`${n.replace("`", "")}`")
+    def pivotResolver(v: String): String => Column =
+      if (compiled.aggs.size == 1) _ => bq(v)
+      else alias => bq(s"${v}_$alias")
+
+    var df = pivoted
+    val outFieldNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (v <- pivotVals; (fname, mk) <- compiled.fields) {
+      val outName = s"${v}_$fname"
+      df = df.withColumn(outName, mk(pivotResolver(v)))
+      outFieldNames += outName
+    }
+
+    // totals (CROSSTABT) and HAVING both come from the unpivoted aggregation
+    val needTotals = q.crosstabTotal || compiled.having.nonEmpty
+    if (needTotals) {
+      var totals = base.groupBy(keyCols: _*)
+        .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+      if (q.crosstabTotal) {
+        compiled.fields.foreach { case (fname, mk) =>
+          totals = totals.withColumn(s"total_$fname", mk(col _))
+          outFieldNames += s"total_$fname"
+        }
+      }
+      compiled.having.foreach { mk =>
+        totals = totals.withColumn("__having", mk(col _))
+      }
+      val keep = keyNames ++
+        (if (q.crosstabTotal) compiled.fields.map(f => s"total_${f._1}") else Nil) ++
+        compiled.having.map(_ => "__having").toSeq
+      totals = totals.select(keep.map(col): _*)
+      df =
+        if (keyNames.nonEmpty) df.join(totals, keyNames.toSeq, "left")
+        else df.crossJoin(totals)
+      if (compiled.having.nonEmpty)
+        df = df.filter(col("__having") > 0.0)
+    }
+
+    df.select((keyNames.map(col) ++ outFieldNames.map(bq)): _*)
+  }
+
+  /** Conjunct split: IN-subquery terms become joins; the rest stays a filter.
+    * IN-subqueries below OR/NOT would need the reference's collect-then-test
+    * two-phase execution — rejected for now.
+    */
+  private def splitInSubqueries(w: DExpr): (Option[DExpr], Seq[DInSub]) = {
+    def conjuncts(e: DExpr): Seq[DExpr] = e match {
+      case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x          => Seq(x)
+    }
+    def containsSub(e: DExpr): Boolean = e match {
+      case _: DInSub  => true
+      case DAnd(l, r) => containsSub(l) || containsSub(r)
+      case DOr(l, r)  => containsSub(l) || containsSub(r)
+      case DNot(c)    => containsSub(c)
+      case _          => false
+    }
+    val cs = conjuncts(w)
+    val (subs, plain) = cs.partition(_.isInstanceOf[DInSub])
+    plain.find(containsSub).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"IN-subquery must be a top-level AND conjunct: $bad")
+    }
+    (plain.reduceOption(DAnd.apply), subs.map(_.asInstanceOf[DInSub]))
+  }
+
+  private def rootAgg(e: MExpr): AggOp = e match {
+    case MAgg(op, _)          => op
+    case MIf(_, c)            => rootAgg(c)
+    case MShift(c, _, _)      => rootAgg(c)
+    case MBounded(c, _, _)    => rootAgg(c)
+    case MWAvg(_, _)          => AggOp.Avg
+    case _                    => AggOp.Sum
+  }
+}

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end dialect → DataFrame tests over the README quickstart fixture
+  * (/root/reference/README.md:78-395, FIXTURES.md §1): 8 points on stream
+  * `inbound`, queried with the README's golden queries.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private val EPS = 1e-5 // reference fuzzy float epsilon (expr/floatequals.go)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1700000000000L // fixed epoch for deterministic tests
+
+  lazy val catalog: Catalog = {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("server", StringType),
+      StructField("path", StringType),
+      StructField("status", IntegerType),
+      StructField("requests", DoubleType),
+      StructField("load_avg", DoubleType)))
+    def ts(offMs: Long) = new java.sql.Timestamp(T0 + offMs)
+    val rows = Seq(
+      Row(ts(0), "56.234.163.23", "/index.html", Integer.valueOf(200), Double.box(56.0), null),
+      Row(ts(1000), "56.234.163.23", "/login", Integer.valueOf(200), Double.box(34.0), null),
+      Row(ts(2000), "56.234.163.23", "/login", Integer.valueOf(500), Double.box(12.0), null),
+      Row(ts(3000), "56.234.163.23", null, null, null, Double.box(1.7)),
+      Row(ts(4000), "56.234.163.24", "/index.html", Integer.valueOf(200), Double.box(523.0), null),
+      Row(ts(5000), "56.234.163.24", "/login", Integer.valueOf(200), Double.box(411.0), null),
+      Row(ts(6000), "56.234.163.24", "/login", Integer.valueOf(500), Double.box(28.0), null),
+      Row(ts(7000), "56.234.163.24", null, null, null, Double.box(0.3)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    new Catalog(Map("inbound" -> Catalog.classify("inbound", df)))
+  }
+
+  private def sql(q: String): DataFrame = Engine.sql(catalog, q, () => T0 + 8000)
+
+  private def d(v: Any): Double = v match {
+    case null      => Double.NaN
+    case x: Double => x
+    case x: Number => x.doubleValue()
+  }
+  private def approx(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= EPS * math.max(1.0, math.abs(b))
+
+  test("README: group by server with _points, SUM default and AVG") {
+    val rows = sql(
+      """SELECT _points, requests, AVG(load_avg) AS load_avg
+        |FROM inbound GROUP BY server ORDER BY requests DESC""".stripMargin)
+      .collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("server") == "56.234.163.24")
+    assert(approx(d(r0.getAs[Any]("_points")), 4.0))
+    assert(approx(d(r0.getAs[Any]("requests")), 962.0))
+    assert(approx(d(r0.getAs[Any]("load_avg")), 0.3))
+    val r1 = rows(1)
+    assert(approx(d(r1.getAs[Any]("requests")), 102.0))
+    assert(approx(d(r1.getAs[Any]("load_avg")), 1.7))
+  }
+
+  test("README: IF conditional aggregation and derived error_rate") {
+    val rows = sql(
+      """SELECT IF(status <> 200, requests) AS errors, requests,
+        |  IF(status <> 200, requests) / requests AS error_rate
+        |FROM inbound GROUP BY server ORDER BY server""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("errors")), 12.0))
+    assert(approx(d(rows(0).getAs[Any]("error_rate")), 12.0 / 102.0))
+    assert(approx(d(rows(1).getAs[Any]("errors")), 28.0))
+    assert(approx(d(rows(1).getAs[Any]("error_rate")), 28.0 / 962.0))
+  }
+
+  test("zenodb division-by-zero rule") {
+    val rows = sql(
+      """SELECT IF(status = 404, requests) / requests AS zero_over,
+        |  requests / IF(status = 404, requests) AS over_zero
+        |FROM inbound GROUP BY _""".stripMargin).collect()
+    assert(rows.length == 1)
+    // null numerator: null/x = null in Spark; zenodb unset propagates — both "no value"
+    // denominator null => division yields null as well; the explicit 0-denominator
+    // rule needs a 0 (not null) denominator:
+    val rows2 = sql(
+      """SELECT COUNT(BOUNDED(requests, -1, -0.5)) AS zero_cnt,
+        |  requests / COUNT(BOUNDED(requests, -1, -0.5)) AS div0,
+        |  COUNT(BOUNDED(requests, -1, -0.5)) / COUNT(BOUNDED(requests, -2, -1.5)) AS zz
+        |FROM inbound GROUP BY _""".stripMargin).collect()
+    assert(approx(d(rows2(0).getAs[Any]("zero_cnt")), 0.0))
+    assert(d(rows2(0).getAs[Any]("div0")) == Double.MaxValue)
+    assert(approx(d(rows2(0).getAs[Any]("zz")), 0.0))
+  }
+
+  test("HAVING filters on computed fields") {
+    val rows = sql(
+      """SELECT requests, IF(status <> 200, requests) / requests AS error_rate
+        |FROM inbound GROUP BY server HAVING error_rate > 0.05
+        |ORDER BY server""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 102.0))
+  }
+
+  test("WAVG weighted average") {
+    val rows = sql(
+      "SELECT WAVG(status, requests) AS ws FROM inbound GROUP BY server ORDER BY server")
+      .collect()
+    // server .23: (200*56+200*34+500*12)/(56+34+12)
+    val exp0 = (200.0 * 56 + 200 * 34 + 500 * 12) / 102.0
+    assert(approx(d(rows(0).getAs[Any]("ws")), exp0))
+  }
+
+  test("MIN/MAX/COUNT and arithmetic on aggregates") {
+    val rows = sql(
+      """SELECT MIN(requests) AS mn, MAX(requests) AS mx, COUNT(requests) AS cnt,
+        |  MAX(requests) - MIN(requests) AS range
+        |FROM inbound GROUP BY _""".stripMargin).collect()
+    assert(approx(d(rows(0).getAs[Any]("mn")), 12.0))
+    assert(approx(d(rows(0).getAs[Any]("mx")), 523.0))
+    assert(approx(d(rows(0).getAs[Any]("cnt")), 6.0))
+    assert(approx(d(rows(0).getAs[Any]("range")), 511.0))
+  }
+
+  test("BOUNDED discards out-of-range, does not clamp") {
+    val rows = sql(
+      "SELECT AVG(BOUNDED(requests, 20, 100)) AS b FROM inbound GROUP BY _")
+      .collect()
+    assert(approx(d(rows(0).getAs[Any]("b")), (56.0 + 34.0 + 28.0) / 3))
+  }
+
+  test("WHERE over dims with LIKE, IN, IS NULL") {
+    val rows = sql(
+      """SELECT requests FROM inbound
+        |WHERE path LIKE 'log' AND status IN (200, 500) AND server IS NOT NULL
+        |GROUP BY server ORDER BY server""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 46.0))  // 34+12
+    assert(approx(d(rows(1).getAs[Any]("requests")), 439.0)) // 411+28
+  }
+
+  test("time bucketing with period() emits _time") {
+    val rows = sql(
+      """SELECT _points FROM inbound GROUP BY _, period('2s')
+        |ORDER BY _time""".stripMargin).collect()
+    assert(rows.length == 4) // 8 points, 1s apart, 2s buckets
+    assert(rows.forall(r => approx(d(r.getAs[Any]("_points")), 2.0)))
+  }
+
+  test("CROSSTAB pivots path into columns") {
+    val df = sql(
+      """SELECT requests FROM inbound
+        |WHERE path IS NOT NULL GROUP BY server, CROSSTAB(path)
+        |ORDER BY server""".stripMargin)
+    val cols = df.columns.toSeq
+    assert(cols.contains("/index.html_requests") && cols.contains("/login_requests"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("/index.html_requests")), 56.0))
+    assert(approx(d(rows(0).getAs[Any]("/login_requests")), 46.0))
+    assert(approx(d(rows(1).getAs[Any]("/index.html_requests")), 523.0))
+  }
+
+  test("CROSSTABT adds total_ columns") {
+    val df = sql(
+      """SELECT requests FROM inbound
+        |WHERE path IS NOT NULL GROUP BY server, CROSSTABT(path)
+        |ORDER BY server""".stripMargin)
+    assert(df.columns.contains("total_requests"))
+    val rows = df.collect()
+    assert(approx(d(rows(0).getAs[Any]("total_requests")), 102.0))
+    assert(approx(d(rows(1).getAs[Any]("total_requests")), 962.0))
+  }
+
+  test("SHIFT reads prior bucket value") {
+    val rows = sql(
+      """SELECT requests, SHIFT(requests, '-2s') AS prev
+        |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
+      .collect()
+    assert(rows.length == 4)
+    // bucket sums: [90, 12, 934, 28]; prev shifts by one 2s bucket
+    assert(rows(0).getAs[Any]("prev") == null)
+    assert(approx(d(rows(1).getAs[Any]("prev")), 90.0))
+    assert(approx(d(rows(2).getAs[Any]("prev")), 12.0))
+    assert(approx(d(rows(3).getAs[Any]("prev")), 934.0))
+  }
+
+  test("FROM subquery re-aggregates") {
+    val rows = sql(
+      """SELECT _points, requests FROM
+        |  (SELECT requests FROM inbound GROUP BY server, path)
+        |GROUP BY _""".stripMargin).collect()
+    assert(rows.length == 1)
+    // inner: 4 (server,path) non-null groups + 2 null-path groups = 6 rows
+    assert(approx(d(rows(0).getAs[Any]("_points")), 6.0))
+    assert(approx(d(rows(0).getAs[Any]("requests")), 1064.0))
+  }
+
+  test("IN-subquery lowers to semi-join") {
+    val rows = sql(
+      """SELECT requests FROM inbound
+        |WHERE path IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path)
+        |GROUP BY server ORDER BY server""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 46.0))
+    assert(approx(d(rows(1).getAs[Any]("requests")), 439.0))
+  }
+
+  test("ASOF/UNTIL filter the time range") {
+    val rows = sql(
+      """SELECT _points FROM inbound ASOF '-6s' UNTIL '-2s' GROUP BY _""")
+      .collect()
+    // now = T0+8000; range [T0+2000, T0+6000) = 4 points
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
+  }
+
+  test("LIMIT and OFFSET page through sorted rows") {
+    val rows = sql(
+      """SELECT requests FROM inbound GROUP BY server, path
+        |ORDER BY requests DESC LIMIT 1, 2""".stripMargin).collect()
+    assert(rows.length == 2)
+    // (server,path) groups desc: 523, 439, 56, 46, null, null
+    assert(approx(d(rows(0).getAs[Any]("requests")), 439.0))
+    assert(approx(d(rows(1).getAs[Any]("requests")), 56.0))
+  }
+
+  test("LN/LOG2/LOG10 and constant fields") {
+    val rows = sql(
+      """SELECT LN(requests) AS l1, LOG2(requests) AS l2, LOG10(requests) AS l3,
+        |  5.1 AS cval FROM inbound GROUP BY _""".stripMargin).collect()
+    val total = 1064.0
+    assert(approx(d(rows(0).getAs[Any]("l1")), math.log(total)))
+    assert(approx(d(rows(0).getAs[Any]("l2")), math.log(total) / math.log(2)))
+    assert(approx(d(rows(0).getAs[Any]("l3")), math.log10(total)))
+    assert(approx(d(rows(0).getAs[Any]("cval")), 5.1))
+  }
+
+  test("STRIDE keeps first resolution slice per stride") {
+    val rows = sql(
+      """SELECT _points FROM inbound GROUP BY _, period('2s'), STRIDE('4s')
+        |ORDER BY _time""".stripMargin).collect()
+    // 4s strides starting at bucket T0 (T0 divisible by 4s? T0=1.7e12:
+    // 1700000000000 % 4000 = 0) — slices keep ts in first 2s of each 4s
+    assert(rows.length == 2)
+    assert(rows.forall(r => approx(d(r.getAs[Any]("_points")), 2.0)))
+  }
+
+  test("GROUP BY * groups by all dims") {
+    val rows = sql("SELECT requests FROM inbound GROUP BY * ORDER BY requests DESC")
+      .collect()
+    assert(rows.length == 8) // every (server,path,status) combo incl null rows
+  }
+
+  test("dimension functions derive group keys") {
+    val rows = sql(
+      """SELECT requests FROM inbound WHERE path IS NOT NULL
+        |GROUP BY SPLIT(server, '.', 3) AS last_octet
+        |ORDER BY last_octet""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("last_octet") == "23")
+    assert(rows(1).getAs[String]("last_octet") == "24")
+  }
+}

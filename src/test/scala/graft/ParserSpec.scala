@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sqlx._
+
+class ParserSpec extends AnyFunSuite {
+
+  test("durations parse and format like the reference grammar") {
+    assert(Durations.parseMillis("5s") == 5000L)
+    assert(Durations.parseMillis("-1h") == -3600000L)
+    assert(Durations.parseMillis("1h30m") == 5400000L)
+    assert(Durations.parseMillis("2d") == 172800000L)
+    assert(Durations.parseMillis("1w") == 604800000L)
+    assert(Durations.parseMillis("250ms") == 250L)
+    // formatting mirrors durationToString (sql/duration.go:184-200 +
+    // sql_test.go:27 expecting "23h55m0s")
+    assert(Durations.format(23 * 3600000L + 55 * 60000L) == "23h55m0s")
+    assert(Durations.format(1000L) == "1s")
+    assert(Durations.format(2000L) == "2s")
+    assert(Durations.format(86400000L) == "1d")
+    assert(Durations.format(8 * 86400000L) == "1w1d")
+    assert(Durations.format(3600000L) == "1h0m0s")
+  }
+
+  test("full dialect golden query parses (reference sql_test.go:35-130)") {
+    Parser.registerDimFunction("TEST")
+    Parser.registerAlias("MYALIAS", "ANY(%v, PHGET('hash', %v), %v)")
+    Parser.registerAlias("PLUA", "LUA('myscript', ARRAY('ka', 'kb'), ARRAY(%v, %v))")
+    val q = Parser.parse("""
+SELECT -- force_fresh
+	AVG(a) / (SUM(A) + SUM(b) + SUM(C)) * 2 AS rate,
+	myfield,
+	`knownfield`,
+	IF(dim = 'test', AVG(myfield)) AS the_avg,
+	*,
+	SUM(BOUNDED(bfield, 0, 100)) AS bounded,
+	5 as cval,
+	WAVG(a, b) AS weighted,
+	IF(dim = 'test2', _) AS present,
+	SHIFT(SUM(s), '1h') AS shifted,
+	CROSSHIFT(cs, '-1w', '1d'),
+	LN(l) AS log1,
+	LOG2(l) AS log2,
+	LOG10(l) AS log3,
+	SUM(p) AS p,
+	PERCENTILE(ptile, 1, 0, 0, 1) AS ptile2,
+	PERCENTILE(ptile, 2) AS ptile2_opt,
+	PERCENTILE(myfield / 10, 1, 0, 0, 1) AS ptile3
+FROM Table_A ASOF '-1w' UNTIL '-15m'
+WHERE
+	Dim_a LIKE '172.56.' AND
+	dim_b > 10 OR (dim_c = 20 OR dim_d <> 'thing') AND
+	dim_e NOT LIKE 'no such host' AND
+	dim_f != true AND
+	dim_g IS NULL AND
+	dim_h IS NOT NULL AND
+	dim_i IN (5, 6, 7, 8) AND
+	dim_j IN (SELECT subdim FROM subtable WHERE subdim > 20 HAVING something > 2) AND
+	RAND() < 0.5
+GROUP BY
+	dim_a,
+	CROSSTABT(dim_b, dim_ct),
+	PISP(ip) AS isp,
+	ORG(ip) AS org,
+	CITY(ip) AS city,
+	PCONCAT('|', part_a, part_b) AS joined,
+	TEST(dim_k) AS test_dim_k,
+	MyAlias(dim_l, dim_m, dim_n) AS any_of_three,
+	SPLIT(dim_o, ',', 2) AS spl,
+	LEN(dim_q) AS qlen,
+	REPLACEALL(dim_r, 'regex', 'replacement') AS replaced,
+	DECODE(dim_q, 1, 'ok', 'default') AS decoded,
+	period('5s'),
+	STRIDE('1d')
+HAVING Rate > 15 AND H < 2
+ORDER BY Rate DESC, x, y
+LIMIT 100, 10
+""")
+    assert(q.forceFresh)
+    assert(q.selectAll)
+    assert(q.from == FromTable("table_a"))
+    assert(q.asOf.contains(TimeRel(-604800000L)))
+    assert(q.until.contains(TimeRel(-900000L)))
+    // CROSSHIFT '-1w' cutoff / '1d' interval = 7 fields: cs, cs_1d..cs_6d
+    val csFields = q.fields.filter(_.name.startsWith("cs"))
+    assert(csFields.map(_.name) ==
+      Seq("cs", "cs_1d", "cs_2d", "cs_3d", "cs_4d", "cs_5d", "cs_6d"))
+    assert(q.fields.exists(f => f.name == "rate" &&
+      f.expr.isInstanceOf[MArith]))
+    assert(q.fields.find(_.name == "cval").get.expr == MConst(5.0))
+    assert(q.fields.find(_.name == "weighted").get.expr ==
+      MWAvg(MField("a"), MField("b")))
+    assert(q.fields.find(_.name == "ptile2_opt").get.expr ==
+      MPercentileOpt(MField("ptile"), MConst(2.0)))
+    assert(q.fields.find(_.name == "shifted").get.expr ==
+      MShift(MAgg(AggOp.Sum, MField("s")), 3600000L, "1h0m0s"))
+    // alias expansion: MYALIAS -> ANY(dim_l, HGET('hash', dim_m), dim_n)
+    val anyOf = q.groupBy.collectFirst { case GroupExpr("any_of_three", e) => e }.get
+    assert(anyOf == DFn("ANY", Seq(DCol("dim_l"),
+      DFn("HGET", Seq(DConst("hash"), DCol("dim_m"))), DCol("dim_n"))))
+    // P-prefix stripped
+    assert(q.groupBy.collectFirst { case GroupExpr("isp", e) => e }.get ==
+      DFn("ISP", Seq(DCol("ip"))))
+    assert(q.groupBy.collectFirst { case GroupExpr("joined", e) => e }.get ==
+      DFn("CONCAT", Seq(DConst("|"), DCol("part_a"), DCol("part_b"))))
+    assert(q.crosstab.size == 2 && q.crosstabTotal)
+    assert(q.resolution.map(_.toMillis).contains(5000L))
+    assert(q.stride.map(_.toMillis).contains(86400000L))
+    assert(q.having.nonEmpty)
+    assert(q.orderBy == Seq(OrderSel("rate", desc = true),
+      OrderSel("x", desc = false), OrderSel("y", desc = false)))
+    assert(q.offset == 100 && q.limit.contains(10))
+    // IN-subquery survives in WHERE
+    def findSub(e: DExpr): Boolean = e match {
+      case DInSub(DCol("dim_j"), sub, _) =>
+        sub.from == FromTable("subtable") && sub.having.nonEmpty
+      case DAnd(l, r) => findSub(l) || findSub(r)
+      case DOr(l, r)  => findSub(l) || findSub(r)
+      case _          => false
+    }
+    assert(findSub(q.where.get))
+  }
+
+  test("bare columns default and _ constructs parse") {
+    val q = Parser.parse(
+      "SELECT foo, _points, _ AS present FROM t GROUP BY _, period('1h')")
+    assert(q.fields.head == FieldSel("foo", MBare("foo")))
+    assert(q.fields(1) == FieldSel("_points", MAgg(AggOp.Sum, MField("_point"))))
+    assert(q.fields(2).name == "present")
+    assert(q.groupBy.isEmpty && !q.groupByAll)
+    assert(q.resolution.map(_.toMillis).contains(3600000L))
+  }
+
+  test("LIMIT without offset, WHERE IN list, subquery FROM") {
+    val q = Parser.parse(
+      "SELECT a FROM (SELECT b AS a FROM x GROUP BY *) WHERE d IN ('p', 'q') LIMIT 7")
+    assert(q.limit.contains(7) && q.offset == 0)
+    q.from match {
+      case FromSub(sub) => assert(sub.groupByAll)
+      case other        => fail(s"expected subquery, got $other")
+    }
+    assert(q.where.contains(DIn(DCol("d"), Seq("p", "q"), negated = false)))
+  }
+}
