@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -174,7 +176,118 @@ object SparkEntry {
     "q_math" -> gq(
       """SELECT LN(l_quantity) AS l1, LOG2(l_quantity) AS l2,
         |  LOG10(l_quantity) AS l3
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- LLM-pipeline extensions (north star: 100 TB training-data ops) ----
+
+    // exact dedup: one shuffle on (hash, key), lowest id wins
+    "q_dedup_exact" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.exact(docs, col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    },
+
+    // text analysis: token/char stats per lang (portable exact arithmetic)
+    "q_text_stats" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"),
+          size(TextAnalysis.tokensSimple(col("text"))).as("toks"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("tok_sum"), sum(col("n_chars")).as("char_sum"),
+          count(lit(1)).cast("double").as("docs"))
+        .orderBy(col("lang"))
+    },
+
+    // n-gram (token-set) Jaccard near-dup pairs, inverted-index join
+    "q_jaccard_pairs" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" && col("doc_id") < 1000)
+      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // position-weighted document fingerprint (rolling-hash analogue)
+    "q_fingerprint" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // brute-force cosine top-k against one query vector (quantized = exact)
+    "q_cosine_topk" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      Similarity.topK(e.filter(col("vec_id") =!= 0), col("embedding"),
+          col("vec_id"), q, k = 10, quantized = true)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
+    // per-label embedding stats via exact quantized sums
+    "q_embed_stats" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val qsum = aggregate(Similarity.quantize(col("embedding")), lit(0L),
+        (acc, x) => acc + x)
+      e.select(col("label"), qsum.as("qs"))
+        .groupBy(col("label"))
+        .agg(sum(col("qs")).as("qsum"), count(lit(1)).cast("double").as("n"))
+        .orderBy(col("label"))
+    },
+
+    // MinHash+LSH near-dup (scale path; verified against exact jaccard in tests)
+    "q_minhash_lsh" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" && col("doc_id") < 1000)
+      Dedup.minHashLsh(docs, col("text"), col("doc_id"), n = 1,
+          numHashes = 64, bands = 32, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs via pigeonhole banding
+    "q_simhash_pairs" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" && col("doc_id") < 1000)
+      Dedup.simHashPairs(docs, col("text"), col("doc_id"), maxDist = 15)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // language-ID heuristic + quality scoring (rows-only check)
+    "q_langid_quality" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // IVF-pruned approximate nearest neighbours (rows-only check)
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val (assigned, centroids) =
+        Similarity.ivfAssign(e.filter(col("vec_id") =!= 0), col("embedding"),
+          col("vec_id"), nCentroids = 16)
+      Similarity.ivfTopK(assigned, centroids, col("embedding"), col("vec_id"),
+        q, k = 10, nProbe = 4)
+        .select(col("id"))
+    },
+
+    // multimodal plumbing: binary payloads + metadata + stubbed decode
+    "q_multimodal" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.withMeta(
+        docs.select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload")),
+        lit("fake/raw"), lit(640), lit(480), lit(0L))
+      media.select(col("media_id"),
+          size(Multimodal.decodeImageFeatures(col("payload"), 8)).as("feat_dim"),
+          size(Multimodal.sampleFrames(col("payload"), 16, 2, 4)).as("frames"),
+          Multimodal.resizeMeta(col("meta"), 320).getField("width").as("w"))
+        .orderBy(col("media_id"))
+    }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -327,6 +440,56 @@ object SparkEntry {
         |  ln(sum(l_quantity)) AS l1,
         |  ln(sum(l_quantity)) / ln(2) AS l2,
         |  log(sum(l_quantity)) AS l3
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split(trim(text), ' ')) END) AS BIGINT) AS tok_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |  CAST(count(*) AS DOUBLE) AS docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source = 'src0' AND doc_id < 1000 AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+        |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING jaccard >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE list_sum(list_transform(string_split(trim(text), ' '),
+        |              (x, i) -> CAST(ascii(x) + length(x) AS BIGINT) * i))
+        |            % 1000000007 END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label,
+        |  CAST(sum(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)))) AS BIGINT) AS qsum,
+        |  CAST(count(*) AS DOUBLE) AS n
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

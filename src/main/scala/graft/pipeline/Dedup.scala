@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, each designed around one shuffle on a compact
+  * key so they hold up at 100 TB:
+  *
+  *  - exact: shuffle on xxhash64(text) — the full text never shuffles twice
+  *  - n-gram Jaccard: inverted-index join on shingles (small-corpus/oracle
+  *    path) — quadratic in bucket size, use MinHash-LSH beyond that
+  *  - MinHash+LSH: signature → band buckets → candidate pairs → exact verify;
+  *    shuffle volume is O(docs × bands), candidates only where a band agrees
+  *  - SimHash: 64-bit signature; pairs within Hamming distance d found by
+  *    pigeonhole banding (d < #blocks guarantees a shared block)
+  */
+object Dedup {
+
+  /** Keep one row per distinct value of `keyCol` (lowest `idCol` wins).
+    * Partitions by (hash, key) so the shuffle key is compact; the window
+    * ranks within a partition — one shuffle, no join.
+    */
+  def exact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(xxhash64(keyCol), keyCol).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of the text (n=1 → distinct tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = TextAnalysis.tokensSimple(text)
+    val grams =
+      if (n == 1) toks
+      else transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** All pairs (idA < idB) with shingle-set Jaccard ≥ threshold, via an
+    * inverted-index join: explode shingles, join on shingle, count common.
+    * Exact but quadratic within a shingle's posting list — for corpus-scale
+    * near-dup detection use [[minHashLsh]] and verify only candidates.
+    */
+  def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column, n: Int,
+                   threshold: Double): DataFrame = {
+    val t = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val e = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent minimums over shingle hashes
+    * (seeded by mixing the band index into xxhash64's input).
+    */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    val mins = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(mins: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    * Jaccard on the candidate set only. bands × rowsPerBand = numHashes.
+    */
+  def minHashLsh(df: DataFrame, textCol: Column, idCol: Column, n: Int,
+                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(idCol.as("id"), textCol.as("text"))
+      .filter(size(shingles(textCol, n)) > 0) // empty docs have no signature
+      .withColumn("sig", minHashSignature(col("text"), n, numHashes))
+    val banded = sig.select(col("id"), col("text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
+    val a = banded.as("a"); val b2 = banded.as("b")
+    val candidates = a.join(b2,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.text").as("ta"), col("b.text").as("tb"))
+      .distinct()
+    val sa = shingles(col("ta"), n); val sb = shingles(col("tb"), n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(sa) + size(sb) - size(array_intersect(sa, sb))
+    candidates
+      .withColumn("jaccard", when(union === 0, 0.0).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per-bit vote of token hashes. */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokensSimple(text)
+    // votes[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i)
+            .bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      })
+    // assemble sign bits into a long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Pairs within Hamming distance `maxDist` of their SimHashes. Blocks the
+    * 64-bit signature into `maxDist+1` chunks — any pair within distance
+    * must agree on ≥1 chunk (pigeonhole), so the join key is a chunk value.
+    */
+  def simHashPairs(df: DataFrame, textCol: Column, idCol: Column,
+                   maxDist: Int): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val sigDf = df.select(idCol.as("id"), simHash(textCol).as("sig"))
+    val banded = sigDf.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)), b => {
+        val shifted = call_function("shiftrightunsigned", col("sig"), b * width)
+        shifted.bitwiseAND(lit((1L << width) - 1))
+      })).as(Seq("block", "bv")))
+    val a = banded.as("a"); val b2 = banded.as("b")
+    a.join(b2, col("a.block") === col("b.block") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (3L, "completely different text about spark engines and data"),
+      (4L, "der hund ist nicht auf der couch und ich bin hier"),
+      (5L, "le chat est dans la maison et il dort pour le moment"),
+      (6L, "el perro no es un gato y se fue en la casa"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per distinct text") {
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L)) // 2 deduped into 0
+  }
+
+  test("jaccard pairs find near and exact dups") {
+    val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1,
+      threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L))) // exact: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as brute force") {
+    val brute = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1,
+      threshold = 0.7).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, col("text"), col("doc_id"), n = 1,
+      numHashes = 64, bands = 32, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verify step makes LSH ⊆ brute; banding at r=2 makes recall ~1 here
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((0L, 2L)))
+    assert(lsh == brute, s"LSH missed ${brute -- lsh}")
+  }
+
+  test("simhash: identical texts collide, near-dups are close, others far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(2L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sigs(0L), sigs(1L)) < dist(sigs(0L), sigs(3L)))
+    val pairs = Dedup.simHashPairs(docs, col("text"), col("doc_id"), maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("langId identifies stopword-bearing languages") {
+    val got = docs.filter(col("doc_id").isin(0L, 4L, 5L, 6L, 7L))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en")
+    assert(got(4L) == "de")
+    assert(got(5L) == "fr")
+    assert(got(6L) == "es")
+    assert(got(7L) == "und")
+  }
+
+  test("quality score and token counts behave") {
+    val r = docs.select(
+        TextAnalysis.tokenCount(col("text")).as("tc"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bc"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect()
+    assert(r(0).getInt(0) == 9)
+    assert(r(7).getInt(0) == 0) // empty text
+    assert(r.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
+  }
+
+  test("embedding cosine topK: quantized matches plain ordering, IVF ⊆ plain domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2
+    val plain = Similarity.topK(df.filter($"vec_id" =!= 0L), col("embedding"),
+      col("vec_id"), q, 5).collect().map(_.getLong(0)).toSeq
+    val quant = Similarity.topK(df.filter($"vec_id" =!= 0L), col("embedding"),
+      col("vec_id"), q, 5, quantized = true).collect().map(_.getLong(0)).toSeq
+    assert(plain == quant) // 1e-6 quantization cannot reorder random vectors
+    val (assigned, centroids) = Similarity.ivfAssign(
+      df.filter($"vec_id" =!= 0L), col("embedding"), col("vec_id"), 8)
+    val ann = Similarity.ivfTopK(assigned, centroids, col("embedding"),
+      col("vec_id"), q, 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(ann == plain) // probing ALL centroids must recover exact top-k
+  }
+
+  test("multimodal plumbing: schema, stub decode shapes, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.withMeta(
+      Seq((1L, "0123456789abcdef0123456789abcdef".getBytes),
+          (2L, "xy".getBytes))
+        .toDF("media_id", "payload"),
+      lit("img/fake"), lit(1920), lit(1080), lit(0L))
+    val gotMeta = media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(gotMeta.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.metaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val out = media.select(
+        Multimodal.decodeImageFeatures(col("payload"), 8).as("f"),
+        Multimodal.sampleFrames(col("payload"), 4, 2, 3).as("fr"),
+        Multimodal.resizeMeta(col("meta"), 960).as("m2"))
+      .collect()
+    assert(out(0).getSeq[Float](0).size == 8)
+    assert(out(0).getSeq[Array[Byte]](1).size == 3) // 32 bytes → 3 frames of 4 every 8
+    assert(out(1).getSeq[Array[Byte]](1).size == 1) // 2 bytes → 1 partial frame
+    val m2 = out(0).getStruct(2)
+    assert(m2.getAs[Int]("width") == 960 && m2.getAs[Int]("height") == 540)
+    // deterministic: same payload → same features
+    val f2 = media.select(Multimodal.decodeImageFeatures(col("payload"), 8).as("f"))
+      .collect()(0).getSeq[Float](0)
+    assert(f2 == out(0).getSeq[Float](0))
+  }
+}
