@@ -23,7 +23,10 @@ final case class TableDef(
     fieldAgg: Map[String, AggOp] = Map.empty,
     hasPointsCol: Boolean = false,
     /** Declared bucket resolution for materialized tables; raw sources None. */
-    resolution: Option[scala.concurrent.duration.FiniteDuration] = None)
+    resolution: Option[scala.concurrent.duration.FiniteDuration] = None,
+    /** Materialized tables: the defining field exprs, enabling accumulator
+      * merge-reads (the SubMerge relation) instead of raw re-accumulation. */
+    stored: Option[graft.exprs.Builders.StoredDef] = None)
 
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a

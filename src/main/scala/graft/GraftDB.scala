@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.exprs.Builders
+import graft.schema.{SchemaParser, TableConfig}
+import graft.sqlx.{FromTable, Parser, Query}
+import graft.streaming.MaterializedTable
+
+/** The embeddable database facade — zenodb's `DB` re-expressed on Spark:
+  * a schema of materialized aggregation tables and views over named streams,
+  * batch/streaming ingest, and dialect SQL over the stored state.
+  *
+  * {{{
+  * val db = new GraftDB(spark, schemaYaml, "/data/graft")
+  * db.insert("inbound", pointsDf)            // batch ingest
+  * db.attachStream("inbound", streamingDf, "/data/ckpt")  // streaming ingest
+  * db.sql("SELECT requests FROM combined GROUP BY * ORDER BY requests DESC")
+  * }}}
+  */
+final class GraftDB(
+    spark: SparkSession,
+    schemaText: String,
+    baseDir: String,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private val configs: Seq[TableConfig] = SchemaParser.parse(schemaText)
+
+  /** stream name -> tables fed by it; views resolve to their parent's stream
+    * and are materialized independently (/root/reference/table.go:194-250).
+    */
+  val tables: Map[String, MaterializedTable] = {
+    val parsed: Map[String, (TableConfig, Query)] =
+      configs.map(c => c.name -> (c, Parser.parse(c.sql))).toMap
+    parsed.map { case (name, (cfg, q0)) =>
+      val resolved =
+        if (!cfg.isView) q0
+        else {
+          val parentName = q0.from match {
+            case FromTable(p) => p
+            case other => throw new IllegalArgumentException(
+              s"view $name must select FROM a table, got $other")
+          }
+          val (_, parentQ) = parsed.getOrElse(parentName,
+            throw new IllegalArgumentException(
+              s"view $name references unknown table $parentName"))
+          SchemaParser.resolveView(q0, parentQ)
+        }
+      name -> new MaterializedTable(spark, cfg, resolved,
+        s"$baseDir/$name", now)
+    }
+  }
+
+  private def tablesForStream(stream: String): Seq[MaterializedTable] =
+    tables.values.filter(_.query.from == FromTable(stream.toLowerCase)).toSeq
+
+  /** Batch-insert points into a stream: every table/view defined over the
+    * stream folds the batch into its materialized aggregation.
+    */
+  def insert(stream: String, batch: DataFrame): Unit = {
+    val targets = tablesForStream(stream)
+    require(targets.nonEmpty, s"no tables defined over stream '$stream'")
+    targets.foreach(_.mergeBatch(batch))
+  }
+
+  /** Attach a streaming source to every table over the stream. Each table
+    * gets its own checkpointed foreachBatch merge (offset tracking ≅ the
+    * reference's per-table WAL offsets, row_store.go:455-530).
+    */
+  def attachStream(stream: String, df: DataFrame, checkpointBase: String,
+                   trigger: Trigger = Trigger.ProcessingTime(1000)): Seq[StreamingQuery] =
+    tablesForStream(stream).map { t =>
+      t.sink(df, s"$checkpointBase/${t.config.name}", trigger)
+    }
+
+  /** Catalog of the materialized state, for the planner. */
+  def catalog: Catalog = {
+    val defs = tables.flatMap { case (name, t) =>
+      t.read().map { df =>
+        TableDef(
+          name = name,
+          df = df,
+          timeCol = Some("_time"),
+          dims = df.columns.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq,
+          vals = t.tableFields.map(_.name),
+          fieldAgg = Map.empty,
+          hasPointsCol = false,
+          resolution = t.query.resolution,
+          stored = Some(Builders.StoredDef(t.tableFields)))
+      }
+    }
+    new Catalog(defs.map(d => d.name -> d).toMap)
+  }
+
+  def sql(query: String): DataFrame = Engine.sql(catalog, query, now)
+}

@@ -130,44 +130,113 @@ object Builders {
     */
   final case class ShiftReq(alias: String, srcExpr: Column, offsetMillis: Long)
 
+  /** How a stored accumulator column re-merges when buckets re-aggregate to
+    * coarser groupings — the reference's `Expr.Merge`/`SubMerge` contract
+    * (/root/reference/expr/expr.go:83-124) collapsed onto Spark built-ins:
+    * SUM/COUNT/AVG-parts merge by sum, MIN by min, MAX by max.
+    */
+  sealed trait MergeOp
+  object MergeOp {
+    case object Sum extends MergeOp
+    case object Min extends MergeOp
+    case object Max extends MergeOp
+    def apply(op: MergeOp, c: Column): Column = op match {
+      case Sum => sum(c)
+      case Min => min(c)
+      case Max => max(c)
+    }
+  }
+
+  /** One accumulator column: alias, the aggregation that produces it from
+    * raw rows, and how it re-merges from stored buckets.
+    */
+  final case class AggSpec(alias: String, agg: Column, merge: MergeOp)
+
   /** `fields`/`having` take an agg-alias resolver so the same compiled SELECT
     * list can be projected against differently-named agg columns — the plain
     * path resolves `__aN -> col("__aN")`, the CROSSTAB path resolves
-    * `__aN -> col("<pivotval>___aN")` per pivot value.
+    * `__aN -> col("<pivotval>___aN")` per pivot value, and the stored-table
+    * path resolves against re-merged accumulator columns.
     */
   final case class Compiled(
-      aggs: Seq[Column],                 // aggregate columns (aliased __aN)
+      aggSpecs: Seq[AggSpec],            // accumulator columns (aliased __aN)
       shifts: Seq[ShiftReq],             // post-agg time-shift requirements
       fields: Seq[(String, (String => Column) => Column)],
-      having: Option[(String => Column) => Column]) {
+      having: Option[(String => Column) => Column],
+      keyed: Map[String, (String, MergeOp)]) { // canonical key -> (alias, merge)
+    def aggs: Seq[Column] = aggSpecs.map(_.agg)
     def fieldCols: Seq[(String, Column)] =
       fields.map { case (n, mk) => n -> mk(col _).as(n) }
     def havingCol: Option[Column] = having.map(_(col _))
   }
 
+  /** A materialized table's definition, for compiling queries that READ the
+    * stored accumulators instead of raw rows: `tableFields` are the defining
+    * field expressions in declaration order. Re-walking them regenerates the
+    * same canonical-key → accumulator-alias assignment the table was stored
+    * with, so a query aggregate that structurally matches a stored aggregate
+    * resolves to a *merge* of the stored column — the reference's
+    * SubMerge-based field compatibility (planner/local.go:85-97).
+    */
+  final case class StoredDef(tableFields: Seq[FieldSel])
+
   /** Compile a SELECT list (+ optional HAVING) into aggregate columns and
     * post-agg projections. `resolveVal` maps measure names to per-row value
-    * columns; `resolveDim` maps dim names for IF conditions.
+    * columns; `resolveDim` maps dim names for IF conditions. With `stored`,
+    * aggregates must match a stored accumulator (else the zenodb "No column
+    * found" error) and compile to merge-reads.
     */
   def compile(
       fields: Seq[FieldSel],
       having: Option[MExpr],
       resolveVal: String => Column,
-      resolveDim: String => Column): Compiled = {
+      resolveDim: String => Column,
+      stored: Option[StoredDef] = None): Compiled = {
 
-    // canonical key -> (alias, aggregate column)
-    val aggs = scala.collection.mutable.LinkedHashMap.empty[String, (String, Column)]
+    // canonical key -> (alias, accumulator spec)
+    val aggs = scala.collection.mutable.LinkedHashMap.empty[String, AggSpec]
     // canonical key -> ShiftReq
     val shifts = scala.collection.mutable.LinkedHashMap.empty[String, ShiftReq]
 
     type PostB = (String => Column) => Column
 
-    def aggRef(key: String, mk: => Column): String = {
-      val (alias, _) = aggs.getOrElseUpdate(key, {
+    // Stored-read mode: shadow-walk the table's defining fields to rebuild
+    // the canonical-key -> (stored alias, merge op) map, then resolve query
+    // aggregates against it. `shadow` is None when compiling raw sources.
+    val shadow: Option[Map[String, (String, MergeOp)]] = stored.map { sd =>
+      compile(sd.tableFields, None, resolveVal, resolveDim, None).keyed
+    }
+
+    def rawAggRef(key: String, merge: MergeOp, mk: => Column): String =
+      aggs.getOrElseUpdate(key, {
         val a = s"__a${aggs.size}"
-        (a, mk.as(a))
-      })
-      alias
+        AggSpec(a, mk.as(a), merge)
+      }).alias
+
+    /** Register the aggregate for `canon` under condition `cond`. Raw mode
+      * builds the accumulation column (`mk`). Stored mode resolves against
+      * the shadow map: exact key match (defining-expr read, including its IF
+      * conditions) → plain merge of the stored column; condition-free match
+      * with a query-level IF on top → gated merge; no match → the
+      * reference's "No column found" rejection (README.md:239-247).
+      */
+    def ref(canon: String, cond: Option[Column], merge: MergeOp,
+            mk: => Column): String = {
+      val keyFull = s"$canon|${condKey(cond)}"
+      shadow match {
+        case None => rawAggRef(keyFull, merge, mk)
+        case Some(sh) =>
+          sh.get(keyFull) match {
+            case Some((sa, m)) => rawAggRef(keyFull, m, MergeOp(m, col(sa)))
+            case None => sh.get(s"$canon|") match {
+              case Some((sa, m)) => rawAggRef(keyFull, m,
+                MergeOp(m, cond.map(c => when(c, col(sa))).getOrElse(col(sa))))
+              case None => throw new IllegalArgumentException(
+                s"No column found for $canon (not computable from this " +
+                  "table's stored fields)")
+            }
+          }
+      }
     }
 
     // Per-row value expression (feeds an aggregate function).
@@ -233,22 +302,35 @@ object Builders {
           ShiftReq(s"__s${shifts.size}", post(inner, cond)(col _), off)
         })
         _ => col(req.alias)
+      case MAgg(AggOp.Avg, child) =>
+        // AVG stores a (count, total) pair so partials merge correctly and
+        // coarser re-aggregation stays weighted (/root/reference/expr/avg.go)
+        val canon = MExpr.canonical(e)
+        val cnt = ref(canon + ":cnt", cond, MergeOp.Sum,
+          count(value(child, cond)).cast("double"))
+        val tot = ref(canon + ":tot", cond, MergeOp.Sum, sum(value(child, cond)))
+        res => when(res(cnt).isNull || res(cnt) === 0.0, lit(null))
+          .otherwise(res(tot) / res(cnt))
       case MAgg(op, child) =>
-        val key = s"${MExpr.canonical(e)}|${condKey(cond)}"
-        val alias = aggRef(key, op match {
-          case AggOp.Sum   => sum(value(child, cond))
-          case AggOp.Min   => min(value(child, cond))
-          case AggOp.Max   => max(value(child, cond))
-          case AggOp.Count => count(value(child, cond)).cast("double")
-          case AggOp.Avg   => avg(value(child, cond))
-        })
+        val alias = ref(MExpr.canonical(e), cond,
+          if (op == AggOp.Min) MergeOp.Min
+          else if (op == AggOp.Max) MergeOp.Max
+          else MergeOp.Sum,
+          op match {
+            case AggOp.Sum   => sum(value(child, cond))
+            case AggOp.Min   => min(value(child, cond))
+            case AggOp.Max   => max(value(child, cond))
+            case AggOp.Count => count(value(child, cond)).cast("double")
+            case AggOp.Avg   => throw new IllegalStateException("unreachable")
+          })
         res => res(alias)
       case MWAvg(x, w) =>
         // count += w; total += x*w; Get = total/count, 0 when count==0
         // (/root/reference/expr/avg.go:19-21,52-63,109-113)
-        val base = s"${MExpr.canonical(e)}|${condKey(cond)}"
-        val tot = aggRef(base + ":tot", sum(value(x, cond) * value(w, cond)))
-        val cnt = aggRef(base + ":cnt", sum(value(w, cond)))
+        val canon = MExpr.canonical(e)
+        val tot = ref(canon + ":tot", cond, MergeOp.Sum,
+          sum(value(x, cond) * value(w, cond)))
+        val cnt = ref(canon + ":cnt", cond, MergeOp.Sum, sum(value(w, cond)))
         res => when(res(cnt) === 0.0, lit(0.0)).otherwise(res(tot) / res(cnt))
       case MPercentile(child, p, lo, hi, precision) =>
         // Inputs are clamped into [lo,hi]; p is a constant percentage.
@@ -258,8 +340,11 @@ object Builders {
         val pv = constOf(p) / 100.0
         val v0 = value(child, cond)
         val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
-        val key = s"${MExpr.canonical(e)}|${condKey(cond)}"
-        val alias = aggRef(key, percentile(v, lit(pv)).cast("double"))
+        // MergeOp.Max is a placeholder: percentile accumulators are not
+        // re-mergeable without the sketch aggregate; materialization rejects
+        // them until graft.functions.PercentileSketch lands
+        val alias = ref(MExpr.canonical(e), cond, MergeOp.Max,
+          percentile(v, lit(pv)).cast("double"))
         res => res(alias)
       case MPercentileOpt(child, p) =>
         throw new IllegalArgumentException(
@@ -280,10 +365,11 @@ object Builders {
     val havingB = having.map(h => post(h, None))
 
     Compiled(
-      aggs.values.toSeq.map(_._2),
+      aggs.values.toSeq,
       shifts.values.toSeq,
       fieldBs,
-      havingB)
+      havingB,
+      aggs.map { case (k, spec) => k -> (spec.alias, spec.merge) }.toMap)
   }
 
   private def mathFn(fn: String, c: Column): Column = fn.toUpperCase match {

@@ -130,11 +130,19 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
 
     // ---- resolve bare columns + SELECT * expansion ----
     // Bare columns in HAVING that name a SELECT alias reference the computed
-    // field; elsewhere they default to the source's aggregate for that column.
+    // field; on materialized tables they expand to the field's defining
+    // expression (read via accumulator merge); elsewhere they default to the
+    // source's aggregate for that column.
     var aliases = Set.empty[String]
+    val storedFieldExpr: Map[String, MExpr] =
+      src.stored.map(_.tableFields.map(f => f.name -> f.expr).toMap)
+        .getOrElse(Map.empty)
     def fieldAggOf(n: String): AggOp = src.fieldAgg.getOrElse(n, AggOp.Sum)
     def resolveBare(e: MExpr): MExpr = e match {
       case MBare(n) if aliases(n) => MField(n)
+      case MBare(n) if src.stored.isDefined =>
+        storedFieldExpr.getOrElse(n, throw new IllegalArgumentException(
+          s"No column found: $n on table ${src.name}"))
       case MBare(n)            => MAgg(fieldAggOf(n), MField(n))
       case MAgg(op, c)         => MAgg(op, resolveBare(c))
       case MWAvg(x, w)         => MWAvg(resolveBare(x), resolveBare(w))
@@ -155,15 +163,25 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       if (!q.selectAll) explicit
       else {
         val known = explicit.map(_.name).toSet
-        val starFields =
-          src.vals.filterNot(known).filterNot(_ == "_points").map { v =>
-            FieldSel(v, MAgg(fieldAggOf(v), MField(v)))
-          } ++
-            (if (known("_points")) Nil
-             else Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))))
+        val starFields = src.stored match {
+          case Some(sd) => sd.tableFields.filterNot(f => known(f.name))
+          case None =>
+            src.vals.filterNot(known).filterNot(_ == "_points").map { v =>
+              FieldSel(v, MAgg(fieldAggOf(v), MField(v)))
+            } ++
+              (if (known("_points")) Nil
+               else Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))))
+        }
         explicit ++ starFields
       }
     require(fields.nonEmpty, "empty SELECT list")
+
+    // analyzer parity: query resolution must be a coarser multiple of the
+    // table's (/root/reference/planner/local.go:137-170)
+    for (tr <- src.resolution; qr <- q.resolution) {
+      require(qr.toMillis >= tr.toMillis && qr.toMillis % tr.toMillis == 0,
+        s"period(${qr}) must be a multiple of table resolution ($tr)")
+    }
 
     val resolveVal: String => Column = {
       case "_point" => if (src.hasPointsCol) col("_points") else lit(1.0)
@@ -171,7 +189,8 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     }
     aliases = fields.map(_.name).toSet
     val having = q.having.map(resolveBare)
-    val compiled = Builders.compile(fields, having, resolveVal, dimResolve)
+    val compiled = Builders.compile(fields, having, resolveVal, dimResolve,
+      src.stored)
 
     // ---- aggregate ----
     val keyCols: Seq[Column] = timeKey.toSeq ++ dimCols.map { case (n, c) => c.as(n) }

@@ -1,0 +1,125 @@
+package graft.schema
+
+import graft.sqlx._
+
+/** One table/view declaration from a zenodb-style schema file
+  * (/root/reference/schema.go + table.go:34-64 TableOpts).
+  */
+final case class TableConfig(
+    name: String,
+    sql: String,
+    isView: Boolean = false,
+    retentionMillis: Option[Long] = None,
+    backfillMillis: Option[Long] = None,
+    maxFlushLatencyMillis: Option[Long] = None,
+    minFlushLatencyMillis: Option[Long] = None,
+    partitionBy: Seq[String] = Nil)
+
+/** Minimal parser for the zenodb schema YAML subset: top-level table names,
+  * scalar options, `sql: >`-folded blocks. (No external YAML dependency —
+  * the grammar the reference actually uses is this small.)
+  */
+object SchemaParser {
+
+  def parse(text: String): Seq[TableConfig] = {
+    val lines = text.split("\n", -1)
+    val tables = scala.collection.mutable.ArrayBuffer.empty[TableConfig]
+    var cur: Option[TableConfig] = None
+    var i = 0
+    def flush(): Unit = { cur.foreach(tables += _); cur = None }
+    while (i < lines.length) {
+      val line = lines(i)
+      val trimmed = line.trim
+      if (trimmed.isEmpty || trimmed.startsWith("#")) i += 1
+      else if (!line.head.isWhitespace && trimmed.endsWith(":")) {
+        flush()
+        cur = Some(TableConfig(trimmed.dropRight(1).trim.toLowerCase, sql = ""))
+        i += 1
+      } else if (cur.isDefined && line.head.isWhitespace) {
+        val idx = trimmed.indexOf(':')
+        require(idx > 0, s"bad schema line: '$line'")
+        val key = trimmed.substring(0, idx).trim.toLowerCase
+        val value = trimmed.substring(idx + 1).trim
+        if (key == "sql" && (value == ">" || value == "|" || value.isEmpty)) {
+          // folded block: consume following more-indented lines
+          val baseIndent = line.takeWhile(_.isWhitespace).length
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (i < lines.length && !done) {
+            val l = lines(i)
+            if (l.trim.isEmpty) { sb.append('\n'); i += 1 }
+            else if (l.takeWhile(_.isWhitespace).length > baseIndent) {
+              sb.append(l.trim).append('\n'); i += 1
+            } else done = true
+          }
+          cur = cur.map(_.copy(sql = sb.toString.trim))
+        } else {
+          cur = Some(applyOpt(cur.get, key, value))
+          i += 1
+        }
+      } else {
+        throw new IllegalArgumentException(s"unparseable schema line: '$line'")
+      }
+    }
+    flush()
+    tables.toSeq
+  }
+
+  private def applyOpt(c: TableConfig, key: String, value0: String): TableConfig = {
+    val value = value0.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'")
+    key match {
+      case "sql"             => c.copy(sql = value)
+      case "view"            => c.copy(isView = value.toBoolean)
+      case "retentionperiod" => c.copy(retentionMillis = Some(Durations.parseMillis(value)))
+      case "backfill"        => c.copy(backfillMillis = Some(Durations.parseMillis(value)))
+      case "maxflushlatency" => c.copy(maxFlushLatencyMillis = Some(Durations.parseMillis(value)))
+      case "minflushlatency" => c.copy(minFlushLatencyMillis = Some(Durations.parseMillis(value)))
+      case "partitionby" =>
+        val list = value.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+        c.copy(partitionBy = list)
+      case other =>
+        throw new IllegalArgumentException(s"unknown table option '$other'")
+    }
+  }
+
+  /** Resolve a view against its parent table's definition
+    * (/root/reference/table.go:194-250): the view derives fields / GROUP BY /
+    * resolution from the parent when unspecified, merges WHERE clauses, and
+    * is fed FROM THE SAME STREAM (it is its own independent materialization,
+    * not a lazy view).
+    */
+  def resolveView(view: Query, parent: Query): Query = {
+    val fields =
+      if (view.selectAll && view.fields.isEmpty) parent.fields
+      else if (view.selectAll) parent.fields ++
+        view.fields.filterNot(f => parent.fields.exists(_.name == f.name))
+      else view.fields.map { f =>
+        f.expr match {
+          // a bare column in a view SELECT refers to the parent field's
+          // full defining expression
+          case MBare(n) => parent.fields.find(_.name == n)
+            .getOrElse(FieldSel(n, MBare(n)))
+          case _ => f
+        }
+      }
+    val where = (parent.where, view.where) match {
+      case (Some(a), Some(b)) => Some(DAnd(a, b))
+      case (a, b)             => a.orElse(b)
+    }
+    val (gb, gba) =
+      if (view.groupByAll) (Seq.empty[GroupCol], true)
+      else if (view.groupBy.nonEmpty) (view.groupBy, false)
+      else (parent.groupBy, parent.groupByAll)
+    Query(
+      fields = fields,
+      selectAll = false,
+      from = parent.from, // the parent's STREAM
+      where = where,
+      groupBy = gb,
+      groupByAll = gba,
+      resolution = view.resolution.orElse(parent.resolution))
+  }
+}

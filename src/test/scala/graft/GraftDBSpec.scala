@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end materialized-table semantics over the README quickstart fixture
+  * (/root/reference/README.md:78-395): tables are continuously-maintained
+  * aggregations; queries re-aggregate stored accumulators.
+  */
+class GraftDBSpec extends AnyFunSuite {
+
+  private val EPS = 1e-5
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1700000000000L // bucket-aligned (multiple of 5m)
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("server", StringType),
+    StructField("path", StringType),
+    StructField("status", IntegerType),
+    StructField("requests", DoubleType),
+    StructField("load_avg", DoubleType)))
+
+  private def points(offsets: Long*): DataFrame = {
+    def ts(offMs: Long) = new java.sql.Timestamp(T0 + offMs)
+    val base = Seq(
+      Row(ts(0), "56.234.163.23", "/index.html", Integer.valueOf(200), Double.box(56.0), null),
+      Row(ts(1000), "56.234.163.23", "/login", Integer.valueOf(200), Double.box(34.0), null),
+      Row(ts(2000), "56.234.163.23", "/login", Integer.valueOf(500), Double.box(12.0), null),
+      Row(ts(3000), "56.234.163.23", null, null, null, Double.box(1.7)),
+      Row(ts(4000), "56.234.163.24", "/index.html", Integer.valueOf(200), Double.box(523.0), null),
+      Row(ts(5000), "56.234.163.24", "/login", Integer.valueOf(200), Double.box(411.0), null),
+      Row(ts(6000), "56.234.163.24", "/login", Integer.valueOf(500), Double.box(28.0), null),
+      Row(ts(7000), "56.234.163.24", null, null, null, Double.box(0.3)))
+    spark.createDataFrame(spark.sparkContext.parallelize(base, 2), schema)
+  }
+
+  private val schemaYaml =
+    """combined:
+      |  retentionperiod: 1h
+      |  sql: >
+      |    SELECT
+      |      requests,
+      |      AVG(load_avg) AS load_avg
+      |    FROM inbound
+      |    GROUP BY *, period(5m)
+      |
+      |errors_view:
+      |  view: true
+      |  sql: >
+      |    SELECT * FROM combined WHERE status = 500 GROUP BY server, period(5m)
+      |""".stripMargin
+
+  private def freshDb(): GraftDB = {
+    val dir = Files.createTempDirectory("graftdb").toString
+    new GraftDB(spark, schemaYaml, dir, () => T0 + 10000)
+  }
+
+  private def d(v: Any): Double = v match {
+    case null      => Double.NaN
+    case x: Double => x
+    case x: Number => x.doubleValue()
+  }
+  private def approx(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= EPS * math.max(1.0, math.abs(b))
+
+  test("README flow: insert, query, re-insert doubles SUMs but not AVGs") {
+    val db = freshDb()
+    db.insert("inbound", points())
+
+    val rows = db.sql(
+      """SELECT _points, requests, load_avg FROM combined
+        |GROUP BY server ORDER BY requests DESC""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("server") == "56.234.163.24")
+    assert(approx(d(rows(0).getAs[Any]("requests")), 962.0))
+    assert(approx(d(rows(0).getAs[Any]("load_avg")), 0.3))
+    assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
+
+    // re-insert the same batch: SUMs double, AVGs stay (README.md:199-238)
+    db.insert("inbound", points())
+    val rows2 = db.sql(
+      """SELECT _points, requests, load_avg FROM combined
+        |GROUP BY server ORDER BY requests DESC""".stripMargin).collect()
+    assert(approx(d(rows2(0).getAs[Any]("requests")), 1924.0))
+    assert(approx(d(rows2(0).getAs[Any]("load_avg")), 0.3))
+    assert(approx(d(rows2(0).getAs[Any]("_points")), 8.0))
+  }
+
+  test("SUM over an AVG field errors like the reference (README.md:239-247)") {
+    val db = freshDb()
+    db.insert("inbound", points())
+    val ex = intercept[IllegalArgumentException] {
+      db.sql("SELECT SUM(load_avg) AS s FROM combined GROUP BY server").collect()
+    }
+    assert(ex.getMessage.contains("No column found"))
+    // AVG over the AVG field is fine (weighted correctly via count/total)
+    val ok = db.sql("SELECT AVG(load_avg) AS a FROM combined GROUP BY _").collect()
+    assert(approx(d(ok(0).getAs[Any]("a")), 1.0)) // (1.7+0.3)/2 weighted equal
+  }
+
+  test("AVG re-aggregation is weighted by stored counts, not bucket-averaged") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val yaml =
+      """t:
+        |  sql: >
+        |    SELECT AVG(v) AS av FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 100000)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("grp", StringType), StructField("v", DoubleType)))
+    def r(off: Long, k: String, g: String, v: Double) =
+      Row(new java.sql.Timestamp(T0 + off), k, g, Double.box(v))
+    // k=a: three points (10, 20, 30) across two buckets; k=b: one point (100)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      r(0, "a", "g", 10), r(100, "a", "g", 20), r(1500, "a", "g", 30),
+      r(0, "b", "g", 100)), 2), sch)
+    db.insert("s", df)
+    // global AVG over one coarse bucket must be (10+20+30+100)/4 = 40 —
+    // NOT the average of bucket-averages
+    val got = db.sql(
+      "SELECT AVG(v) AS av FROM t GROUP BY _, period('100s')").collect()
+    assert(got.length == 1)
+    assert(approx(d(got(0).getAs[Any]("av")), 40.0))
+    // per-k AVG
+    val byK = db.sql(
+      "SELECT AVG(v) AS av FROM t GROUP BY k, period('100s') ORDER BY k").collect()
+    assert(approx(d(byK(0).getAs[Any]("av")), 20.0))
+    assert(approx(d(byK(1).getAs[Any]("av")), 100.0))
+  }
+
+  test("views materialize independently with merged WHERE") {
+    val db = freshDb()
+    db.insert("inbound", points())
+    val rows = db.sql(
+      "SELECT requests FROM errors_view GROUP BY server ORDER BY server").collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 12.0))
+    assert(approx(d(rows(1).getAs[Any]("requests")), 28.0))
+  }
+
+  test("late data merges into its historical bucket; beyond retention drops") {
+    val db = freshDb()
+    db.insert("inbound", points())
+    // a point 30 min old (within 1h retention): merges into its own bucket
+    val late = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/late",
+        Integer.valueOf(200), Double.box(5.0), null)), 1), schema)
+    db.insert("inbound", late)
+    // a point 2h old (beyond retention): dropped at ingest
+    val ancient = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 7200000), "56.234.163.23", "/ancient",
+        Integer.valueOf(200), Double.box(7.0), null)), 1), schema)
+    db.insert("inbound", ancient)
+
+    val buckets = db.sql(
+      """SELECT requests, _points FROM combined
+        |GROUP BY _, period('5m') ORDER BY _time""".stripMargin).collect()
+    assert(buckets.length == 2) // late bucket + main bucket; ancient dropped
+    assert(approx(buckets.map(r => d(r.getAs[Any]("requests"))).sum, 1069.0))
+    assert(approx(buckets.map(r => d(r.getAs[Any]("_points"))).sum, 9.0))
+  }
+
+  test("query-time coarser re-bucketing and resolution validation") {
+    val db = freshDb()
+    db.insert("inbound", points())
+    val fine = db.sql(
+      "SELECT requests FROM combined GROUP BY _, period('5m')").collect()
+    assert(fine.length == 1)
+    val coarse = db.sql(
+      "SELECT requests FROM combined GROUP BY _, period('10m')").collect()
+    assert(approx(d(coarse(0).getAs[Any]("requests")), 1064.0))
+    val ex = intercept[IllegalArgumentException] {
+      db.sql("SELECT requests FROM combined GROUP BY _, period('7m')").collect()
+    }
+    assert(ex.getMessage.contains("multiple"))
+  }
+
+  test("IF over stored fields gates by dims at read time") {
+    val db = freshDb()
+    db.insert("inbound", points())
+    val rows = db.sql(
+      """SELECT IF(status = 500, requests) AS err, requests AS total
+        |FROM combined GROUP BY server ORDER BY server""".stripMargin).collect()
+    assert(approx(d(rows(0).getAs[Any]("err")), 12.0))
+    assert(approx(d(rows(0).getAs[Any]("total")), 102.0))
+    assert(approx(d(rows(1).getAs[Any]("err")), 28.0))
+  }
+
+  test("streaming ingest via MemoryStream reaches the same state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdb").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val yaml =
+      """st:
+        |  sql: >
+        |    SELECT v FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 100000)
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("tsMs", "k", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+      .drop("tsMs")
+    val queries = db.attachStream("s", stream, ckpt)
+    mem.addData((T0, "x", 1.0), (T0 + 100, "x", 2.0), (T0 + 2000, "y", 5.0))
+    queries.foreach(_.processAllAvailable())
+    mem.addData((T0 + 300, "x", 10.0)) // second micro-batch merges
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
+    val rows = db.sql("SELECT v, _points FROM st GROUP BY k ORDER BY k").collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("v")), 13.0))
+    assert(approx(d(rows(0).getAs[Any]("_points")), 3.0))
+    assert(approx(d(rows(1).getAs[Any]("v")), 5.0))
+  }
+}
