@@ -140,10 +140,14 @@ object Builders {
     case object Sum extends MergeOp
     case object Min extends MergeOp
     case object Max extends MergeOp
+    /** binary percentile-sketch columns merge via histogram addition */
+    final case class Sketch(lo: Double, hi: Double, precision: Int) extends MergeOp
     def apply(op: MergeOp, c: Column): Column = op match {
       case Sum => sum(c)
       case Min => min(c)
       case Max => max(c)
+      case Sketch(lo, hi, p) =>
+        graft.functions.PercentileSketch.mergeAgg(c, lo, hi, p)
     }
   }
 
@@ -191,7 +195,8 @@ object Builders {
       having: Option[MExpr],
       resolveVal: String => Column,
       resolveDim: String => Column,
-      stored: Option[StoredDef] = None): Compiled = {
+      stored: Option[StoredDef] = None,
+      forStorage: Boolean = false): Compiled = {
 
     // canonical key -> (alias, accumulator spec)
     val aggs = scala.collection.mutable.LinkedHashMap.empty[String, AggSpec]
@@ -204,7 +209,9 @@ object Builders {
     // the canonical-key -> (stored alias, merge op) map, then resolve query
     // aggregates against it. `shadow` is None when compiling raw sources.
     val shadow: Option[Map[String, (String, MergeOp)]] = stored.map { sd =>
-      compile(sd.tableFields, None, resolveVal, resolveDim, None).keyed
+      // regenerate the STORAGE-side aliases/merges (forStorage=true)
+      compile(sd.tableFields, None, resolveVal, resolveDim, None,
+        forStorage = true).keyed
     }
 
     def rawAggRef(key: String, merge: MergeOp, mk: => Column): String =
@@ -333,23 +340,31 @@ object Builders {
         val cnt = ref(canon + ":cnt", cond, MergeOp.Sum, sum(value(w, cond)))
         res => when(res(cnt) === 0.0, lit(0.0)).otherwise(res(tot) / res(cnt))
       case MPercentile(child, p, lo, hi, precision) =>
-        // Inputs are clamped into [lo,hi]; p is a constant percentage.
-        // Exact interpolated percentile (Catalyst's Percentile aggregate) —
-        // the HDR-sketch mergeable variant (graft.functions) replaces this
-        // for stored tables where sketch reuse matters.
+        // Out-of-range inputs are DISCARDED (BOUNDED semantics,
+        // /root/reference/expr/percentile.go:16-19); p is a constant percent.
         val pv = constOf(p) / 100.0
-        val v0 = value(child, cond)
-        val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
-        // MergeOp.Max is a placeholder: percentile accumulators are not
-        // re-mergeable without the sketch aggregate; materialization rejects
-        // them until graft.functions.PercentileSketch lands
-        val alias = ref(MExpr.canonical(e), cond, MergeOp.Max,
-          percentile(v, lit(pv)).cast("double"))
-        res => res(alias)
+        lazy val v = {
+          val v0 = value(child, cond)
+          when(v0.between(lo, hi), v0)
+        }
+        if (forStorage || shadow.isDefined) {
+          // mergeable HDR-style sketch: storable, re-mergeable, and readable
+          // at ANY quantile (PERCENTILE(field, p2) reuse)
+          val alias = ref(MExpr.canonical(e), cond,
+            MergeOp.Sketch(lo, hi, precision),
+            graft.functions.PercentileSketch.sketchAgg(v, lo, hi, precision))
+          res => graft.functions.PercentileSketch.valueAt(res(alias), pv, lo, hi)
+        } else {
+          // raw one-shot query: exact interpolated percentile
+          val alias = ref(s"${MExpr.canonical(e)}:p$pv", cond, MergeOp.Max,
+            percentile(v, lit(pv)).cast("double"))
+          res => res(alias)
+        }
       case MPercentileOpt(child, p) =>
         throw new IllegalArgumentException(
-          s"PERCENTILE(${MExpr.canonical(child)}, ${MExpr.canonical(p)}) sketch " +
-            "reuse requires the stored-sketch aggregate (graft.functions)")
+          s"PERCENTILE(${MExpr.canonical(child)}, ${MExpr.canonical(p)}) " +
+            "reuse requires a stored percentile field (the planner rewrites " +
+            "it on materialized tables)")
       case MField(n) =>
         // Bare field at post-agg level: a reference to a SELECT alias
         // (HAVING over computed fields). The planner keeps field columns in

@@ -144,6 +144,24 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         storedFieldExpr.getOrElse(n, throw new IllegalArgumentException(
           s"No column found: $n on table ${src.name}"))
       case MBare(n)            => MAgg(fieldAggOf(n), MField(n))
+      // 2-arg PERCENTILE reads a different quantile out of a stored
+      // percentile field's sketch (percentile_optimized.go:11-55): rewrite
+      // to the defining sketch with the requested p — canonical identity
+      // excludes p, so it resolves to the SAME stored accumulator.
+      case MPercentileOpt(child, p) if src.stored.isDefined =>
+        val fname = child match {
+          case MBare(n)  => n
+          case MField(n) => n
+          case other => throw new IllegalArgumentException(
+            s"PERCENTILE reuse needs a field, got $other")
+        }
+        storedFieldExpr.get(fname).map(stripIf) match {
+          case Some(MPercentile(c, _, lo, hi, pr)) =>
+            MPercentile(c, resolveBare(p), lo, hi, pr)
+          case other => throw new IllegalArgumentException(
+            s"PERCENTILE($fname, p) requires $fname to be a percentile " +
+              s"field, found $other")
+        }
       case MAgg(op, c)         => MAgg(op, resolveBare(c))
       case MWAvg(x, w)         => MWAvg(resolveBare(x), resolveBare(w))
       case MPercentile(c, p, lo, hi, pr) =>
@@ -331,6 +349,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         s"IN-subquery must be a top-level AND conjunct: $bad")
     }
     (plain.reduceOption(DAnd.apply), subs.map(_.asInstanceOf[DInSub]))
+  }
+
+  /** Peel IF wrappers when probing a defining expr's shape. */
+  private def stripIf(e: MExpr): MExpr = e match {
+    case MIf(_, c) => stripIf(c)
+    case other     => other
   }
 
   private def rootAgg(e: MExpr): AggOp = e match {

@@ -144,8 +144,11 @@ object MExpr {
     case MConst(v)         => s"c($v)"
     case MAgg(op, c)       => s"${op.name}(${canonical(c)})"
     case MWAvg(x, w)       => s"WAVG(${canonical(x)},${canonical(w)})"
-    case MPercentile(c, p, lo, hi, pr) =>
-      s"PTILE(${canonical(c)},${canonical(p)},$lo,$hi,$pr)"
+    // p is NOT part of the identity: the sketch is quantile-independent,
+    // which is what lets PERCENTILE(field, p2) reuse stored storage
+    // (/root/reference/expr/percentile_optimized.go)
+    case MPercentile(c, _, lo, hi, pr) =>
+      s"PTILE(${canonical(c)},$lo,$hi,$pr)"
     case MPercentileOpt(c, p) => s"PTILEOPT(${canonical(c)},${canonical(p)})"
     case MIf(cond, c)      => s"IF(${DExpr.canonical(cond)},${canonical(c)})"
     case MBounded(c, lo, hi) => s"BOUNDED(${canonical(c)},$lo,$hi)"

@@ -125,7 +125,7 @@ final class MaterializedTable(
 
     val compiled = Builders.compile(tableFields, None,
       { case "_point" => lit(1.0); case n => col(n) }: String => Column,
-      dimResolve)
+      dimResolve, forStorage = true)
     require(compiled.shifts.isEmpty, "SHIFT cannot be materialized")
 
     val bucket = timestamp_millis(

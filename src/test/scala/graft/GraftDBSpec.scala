@@ -197,6 +197,35 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("err")), 28.0))
   }
 
+  test("percentile sketch: stored, merged across batches, reusable at any p") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val yaml =
+      """pt:
+        |  sql: >
+        |    SELECT PERCENTILE(v, 50, 0, 100, 1) AS p50 FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 1000000)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("v", DoubleType)))
+    def batch(vals: Seq[Double], offBase: Long) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        vals.zipWithIndex.map { case (v, i) =>
+          Row(new java.sql.Timestamp(T0 + offBase + i * 100), "a", Double.box(v))
+        }, 2), sch)
+    // two batches + an out-of-range value (discarded, not clamped)
+    db.insert("s", batch((1 to 50).map(_.toDouble) :+ 1000.0, 0))
+    db.insert("s", batch((51 to 100).map(_.toDouble), 60000))
+    val got = db.sql(
+      """SELECT p50, PERCENTILE(p50, 90) AS p90, PERCENTILE(p50, 10) AS p10
+        |FROM pt GROUP BY k, period('1000s')""".stripMargin).collect()
+    assert(got.length == 1)
+    val tol = 100.0 / graft.functions.PercentileSketch.numBuckets(0, 100, 1) + 0.6
+    assert(math.abs(d(got(0).getAs[Any]("p50")) - 50.0) <= tol)
+    assert(math.abs(d(got(0).getAs[Any]("p90")) - 90.0) <= tol)
+    assert(math.abs(d(got(0).getAs[Any]("p10")) - 10.0) <= tol)
+  }
+
   test("streaming ingest via MemoryStream reaches the same state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftdb").toString
