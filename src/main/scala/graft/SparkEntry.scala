@@ -23,8 +23,14 @@ object SparkEntry {
     */
   private val FixedNow = 886809600000L // 1998-02-07T00:00:00Z (post-TPC-H range)
 
+  // one Catalog per (session, dir): schema reads are not free at 36 queries
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Catalog]()
+  private def catalogFor(s: SparkSession, dir: String): Catalog =
+    catalogs.computeIfAbsent((s, dir), _ => Catalog.fromParquetDir(s, dir))
+
   private def gq(sql: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Engine.sql(Catalog.fromParquetDir(s, dir), sql, () => FixedNow)
+    (s, dir) => Engine.sql(catalogFor(s, dir), sql, () => FixedNow)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

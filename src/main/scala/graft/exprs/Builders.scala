@@ -104,8 +104,29 @@ object Builders {
         }
       case "RAND" => rand()
       case other =>
-        throw new IllegalArgumentException(s"unknown dim function $other")
+        val p = dimFnProviders.get(other)
+        if (p != null) p(cols)
+        else throw new IllegalArgumentException(
+          s"dim function $other has no registered provider " +
+            "(Builders.registerDimFnProvider) — geo/ISP/redis-style lookups " +
+            "are pluggable, reference zenodb.go:256-276")
     }
+
+  /** Pluggable lookup functions (CITY/ISP/ASN/HGET/... —
+    * /root/reference/sql/sql.go:81-106). The idiomatic Spark shape is a
+    * broadcast map or a broadcast-joined dim table, never a per-row RPC:
+    * {{{
+    * val geo = spark.sparkContext.broadcast(ipToCity)
+    * Builders.registerDimFnProvider("CITY",
+    *   cols => udf((ip: String) => geo.value.get(ip).orNull).apply(cols.head))
+    * }}}
+    */
+  private val dimFnProviders =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Column] => Column]()
+  def registerDimFnProvider(name: String, f: Seq[Column] => Column): Unit = {
+    dimFnProviders.put(name.toUpperCase, f)
+    graft.sqlx.Parser.registerDimFunction(name)
+  }
 
   private def constStr(e: DExpr): String = e match {
     case DConst(s: String) => s

@@ -73,7 +73,9 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         val (subDf, subInfo) = planQuery(sub)
         require(subInfo.dims.size == 1,
           s"IN subquery must select exactly one dimension, got ${subInfo.dims}")
-        val rhs = subDf.select(col(subInfo.dims.head).as(d)).distinct()
+        // no distinct: the grouped subquery is already unique per dim, and
+        // semi/anti joins are insensitive to duplicate build rows anyway
+        val rhs = subDf.select(col(subInfo.dims.head).as(d))
         base = base.join(rhs, Seq(d), if (negated) "left_anti" else "left_semi")
       case other => throw new IllegalArgumentException(s"unsupported IN-subquery shape: $other")
       }

@@ -260,6 +260,42 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.length == 8) // every (server,path,status) combo incl null rows
   }
 
+  test("CROSSHIFT expands to shifted field columns") {
+    val rows = sql(
+      """SELECT _points, CROSSHIFT(requests, '-4s', '2s') AS r
+        |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
+      .collect()
+    assert(rows.length == 4)
+    // bucket sums: [90, 12, 934, 28]; r_2s reads one 2s bucket back
+    assert(approx(d(rows(1).getAs[Any]("r")), 12.0))
+    assert(approx(d(rows(1).getAs[Any]("r_2s")), 90.0))
+    assert(rows(0).getAs[Any]("r_2s") == null)
+    assert(approx(d(rows(3).getAs[Any]("r_2s")), 934.0))
+  }
+
+  test("IF(cond, _) marks groups with any matching point") {
+    val rows = sql(
+      """SELECT IF(status = 500, _) AS had_errors FROM inbound
+        |GROUP BY server, path ORDER BY server, path""".stripMargin).collect()
+    val byKey = rows.map(r => (r.getAs[String]("server"), r.getAs[String]("path")) ->
+      d(r.getAs[Any]("had_errors"))).toMap
+    assert(byKey(("56.234.163.23", "/login")) == 1.0)
+    assert(byKey(("56.234.163.23", "/index.html")) == 0.0)
+  }
+
+  test("pluggable dim-function providers (broadcast-lookup style)") {
+    val cityMap = Map("56.234.163.23" -> "lisbon", "56.234.163.24" -> "porto")
+    graft.exprs.Builders.registerDimFnProvider("CITY", cols =>
+      org.apache.spark.sql.functions.udf((ip: String) =>
+        if (ip == null) null else cityMap.getOrElse(ip, "unknown")).apply(cols.head))
+    val rows = sql(
+      """SELECT requests FROM inbound GROUP BY CITY(server) AS city
+        |ORDER BY city""".stripMargin).collect()
+    assert(rows.map(_.getAs[String]("city")).toSeq == Seq("lisbon", "porto"))
+    assert(approx(d(rows(0).getAs[Any]("requests")), 102.0))
+    assert(approx(d(rows(1).getAs[Any]("requests")), 962.0))
+  }
+
   test("dimension functions derive group keys") {
     val rows = sql(
       """SELECT requests FROM inbound WHERE path IS NOT NULL

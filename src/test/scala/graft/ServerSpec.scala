@@ -1,0 +1,75 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.HttpServer
+
+/** README quickstart over the HTTP surface (web/handler.go parity):
+  * JSON-lines insert, dialect query, cardinality estimates.
+  */
+class ServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1700000000000L
+
+  test("HTTP insert + run round trip") {
+    val dir = Files.createTempDirectory("graft-http").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests, AVG(load_avg) AS load_avg
+        |    FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val points = Seq(
+        s"""{"ts": ${T0}, "dims": {"server": "s1", "path": "/a", "status": 200}, "vals": {"requests": 56}}""",
+        s"""{"ts": ${T0 + 1000}, "dims": {"server": "s1", "path": "/b", "status": 500}, "vals": {"requests": 12}}""",
+        s"""{"ts": ${T0 + 2000}, "dims": {"server": "s2", "path": "/a", "status": 200}, "vals": {"requests": 30}}""",
+        s"""{"ts": ${T0 + 3000}, "dims": {"server": "s1"}, "vals": {"load_avg": 1.5}}"""
+      ).mkString("\n")
+      val client = HttpClient.newHttpClient()
+      val ins = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(points)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ins.statusCode() == 200, ins.body())
+      assert(ins.body().contains("\"inserted\":4"))
+
+      val sql = java.net.URLEncoder.encode(
+        "SELECT _points, requests, load_avg FROM combined GROUP BY server ORDER BY requests DESC",
+        "UTF-8")
+      val run = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/run?sql=$sql"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(run.statusCode() == 200, run.body())
+      val body = run.body()
+      assert(body.contains("\"rows\":["))
+      assert(body.contains("\"server\":\"s1\"") && body.contains("\"server\":\"s2\""))
+      assert(body.contains("\"requests\":68.0")) // 56+12 on s1
+      assert(body.contains("\"load_avg\":1.5"))
+      assert(body.contains("\"cardinalities\""))
+
+      // malformed query → structured 400
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/run?sql=NOT%20SQL"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("\"error\""))
+    } finally srv.stop()
+  }
+}
