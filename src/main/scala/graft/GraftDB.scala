@@ -67,11 +67,17 @@ final class GraftDB(
     * gets its own checkpointed foreachBatch merge (offset tracking ≅ the
     * reference's per-table WAL offsets, row_store.go:455-530).
     */
+  private val activeStreams =
+    scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+
   def attachStream(stream: String, df: DataFrame, checkpointBase: String,
-                   trigger: Trigger = Trigger.ProcessingTime(1000)): Seq[StreamingQuery] =
-    tablesForStream(stream).map { t =>
+                   trigger: Trigger = Trigger.ProcessingTime(1000)): Seq[StreamingQuery] = {
+    val qs = tablesForStream(stream).map { t =>
       t.sink(df, s"$checkpointBase/${t.config.name}", trigger)
     }
+    activeStreams.synchronized { activeStreams ++= qs }
+    qs
+  }
 
   /** Catalog of the materialized state, for the planner. */
   def catalog: Catalog = {
@@ -92,5 +98,12 @@ final class GraftDB(
     new Catalog(defs.map(d => d.name -> d).toMap)
   }
 
-  def sql(query: String): DataFrame = Engine.sql(catalog, query, now)
+  def sql(query: String): DataFrame = {
+    // `-- force_fresh` (sql/sql.go:279-283): drain attached streams so the
+    // query sees every point delivered so far (≅ includeMemStore reads)
+    if (Parser.parse(query).forceFresh)
+      activeStreams.synchronized { activeStreams.filter(_.isActive) }
+        .foreach(_.processAllAvailable())
+    Engine.sql(catalog, query, now)
+  }
 }

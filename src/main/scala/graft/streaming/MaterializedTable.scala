@@ -151,8 +151,22 @@ final class MaterializedTable(
       case None    => merged
     }
 
+    // partitionby dims (cluster_follow.go:797-821's murmur3 partitioning
+    // becomes a plain repartition on the declared dims) + key-sorted files
+    // (the reference's optional sorted filestore, table.go:537-557) so
+    // row-group stats prune reads
+    val toWrite =
+      if (config.partitionBy.nonEmpty) {
+        val pCols = config.partitionBy.filter(retained.columns.contains).map(col)
+        if (pCols.nonEmpty)
+          retained.repartition(pCols: _*)
+            .sortWithinPartitions(("_time" +: config.partitionBy
+              .filter(retained.columns.contains)).map(col): _*)
+        else retained
+      } else retained
+
     val next = currentGen.getOrElse(-1L) + 1
-    retained.write.mode(SaveMode.Overwrite).parquet(genPath(next))
+    toWrite.write.mode(SaveMode.Overwrite).parquet(genPath(next))
     Files.createDirectories(Paths.get(storePath))
     Files.writeString(genMarker, next.toString)
     // best-effort cleanup of superseded generations (row_store.go:681-725)

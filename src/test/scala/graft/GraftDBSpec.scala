@@ -245,7 +245,8 @@ class GraftDBSpec extends AnyFunSuite {
     mem.addData((T0, "x", 1.0), (T0 + 100, "x", 2.0), (T0 + 2000, "y", 5.0))
     queries.foreach(_.processAllAvailable())
     mem.addData((T0 + 300, "x", 10.0)) // second micro-batch merges
-    queries.foreach(_.processAllAvailable())
+    // -- force_fresh drains the attached streams before the read
+    db.sql("SELECT v FROM st GROUP BY k -- force_fresh").collect()
     queries.foreach(_.stop())
     val rows = db.sql("SELECT v, _points FROM st GROUP BY k ORDER BY k").collect()
     assert(rows.length == 2)
