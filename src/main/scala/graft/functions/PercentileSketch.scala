@@ -50,12 +50,13 @@ object PercentileSketch {
     lo + i.toDouble * (hi - lo) / (b - 1)
 
   /** quantile from counts: smallest bucket whose cumulative count reaches
-    * ceil(q·n) (HDR valueAtQuantile shape).
+    * ceil(q·n) (HDR valueAtQuantile shape). NaN when the sketch is empty —
+    * the caller maps it to unset/NULL.
     */
   def quantile(counts: Array[Long], q: Double, lo: Double, hi: Double): Double = {
     val b = counts.length
     val n = counts.sum
-    if (n == 0) return 0.0
+    if (n == 0) return Double.NaN
     val target = math.max(1L, math.ceil(q * n).toLong)
     var cum = 0L
     var i = 0
@@ -107,12 +108,16 @@ object PercentileSketch {
   def mergeAgg(sketch: Column, lo: Double, hi: Double, precision: Int): Column =
     udaf(new MergeAgg(numBuckets(lo, hi, precision)), Encoders.BINARY).apply(sketch)
 
-  /** Read quantile q (0-1) out of a sketch column. */
+  /** Read quantile q (0-1) out of a sketch column; NULL when unset/empty. */
   def valueAt(sketch: Column, q: Double, lo: Double, hi: Double): Column = {
     val f = org.apache.spark.sql.functions.udf {
       (bytes: Array[Byte]) =>
         if (bytes == null) null.asInstanceOf[java.lang.Double]
-        else java.lang.Double.valueOf(quantile(deserialize(bytes), q, lo, hi))
+        else {
+          val v = quantile(deserialize(bytes), q, lo, hi)
+          if (v.isNaN) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(v)
+        }
     }
     f(sketch)
   }

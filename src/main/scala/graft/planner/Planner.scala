@@ -27,7 +27,8 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       timePresent: Boolean,
       dims: Seq[String],
       vals: Seq[String],
-      fieldAgg: Map[String, AggOp])
+      fieldAgg: Map[String, AggOp],
+      resolution: Option[scala.concurrent.duration.FiniteDuration])
 
   private def planQuery(q: Query): (DataFrame, PlanInfo) = {
     val src: TableDef = q.from match {
@@ -41,7 +42,8 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           dims = info.dims,
           vals = info.vals,
           fieldAgg = info.fieldAgg,
-          hasPointsCol = info.vals.contains("_points"))
+          hasPointsCol = info.vals.contains("_points"),
+          resolution = info.resolution)
     }
 
     var base = src.df
@@ -240,7 +242,8 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         compiled.havingCol.foreach { h =>
           df = df.withColumn("__having", h).filter(col("__having") > 0.0)
         }
-        df.select((timeNames ++ dimNames ++ fields.map(_.name)).map(col): _*)
+        df = df.select((timeNames ++ dimNames ++ fields.map(_.name)).map(col): _*)
+        flattenSkip(df, fields.map(_.name))
       }
 
     // ---- sort / offset / limit ----
@@ -255,8 +258,20 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     val fieldAggInfo: Map[String, AggOp] =
       fields.map(f => f.name -> rootAgg(f.expr)).toMap
     (sorted, PlanInfo(timeKey.nonEmpty, dimNames,
-      fields.map(_.name), fieldAggInfo))
+      fields.map(_.name), fieldAggInfo,
+      if (timeKey.nonEmpty) bucketMs.map(b =>
+        scala.concurrent.duration.FiniteDuration(b,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None))
   }
+
+  /** The reference's Flatten skips rows where every selected field is unset
+    * (/root/reference/core/flatten.go:11-89) — mirror that: keep a row iff
+    * any field value is non-null.
+    */
+  private def flattenSkip(df: DataFrame, fieldNames: Seq[String]): DataFrame =
+    if (fieldNames.isEmpty) df
+    else df.filter(fieldNames.map(n => col(n).isNotNull).reduce(_ || _))
 
   /** CROSSTAB/CROSSTABT pivot (/root/reference/core/group.go:113-246):
     * the crosstab expression's distinct values become column groups named
@@ -312,6 +327,11 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         }
       }
       compiled.having.foreach { mk =>
+        // HAVING is exempt from pivoting and may reference SELECT aliases —
+        // expose the un-pivoted field values under their plain names first
+        compiled.fields.foreach { case (fname, fmk) =>
+          totals = totals.withColumn(fname, fmk(col _))
+        }
         totals = totals.withColumn("__having", mk(col _))
       }
       val keep = keyNames ++
@@ -325,7 +345,9 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         df = df.filter(col("__having") > 0.0)
     }
 
-    df.select((keyNames.map(col) ++ outFieldNames.map(bq)): _*)
+    df = df.select((keyNames.map(col) ++ outFieldNames.map(bq)): _*)
+    if (outFieldNames.isEmpty) df
+    else df.filter(outFieldNames.map(n => bq(n).isNotNull).reduce(_ || _))
   }
 
   /** Conjunct split: IN-subquery terms become joins; the rest stays a filter.

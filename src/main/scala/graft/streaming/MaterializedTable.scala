@@ -107,6 +107,24 @@ final class MaterializedTable(
     val dimResolve: String => Column = n =>
       if (batch.columns.contains(n)) col(n) else lit(null)
 
+    // array vals fan out into extra point-inserts, element 0 riding with the
+    // main insert's other vals (/root/reference/insert.go:214-252)
+    batch.schema.fields
+      .filter(f => valNames.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .map(_.name).foreach { c =>
+        val nonVal = batch.columns.filterNot(valNames.contains)
+        val otherVals = batch.columns.filter(x => valNames.contains(x) && x != c)
+        val ex = batch.select(
+          (nonVal.map(col) ++ otherVals.map(col) :+
+            posexplode_outer(col(c)).as(Seq("__pos", "__el"))): _*)
+        batch = ex.select(
+          (nonVal.map(col) ++
+            otherVals.map(oc =>
+              when(col("__pos").isNull || col("__pos") === 0, col(oc)).as(oc)) :+
+            col("__el").cast("double").as(c)): _*)
+      }
+
     // table WHERE pre-filter (insert.go:175-189)
     query.where.foreach(w => batch = batch.filter(Builders.dim(w, dimResolve)))
     // points older than the retention horizon are dropped (insert.go:131-136)

@@ -83,11 +83,13 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("zenodb division-by-zero rule") {
+    // both fields unset (null/null division) => the row is skipped entirely,
+    // matching the reference's Flatten (core/flatten.go:11-89)
     val rows = sql(
       """SELECT IF(status = 404, requests) / requests AS zero_over,
         |  requests / IF(status = 404, requests) AS over_zero
         |FROM inbound GROUP BY _""".stripMargin).collect()
-    assert(rows.length == 1)
+    assert(rows.isEmpty)
     // null numerator: null/x = null in Spark; zenodb unset propagates — both "no value"
     // denominator null => division yields null as well; the explicit 0-denominator
     // rule needs a 0 (not null) denominator:
@@ -199,8 +201,9 @@ class EngineSpec extends AnyFunSuite {
         |  (SELECT requests FROM inbound GROUP BY server, path)
         |GROUP BY _""".stripMargin).collect()
     assert(rows.length == 1)
-    // inner: 4 (server,path) non-null groups + 2 null-path groups = 6 rows
-    assert(approx(d(rows(0).getAs[Any]("_points")), 6.0))
+    // inner: 4 (server,path) groups with requests set; the 2 null-path
+    // groups have no selected value and are flatten-skipped
+    assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
     assert(approx(d(rows(0).getAs[Any]("requests")), 1064.0))
   }
 
@@ -257,7 +260,8 @@ class EngineSpec extends AnyFunSuite {
   test("GROUP BY * groups by all dims") {
     val rows = sql("SELECT requests FROM inbound GROUP BY * ORDER BY requests DESC")
       .collect()
-    assert(rows.length == 8) // every (server,path,status) combo incl null rows
+    // 6 groups carry requests; the 2 load_avg-only groups are flatten-skipped
+    assert(rows.length == 6)
   }
 
   test("CROSSHIFT expands to shifted field columns") {

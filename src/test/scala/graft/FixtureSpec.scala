@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's main e2e fixture (/root/reference/zenodb_test.go:45-798,
+  * FIXTURES.md §2): schema exercising IF/BOUNDED/PERCENTILE/derived
+  * arithmetic, array-val fan-out, a WHERE pre-filter, and the golden query
+  * shapes (GROUP BY _, percentile reuse, CROSSTAB+HAVING, STRIDE, CROSSHIFT,
+  * FROM-subquery). Expected values are recomputed under this engine's
+  * documented divergences: linear-bucket sketches (vs HDR significant-digit
+  * buckets) and SQL NULL for unset (vs rendered 0).
+  */
+class FixtureSpec extends AnyFunSuite {
+
+  private val EPS = 1e-5
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 6s-aligned epoch so STRIDE(6s) buckets start exactly at T0
+  private val T0 = 283333333L * 6000L
+
+  private val schemaYaml =
+    """test_a:
+      |  retentionperiod: 200s
+      |  sql: >
+      |    SELECT
+      |      IF(dim_md = 'glub', SUM(i)) AS i,
+      |      ii,
+      |      i * ii / COUNT(ii) AS iii,
+      |      AVG(iv) AS iv,
+      |      AVG(BOUNDED(iv, 0, 10)) AS biv,
+      |      IF(TRUE = TRUE, PERCENTILE(p * 1, 99, 0, 1000, -1)) AS pp,
+      |      PERCENTILE(p, 5, 0, 1000, 2) AS pp_5p,
+      |      z
+      |    FROM inbound
+      |    WHERE dim_r = 'A'
+      |    GROUP BY dim_r, dim_u, dim_b, discarded, period(1s)
+      |
+      |view_a:
+      |  view: true
+      |  retentionperiod: 200s
+      |  sql: >
+      |    SELECT * FROM teSt_a WHERE dim_r = 'A' GROUP BY dim_u, dim_b
+      |""".stripMargin
+
+  private val ptSchema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("dim_r", StringType), StructField("dim_u", IntegerType),
+    StructField("dim_b", BooleanType), StructField("dim_md", StringType),
+    StructField("i", DoubleType), StructField("ii", DoubleType),
+    StructField("iv", DoubleType), StructField("z", DoubleType),
+    StructField("p", ArrayType(DoubleType))))
+
+  private def pt(offMs: Long, r: String, u: Int, b: Boolean, md: String,
+                 i: java.lang.Double = null, ii: java.lang.Double = null,
+                 iv: java.lang.Double = null, z: java.lang.Double = null,
+                 p: Seq[Double] = null): Row =
+    Row(new java.sql.Timestamp(T0 + offMs), r, Int.box(u), Boolean.box(b), md,
+      i, ii, iv, z, p)
+
+  lazy val db: GraftDB = {
+    val dir = Files.createTempDirectory("graft-fixture").toString
+    val d = new GraftDB(spark, schemaYaml, dir, () => T0 + 100000)
+    // the `discarded` dim is whitelisted away at insert (zenodb_test.go:49-54):
+    // it simply isn't a column, and GROUP BY discarded keys it as NULL
+    val pi = (0 to 100).filter(_ % 3 == 0).map(_.toDouble)  // 34 values
+    val pf = (0 to 100).filterNot(_ % 3 == 0).map(_.toDouble) // 67 values
+    val rows = Seq(
+      // bucket A (T0)
+      pt(100, "A", 1, b = false, "glub", i = 1.0, ii = 2.0, iv = 10.0),
+      pt(0, "A", 1, b = false, "glub", p = pi),
+      pt(0, "A", 1, b = false, "glub", p = pf),
+      pt(200, "dim_b", 1, b = false, "glub", i = 1.0, ii = 2.0, iv = 10.0), // WHERE-filtered
+      pt(300, "A", 1, b = false, "glub", i = 10.0, ii = 20.0, iv = 20.0),
+      // bucket B (T0+1s)
+      pt(1100, "A", 1, b = false, "glub", i = 111.0, ii = 222.0, iv = 30.0),
+      pt(1200, "A", 2, b = false, "glub", i = 31.0, ii = 42.0, z = 53.0),
+      pt(1300, "A", 2, b = true, "glub", i = 30000.0, ii = 40000.0),
+      // bucket G (T0+6s)
+      pt(6100, "A", 2, b = false, "glub", i = 500.0, ii = 600.0, z = 700.0))
+    d.insert("inbound", spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), ptSchema))
+    d
+  }
+
+  private def d(v: Any): Double = v match {
+    case null      => Double.NaN
+    case x: Double => x
+    case x: Number => x.doubleValue()
+  }
+  private def approx(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= EPS * math.max(1.0, math.abs(b))
+
+  test("simple query: full field surface per bucket (zenodb_test.go:412-491)") {
+    val rows = db.sql(
+      """SELECT * FROM test_a WHERE discarded IS NULL
+        |GROUP BY _ ORDER BY _time""".stripMargin).collect()
+    assert(rows.length == 3)
+    def f(r: Row, n: String) = d(r.getAs[Any](n))
+    val a = rows(0)
+    assert(approx(f(a, "i"), 11.0))
+    assert(approx(f(a, "ii"), 22.0))
+    assert(approx(f(a, "iii"), 121.0)) // 11*22/COUNT(ii)=2
+    assert(approx(f(a, "iv"), 15.0))
+    assert(approx(f(a, "biv"), 10.0))
+    assert(math.abs(f(a, "pp") - 99.0) < 1.5)   // p99 of 0..100 (linear buckets)
+    assert(math.abs(f(a, "pp_5p") - 5.0) < 0.1) // p5
+    assert(f(a, "z").isNaN)                     // unset => NULL
+    assert(approx(f(a, "_points"), 103.0))      // 2 + 101 exploded array points
+    val b = rows(1)
+    assert(approx(f(b, "i"), 30142.0))
+    assert(approx(f(b, "ii"), 40264.0))
+    assert(approx(f(b, "iii"), 30142.0 * 40264.0 / 3))
+    assert(approx(f(b, "iv"), 30.0))
+    assert(f(b, "biv").isNaN) // 30 outside BOUNDED(0,10) => unset
+    assert(approx(f(b, "z"), 53.0))
+    assert(approx(f(b, "_points"), 3.0))
+    val g = rows(2)
+    assert(approx(f(g, "i"), 500.0))
+    assert(approx(f(g, "iii"), 300000.0))
+    assert(approx(f(g, "z"), 700.0))
+    assert(approx(f(g, "_points"), 1.0))
+  }
+
+  test("percentile reuse skips unset buckets (zenodb_test.go:493-514)") {
+    val rows = db.sql(
+      """SELECT PERCENTILE(pp_5p, 90) AS pp_opt FROM test_a
+        |GROUP BY _ ORDER BY _time""".stripMargin).collect()
+    assert(rows.length == 1) // only bucket A has sketch data; others skipped
+    assert(math.abs(d(rows(0).getAs[Any]("pp_opt")) - 90.0) < 1.5)
+  }
+
+  test("CROSSTAB with HAVING over non-selected field (zenodb_test.go:516-536)") {
+    val rows = db.sql(
+      """SELECT i FROM test_a GROUP BY CROSSTAB(dim_r)
+        |HAVING biv = 10 AND i = 11 ORDER BY _time""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("a_i")), 11.0))
+  }
+
+  test("STRIDE keeps one resolution slice per stride (zenodb_test.go:538-576)") {
+    val rows = db.sql(
+      """SELECT _points, i, ii, iii, iv, biv, z FROM test_a
+        |GROUP BY _, STRIDE(6s) ORDER BY _time""".stripMargin).collect()
+    assert(rows.length == 2) // T0 slice and T0+6s slice; bucket B excluded
+    assert(approx(d(rows(0).getAs[Any]("i")), 11.0))
+    assert(approx(d(rows(0).getAs[Any]("_points")), 103.0))
+    assert(approx(d(rows(1).getAs[Any]("i")), 500.0))
+  }
+
+  test("CROSSHIFT with HAVING (zenodb_test.go:578-628)") {
+    val rows = db.sql(
+      """SELECT _points, CROSSHIFT(i, '-2s', '1s') AS i FROM test_a
+        |GROUP BY _ HAVING i_1s > 0 OR i > 0 ORDER BY _time""".stripMargin)
+      .collect()
+    assert(rows.length == 3)
+    assert(approx(d(rows(0).getAs[Any]("i")), 11.0))
+    assert(rows(0).getAs[Any]("i_1s") == null)
+    assert(approx(d(rows(1).getAs[Any]("i")), 30142.0))
+    assert(approx(d(rows(1).getAs[Any]("i_1s")), 11.0))
+    assert(approx(d(rows(2).getAs[Any]("i")), 500.0))
+  }
+
+  test("FROM-subquery re-aggregates per bucket (zenodb_test.go:630-668)") {
+    val rows = db.sql(
+      """SELECT _points, i FROM
+        |  (SELECT * FROM test_a GROUP BY _ ORDER BY _time)""".stripMargin)
+      .collect()
+    assert(rows.length == 3)
+    val byPoints = rows.map(r => d(r.getAs[Any]("_points")) -> d(r.getAs[Any]("i"))).toMap
+    assert(approx(byPoints(103.0), 11.0))
+    assert(approx(byPoints(3.0), 30142.0))
+    assert(approx(byPoints(1.0), 500.0))
+  }
+
+  test("view inherits fields, narrows dims, filters the same stream") {
+    val rows = db.sql(
+      """SELECT i, ii FROM view_a GROUP BY dim_u, period('300s')
+        |ORDER BY dim_u""".stripMargin).collect()
+    // the 300s bucket [T0-198s, T0+102s) covers every inserted point
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("i")), 122.0))   // dim_u=1: 1+10+111
+    assert(approx(d(rows(1).getAs[Any]("i")), 30531.0)) // dim_u=2: 31+30000+500
+  }
+}
