@@ -135,7 +135,7 @@ object SparkEntry {
     // §2.2 HAVING over computed fields
     "q_having" -> gq(
       """SELECT l_quantity AS qty FROM lineitem GROUP BY l_suppkey
-        |HAVING qty > 0 ORDER BY l_suppkey""".stripMargin),
+        |HAVING qty > 15200 ORDER BY l_suppkey""".stripMargin),
 
     // §2.5 Sort + Offset + Limit
     "q_limit_offset" -> gq(
@@ -400,7 +400,7 @@ object SparkEntry {
 
     "q_having" ->
       """SELECT l_suppkey, sum(l_quantity) AS qty
-        |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 0 ORDER BY 1""".stripMargin,
+        |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 15200 ORDER BY 1""".stripMargin,
 
     "q_limit_offset" ->
       """SELECT l_partkey, sum(l_quantity) AS qty

@@ -226,6 +226,11 @@ object Builders {
 
     type PostB = (String => Column) => Column
 
+    // gating condition: the Column to gate with + its resolver-independent key
+    case class GateCond(col: Column, key: String) {
+      def &&(o: GateCond): GateCond = GateCond(col && o.col, s"$key&${o.key}")
+    }
+
     // Stored-read mode: shadow-walk the table's defining fields to rebuild
     // the canonical-key -> (stored alias, merge op) map, then resolve query
     // aggregates against it. `shadow` is None when compiling raw sources.
@@ -235,9 +240,14 @@ object Builders {
         forStorage = true).keyed
     }
 
+    // Accumulator names are content-addressed (stable hash of the canonical
+    // key), NOT positional: a schema that adds/reorders fields keeps every
+    // existing stored column meaning what it meant — the reference gets the
+    // same safety from per-file field headers + name/expression remapping
+    // (row_store.go:919-953).
     def rawAggRef(key: String, merge: MergeOp, mk: => Column): String =
       aggs.getOrElseUpdate(key, {
-        val a = s"__a${aggs.size}"
+        val a = "__a" + stableHash(key)
         AggSpec(a, mk.as(a), merge)
       }).alias
 
@@ -248,7 +258,7 @@ object Builders {
       * with a query-level IF on top → gated merge; no match → the
       * reference's "No column found" rejection (README.md:239-247).
       */
-    def ref(canon: String, cond: Option[Column], merge: MergeOp,
+    def ref(canon: String, cond: Option[GateCond], merge: MergeOp,
             mk: => Column): String = {
       val keyFull = s"$canon|${condKey(cond)}"
       shadow match {
@@ -258,7 +268,7 @@ object Builders {
             case Some((sa, m)) => rawAggRef(keyFull, m, MergeOp(m, col(sa)))
             case None => sh.get(s"$canon|") match {
               case Some((sa, m)) => rawAggRef(keyFull, m,
-                MergeOp(m, cond.map(c => when(c, col(sa))).getOrElse(col(sa))))
+                MergeOp(m, cond.map(c => when(c.col, col(sa))).getOrElse(col(sa))))
               case None => throw new IllegalArgumentException(
                 s"No column found for $canon (not computable from this " +
                   "table's stored fields)")
@@ -268,9 +278,9 @@ object Builders {
     }
 
     // Per-row value expression (feeds an aggregate function).
-    def value(e: MExpr, cond: Option[Column]): Column = {
+    def value(e: MExpr, cond: Option[GateCond]): Column = {
       def gate(c: Column): Column = cond match {
-        case Some(p) => when(p, c)
+        case Some(p) => when(p.col, c)
         case None    => c
       }
       e match {
@@ -296,12 +306,16 @@ object Builders {
       }
     }
 
-    def condKey(cond: Option[Column]): String =
-      cond.map(_.toString).getOrElse("")
+    // Condition identity comes from the IR (DExpr canonical), NOT from the
+    // resolved Column: at read time a non-grouped dim (e.g. the IF's dim_md)
+    // resolves to NULL, but the stored accumulator already encodes the
+    // condition — the key must still match the storage-side key.
+    def condKey(cond: Option[GateCond]): String =
+      cond.map(_.key).getOrElse("")
 
     // Post-aggregation expression builder; agg nodes register aggregates and
     // defer alias lookup to the resolver (plain vs per-pivot-value columns).
-    def post(e: MExpr, cond: Option[Column]): PostB = e match {
+    def post(e: MExpr, cond: Option[GateCond]): PostB = e match {
       case MConst(v) => _ => lit(v)
       case MArith(op, l, r) =>
         val (lb, rb) = (post(l, cond), post(r, cond))
@@ -322,7 +336,7 @@ object Builders {
         val cb = post(c, cond)
         res => { val v = cb(res); when(v.between(lo, hi), v) }
       case MIf(c, inner) =>
-        val p = dim(c, resolveDim)
+        val p = GateCond(dim(c, resolveDim), DExpr.canonical(c))
         post(inner, cond.map(_ && p).orElse(Some(p)))
       case MShift(inner, off, _) =>
         val key = s"${MExpr.canonical(inner)}|${condKey(cond)}|$off"
@@ -414,6 +428,11 @@ object Builders {
     case "LOG10" => log10(c)
     case other   => throw new IllegalArgumentException(s"math fn $other")
   }
+
+  private def stableHash(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 
   private def constOf(e: MExpr): Double = e match {
     case MConst(v) => v

@@ -197,6 +197,33 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("err")), 28.0))
   }
 
+  test("schema evolution: a field added mid-life reads old rows as unset") {
+    // reference behavior: fields change between flushes and readers remap
+    // (row_store.go:919-953; tests shuffle/extend fields, zenodb_test:175-190)
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("v", DoubleType), StructField("w", DoubleType)))
+    def batch(off: Long, k: String, v: Double, w: Double) =
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(new java.sql.Timestamp(T0 + off), k, Double.box(v), Double.box(w))), 1), sch)
+    val v1 = new GraftDB(spark,
+      "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n",
+      dir, () => T0 + 100000)
+    v1.insert("s", batch(0, "a", 1.0, 10.0))
+    // same dir, extended schema: new field w
+    val v2 = new GraftDB(spark,
+      "t:\n  sql: >\n    SELECT v, w FROM s GROUP BY k, period(1s)\n",
+      dir, () => T0 + 100000)
+    v2.insert("s", batch(2000, "a", 2.0, 20.0))
+    val rows = v2.sql(
+      "SELECT v, w, _points FROM t GROUP BY k, period('100s')").collect()
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("v")), 3.0))
+    assert(approx(d(rows(0).getAs[Any]("w")), 20.0)) // old rows: w unset
+    assert(approx(d(rows(0).getAs[Any]("_points")), 2.0))
+  }
+
   test("percentile sketch: stored, merged across batches, reusable at any p") {
     val dir = Files.createTempDirectory("graftdb").toString
     val yaml =
