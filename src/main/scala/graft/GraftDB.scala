@@ -22,7 +22,10 @@ final class GraftDB(
     spark: SparkSession,
     schemaText: String,
     baseDir: String,
-    now: () => Long = () => System.currentTimeMillis()) {
+    now: () => Long = () => System.currentTimeMillis(),
+    aliasesProps: String = "") {
+
+  if (aliasesProps.nonEmpty) Parser.registerAliasesProps(aliasesProps)
 
   private val configs: Seq[TableConfig] = SchemaParser.parse(schemaText)
 
@@ -71,9 +74,12 @@ final class GraftDB(
     scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
 
   def attachStream(stream: String, df: DataFrame, checkpointBase: String,
-                   trigger: Trigger = Trigger.ProcessingTime(1000)): Seq[StreamingQuery] = {
+                   trigger: Option[Trigger] = None): Seq[StreamingQuery] = {
     val qs = tablesForStream(stream).map { t =>
-      t.sink(df, s"$checkpointBase/${t.config.name}", trigger)
+      // maxflushlatency (table.go:41-45) maps to the micro-batch trigger
+      val trig = trigger.getOrElse(Trigger.ProcessingTime(
+        t.config.maxFlushLatencyMillis.getOrElse(1000L)))
+      t.sink(df, s"$checkpointBase/${t.config.name}", trig)
     }
     activeStreams.synchronized { activeStreams ++= qs }
     qs

@@ -131,6 +131,17 @@ LIMIT 100, 10
     assert(q.resolution.map(_.toMillis).contains(3600000L))
   }
 
+  test("aliases props file registers expression aliases") {
+    // /root/reference/quickstart_aliases.props format
+    Parser.registerAliasesProps(
+      """# comment
+        |IS_SUCCESS = %v = 200
+        |NON_EMPTY = LEN(%v) > 0
+        |""".stripMargin)
+    val q = Parser.parse("SELECT x FROM t WHERE IS_SUCCESS(status)")
+    assert(q.where.contains(DCmp("=", DCol("status"), DConst(Double.box(200.0)))))
+  }
+
   test("LIMIT without offset, WHERE IN list, subquery FROM") {
     val q = Parser.parse(
       "SELECT a FROM (SELECT b AS a FROM x GROUP BY *) WHERE d IN ('p', 'q') LIMIT 7")
