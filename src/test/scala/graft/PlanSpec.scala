@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden plan-shape tests (the reference's planner_test.go analogue,
+  * SURVEY.md §5.4): pin the physical-plan properties that make these
+  * operators viable at 100 TB — pushdown, pruning, broadcast, partial/final
+  * aggregation, top-k — so a refactor that silently de-optimizes a plan
+  * fails here, not in production.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filters and projection push to the parquet scan") {
+    val p = planOf("q_where_like_in")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("In(p_size"), "IN list must reach the scan:\n" + p)
+    // projection pruned to the 4 referenced columns
+    assert(p.contains("ReadSchema: struct<p_brand:string,p_type:string," +
+      "p_size:int,p_retailprice:double>"), p)
+  }
+
+  test("aggregation is partial/final around one exchange") {
+    val p = planOf("q_sum_group")
+    assert(p.contains("partial_sum"), p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    // one shuffle for the agg + one for the final orderBy
+    assert(exchanges <= 2, s"unexpected exchange count:\n$p")
+  }
+
+  test("IN-subquery plans as a broadcast left-semi join") {
+    val p = planOf("q_in_subquery")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject") {
+    val p = planOf("q_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("brute-force cosine top-k plans as TakeOrderedAndProject") {
+    val p = planOf("q_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("stored-table re-aggregation is a single merge shuffle") {
+    val yaml =
+      """t:
+        |  sql: >
+        |    SELECT v FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val tmp = java.nio.file.Files.createTempDirectory("plan").toString
+    val db = new GraftDB(spark, yaml, tmp, () => 1700000000000L + 100000)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    db.insert("s", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(1700000000000L), "a", Double.box(1.0))), 1), sch))
+    val p = db.sql("SELECT v FROM t GROUP BY k, period('10s')")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"stored re-merge should be one shuffle:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+}
