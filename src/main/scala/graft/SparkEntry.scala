@@ -184,6 +184,33 @@ object SparkEntry {
         |  LOG10(l_quantity) AS l3
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // §2.6 DECODE / REPLACEALL / ANY dim functions
+    "q_dim_fns2" -> gq(
+      """SELECT _points FROM customer
+        |GROUP BY DECODE(c_mktsegment, 'BUILDING', 'b', 'AUTOMOBILE', 'a', 'other') AS seg,
+        |  REPLACEALL(c_mktsegment, '[AEIOU]', '_') AS seg2,
+        |  ANY(DECODE(c_mktsegment, 'MACHINERY', 'm', NULL), 'fallback') AS anyk
+        |ORDER BY seg, seg2, anyk""".stripMargin),
+
+    // §2.2/§2.8 ASOF/UNTIL with absolute instants
+    "q_asof_until" -> gq(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev, _points
+        |FROM orders ASOF '1995-01-01' UNTIL '1996-07-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // §2.3 post-agg +/-/* arithmetic
+    "q_arith" -> gq(
+      """SELECT l_quantity + _points AS apl, l_quantity - _points AS sub,
+        |  l_quantity * 2 AS dbl
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // §2.2 NOT LIKE / NOT / IS NOT NULL
+    "q_where_not" -> gq(
+      """SELECT _points FROM part
+        |WHERE p_type NOT LIKE 'BRASS' AND NOT (p_size > 40)
+        |  AND p_brand IS NOT NULL
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
     // ---- LLM-pipeline extensions (north star: 100 TB training-data ops) ----
 
     // exact dedup: one shuffle on (hash, key), lowest id wins
@@ -447,6 +474,38 @@ object SparkEntry {
         |  ln(sum(l_quantity)) / ln(2) AS l2,
         |  log(sum(l_quantity)) AS l3
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dim_fns2" ->
+      """SELECT
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'b' WHEN 'AUTOMOBILE' THEN 'a'
+        |       ELSE 'other' END AS seg,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg2,
+        |  coalesce(CASE WHEN c_mktsegment = 'MACHINERY' THEN 'm' END, 'fallback') AS anyk,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_asof_until" ->
+      """SELECT o_orderpriority,
+        |  sum(o_totalprice * 100) / 100 AS rev,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_arith" ->
+      """SELECT l_linestatus,
+        |  sum(l_quantity) + count(*) AS apl,
+        |  sum(l_quantity) - count(*) AS sub,
+        |  sum(l_quantity) * 2 AS dbl
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_where_not" ->
+      """SELECT p_brand, CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM part
+        |WHERE p_type NOT LIKE '%BRASS%' AND NOT (p_size > 40)
+        |  AND p_brand IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM documents
