@@ -120,6 +120,12 @@ object SparkEntry {
         |  SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS prev_rev
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
 
+    // §2.3 SHIFT composed inside arithmetic (risk register SURVEY §7.4 #3)
+    "q_shift_delta" -> gq(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev,
+        |  SUM(o_totalprice * 100) / 100 - SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS delta
+        |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
     // §2.4 CROSSTAB pivot
     "q_crosstab" -> gq(
       """SELECT l_quantity AS qty FROM lineitem
@@ -408,6 +414,15 @@ object SparkEntry {
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
         |SELECT make_timestamp(a.t * 1000) AS _time, a.rev AS rev, p.rev AS prev_rev
+        |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
+
+    "q_shift_delta" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
+        |    sum(o_totalprice * 100) / 100 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT make_timestamp(a.t * 1000) AS _time, a.rev AS rev,
+        |  a.rev - p.rev AS delta
         |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
 
     "q_crosstab" ->

@@ -253,6 +253,41 @@ class GraftDBSpec extends AnyFunSuite {
     assert(math.abs(d(got(0).getAs[Any]("p10")) - 10.0) <= tol)
   }
 
+  test("materialized events table agrees with the raw-table query") {
+    // self-consistency: ingest the driver's events table into a materialized
+    // aggregation, then compare a coarser re-aggregation against the same
+    // query over the raw parquet — stored accumulator merges must reproduce
+    // one-pass raw aggregation
+    val dir = Files.createTempDirectory("graft-events").toString
+    val yaml =
+      """ev:
+        |  sql: >
+        |    SELECT value, MIN(value) AS mn, MAX(value) AS mx, AVG(value) AS av
+        |    FROM evs GROUP BY event_type, period(1h)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => 4102444800000L) // far future
+    val cat0 = Catalog.fromParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("events"))
+    db.insert("evs", cat0.get("events").df)
+    val stored = db.sql(
+      """SELECT value, mn, mx, av, _points FROM ev
+        |GROUP BY event_type, period('6h') ORDER BY _time, event_type""".stripMargin)
+      .collect()
+    val raw = Engine.sql(cat0,
+      """SELECT value, MIN(value) AS mn, MAX(value) AS mx, AVG(value) AS av,
+        |  _points FROM events
+        |GROUP BY event_type, period('6h') ORDER BY _time, event_type""".stripMargin)
+      .collect()
+    assert(stored.length == raw.length && stored.nonEmpty)
+    stored.zip(raw).foreach { case (s, r) =>
+      Seq("value", "mn", "mx", "av", "_points").foreach { c =>
+        val (a, b) = (d(s.getAs[Any](c)), d(r.getAs[Any](c)))
+        assert((a.isNaN && b.isNaN) || math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"$c: $a vs $b")
+      }
+    }
+  }
+
   test("streaming ingest via MemoryStream reaches the same state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftdb").toString
