@@ -228,12 +228,22 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         if (compiled.shifts.nonEmpty) {
           require(timeKey.nonEmpty, "SHIFT requires time bucketing (period)")
           val joinKeys = "_time" +: dimNames
+          val b = bucketMs.get
           compiled.shifts.foreach { sh =>
+            // offsets round down to whole buckets (expr/shift.go:62-72
+            // computes offset/resolution in bucket units)
+            val off = (sh.offsetMillis / b) * b
             val shifted = agged.select(
               (dimNames.map(col) :+
-                timestamp_millis(unix_millis(col("_time")) + sh.offsetMillis).as("_time") :+
+                timestamp_millis(unix_millis(col("_time")) + off).as("_time") :+
                 sh.srcExpr.as(sh.alias)): _*)
-            agged = agged.join(shifted, joinKeys, "left")
+            // null-safe keys: NULL dims are legitimate group keys (the
+            // reference's nil dims, core/compare.go) and must still align
+            val shiftedR = shifted.toDF(shifted.columns.map(c =>
+              if (c == sh.alias) c else s"__r_$c"): _*)
+            val cond = joinKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+            agged = agged.join(shiftedR, cond, "left")
+              .drop(joinKeys.map("__r_" + _): _*)
           }
         }
 

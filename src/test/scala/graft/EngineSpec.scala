@@ -195,6 +195,27 @@ class EngineSpec extends AnyFunSuite {
     assert(approx(d(rows(3).getAs[Any]("prev")), 934.0))
   }
 
+  test("SHIFT aligns across NULL dim keys (null-safe self-join)") {
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0), null, Double.box(1.0)),
+      Row(new java.sql.Timestamp(T0 + 2000), null, Double.box(5.0)),
+      Row(new java.sql.Timestamp(T0 + 2000), "a", Double.box(7.0))), 1), sch)
+    val cat = new Catalog(Map("t" -> Catalog.classify("t", df)))
+    val rows = Engine.sql(cat,
+      """SELECT v, SHIFT(v, '-2s') AS prev FROM t
+        |GROUP BY k, period('2s') ORDER BY k, _time""".stripMargin,
+      () => T0 + 8000).collect()
+    // NULL-keyed bucket at T0+2s must see the NULL-keyed value from T0
+    val nullRows = rows.filter(_.getAs[String]("k") == null)
+    assert(nullRows.length == 2)
+    assert(approx(d(nullRows(1).getAs[Any]("prev")), 1.0))
+    val aRow = rows.filter(_.getAs[String]("k") == "a")
+    assert(aRow.head.getAs[Any]("prev") == null)
+  }
+
   test("FROM subquery re-aggregates") {
     val rows = sql(
       """SELECT _points, requests FROM
