@@ -32,6 +32,14 @@ object SparkEntry {
   private def gq(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Engine.sql(catalogFor(s, dir), sql, () => FixedNow)
 
+  /** Time-bucketed variant: emit _time as epoch millis (BIGINT) so the
+    * driver's compare is immune to timestamp tz-semantics differences
+    * between Spark-written and DuckDB-computed values.
+    */
+  private def gqT(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Engine.sql(catalogFor(s, dir), sql, () => FixedNow)
+      .withColumn("_time", unix_millis(col("_time")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_sum_group")(spark, "/root/testdata/sf0.001")
@@ -104,24 +112,24 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // §2.4 period() time bucketing
-    "q_period" -> gq(
+    "q_period" -> gqT(
       """SELECT SUM(o_totalprice * 100) / 100 AS rev, _points
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
 
     // §2.4 stride sampling
-    "q_stride" -> gq(
+    "q_stride" -> gqT(
       """SELECT SUM(o_totalprice * 100) / 100 AS rev, _points
         |FROM orders GROUP BY _, period('30d'), STRIDE('90d')
         |ORDER BY _time""".stripMargin),
 
     // §2.3 SHIFT (time self-alignment)
-    "q_shift" -> gq(
+    "q_shift" -> gqT(
       """SELECT SUM(o_totalprice * 100) / 100 AS rev,
         |  SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS prev_rev
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
 
     // §2.3 SHIFT composed inside arithmetic (risk register SURVEY §7.4 #3)
-    "q_shift_delta" -> gq(
+    "q_shift_delta" -> gqT(
       """SELECT SUM(o_totalprice * 100) / 100 AS rev,
         |  SUM(o_totalprice * 100) / 100 - SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS delta
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
@@ -179,7 +187,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // §2.8 events stream table: window + dims (exact min/max/count only)
-    "q_events_window" -> gq(
+    "q_events_window" -> gqT(
       """SELECT MIN(value) AS mn, MAX(value) AS mx, _points
         |FROM events GROUP BY event_type, period('6h')
         |ORDER BY _time, event_type""".stripMargin),
@@ -396,13 +404,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_period" ->
-      s"""SELECT make_timestamp(CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) * 1000) AS _time,
+      s"""SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS _time,
         |  sum(o_totalprice * 100) / 100 AS rev,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stride" ->
-      s"""SELECT make_timestamp(CAST(floor(epoch_ms(o_orderdate) / $D90) * $D90 AS BIGINT) * 1000) AS _time,
+      s"""SELECT CAST(floor(epoch_ms(o_orderdate) / $D90) * $D90 AS BIGINT) AS _time,
         |  sum(o_totalprice * 100) / 100 AS rev,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM orders WHERE epoch_ms(o_orderdate) % $D90 < $D30
@@ -413,7 +421,7 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT make_timestamp(a.t * 1000) AS _time, a.rev AS rev, p.rev AS prev_rev
+        |SELECT a.t AS _time, a.rev AS rev, p.rev AS prev_rev
         |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
 
     "q_shift_delta" ->
@@ -421,7 +429,7 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT make_timestamp(a.t * 1000) AS _time, a.rev AS rev,
+        |SELECT a.t AS _time, a.rev AS rev,
         |  a.rev - p.rev AS delta
         |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
 
@@ -478,7 +486,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_window" ->
-      """SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 21600000) * 21600000 AS BIGINT) * 1000) AS _time,
+      """SELECT CAST(floor(epoch_ms(ts) / 21600000) * 21600000 AS BIGINT) AS _time,
         |  event_type, min(value) AS mn, max(value) AS mx,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
