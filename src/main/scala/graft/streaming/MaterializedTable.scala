@@ -79,15 +79,51 @@ final class MaterializedTable(
 
   private val valNames: Set[String] = tableFields.flatMap(f => measureLeaves(f.expr)).toSet
 
-  private val genMarker = Paths.get(storePath, "CURRENT")
-  private def genPath(g: Long) = s"$storePath/gen=$g"
+  // ---------------------------------------------------------------------
+  // Storage: a manifest of day-partitioned parquet dirs (a minimal
+  // transaction-log in the style public table formats use). Each flush
+  // rewrites ONLY the day partitions the batch touched — flush cost is
+  // O(touched days), not O(store) — then swaps the manifest atomically.
+  // The reference's analogue is the filestore generation + offsets header
+  // (row_store.go:424,455-530); at cluster scale this becomes Delta MERGE.
+  // ---------------------------------------------------------------------
 
-  def currentGen: Option[Long] =
-    if (Files.exists(genMarker)) Some(Files.readString(genMarker).trim.toLong)
-    else None
+  private val DayMs = 86400000L
+  private val manifestPath = Paths.get(storePath, "MANIFEST")
 
-  /** Current materialized state, or an empty frame with just the keys. */
-  def read(): Option[DataFrame] = currentGen.map(g => spark.read.parquet(genPath(g)))
+  /** day(epoch-days) -> store-relative dir of that day's current data */
+  private def readManifest(): (Long, Map[Long, String]) =
+    if (!Files.exists(manifestPath)) (0L, Map.empty)
+    else {
+      val lines = Files.readString(manifestPath).split("\n").filter(_.nonEmpty)
+      val v = lines.head.stripPrefix("v=").toLong
+      (v, lines.tail.map { l =>
+        val Array(d, p) = l.split("\t", 2); d.toLong -> p
+      }.toMap)
+    }
+
+  private def writeManifest(v: Long, days: Map[Long, String]): Unit = {
+    Files.createDirectories(Paths.get(storePath))
+    val tmp = Paths.get(storePath, s"MANIFEST.tmp$v")
+    val body = (s"v=$v" +: days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })
+      .mkString("\n")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current materialized state (all live day partitions), if any. */
+  def read(): Option[DataFrame] = {
+    val (_, days) = readManifest()
+    if (days.isEmpty) None
+    else Some(spark.read.parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
+  }
+
+  private def readDays(days: Map[Long, String], subset: Set[Long]): Option[DataFrame] = {
+    val paths = days.filter(e => subset(e._1)).values.map(p => s"$storePath/$p").toSeq
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 
   /** Dim columns of the store (everything except _time and accumulators). */
   def storedDims: Seq[String] =
@@ -153,17 +189,27 @@ final class MaterializedTable(
     val partial = batch.groupBy(keys: _*).agg(compiled.aggs.head, compiled.aggs.tail: _*)
 
     val keyNames = "_time" +: dims.map(_._1)
-    val merged = read() match {
-      case None => partial
+    val partialCached = partial.persist()
+    val touched: Set[Long] = partialCached
+      .select((unix_millis(col("_time")) / DayMs).cast("long").as("d"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) { partialCached.unpersist(); return }
+
+    val (version, dayMap) = readManifest()
+
+    // merge ONLY the touched day partitions with the batch's partials
+    val merged = readDays(dayMap, touched) match {
+      case None => partialCached
       case Some(existing) =>
-        val unioned = existing.unionByName(partial, allowMissingColumns = true)
+        val unioned = existing.unionByName(partialCached, allowMissingColumns = true)
         val mergeCols = compiled.aggSpecs.map(s =>
           Builders.MergeOp(s.merge, col(s.alias)).as(s.alias))
         unioned.groupBy(keyNames.map(col): _*)
           .agg(mergeCols.head, mergeCols.tail: _*)
     }
 
-    // retention: drop expired buckets on flush (row_store.go:378-382)
+    // retention inside touched days (row_store.go:378-382); whole expired
+    // days drop out of the manifest below
     val retained = config.retentionMillis match {
       case Some(r) => merged.filter(col("_time") >= timestamp_millis(lit(now() - r)))
       case None    => merged
@@ -173,7 +219,7 @@ final class MaterializedTable(
     // becomes a plain repartition on the declared dims) + key-sorted files
     // (the reference's optional sorted filestore, table.go:537-557) so
     // row-group stats prune reads
-    val toWrite =
+    val toWrite0 =
       if (config.partitionBy.nonEmpty) {
         val pCols = config.partitionBy.filter(retained.columns.contains).map(col)
         if (pCols.nonEmpty)
@@ -183,16 +229,48 @@ final class MaterializedTable(
         else retained
       } else retained
 
-    val next = currentGen.getOrElse(-1L) + 1
-    toWrite.write.mode(SaveMode.Overwrite).parquet(genPath(next))
-    Files.createDirectories(Paths.get(storePath))
-    Files.writeString(genMarker, next.toString)
-    // best-effort cleanup of superseded generations (row_store.go:681-725)
-    currentGen.foreach { g =>
-      (0L until g).foreach { old =>
-        try deleteRecursively(Paths.get(genPath(old)))
-        catch { case _: Exception => () }
+    val next = version + 1
+    val commitRel = s"commits/$next"
+    toWrite0
+      .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__day")
+      .parquet(s"$storePath/$commitRel")
+    partialCached.unpersist()
+
+    // pick up the day dirs this commit produced
+    val commitDir = Paths.get(storePath, "commits", next.toString)
+    val newDays: Map[Long, String] =
+      Files.list(commitDir).iterator().asScalaSeq
+        .filter(p => p.getFileName.toString.startsWith("__day="))
+        .map { p =>
+          val d = p.getFileName.toString.stripPrefix("__day=").toLong
+          d -> s"$commitRel/__day=$d"
+        }.toMap
+
+    val horizonDay = config.retentionMillis
+      .map(r => (now() - r) / DayMs).getOrElse(Long.MinValue)
+    val nextMap = (dayMap -- touched)
+      .filter { case (d, _) => d >= horizonDay } ++ newDays
+    writeManifest(next, nextMap)
+
+    // best-effort cleanup: remove commit dirs no longer referenced
+    // (row_store.go:681-725's superseded-generation deletion)
+    val live = nextMap.values.map(_.split("/")(1).toLong).toSet
+    val commitsRoot = Paths.get(storePath, "commits")
+    if (Files.isDirectory(commitsRoot)) {
+      Files.list(commitsRoot).iterator().asScalaSeq.foreach { p =>
+        val v = scala.util.Try(p.getFileName.toString.toLong).toOption
+        if (v.exists(x => x != next && !live.contains(x)))
+          try deleteRecursively(p) catch { case _: Exception => () }
       }
+    }
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScalaSeq: Seq[T] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[T]
+      while (it.hasNext) b += it.next()
+      b.toSeq
     }
   }
 

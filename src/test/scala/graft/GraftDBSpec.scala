@@ -253,6 +253,29 @@ class GraftDBSpec extends AnyFunSuite {
     assert(math.abs(d(got(0).getAs[Any]("p10")) - 10.0) <= tol)
   }
 
+  test("flush is incremental: untouched day partitions are not rewritten") {
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10L * 86400000L)
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    def batch(dayOff: Long, v: Double) =
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(new java.sql.Timestamp(T0 + dayOff * 86400000L), "a", Double.box(v))), 1), sch)
+    db.insert("s", batch(0, 1.0).union(batch(1, 2.0))) // day0 + day1
+    val manifest1 = Files.readString(java.nio.file.Paths.get(s"$dir/t/MANIFEST"))
+    db.insert("s", batch(1, 10.0)) // touches only day1
+    val manifest2 = Files.readString(java.nio.file.Paths.get(s"$dir/t/MANIFEST"))
+    val day0_1 = manifest1.split("\n").find(_.contains("\t")).get
+    assert(manifest2.contains(day0_1.split("\t")(1)),
+      s"day0 partition should be untouched:\n$manifest1\nvs\n$manifest2")
+    val rows = db.sql(
+      "SELECT v FROM t GROUP BY k, period('100s') ORDER BY _time").collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("v")), 1.0))
+    assert(approx(d(rows(1).getAs[Any]("v")), 12.0))
+  }
+
   test("materialized events table agrees with the raw-table query") {
     // self-consistency: ingest the driver's events table into a materialized
     // aggregation, then compare a coarser re-aggregation against the same
