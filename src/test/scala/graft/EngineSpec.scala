@@ -171,6 +171,28 @@ class EngineSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("/index.html_requests")), 523.0))
   }
 
+  test("multi-arg CROSSTAB joins values with underscore, lowercased") {
+    val df = sql(
+      """SELECT requests FROM inbound WHERE path IS NOT NULL
+        |GROUP BY CROSSTAB(path, status)""".stripMargin)
+    // zenodb: multi-arg ctab values sorted + '_' joined (core/group.go)
+    val cols = df.columns.toSet
+    assert(cols.contains("/login_200_requests"), cols.mkString(", "))
+    assert(cols.contains("/login_500_requests"))
+    assert(cols.contains("/index.html_200_requests"))
+    val r = df.collect()(0) // single global row (no dims)
+    assert(approx(d(r.getAs[Any]("/login_200_requests")), 445.0)) // 34+411
+    assert(approx(d(r.getAs[Any]("/login_500_requests")), 40.0))  // 12+28
+  }
+
+  test("UNTIL without ASOF bounds only the upper end") {
+    val rows = sql(
+      "SELECT _points FROM inbound UNTIL '-4s' GROUP BY _").collect()
+    // now = T0+8000; until T0+4000 => first 4 points
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
+  }
+
   test("CROSSTABT adds total_ columns") {
     val df = sql(
       """SELECT requests FROM inbound
