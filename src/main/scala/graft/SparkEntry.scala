@@ -192,6 +192,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type, period('6h')
         |ORDER BY _time, event_type""".stripMargin),
 
+    // §2.4 high-cardinality grouping over the events stream table
+    "q_events_by_user" -> gq(
+      """SELECT MIN(value) AS mn, MAX(value) AS mx, _points
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // §2.3 LN/LOG2/LOG10 at read time
     "q_math" -> gq(
       """SELECT LN(l_quantity) AS l1, LOG2(l_quantity) AS l2,
@@ -490,6 +495,11 @@ object SparkEntry {
         |  event_type, min(value) AS mn, max(value) AS mx,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_by_user" ->
+      """SELECT user_id, min(value) AS mn, max(value) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_math" ->
       """SELECT l_returnflag,

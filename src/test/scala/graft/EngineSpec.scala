@@ -260,6 +260,31 @@ class EngineSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("requests")), 439.0))
   }
 
+  test("NOT IN subquery lowers to anti-join") {
+    val rows = sql(
+      """SELECT requests FROM inbound
+        |WHERE path NOT IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path)
+        |GROUP BY server, path ORDER BY server, path""".stripMargin).collect()
+    // /login excluded (had 500s); null-path rows excluded by anti-join? no —
+    // anti keeps rows whose key doesn't match; null never matches => kept,
+    // but those rows have null requests => flatten-skipped
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("path") == "/index.html"))
+  }
+
+  test("nested FROM-subqueries re-aggregate at each level") {
+    val rows = sql(
+      """SELECT requests, _points FROM
+        |  (SELECT requests, _points FROM
+        |    (SELECT requests FROM inbound GROUP BY server, path)
+        |   GROUP BY server)
+        |GROUP BY _""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 1064.0))
+    // _points propagates by summation: 4 inner rows -> 2+2 across servers
+    assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
+  }
+
   test("ASOF/UNTIL filter the time range") {
     val rows = sql(
       """SELECT _points FROM inbound ASOF '-6s' UNTIL '-2s' GROUP BY _""")
