@@ -62,13 +62,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent minimums over shingle hashes
-    * (seeded by mixing the band index into xxhash64's input).
+  /** MinHash signature: k independent minimums over shingle hashes. The
+    * string shingles are hashed ONCE; the k seeded variants re-hash the
+    * resulting 8-byte longs, which is much cheaper than k passes over the
+    * raw strings.
     */
   def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
+    val baseHashes = transform(shingles(text, n), s => xxhash64(s))
     val mins = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
+      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))
     }
     array(mins: _*)
   }
