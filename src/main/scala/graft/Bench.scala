@@ -34,7 +34,27 @@ object Bench {
     // warmup amortizes JVM/codegen/session start out of per-query numbers
     run("q_sum_group")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // ingest benchmark (the reference's only perf instrumentation is insert
+    // throughput, insert.go:110-118): materialize the events stream into a
+    // 1h-bucketed table and report seconds
+    def runIngest(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        val db = new GraftDB(spark,
+          "ev:\n  sql: >\n    SELECT value, AVG(value) AS av FROM evs GROUP BY event_type, user_id, period(1h)\n",
+          dir)
+        db.insert("evs", Catalog.fromParquetDir(spark, sfDir, Seq("events"))
+          .get("events").df)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = (SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))) :+
+      ("ingest_events" -> runIngest())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -218,21 +218,18 @@ final class MaterializedTable(
     // partitionby dims (cluster_follow.go:797-821's murmur3 partitioning
     // becomes a plain repartition on the declared dims) + key-sorted files
     // (the reference's optional sorted filestore, table.go:537-557) so
-    // row-group stats prune reads
-    val toWrite0 =
-      if (config.partitionBy.nonEmpty) {
-        val pCols = config.partitionBy.filter(retained.columns.contains).map(col)
-        if (pCols.nonEmpty)
-          retained.repartition(pCols: _*)
-            .sortWithinPartitions(("_time" +: config.partitionBy
-              .filter(retained.columns.contains)).map(col): _*)
-        else retained
-      } else retained
+    // row-group stats prune reads. Always repartition on __day too: the
+    // dynamic-partition write otherwise emits (tasks × days) tiny files.
+    val withDay = retained
+      .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
+    val pDims = config.partitionBy.filter(retained.columns.contains)
+    val toWrite0 = withDay
+      .repartition((col("__day") +: pDims.map(col)): _*)
+      .sortWithinPartitions(("_time" +: pDims).map(col): _*)
 
     val next = version + 1
     val commitRel = s"commits/$next"
     toWrite0
-      .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
       .write.mode(SaveMode.Overwrite).partitionBy("__day")
       .parquet(s"$storePath/$commitRel")
     partialCached.unpersist()
