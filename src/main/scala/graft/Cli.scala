@@ -36,6 +36,7 @@ object Cli {
         print("graft> ")
       }
     }
-    spark.stop()
+    // no spark.stop(): the session may be shared (getOrCreate); process exit
+    // tears it down in standalone use
   }
 }

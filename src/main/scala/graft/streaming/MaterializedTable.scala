@@ -177,8 +177,15 @@ final class MaterializedTable(
         case GroupExpr(n, e) => n -> Builders.dim(e, dimResolve)
       }
 
+    // measures absent from this batch are unset (a point carries only the
+    // vals it has — insert.go routes whatever arrives)
+    val batchCols = batch.columns.toSet
     val compiled = Builders.compile(tableFields, None,
-      { case "_point" => lit(1.0); case n => col(n) }: String => Column,
+      {
+        case "_point"                    => lit(1.0)
+        case n if batchCols.contains(n)  => col(n)
+        case _                           => lit(null).cast("double")
+      }: String => Column,
       dimResolve, forStorage = true)
     require(compiled.shifts.isEmpty, "SHIFT cannot be materialized")
 

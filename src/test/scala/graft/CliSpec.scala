@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the zeno-cli-equivalent surface in one-shot mode. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("one-shot CLI runs a dialect statement over a populated store") {
+    val dir = Files.createTempDirectory("graft-cli").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+    val schemaFile = Files.createTempFile("schema", ".yaml")
+    Files.writeString(schemaFile, yaml)
+    val db = new GraftDB(spark, yaml, dir)
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    db.insert("s", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(1700000000000L), "a", Double.box(2.0)),
+      Row(new java.sql.Timestamp(1700000000100L), "a", Double.box(3.0))), 1), sch))
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array(schemaFile.toString, dir,
+        "SELECT v, _points FROM t GROUP BY k, period('100s')"))
+    }
+    val printed = out.toString
+    assert(printed.contains("5.0"), printed) // 2+3
+    assert(printed.contains("2.0"), printed) // _points
+  }
+}

@@ -63,6 +63,20 @@ class ServerSpec extends AnyFunSuite {
       assert(body.contains("\"load_avg\":1.5"))
       assert(body.contains("\"cardinalities\""))
 
+      // RFC3339 ts strings parse too (web/insert.go accepts both)
+      val iso = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"ts": "2023-11-14T22:13:21Z", "dims": {"server": "s2", "path": "/a", "status": 200}, "vals": {"requests": 5}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(iso.statusCode() == 200, iso.body())
+      val run2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/run?sql=$sql"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(run2.body().contains("\"requests\":35.0"), run2.body()) // 30+5 on s2
+
       // malformed query → structured 400
       val bad = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:$port/run?sql=NOT%20SQL"))
