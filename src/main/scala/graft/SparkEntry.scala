@@ -287,6 +287,15 @@ object SparkEntry {
         .orderBy(col("label"))
     },
 
+    // most-similar embedding pair per label (block-bounded join + rank)
+    "q_embed_top_pairs" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.blockedTopPairs(e, col("embedding"), col("vec_id"), col("label"))
+        .select(col("block").as("label"), col("id_a"), col("id_b"),
+          round(col("c"), 6).as("c"))
+        .orderBy(col("label"))
+    },
+
     // MinHash+LSH near-dup (scale path; verified against exact jaccard in tests)
     "q_minhash_lsh" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -582,6 +591,20 @@ object SparkEntry {
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    "q_embed_top_pairs" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.qe, b.qe) /
+        |    (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))), 6) AS c
+        |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY a.label
+        |  ORDER BY list_dot_product(a.qe, b.qe) /
+        |    (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))) DESC,
+        |    a.vec_id, b.vec_id) = 1
+        |ORDER BY a.label""".stripMargin,
 
     "q_embed_stats" ->
       """SELECT label,

@@ -78,6 +78,28 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Most-similar pair per block (e.g. per label/cluster): block-local
+    * self-join + window rank. The block key bounds the join quadratically —
+    * at scale, blocks come from LSH buckets or IVF cells, and the same
+    * ranking runs unchanged.
+    */
+  def blockedTopPairs(df: DataFrame, vecCol: Column, idCol: Column,
+                      blockCol: Column, quantized: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("v"))
+    val a = base.as("a"); val b = base.as("b")
+    val c = if (quantized) cosineQuantized(col("a.v"), col("b.v"))
+            else cosine(col("a.v"), col("b.v"))
+    val pairs = a.join(b, col("a.block") === col("b.block") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.block").as("block"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), c.as("c"))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("c").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** IVF-style index: centroids sampled from the data (deterministic takeSample
     * stand-in: first `nCentroids` by id), broadcast, each row assigned to its
     * nearest centroid. Query path probes only `nProbe` nearest centroid
