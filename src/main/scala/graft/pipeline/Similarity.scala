@@ -86,14 +86,28 @@ object Similarity {
   def blockedTopPairs(df: DataFrame, vecCol: Column, idCol: Column,
                       blockCol: Column, quantized: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("v"))
-    val a = base.as("a"); val b = base.as("b")
-    val c = if (quantized) cosineQuantized(col("a.v"), col("b.v"))
-            else cosine(col("a.v"), col("b.v"))
+    // precompute per-ROW vectors and norms once; the O(pairs) join then only
+    // evaluates the dot product — norms inside the pair expression would
+    // re-fold both arrays for every pair
+    val prep =
+      if (quantized) df.select(blockCol.as("block"), idCol.as("id"),
+        quantize(vecCol).as("qv"))
+        .withColumn("nq", sqrt(
+          aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, x) => acc + x)
+            .cast("double")))
+      else df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("qv"))
+        .withColumn("nq", norm(col("qv")))
+    val a = prep.as("a"); val b = prep.as("b")
+    val dotC =
+      if (quantized)
+        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double")
+      else dot(col("a.qv"), col("b.qv"))
     val pairs = a.join(b, col("a.block") === col("b.block") &&
         col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"),
-        col("b.id").as("id_b"), c.as("c"))
+        col("b.id").as("id_b"),
+        (dotC / (col("a.nq") * col("b.nq"))).as("c"))
     val w = Window.partitionBy(col("block"))
       .orderBy(col("c").desc, col("id_a"), col("id_b"))
     pairs.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
