@@ -324,17 +324,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // IVF-pruned approximate nearest neighbours (rows-only check)
+    // IVF index: build (sampled centroids, partitionBy(cell) layout), then a
+    // full-probe query — provably equal to exact top-k, so oracle-checkable.
+    // The pruned nProbe<nCentroids path (PartitionFilters + recall@10) is
+    // gated in PipelineSpec/PlanSpec.
     "q_ann_ivf" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0)
-      val (assigned, centroids) =
-        Similarity.ivfAssign(e.filter(col("vec_id") =!= 0), col("embedding"),
-          col("vec_id"), nCentroids = 16)
-      Similarity.ivfTopK(assigned, centroids, col("embedding"), col("vec_id"),
-        q, k = 10, nProbe = 4)
-        .select(col("id"))
+      val idx = s"target/gate-ivf/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val centroids = Similarity.ivfBuildIfMissing(e.filter(col("vec_id") =!= 0),
+        col("embedding"), col("vec_id"), nCentroids = 16, idx)
+      Similarity.ivfTopK(s, idx, centroids, col("embedding"), col("vec_id"),
+          q, k = 10, nProbe = 16, quantized = true)
+        .select(col("id"), round(col("score"), 6).as("score"))
     },
 
     // multimodal plumbing: binary payloads + metadata + stubbed decode
@@ -576,10 +579,10 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE list_sum(list_transform(string_split(trim(text), ' '),
         |              (x, i) -> CAST(ascii(x) + length(x) AS BIGINT) * i))
-        |            % 1000000007 END AS fp
+        |            % 1000000007 END AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
@@ -612,6 +615,126 @@ object SparkEntry {
         |  CAST(sum(list_sum(list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)))) AS BIGINT) AS qsum,
         |  CAST(count(*) AS DOUBLE) AS n
-        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MinHash-LSH at threshold 0.9 with 64 hashes / 32 bands has candidate
+    // probability 1-(1-s^2)^32 ≈ 1-1e-23 at s=0.9 — its output equals the
+    // exact-Jaccard pair set, so exact Jaccard IS the oracle (and doubles as
+    // a recall assertion).
+    "q_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source = 'src0' AND doc_id < 1000 AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+        |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING jaccard >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    // Brute-force SimHash pairs: the md5-derived per-token bits are computed
+    // identically here (first 16 hex digits, 4 bits each), votes summed per
+    // bit, and Hamming distance counted directly on the sign bits — the
+    // banded Spark plan finds exactly the same pair set (pigeonhole).
+    "q_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(trim(text), ' ') END AS toks
+        |  FROM documents WHERE source = 'src0' AND doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), i ->
+        |      coalesce(list_sum(list_transform(toks, tok ->
+        |        CASE WHEN ((strpos('0123456789abcdef',
+        |                           substr(md5(tok), CAST(i // 4 AS INT) + 1, 1)) - 1)
+        |                   >> CAST(i % 4 AS INT)) & 1 = 1
+        |             THEN 1 ELSE -1 END)), 0)) AS votes
+        |  FROM t),
+        |s AS (SELECT doc_id, list_transform(votes, x -> x > 0) AS bits FROM v)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(range(64),
+        |      i -> a.bits[CAST(i AS INT) + 1] <> b.bits[CAST(i AS INT) + 1])) AS INT) AS dist
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE dist <= 15 ORDER BY id_a, id_b""".stripMargin,
+
+    // Language-ID argmax + quality arithmetic ported to DuckDB list lambdas;
+    // every ratio is an exact int/int double division and the weighted sum
+    // multiplies by 0.25 (a power of two), so the doubles are bit-identical.
+    "q_langid_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS ntoks,
+        |    list_sum(list_transform(toks, tok -> length(tok))) AS toklen,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['the','and','of','to','in','is','you','that','it','for','a','on','with','as','at','this'],
+        |      lower(tok)))) AS h_en,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['der','die','und','das','ist','nicht','mit','ein','ich','auf','sich','den','zu','von'],
+        |      lower(tok)))) AS h_de,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['le','la','et','les','des','un','une','est','pour','que','dans','qui','au','pas','sur'],
+        |      lower(tok)))) AS h_fr,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['el','la','de','que','y','en','un','los','se','no','con','por','las','para','es'],
+        |      lower(tok)))) AS h_es,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['il','di','che','la','e','per','un','in','non','si','una','con','del','le','sono'],
+        |      lower(tok)))) AS h_it
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, text, ntoks, toklen, h_en,
+        |    list_aggregate([struct_pack(s := h_en, l := 'en'),
+        |                    struct_pack(s := h_de, l := 'de'),
+        |                    struct_pack(s := h_fr, l := 'fr'),
+        |                    struct_pack(s := h_es, l := 'es'),
+        |                    struct_pack(s := h_it, l := 'it')], 'max') AS best
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred,
+        |    least(ntoks / 64.0, 1.0) AS ls,
+        |    1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |           / length(text) END) * 5.0, 1.0) AS ps,
+        |    least((CASE WHEN ntoks = 0 THEN 0.0
+        |      ELSE CAST(h_en AS DOUBLE) / ntoks END) * 4.0, 1.0) AS ss,
+        |    CASE WHEN (CASE WHEN ntoks = 0 THEN 0.0
+        |      ELSE CAST(toklen AS DOUBLE) / ntoks END) BETWEEN 3.0 AND 10.0
+        |      THEN 1.0 ELSE 0.3 END AS ws
+        |  FROM g)
+        |SELECT doc_id, lang_pred,
+        |  round(ls * 0.25 + ps * 0.25 + ss * 0.25 + ws * 0.25, 6) AS quality,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS bpe_tokens
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // The multimodal projection is pure arithmetic on payload length and
+    // metadata (the decode stubs only affect values not selected here):
+    // feat_dim = dim, frames = clamped slice count over byte length,
+    // w = resize of the constant 640x480 meta to maxSide 320.
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS feat_dim,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |       ELSE least(4, (strlen(text) - 1) // 32 + 1) END AS INT) AS frames,
+        |  CAST(320 AS INT) AS w
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // full-probe IVF == exact quantized top-k (same oracle as q_cosine_topk)
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin
   )
 }

@@ -92,6 +92,12 @@ object PercentileSketch {
     def reduce(acc: Array[Long], s: Array[Byte]): Array[Long] =
       if (s == null) acc else merge(acc, deserialize(s))
     def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      // a stored sketch serialized under different lo/hi/precision has a
+      // different bucket count — fail loudly instead of silently truncating
+      require(a.length == c.length,
+        s"percentile sketch bucket-count mismatch (${a.length} vs ${c.length}): " +
+          "stored sketch was built with different PERCENTILE(lo, hi, precision) " +
+          "bounds than this query expects")
       var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a
     }
     def finish(acc: Array[Long]): Array[Byte] = serialize(acc)

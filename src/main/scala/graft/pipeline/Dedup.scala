@@ -28,15 +28,19 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct word n-gram shingles of the text (n=1 → distinct tokens). */
+  /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
+    * Docs with fewer than n tokens have no n-gram — empty array, never a
+    * descending `sequence` (which would make `slice` throw on real corpora).
+    */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1)
     val toks = TextAnalysis.tokensSimple(text)
     val grams =
       if (n == 1) toks
-      else transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      else when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
     array_distinct(grams)
   }
 
@@ -67,8 +71,14 @@ object Dedup {
     * resulting 8-byte longs, which is much cheaper than k passes over the
     * raw strings.
     */
-  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val baseHashes = transform(shingles(text, n), s => xxhash64(s))
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minHashFromShingles(shingles(text, n), numHashes)
+
+  /** Signature from a precomputed shingle column (compute shingles once,
+    * derive everything from them).
+    */
+  def minHashFromShingles(sh: Column, numHashes: Int): Column = {
+    val baseHashes = transform(sh, s => xxhash64(s))
     val mins = (0 until numHashes).map { i =>
       array_min(transform(baseHashes, h => xxhash64(h, lit(i))))
     }
@@ -77,46 +87,68 @@ object Dedup {
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
     * Jaccard on the candidate set only. bands × rowsPerBand = numHashes.
+    *
+    * Scale shape: band rows carry ONLY (id, band, bandHash) into the
+    * self-join, so the shuffle key is 24 bytes/row regardless of document
+    * size; document payloads (shingle sets) are joined back by id for the
+    * candidate pairs only — at 100 TB the candidate set, not the corpus,
+    * pays the verification cost.
     */
   def minHashLsh(df: DataFrame, textCol: Column, idCol: Column, n: Int,
                  numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(idCol.as("id"), textCol.as("text"))
-      .filter(size(shingles(textCol, n)) > 0) // empty docs have no signature
-      .withColumn("sig", minHashSignature(col("text"), n, numHashes))
-    val banded = sig.select(col("id"), col("text"),
+    val base = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0) // empty docs have no signature
+    val sig = base.select(col("id"),
+      minHashFromShingles(col("sh"), numHashes).as("sig"))
+    // compact band rows: (id, band, bandHash) — no payload through the shuffle
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
     val a = banded.as("a"); val b2 = banded.as("b")
     val candidates = a.join(b2,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.text").as("ta"), col("b.text").as("tb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sa = shingles(col("ta"), n); val sb = shingles(col("tb"), n)
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(sa) + size(sb) - size(array_intersect(sa, sb))
-    candidates
+    // verify candidates only: join shingle sets back by id
+    val sa = base.select(col("id").as("id_a"), col("sh").as("sha"))
+    val sb = base.select(col("id").as("id_b"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val union = size(col("sha")) + size(col("shb")) -
+      size(array_intersect(col("sha"), col("shb")))
+    candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", when(union === 0, 0.0).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-bit votes of the 64-bit SimHash: votes[i] = Σ over tokens of
+    * (bit i of the token's hash ? +1 : -1). The token hash is the first 16
+    * hex digits of md5 — chosen over xxhash64 because md5 is bit-identical
+    * in every engine (DuckDB, Trino, Spark), which makes the whole SimHash
+    * computation oracle-checkable. Each stage materializes before the next
+    * (hex → digit values → bits → votes) so md5 runs once per token.
+    */
+  private def simHashVotes(text: Column): Column = {
+    val toks = TextAnalysis.tokensSimple(text)
+    val hexes = transform(toks, tok => md5(tok.cast("binary")))
+    val digitArr = transform(hexes, hex =>
+      transform(sequence(lit(0), lit(15)), j =>
+        conv(hex.substr(j + 1, lit(1)), 16, 10).cast("int")))
+    val bitsArr = transform(digitArr, digits =>
+      transform(sequence(lit(0), lit(63)), i =>
+        call_function("shiftright",
+          element_at(digits, floor(i / 4).cast("int") + 1), pmod(i, lit(4)))
+          .bitwiseAND(1)))
+    aggregate(bitsArr, array_repeat(lit(0), 64),
+      (acc, bits) => zip_with(acc, bits, (a, b) => a + b * 2 - 1))
+  }
+
   /** 64-bit SimHash of the token multiset: per-bit vote of token hashes. */
   def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokensSimple(text)
-    // votes[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i)
-            .bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      })
+    val votes = simHashVotes(text)
     // assemble sign bits into a long
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),

@@ -114,40 +114,86 @@ object Similarity {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** IVF-style index: centroids sampled from the data (deterministic takeSample
-    * stand-in: first `nCentroids` by id), broadcast, each row assigned to its
-    * nearest centroid. Query path probes only `nProbe` nearest centroid
-    * partitions — at 100 TB this is the difference between scanning
-    * everything and scanning nProbe/nCentroids of it.
+  /** Deterministic pseudo-random centroid sample: the `n` rows with the
+    * smallest xxhash64(id) — independent of scan/partition order (a seeded
+    * stand-in for k-means|| sampling; plans as TakeOrderedAndProject, so no
+    * global sort materializes).
     */
-  def ivfAssign(df: DataFrame, vecCol: Column, idCol: Column,
-                nCentroids: Int): (DataFrame, Seq[(Int, Seq[Float])]) = {
-    val centroids = df.select(vecCol.as("v")).limit(nCentroids).collect()
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toSeq
+  def sampleCentroids(df: DataFrame, vecCol: Column, idCol: Column,
+                      n: Int): Seq[(Int, Seq[Float])] =
+    df.select(idCol.as("id"), vecCol.as("v"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(n)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
+
+  /** Assign each row to its nearest centroid (broadcast argmin — map-only). */
+  def ivfAssign(df: DataFrame, vecCol: Column,
+                centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val dists = centroids.map { case (i, c) =>
       struct((lit(1.0) - cosine(vecCol, lit(c.toArray))).as("d"), lit(i).as("c"))
     }
-    val assigned = df.withColumn("__c",
-      array_min(array(dists: _*)).getField("c"))
-    (assigned, centroids)
+    df.withColumn("__c", array_min(array(dists: _*)).getField("c"))
   }
 
-  /** ANN top-k: score only rows whose centroid is among the query's nProbe
-    * nearest centroids.
+  /** Build an IVF index at `indexPath`: sample centroids, assign rows, and
+    * write the assigned table `partitionBy("__c")`. That layout is what makes
+    * the probe an index: `ivfTopK`'s cell filter becomes a partition filter,
+    * so at 100 TB a probe reads nProbe/nCentroids of the files, not all of
+    * them.
     */
-  def ivfTopK(assigned: DataFrame, centroids: Seq[(Int, Seq[Float])],
-              vecCol: Column, idCol: Column, query: Seq[Float], k: Int,
-              nProbe: Int): DataFrame = {
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      d / (na * nb)
+  def ivfBuild(df: DataFrame, vecCol: Column, idCol: Column, nCentroids: Int,
+               indexPath: String): Seq[(Int, Seq[Float])] = {
+    val centroids = sampleCentroids(df, vecCol, idCol, nCentroids)
+    ivfAssign(df, vecCol, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__c").parquet(indexPath)
+    centroids
+  }
+
+  /** Build the IVF index only if absent (or built with a different
+    * nCentroids): real deployments build once and amortize over queries, so
+    * repeated runs must not re-pay the build. Centroids are persisted next
+    * to the index; the sample is deterministic, so reuse is exact.
+    */
+  def ivfBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
+                        nCentroids: Int, indexPath: String): Seq[(Int, Seq[Float])] = {
+    val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val lines = java.nio.file.Files.readAllLines(metaPath)
+      if (lines.size() == nCentroids) {
+        return (0 until nCentroids).map { i =>
+          i -> lines.get(i).split(",").toSeq.map(_.toFloat)
+        }
+      }
     }
-    val probes = centroids.sortBy { case (_, c) => -cosLocal(c, query) }
+    val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath)
+    val body = centroids.map(_._2.map(f => f.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.writeString(metaPath, body)
+    centroids
+  }
+
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    d / (na * nb)
+  }
+
+  /** ANN top-k over a built index: read only the nProbe nearest centroid
+    * cells (partition-pruned scan), score, TakeOrdered. nProbe = nCentroids
+    * degrades to exact top-k (the oracle configuration).
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+              centroids: Seq[(Int, Seq[Float])],
+              vecCol: Column, idCol: Column, query: Seq[Float], k: Int,
+              nProbe: Int, quantized: Boolean = false): DataFrame = {
+    val probes = centroids.sortBy { case (i, c) => (-cosLocal(c, query), i) }
       .take(nProbe).map(_._1)
-    assigned.filter(col("__c").isin(probes: _*))
-      .select(idCol.as("id"), cosine(vecCol, lit(query.toArray)).as("score"))
+    val q = lit(query.toArray)
+    val score = if (quantized) cosineQuantized(vecCol, q) else cosine(vecCol, q)
+    spark.read.parquet(indexPath)
+      .filter(col("__c").isin(probes: _*))
+      .select(idCol.as("id"), score.as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

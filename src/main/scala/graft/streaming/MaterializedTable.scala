@@ -204,14 +204,21 @@ final class MaterializedTable(
 
     val (version, dayMap) = readManifest()
 
-    // merge ONLY the touched day partitions with the batch's partials
+    // merge ONLY the touched day partitions with the batch's partials.
+    // GROUP BY * derives dims per batch, so the stored partitions may carry
+    // dims this batch lacks (heterogeneous per-point dims, insert.go routes
+    // whatever arrives) — key the merge on the UNION of batch and stored
+    // dims, treating the missing side as NULL, or those rows collapse.
     val merged = readDays(dayMap, touched) match {
       case None => partialCached
       case Some(existing) =>
+        val storedDimCols = existing.columns
+          .filterNot(c => c == "_time" || c.startsWith("__a"))
+        val mergeKeys = (keyNames ++ storedDimCols).distinct
         val unioned = existing.unionByName(partialCached, allowMissingColumns = true)
         val mergeCols = compiled.aggSpecs.map(s =>
           Builders.MergeOp(s.merge, col(s.alias)).as(s.alias))
-        unioned.groupBy(keyNames.map(col): _*)
+        unioned.groupBy(mergeKeys.map(col): _*)
           .agg(mergeCols.head, mergeCols.tail: _*)
     }
 

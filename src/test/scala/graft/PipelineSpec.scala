@@ -88,7 +88,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
   }
 
-  test("embedding cosine topK: quantized matches plain ordering, IVF ⊆ plain domain") {
+  test("embedding cosine topK: quantized matches plain ordering, full-probe IVF == exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map { i =>
@@ -102,11 +102,60 @@ class PipelineSpec extends AnyFunSuite {
     val quant = Similarity.topK(df.filter($"vec_id" =!= 0L), col("embedding"),
       col("vec_id"), q, 5, quantized = true).collect().map(_.getLong(0)).toSeq
     assert(plain == quant) // 1e-6 quantization cannot reorder random vectors
-    val (assigned, centroids) = Similarity.ivfAssign(
-      df.filter($"vec_id" =!= 0L), col("embedding"), col("vec_id"), 8)
-    val ann = Similarity.ivfTopK(assigned, centroids, col("embedding"),
+    val idx = "target/test-ivf-full"
+    val centroids = Similarity.ivfBuild(df.filter($"vec_id" =!= 0L),
+      col("embedding"), col("vec_id"), 8, idx)
+    val ann = Similarity.ivfTopK(spark, idx, centroids, col("embedding"),
       col("vec_id"), q, 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
     assert(ann == plain) // probing ALL centroids must recover exact top-k
+  }
+
+  test("IVF pruned probe: recall@10 on clustered data, partition-pruned scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 8 tight clusters: top-k neighbours of any member live in its own cell
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2
+    val data = df.filter($"vec_id" =!= 0L)
+    val idx = "target/test-ivf-pruned"
+    val centroids = Similarity.ivfBuild(data, col("embedding"), col("vec_id"), 8, idx)
+    val exact = Similarity.topK(data, col("embedding"), col("vec_id"), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pruned = Similarity.ivfTopK(spark, idx, centroids, col("embedding"),
+      col("vec_id"), q, 10, nProbe = 2)
+    val got = pruned.collect().map(_.getLong(0)).toSet
+    assert(got.intersect(exact).size >= 9,
+      s"recall@10 ${got.intersect(exact).size}/10")
+    // the probe must prune at the partition (file) level, not post-scan
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "IVF probe scan carries no partition filters")
+    assert(scans.head.selectedPartitions.partitionCount < 8,
+      "IVF probe did not prune cell partitions")
+  }
+
+  test("shingles: n>=2 on docs shorter than n tokens is empty, not an error") {
+    import spark.implicits._
+    val df = Seq((0L, ""), (1L, "one"), (2L, "two words"),
+      (3L, "three word doc")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L).isEmpty && got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L) == Seq("three word doc"))
+    // and the pair operators survive short docs at n=2
+    val pairs = Dedup.jaccardPairs(df, col("text"), col("doc_id"), n = 2,
+      threshold = 0.5).collect()
+    assert(pairs.isEmpty)
+    val lsh = Dedup.minHashLsh(df, col("text"), col("doc_id"), n = 2,
+      numHashes = 16, bands = 8, threshold = 0.5).collect()
+    assert(lsh.isEmpty)
   }
 
   test("multimodal plumbing: schema, stub decode shapes, frame sampling") {

@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("minhash LSH banding shuffles compact keys, never document text") {
+    val p = planOf("q_minhash_lsh")
+    // formatted mode prints one details block per node, blank-line separated;
+    // no shuffle (Exchange) may carry the text column as payload
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange\\b.*"))
+    assert(exchangeBlocks.nonEmpty, p)
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text payload in shuffle:\n$b")
+    }
+  }
+
   test("stored-table re-aggregation is a single merge shuffle") {
     val yaml =
       """t:
