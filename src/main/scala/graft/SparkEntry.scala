@@ -168,6 +168,15 @@ object SparkEntry {
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // §2.7 IN-subquery under OR — two-phase collect+membership execution
+    // (reference planner/subquery.go:13-100 runs subqueries first, then
+    // tests membership, so the IN composes under any boolean shape)
+    "q_in_or" -> gq(
+      """SELECT l_quantity AS qty, _points FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+        |   OR l_linestatus = 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // §2.4 GROUP BY * (all dims)
     "q_group_all" -> gq(
       """SELECT SUM(s_acctbal * 100) / 100 AS bal FROM supplier
@@ -483,6 +492,14 @@ object SparkEntry {
       """SELECT l_returnflag, sum(l_quantity) AS qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_in_or" ->
+      """SELECT l_returnflag, sum(l_quantity) AS qty,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+        |   OR l_linestatus = 'O'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_group_all" ->

@@ -57,27 +57,14 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     //      /root/reference/core/filter.go) + IN-subqueries as semi-joins ----
     q.where.foreach { w =>
       val (plain, subqs) = splitInSubqueries(w)
-      plain.foreach { p => base = base.filter(Builders.dim(p, dimResolve)) }
+      plain.map(rewriteInSubsToMembership).foreach { p =>
+        base = base.filter(Builders.dim(p, dimResolve))
+      }
       subqs.foreach { case DInSub(DCol(d), sub0, negated) =>
-        // Only membership matters: rewrite the subquery's fields to _points
-        // and group by its single selected dimension (the reference's
-        // subquery fixup, planner/subquery.go:102-131 + sql.go:1054-1064).
-        val dimName = sub0.fields.headOption.map(_.name)
-          .orElse(sub0.groupBy.headOption.map(_.name))
-          .getOrElse(throw new IllegalArgumentException(
-            "IN subquery must select exactly one dimension"))
-        val sub = sub0.copy(
-          fields = Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))),
-          selectAll = false,
-          groupBy = if (sub0.groupBy.nonEmpty) sub0.groupBy
-                    else Seq(GroupDim(dimName)),
-          orderBy = Nil)
-        val (subDf, subInfo) = planQuery(sub)
-        require(subInfo.dims.size == 1,
-          s"IN subquery must select exactly one dimension, got ${subInfo.dims}")
+        val (subDf, subDim) = planInSubquery(sub0)
         // no distinct: the grouped subquery is already unique per dim, and
         // semi/anti joins are insensitive to duplicate build rows anyway
-        val rhs = subDf.select(col(subInfo.dims.head).as(d))
+        val rhs = subDf.select(col(subDim).as(d))
         base = base.join(rhs, Seq(d), if (negated) "left_anti" else "left_semi")
       case other => throw new IllegalArgumentException(s"unsupported IN-subquery shape: $other")
       }
@@ -360,29 +347,64 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     else df.filter(outFieldNames.map(n => bq(n).isNotNull).reduce(_ || _))
   }
 
-  /** Conjunct split: IN-subquery terms become joins; the rest stays a filter.
-    * IN-subqueries below OR/NOT would need the reference's collect-then-test
-    * two-phase execution — rejected for now.
+  /** Conjunct split: top-level IN-subquery conjuncts over a plain dim become
+    * semi/anti joins (the scale path — distributed, broadcastable); the rest
+    * stays a filter, with any IN-subqueries nested below OR/NOT executed
+    * two-phase by [[rewriteInSubsToMembership]].
     */
   private def splitInSubqueries(w: DExpr): (Option[DExpr], Seq[DInSub]) = {
     def conjuncts(e: DExpr): Seq[DExpr] = e match {
       case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case x          => Seq(x)
     }
-    def containsSub(e: DExpr): Boolean = e match {
-      case _: DInSub  => true
-      case DAnd(l, r) => containsSub(l) || containsSub(r)
-      case DOr(l, r)  => containsSub(l) || containsSub(r)
-      case DNot(c)    => containsSub(c)
-      case _          => false
-    }
-    val cs = conjuncts(w)
-    val (subs, plain) = cs.partition(_.isInstanceOf[DInSub])
-    plain.find(containsSub).foreach { bad =>
-      throw new IllegalArgumentException(
-        s"IN-subquery must be a top-level AND conjunct: $bad")
+    val (subs, plain) = conjuncts(w).partition {
+      case DInSub(DCol(_), _, _) => true
+      case _                     => false
     }
     (plain.reduceOption(DAnd.apply), subs.map(_.asInstanceOf[DInSub]))
+  }
+
+  /** The reference executes ANY IN-subquery by running it first and testing
+    * membership over the collected dim values
+    * (/root/reference/planner/subquery.go:13-100, sql/sql.go:1028-1069).
+    * IN-subqueries that are not plain top-level conjuncts — under OR/NOT, or
+    * over a derived dim — get that two-phase treatment here: run the
+    * subquery, collect its single (grouped, hence distinct) dim, substitute
+    * an IN-list, which composes under any boolean shape. The collected set
+    * is one distinct dim column — the same driver-side footprint the
+    * reference accepts.
+    */
+  private def rewriteInSubsToMembership(e: DExpr): DExpr = e match {
+    case DInSub(c, sub0, negated) =>
+      val (subDf, subDim) = planInSubquery(sub0)
+      val values = subDf.select(col(subDim)).collect().map(_.get(0)).toSeq
+      DIn(c, values, negated)
+    case DAnd(l, r) => DAnd(rewriteInSubsToMembership(l), rewriteInSubsToMembership(r))
+    case DOr(l, r)  => DOr(rewriteInSubsToMembership(l), rewriteInSubsToMembership(r))
+    case DNot(c)    => DNot(rewriteInSubsToMembership(c))
+    case other      => other
+  }
+
+  /** Only membership matters: rewrite the subquery's fields to _points and
+    * group by its single selected dimension (the reference's subquery fixup,
+    * planner/subquery.go:102-131 + sql.go:1054-1064). Returns the planned
+    * frame and the dim's column name.
+    */
+  private def planInSubquery(sub0: Query): (DataFrame, String) = {
+    val dimName = sub0.fields.headOption.map(_.name)
+      .orElse(sub0.groupBy.headOption.map(_.name))
+      .getOrElse(throw new IllegalArgumentException(
+        "IN subquery must select exactly one dimension"))
+    val sub = sub0.copy(
+      fields = Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))),
+      selectAll = false,
+      groupBy = if (sub0.groupBy.nonEmpty) sub0.groupBy
+                else Seq(GroupDim(dimName)),
+      orderBy = Nil)
+    val (subDf, subInfo) = planQuery(sub)
+    require(subInfo.dims.size == 1,
+      s"IN subquery must select exactly one dimension, got ${subInfo.dims}")
+    (subDf, subInfo.dims.head)
   }
 
   /** Peel IF wrappers when probing a defining expr's shape. */

@@ -272,6 +272,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("path") == "/index.html"))
   }
 
+  test("IN-subquery under OR/NOT executes two-phase (collect + membership)") {
+    // OR shape: 500-path rows OR index rows — everything with a path matches
+    val rows = sql(
+      """SELECT requests FROM inbound
+        |WHERE path IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path)
+        |   OR path = '/index.html'
+        |GROUP BY server ORDER BY server""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 102.0)) // 56+34+12
+    assert(approx(d(rows(1).getAs[Any]("requests")), 962.0)) // 523+411+28
+    // NOT(...) wrapping forces the membership path; equals the anti-join
+    val notWrapped = sql(
+      """SELECT requests FROM inbound
+        |WHERE NOT (path IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path))
+        |GROUP BY server, path ORDER BY server, path""".stripMargin).collect()
+    val anti = sql(
+      """SELECT requests FROM inbound
+        |WHERE path NOT IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path)
+        |GROUP BY server, path ORDER BY server, path""".stripMargin).collect()
+    assert(notWrapped.map(_.toString).toSeq == anti.map(_.toString).toSeq)
+  }
+
   test("nested FROM-subqueries re-aggregate at each level") {
     val rows = sql(
       """SELECT requests, _points FROM
