@@ -27,14 +27,13 @@ final class GraftDB(
 
   if (aliasesProps.nonEmpty) Parser.registerAliasesProps(aliasesProps)
 
-  private val configs: Seq[TableConfig] = SchemaParser.parse(schemaText)
-
-  /** stream name -> tables fed by it; views resolve to their parent's stream
-    * and are materialized independently (/root/reference/table.go:194-250).
+  /** Parse a schema text into per-table resolved definitions; views resolve
+    * to their parent's stream and are materialized independently
+    * (/root/reference/table.go:194-250).
     */
-  val tables: Map[String, MaterializedTable] = {
+  private def resolveSchema(text: String): Map[String, (TableConfig, Query)] = {
     val parsed: Map[String, (TableConfig, Query)] =
-      configs.map(c => c.name -> (c, Parser.parse(c.sql))).toMap
+      SchemaParser.parse(text).map(c => c.name -> (c, Parser.parse(c.sql))).toMap
     parsed.map { case (name, (cfg, q0)) =>
       val resolved =
         if (!cfg.isView) q0
@@ -49,9 +48,58 @@ final class GraftDB(
               s"view $name references unknown table $parentName"))
           SchemaParser.resolveView(q0, parentQ)
         }
-      name -> new MaterializedTable(spark, cfg, resolved,
-        s"$baseDir/$name", now)
+      name -> (cfg, resolved)
     }
+  }
+
+  @volatile private var tableMap: Map[String, MaterializedTable] =
+    resolveSchema(schemaText).map { case (name, (cfg, resolved)) =>
+      name -> new MaterializedTable(spark, cfg, resolved, s"$baseDir/$name", now)
+    }
+
+  /** stream name -> tables fed by it. */
+  def tables: Map[String, MaterializedTable] = tableMap
+
+  /** Apply a new schema text to the RUNNING database — the reference's live
+    * schema Alter (/root/reference/schema.go:16-55, zenodb_test.go:175-190):
+    * existing tables are re-pointed at their new definition in place (store
+    * kept; fields may be shuffled/extended between flushes), new tables are
+    * created, tables absent from the new schema are detached (their stores
+    * stay on disk, like the reference which never deletes data on Alter).
+    */
+  def alter(newSchemaText: String): Unit = synchronized {
+    val resolved = resolveSchema(newSchemaText)
+    tableMap = resolved.map { case (name, (cfg, q)) =>
+      tableMap.get(name) match {
+        case Some(t) => t.alter(cfg, q); name -> t
+        case None =>
+          name -> new MaterializedTable(spark, cfg, q, s"$baseDir/$name", now)
+      }
+    }
+  }
+
+  /** Poll a schema file and Alter on modification — the reference's
+    * once-a-second schema watcher (/root/reference/schema.go:16-55). Returns
+    * the daemon thread; interrupt it to stop watching.
+    */
+  def watchSchemaFile(path: String, intervalMillis: Long = 1000L): Thread = {
+    val p = java.nio.file.Paths.get(path)
+    val t = new Thread(() => {
+      var last = java.nio.file.Files.getLastModifiedTime(p)
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(intervalMillis)
+        val m = java.nio.file.Files.getLastModifiedTime(p)
+        if (m.compareTo(last) > 0) {
+          last = m
+          try alter(java.nio.file.Files.readString(p))
+          catch { case e: Exception => // keep serving the old schema, like the reference
+            System.err.println(s"graft: schema reload failed: ${e.getMessage}") }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-schema-watch")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   private def tablesForStream(stream: String): Seq[MaterializedTable] =

@@ -23,21 +23,47 @@ import graft.sqlx._
   */
 final class MaterializedTable(
     spark: SparkSession,
-    val config: TableConfig,
-    val query: Query, // resolved definition (views already merged)
+    initialConfig: TableConfig,
+    initialQuery: Query, // resolved definition (views already merged)
     storePath: String,
     now: () => Long) {
 
-  require(query.resolution.isDefined,
-    s"table ${config.name} needs period(...) in its GROUP BY")
-  require(query.crosstab.isEmpty && query.having.isEmpty && query.orderBy.isEmpty,
-    s"table ${config.name}: CROSSTAB/HAVING/ORDER BY are query-time features")
+  @volatile private var _config: TableConfig = initialConfig
+  @volatile private var _query: Query = initialQuery
+  validate()
 
-  val resolutionMillis: Long = query.resolution.get.toMillis
+  def config: TableConfig = _config
+  def query: Query = _query
+
+  private def validate(): Unit = {
+    require(_query.resolution.isDefined,
+      s"table ${_config.name} needs period(...) in its GROUP BY")
+    require(_query.crosstab.isEmpty && _query.having.isEmpty && _query.orderBy.isEmpty,
+      s"table ${_config.name}: CROSSTAB/HAVING/ORDER BY are query-time features")
+  }
+
+  /** Re-point this table at a new definition IN PLACE, keeping the store —
+    * the reference's live schema Alter (/root/reference/schema.go:16-55,
+    * table.go:184-192): fields may be added, dropped, or reordered between
+    * flushes. Accumulator columns are content-addressed by canonical
+    * expression (Builders), so surviving fields keep resolving against rows
+    * written under the old definition; added fields read as unset there and
+    * start accumulating from the next batch. mergeBatch holds the same lock,
+    * so attached streams pick the new definition up at their next
+    * micro-batch, exactly like the reference's in-place table swap.
+    */
+  def alter(newConfig: TableConfig, newQuery: Query): Unit = synchronized {
+    _config = newConfig
+    _query = newQuery
+    validate()
+  }
+
+  def resolutionMillis: Long = query.resolution.get.toMillis
 
   /** Defining fields incl the implicit `_points` (core/core.go:26). */
-  val tableFields: Seq[FieldSel] = {
-    val explicit = query.fields.map(f => FieldSel(f.name, resolveBare(f.expr)))
+  def tableFields: Seq[FieldSel] = {
+    val q = query
+    val explicit = q.fields.map(f => FieldSel(f.name, resolveBare(f.expr)))
     if (explicit.exists(_.name == "_points")) explicit
     else explicit :+ FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))
   }
@@ -77,7 +103,7 @@ final class MaterializedTable(
     case _                    => Set.empty
   }
 
-  private val valNames: Set[String] = tableFields.flatMap(f => measureLeaves(f.expr)).toSet
+  private def valNames: Set[String] = tableFields.flatMap(f => measureLeaves(f.expr)).toSet
 
   // ---------------------------------------------------------------------
   // Storage: a manifest of day-partitioned parquet dirs (a minimal
@@ -113,16 +139,23 @@ final class MaterializedTable(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Current materialized state (all live day partitions), if any. */
+  /** Current materialized state (all live day partitions), if any.
+    * mergeSchema: after a live Alter, days flushed under the old definition
+    * lack the new accumulator columns — the union schema reads them as NULL
+    * (= unset, insert.go routes whatever arrives). At cluster scale the
+    * manifest would carry the committed schema instead of re-reading footers.
+    */
   def read(): Option[DataFrame] = {
     val (_, days) = readManifest()
     if (days.isEmpty) None
-    else Some(spark.read.parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
   }
 
   private def readDays(days: Map[Long, String], subset: Set[Long]): Option[DataFrame] = {
     val paths = days.filter(e => subset(e._1)).values.map(p => s"$storePath/$p").toSeq
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
   }
 
   /** Dim columns of the store (everything except _time and accumulators). */

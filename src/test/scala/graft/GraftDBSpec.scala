@@ -224,6 +224,73 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows(0).getAs[Any]("_points")), 2.0))
   }
 
+  test("live ALTER: fields shuffled/extended mid-run on a RUNNING db") {
+    // the reference polls the schema file and Alters tables in place
+    // (schema.go:16-55, table.go:184-192; zenodb_test.go:175-190 shuffles and
+    // extends fields between flushes). Same GraftDB instance throughout.
+    val dir = Files.createTempDirectory("graft-alter").toString
+    val db = new GraftDB(spark, schemaYaml, dir, () => T0 + 10000)
+    db.insert("inbound", points())
+
+    // shuffle field order, add `errors`, drop the view, add a new table
+    db.alter(
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT
+        |      AVG(load_avg) AS load_avg,
+        |      IF(status = 500, requests) AS errors,
+        |      requests
+        |    FROM inbound
+        |    GROUP BY *, period(5m)
+        |
+        |by_path:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY path, period(5m)
+        |""".stripMargin)
+    assert(!db.tables.contains("errors_view"))
+    assert(db.tables.contains("by_path"))
+
+    db.insert("inbound", points())
+    val rows = db.sql(
+      """SELECT _points, requests, errors, load_avg FROM combined
+        |GROUP BY server ORDER BY requests DESC""".stripMargin).collect()
+    // surviving fields span BOTH inserts (content-addressed accumulators
+    // survive the shuffle); the added field only sees post-alter points
+    assert(approx(d(rows(0).getAs[Any]("requests")), 1924.0))
+    assert(approx(d(rows(0).getAs[Any]("errors")), 28.0))
+    assert(approx(d(rows(0).getAs[Any]("load_avg")), 0.3))
+    assert(approx(d(rows(0).getAs[Any]("_points")), 8.0))
+
+    // the table added by ALTER materializes from post-alter inserts only
+    val byPath = db.sql(
+      "SELECT requests FROM by_path GROUP BY path ORDER BY requests DESC").collect()
+    assert(byPath.map(_.getAs[String]("path")).contains("/login"))
+    assert(approx(d(byPath(0).getAs[Any]("requests")), 579.0)) // index: 56+523
+  }
+
+  test("schema file watcher picks up edits like the reference's poller") {
+    val dir = Files.createTempDirectory("graft-watch")
+    val schemaFile = dir.resolve("schema.yaml")
+    Files.writeString(schemaFile,
+      "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n")
+    val db = new GraftDB(spark, Files.readString(schemaFile),
+      dir.resolve("data").toString, () => T0 + 100000)
+    val watcher = db.watchSchemaFile(schemaFile.toString, intervalMillis = 25)
+    try {
+      Files.writeString(schemaFile,
+        "t:\n  sql: >\n    SELECT v, w FROM s GROUP BY k, period(1s)\n")
+      // bump mtime explicitly so coarse filesystem timestamps can't hide it
+      Files.setLastModifiedTime(schemaFile,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+             !db.tables("t").tableFields.exists(_.name == "w"))
+        Thread.sleep(25)
+      assert(db.tables("t").tableFields.exists(_.name == "w"))
+    } finally watcher.interrupt()
+  }
+
   test("percentile sketch: stored, merged across batches, reusable at any p") {
     val dir = Files.createTempDirectory("graftdb").toString
     val yaml =
