@@ -146,6 +146,12 @@ object SparkEntry {
         |GROUP BY l_linestatus, CROSSTABT(l_returnflag)
         |ORDER BY l_linestatus""".stripMargin),
 
+    // §2.4 SHIFT composed inside CROSSTAB (per-pivot-series shift)
+    "q_crosstab_shift" -> gqT(
+      """SELECT SUM(l_quantity) AS qty, SHIFT(SUM(l_quantity), '-90d') AS prev_qty
+        |FROM lineitem GROUP BY CROSSTAB(l_returnflag), period('90d')
+        |ORDER BY _time""".stripMargin),
+
     // §2.2 HAVING over computed fields
     "q_having" -> gq(
       """SELECT l_quantity AS qty FROM lineitem GROUP BY l_suppkey
@@ -448,17 +454,19 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT a.t AS _time, a.rev AS rev, p.rev AS prev_rev
-        |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
+        |SELECT COALESCE(a.t, p.t + $D30) AS _time, a.rev AS rev, p.rev AS prev_rev
+        |FROM b a FULL JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
 
     "q_shift_delta" ->
       s"""WITH b AS (
         |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT a.t AS _time, a.rev AS rev,
+        |SELECT COALESCE(a.t, p.t + $D30) AS _time, a.rev AS rev,
         |  a.rev - p.rev AS delta
-        |FROM b a LEFT JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
+        |FROM b a FULL JOIN b p ON p.t = a.t - $D30
+        |WHERE a.rev IS NOT NULL OR a.rev - p.rev IS NOT NULL
+        |ORDER BY 1""".stripMargin,
 
     "q_crosstab" ->
       """SELECT l_linestatus,
@@ -474,6 +482,24 @@ object SparkEntry {
         |  sum(CASE WHEN lower(l_returnflag) = 'r' THEN l_quantity END) AS r_qty,
         |  sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_crosstab_shift" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(l_shipdate) / $D90) * $D90 AS BIGINT) AS t,
+        |    lower(l_returnflag) AS rf, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT COALESCE(a.t, p.t + $D90) AS t, COALESCE(a.rf, p.rf) AS rf,
+        |    a.qty AS qty, p.qty AS prev
+        |  FROM b a FULL JOIN b p ON p.t = a.t - $D90 AND p.rf = a.rf)
+        |SELECT t AS _time,
+        |  sum(CASE WHEN rf = 'a' THEN qty END) AS a_qty,
+        |  sum(CASE WHEN rf = 'a' THEN prev END) AS a_prev_qty,
+        |  sum(CASE WHEN rf = 'n' THEN qty END) AS n_qty,
+        |  sum(CASE WHEN rf = 'n' THEN prev END) AS n_prev_qty,
+        |  sum(CASE WHEN rf = 'r' THEN qty END) AS r_qty,
+        |  sum(CASE WHEN rf = 'r' THEN prev END) AS r_prev_qty
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_having" ->
       """SELECT l_suppkey, sum(l_quantity) AS qty

@@ -206,34 +206,11 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
 
     val out: DataFrame =
       if (q.crosstab.nonEmpty) {
-        planCrosstab(q, base, compiled, keyCols, timeNames ++ dimNames)
+        planCrosstab(q, base, compiled, keyCols, timeNames ++ dimNames,
+          timeKey.nonEmpty, bucketMs)
       } else {
-        var agged = base.groupBy(keyCols: _*)
-          .agg(compiled.aggs.head, compiled.aggs.tail: _*)
-
-        // shift self-joins: the row at bucket t supplies __sN for bucket t+off
-        if (compiled.shifts.nonEmpty) {
-          require(timeKey.nonEmpty, "SHIFT requires time bucketing (period)")
-          val joinKeys = "_time" +: dimNames
-          val b = bucketMs.get
-          compiled.shifts.foreach { sh =>
-            // offsets round down to whole buckets (expr/shift.go:62-72
-            // computes offset/resolution in bucket units)
-            val off = (sh.offsetMillis / b) * b
-            val shifted = agged.select(
-              (dimNames.map(col) :+
-                timestamp_millis(unix_millis(col("_time")) + off).as("_time") :+
-                sh.srcExpr.as(sh.alias)): _*)
-            // null-safe keys: NULL dims are legitimate group keys (the
-            // reference's nil dims, core/compare.go) and must still align
-            val shiftedR = shifted.toDF(shifted.columns.map(c =>
-              if (c == sh.alias) c else s"__r_$c"): _*)
-            val cond = joinKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
-            agged = agged.join(shiftedR, cond, "left")
-              .drop(joinKeys.map("__r_" + _): _*)
-          }
-        }
-
+        val agged = aggregateWithShifts(base, compiled, keyCols,
+          timeNames ++ dimNames, timeKey.nonEmpty, bucketMs)
         var df = agged
         compiled.fieldCols.foreach { case (n, c) => df = df.withColumn(n, c) }
         compiled.havingCol.foreach { h =>
@@ -262,6 +239,53 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       else None))
   }
 
+  /** groupBy(groupCols).agg(accumulators), then one left self-join per SHIFT:
+    * the row at bucket t supplies `__sN` for bucket t+off, aligned on every
+    * non-time key (null-safely — NULL dims are legitimate group keys, the
+    * reference's nil dims, core/compare.go). Shared by the plain path, the
+    * CROSSTAB-with-SHIFT per-pivot-series path (keys include `__ct`), and the
+    * crosstab totals path.
+    */
+  private def aggregateWithShifts(
+      base: DataFrame,
+      compiled: Builders.Compiled,
+      groupCols: Seq[Column],
+      groupNames: Seq[String],
+      hasTime: Boolean,
+      bucketMs: Option[Long]): DataFrame = {
+    var agged = base.groupBy(groupCols: _*)
+      .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+    if (compiled.shifts.nonEmpty) {
+      require(hasTime, "SHIFT requires time bucketing (period)")
+      val nonTime = groupNames.filterNot(_ == "_time")
+      val joinKeys = "_time" +: nonTime
+      val b = bucketMs.get
+      compiled.shifts.foreach { sh =>
+        // offsets round down to whole buckets (expr/shift.go:62-72 computes
+        // offset/resolution in bucket units)
+        val off = (sh.offsetMillis / b) * b
+        val shifted = agged.select(
+          (nonTime.map(col) :+
+            timestamp_millis(unix_millis(col("_time")) + off).as("_time") :+
+            sh.srcExpr.as(sh.alias)): _*)
+          .where(col(sh.alias).isNotNull)
+        val shiftedR = shifted.toDF(shifted.columns.map(c =>
+          if (c == sh.alias) c else s"__r_$c"): _*)
+        val cond = joinKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+        // FULL outer: the reference's sequences are dense over the bucket
+        // range, so a shifted value lands at bucket t even when the unshifted
+        // series has no data at t (that row's own accumulators read unset);
+        // flattenSkip later drops rows where every selected field is unset.
+        var joined = agged.join(shiftedR, cond, "full_outer")
+        joinKeys.foreach { k =>
+          joined = joined.withColumn(k, coalesce(col(k), col(s"__r_$k")))
+        }
+        agged = joined.drop(joinKeys.map("__r_" + _): _*)
+      }
+    }
+    agged
+  }
+
   /** The reference's Flatten skips rows where every selected field is unset
     * (/root/reference/core/flatten.go:11-89) — mirror that: keep a row iff
     * any field value is non-null.
@@ -281,42 +305,80 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       base0: DataFrame,
       compiled: Builders.Compiled,
       keyCols: Seq[Column],
-      keyNames: Seq[String]): DataFrame = {
-    require(compiled.shifts.isEmpty, "SHIFT inside CROSSTAB is not supported")
+      keyNames: Seq[String],
+      hasTime: Boolean,
+      bucketMs: Option[Long]): DataFrame = {
     val ctExprs = q.crosstab.map(e => Builders.dim(e, base0.col).cast("string"))
     val ctCol = lower(if (ctExprs.size == 1) ctExprs.head
                       else concat_ws("_", ctExprs: _*))
     val base = base0.withColumn("__ct", ctCol)
 
-    // pivot values are data-dependent; collect them sorted for deterministic
-    // column order (the reference buffers rows and sorts values too)
-    val pivotVals: Seq[String] = base.select(col("__ct")).where(col("__ct").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    // pivot values: caller-supplied (`-- crosstab_values a,b` — no collect
+    // job, explicit bound) or data-dependent, collected sorted for
+    // deterministic column order (the reference buffers rows and sorts values
+    // too, core/group.go:190-246) behind a fail-fast cardinality guard — an
+    // unbounded high-cardinality pivot would OOM the driver AND emit an
+    // unusably wide row.
+    val pivotVals: Seq[String] = q.crosstabValues match {
+      case Some(vs) => vs.map(_.toLowerCase).distinct.sorted
+      case None =>
+        val vs = base.select(col("__ct")).where(col("__ct").isNotNull)
+          .distinct().limit(Planner.MaxPivotValues + 1)
+          .collect().map(_.getString(0)).toSeq
+        require(vs.size <= Planner.MaxPivotValues,
+          s"CROSSTAB dimension has more than ${Planner.MaxPivotValues} " +
+            "distinct values; narrow it with WHERE or supply explicit " +
+            "values via `-- crosstab_values v1,v2,...`")
+        vs.sorted
+    }
 
-    val pivoted = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
-      .agg(compiled.aggs.head, compiled.aggs.tail: _*)
-
-    // spark names pivot outputs "<val>_<aggAlias>" for multi-agg, "<val>" for
-    // single-agg — normalize resolution accordingly. Pivot values may contain
-    // dots/spaces ("/index.html"), so quote with backticks on lookup.
+    // Pivot values may contain dots/spaces ("/index.html") — backtick-quote.
     def bq(n: String): Column = col(s"`${n.replace("`", "")}`")
-    def pivotResolver(v: String): String => Column =
-      if (compiled.aggs.size == 1) _ => bq(v)
-      else alias => bq(s"${v}_$alias")
 
-    var df = pivoted
+    var df: DataFrame = null
     val outFieldNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (v <- pivotVals; (fname, mk) <- compiled.fields) {
-      val outName = s"${v}_$fname"
-      df = df.withColumn(outName, mk(pivotResolver(v)))
-      outFieldNames += outName
+    if (compiled.shifts.isEmpty) {
+      // fast path: pivot the accumulators directly — partial aggregation and
+      // the pivot share one shuffle. Spark names pivot outputs
+      // "<val>_<aggAlias>" for multi-agg, "<val>" for single-agg.
+      val pivoted = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
+        .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+      def pivotResolver(v: String): String => Column =
+        if (compiled.aggs.size == 1) _ => bq(v)
+        else alias => bq(s"${v}_$alias")
+      df = pivoted
+      for (v <- pivotVals; (fname, mk) <- compiled.fields) {
+        val outName = s"${v}_$fname"
+        df = df.withColumn(outName, mk(pivotResolver(v)))
+        outFieldNames += outName
+      }
+    } else {
+      // SHIFT inside CROSSTAB (the reference composes them freely — both are
+      // plain exprs/grouping in core/group.go): aggregate per (keys, __ct),
+      // self-join each pivot-value series onto its own shifted buckets, then
+      // pivot the FINAL field values. (keys, __ct) is unique post-agg, so
+      // first() is exact.
+      val flat0 = aggregateWithShifts(base, compiled, keyCols :+ col("__ct"),
+        keyNames :+ "__ct", hasTime, bucketMs)
+      var flat = flat0
+      compiled.fieldCols.foreach { case (n, c) => flat = flat.withColumn(n, c) }
+      val fieldNames = compiled.fields.map(_._1)
+      flat = flat.select((keyNames ++ Seq("__ct") ++ fieldNames).map(col): _*)
+      val firsts = fieldNames.map(f => first(col(f)).as(f))
+      df = flat.groupBy(keyNames.map(col): _*).pivot("__ct", pivotVals)
+        .agg(firsts.head, firsts.tail: _*)
+      if (fieldNames.size == 1) // single-agg pivot drops the alias suffix
+        pivotVals.foreach { v =>
+          df = df.withColumnRenamed(v, s"${v}_${fieldNames.head}")
+        }
+      for (v <- pivotVals; f <- fieldNames) outFieldNames += s"${v}_$f"
     }
 
     // totals (CROSSTABT) and HAVING both come from the unpivoted aggregation
     val needTotals = q.crosstabTotal || compiled.having.nonEmpty
     if (needTotals) {
-      var totals = base.groupBy(keyCols: _*)
-        .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+      var totals = aggregateWithShifts(base, compiled, keyCols, keyNames,
+        hasTime, bucketMs)
       if (q.crosstabTotal) {
         compiled.fields.foreach { case (fname, mk) =>
           totals = totals.withColumn(s"total_$fname", mk(col _))
@@ -421,4 +483,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     case MWAvg(_, _)          => AggOp.Avg
     case _                    => AggOp.Sum
   }
+}
+
+object Planner {
+  /** Fail-fast bound on data-derived CROSSTAB pivot width (mirrors Spark's
+    * own spark.sql.pivotMaxValues default). Callers needing more must pass
+    * explicit values (`-- crosstab_values ...`).
+    */
+  val MaxPivotValues: Int = 10000
 }

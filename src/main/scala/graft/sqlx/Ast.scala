@@ -131,7 +131,10 @@ final case class Query(
     orderBy: Seq[OrderSel] = Nil,
     offset: Int = 0,
     limit: Option[Int] = None,
-    forceFresh: Boolean = false)
+    forceFresh: Boolean = false,
+    // caller-supplied CROSSTAB pivot values (`-- crosstab_values v1,v2`):
+    // skips the distinct-collect job and bounds the pivot explicitly
+    crosstabValues: Option[Seq[String]] = None)
 
 object MExpr {
   /** Canonical string form — used to dedup identical aggregate subtrees when

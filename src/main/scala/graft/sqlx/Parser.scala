@@ -54,11 +54,25 @@ object Parser {
   final case class TPunct(s: String) extends Tok
   case object TEnd extends Tok
 
-  final class LexResult(val toks: Vector[Tok], val forceFresh: Boolean)
+  final class LexResult(val toks: Vector[Tok], val forceFresh: Boolean,
+                        val crosstabValues: Option[Seq[String]])
 
   def lex(input: String): LexResult = {
     val toks = ArrayBuffer.empty[Tok]
     var forceFresh = false
+    var crosstabValues: Option[Seq[String]] = None
+    // comment directives (≅ the reference's `-- force_fresh`, sql.go:279-283)
+    def directive(comment: String): Unit = {
+      if (comment.contains("force_fresh")) forceFresh = true
+      val key = "crosstab_values"
+      val k = comment.indexOf(key)
+      if (k >= 0) {
+        val rest = comment.substring(k + key.length)
+          .dropWhile(ch => ch == ':' || ch == '=' || ch.isWhitespace)
+        crosstabValues = Some(rest.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq)
+      }
+    }
     var i = 0
     val n = input.length
     def peek(k: Int = 0): Char = if (i + k < n) input.charAt(i + k) else '\u0000'
@@ -67,15 +81,15 @@ object Parser {
       if (c.isWhitespace) i += 1
       else if (c == '-' && peek(1) == '-') { // -- comment
         val e = input.indexOf('\n', i); val end = if (e < 0) n else e
-        if (input.substring(i, end).contains("force_fresh")) forceFresh = true
+        directive(input.substring(i, end))
         i = end
       } else if (c == '/' && peek(1) == '/') {
         val e = input.indexOf('\n', i); val end = if (e < 0) n else e
-        if (input.substring(i, end).contains("force_fresh")) forceFresh = true
+        directive(input.substring(i, end))
         i = end
       } else if (c == '/' && peek(1) == '*') {
         val e = input.indexOf("*/", i); val end = if (e < 0) n else e + 2
-        if (input.substring(i, end).contains("force_fresh")) forceFresh = true
+        directive(input.substring(i, end))
         i = end
       } else if (c == '\'') {
         val sb = new StringBuilder; i += 1
@@ -112,7 +126,7 @@ object Parser {
       }
     }
     toks += TEnd
-    new LexResult(toks.toVector, forceFresh)
+    new LexResult(toks.toVector, forceFresh, crosstabValues)
   }
 
   // -- parser ---------------------------------------------------------------
@@ -237,7 +251,7 @@ object Parser {
 
       Query(fields.toSeq, selectAll, from, where, asOf, until, groupBy.toSeq,
         groupByAll, resolution, stride, crosstab.toSeq, crosstabTotal, having,
-        orderBy.toSeq, offset, limit, lx.forceFresh)
+        orderBy.toSeq, offset, limit, lx.forceFresh, lx.crosstabValues)
     }
 
     private def num(): Double = advance() match {

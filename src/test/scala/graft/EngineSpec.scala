@@ -193,6 +193,66 @@ class EngineSpec extends AnyFunSuite {
     assert(approx(d(rows(0).getAs[Any]("_points")), 4.0))
   }
 
+  test("CROSSTAB with -- crosstab_values pivots only the supplied values") {
+    val df = sql(
+      """SELECT requests FROM inbound
+        |-- crosstab_values /login
+        |WHERE path IS NOT NULL GROUP BY server, CROSSTAB(path)
+        |ORDER BY server""".stripMargin)
+    assert(df.columns.toSeq == Seq("server", "/login_requests"))
+    val rows = df.collect()
+    assert(approx(d(rows(0).getAs[Any]("/login_requests")), 46.0))
+    assert(approx(d(rows(1).getAs[Any]("/login_requests")), 439.0))
+  }
+
+  test("CROSSTAB past the pivot-width guard fails fast with guidance") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val big = spark.range(graft.planner.Planner.MaxPivotValues + 1).select(
+      timestamp_millis(lit(T0)).as("ts"),
+      col("id").cast("string").as("k"), lit(1.0).as("v"))
+    val cat = new Catalog(Map("big" -> Catalog.classify("big", big)))
+    val ex = intercept[IllegalArgumentException] {
+      Engine.sql(cat, "SELECT v FROM big GROUP BY CROSSTAB(k)", () => T0)
+    }
+    assert(ex.getMessage.contains("crosstab_values"))
+    // explicit values sail past the guard on the same data
+    val ok = Engine.sql(cat,
+      "SELECT v FROM big GROUP BY CROSSTAB(k) -- crosstab_values 7,11",
+      () => T0)
+    assert(ok.columns.toSet == Set("11_v", "7_v"))
+  }
+
+  test("SHIFT composes inside CROSSTAB (per-pivot-series shift)") {
+    val df = sql(
+      """SELECT requests, SHIFT(requests, '-2s') AS prev
+        |FROM inbound WHERE path IS NOT NULL
+        |GROUP BY CROSSTAB(path), period('2s') ORDER BY _time""".stripMargin)
+    val rows = df.collect()
+    // series: /index.html = [56, -, 523, -], /login = [34, 12, 411, 28];
+    // the shifted series adds a dense trailing bucket (prev-only row)
+    assert(rows.length == 5)
+    assert(rows(1).getAs[Any]("/index.html_requests") == null)
+    assert(approx(d(rows(1).getAs[Any]("/index.html_prev")), 56.0))
+    assert(approx(d(rows(1).getAs[Any]("/login_prev")), 34.0))
+    assert(rows(2).getAs[Any]("/index.html_prev") == null) // no b1 /index data
+    assert(approx(d(rows(2).getAs[Any]("/login_prev")), 12.0))
+    assert(approx(d(rows(3).getAs[Any]("/login_prev")), 411.0))
+    assert(approx(d(rows(4).getAs[Any]("/login_prev")), 28.0))
+    assert(rows(4).getAs[Any]("/login_requests") == null)
+  }
+
+  test("SHIFT inside CROSSTABT shifts the totals series too") {
+    val df = sql(
+      """SELECT requests, SHIFT(requests, '-2s') AS prev
+        |FROM inbound WHERE path IS NOT NULL
+        |GROUP BY CROSSTABT(path), period('2s') ORDER BY _time""".stripMargin)
+    val rows = df.collect()
+    // totals series: [90, 12, 934, 28]
+    assert(approx(d(rows(1).getAs[Any]("total_prev")), 90.0))
+    assert(approx(d(rows(2).getAs[Any]("total_prev")), 12.0))
+    assert(approx(d(rows(3).getAs[Any]("total_requests")), 28.0))
+  }
+
   test("CROSSTABT adds total_ columns") {
     val df = sql(
       """SELECT requests FROM inbound
@@ -209,12 +269,16 @@ class EngineSpec extends AnyFunSuite {
       """SELECT requests, SHIFT(requests, '-2s') AS prev
         |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
       .collect()
-    assert(rows.length == 4)
-    // bucket sums: [90, 12, 934, 28]; prev shifts by one 2s bucket
+    // bucket sums: [90, 12, 934, 28]; prev shifts by one 2s bucket, and the
+    // shifted series extends one dense bucket past the data (reference
+    // sequences are dense — the final row carries only `prev`)
+    assert(rows.length == 5)
     assert(rows(0).getAs[Any]("prev") == null)
     assert(approx(d(rows(1).getAs[Any]("prev")), 90.0))
     assert(approx(d(rows(2).getAs[Any]("prev")), 12.0))
     assert(approx(d(rows(3).getAs[Any]("prev")), 934.0))
+    assert(rows(4).getAs[Any]("requests") == null)
+    assert(approx(d(rows(4).getAs[Any]("prev")), 28.0))
   }
 
   test("SHIFT aligns across NULL dim keys (null-safe self-join)") {
@@ -231,9 +295,12 @@ class EngineSpec extends AnyFunSuite {
         |GROUP BY k, period('2s') ORDER BY k, _time""".stripMargin,
       () => T0 + 8000).collect()
     // NULL-keyed bucket at T0+2s must see the NULL-keyed value from T0
+    // (plus the dense trailing prev-only bucket at T0+4s)
     val nullRows = rows.filter(_.getAs[String]("k") == null)
-    assert(nullRows.length == 2)
+    assert(nullRows.length == 3)
     assert(approx(d(nullRows(1).getAs[Any]("prev")), 1.0))
+    assert(nullRows(2).getAs[Any]("v") == null)
+    assert(approx(d(nullRows(2).getAs[Any]("prev")), 5.0))
     val aRow = rows.filter(_.getAs[String]("k") == "a")
     assert(aRow.head.getAs[Any]("prev") == null)
   }
@@ -359,12 +426,13 @@ class EngineSpec extends AnyFunSuite {
       """SELECT _points, CROSSHIFT(requests, '-4s', '2s') AS r
         |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
       .collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5) // 4 data buckets + the dense trailing shift row
     // bucket sums: [90, 12, 934, 28]; r_2s reads one 2s bucket back
     assert(approx(d(rows(1).getAs[Any]("r")), 12.0))
     assert(approx(d(rows(1).getAs[Any]("r_2s")), 90.0))
     assert(rows(0).getAs[Any]("r_2s") == null)
     assert(approx(d(rows(3).getAs[Any]("r_2s")), 934.0))
+    assert(approx(d(rows(4).getAs[Any]("r_2s")), 28.0))
   }
 
   test("IF(cond, _) marks groups with any matching point") {
