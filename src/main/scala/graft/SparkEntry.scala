@@ -455,7 +455,10 @@ object SparkEntry {
         |    sum(o_totalprice * 100) / 100 AS rev
         |  FROM orders GROUP BY 1)
         |SELECT COALESCE(a.t, p.t + $D30) AS _time, a.rev AS rev, p.rev AS prev_rev
-        |FROM b a FULL JOIN b p ON p.t = a.t - $D30 ORDER BY 1""".stripMargin,
+        |FROM b a FULL JOIN b p ON p.t = a.t - $D30
+        |WHERE COALESCE(a.t, p.t + $D30)
+        |  BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
+        |ORDER BY 1""".stripMargin,
 
     "q_shift_delta" ->
       s"""WITH b AS (
@@ -465,7 +468,9 @@ object SparkEntry {
         |SELECT COALESCE(a.t, p.t + $D30) AS _time, a.rev AS rev,
         |  a.rev - p.rev AS delta
         |FROM b a FULL JOIN b p ON p.t = a.t - $D30
-        |WHERE a.rev IS NOT NULL OR a.rev - p.rev IS NOT NULL
+        |WHERE (a.rev IS NOT NULL OR a.rev - p.rev IS NOT NULL)
+        |  AND COALESCE(a.t, p.t + $D30)
+        |    BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
         |ORDER BY 1""".stripMargin,
 
     "q_crosstab" ->
@@ -488,10 +493,14 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch_ms(l_shipdate) / $D90) * $D90 AS BIGINT) AS t,
         |    lower(l_returnflag) AS rf, sum(l_quantity) AS qty
         |  FROM lineitem GROUP BY 1, 2),
-        |s AS (
+        |bounds AS (SELECT rf, min(t) AS tmin, max(t) AS tmax FROM b GROUP BY 1),
+        |s0 AS (
         |  SELECT COALESCE(a.t, p.t + $D90) AS t, COALESCE(a.rf, p.rf) AS rf,
         |    a.qty AS qty, p.qty AS prev
-        |  FROM b a FULL JOIN b p ON p.t = a.t - $D90 AND p.rf = a.rf)
+        |  FROM b a FULL JOIN b p ON p.t = a.t - $D90 AND p.rf = a.rf),
+        |s AS (
+        |  SELECT s0.* FROM s0 JOIN bounds ON s0.rf = bounds.rf
+        |  WHERE s0.t BETWEEN bounds.tmin AND bounds.tmax)
         |SELECT t AS _time,
         |  sum(CASE WHEN rf = 'a' THEN qty END) AS a_qty,
         |  sum(CASE WHEN rf = 'a' THEN prev END) AS a_prev_qty,

@@ -260,6 +260,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       val nonTime = groupNames.filterNot(_ == "_time")
       val joinKeys = "_time" +: nonTime
       val b = bucketMs.get
+      // each series' data span, BEFORE any shift adds rows: the reference's
+      // per-group sequences are dense WITHIN [first, last] data bucket
+      // (zenodb_test.go:578-628 emits the interior gap row with only the
+      // shifted value set, but nothing past the series' last bucket)
+      val bounds = agged.groupBy(nonTime.map(col): _*)
+        .agg(min(col("_time")).as("__tmin"), max(col("_time")).as("__tmax"))
       compiled.shifts.foreach { sh =>
         // offsets round down to whole buckets (expr/shift.go:62-72 computes
         // offset/resolution in bucket units)
@@ -272,16 +278,25 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         val shiftedR = shifted.toDF(shifted.columns.map(c =>
           if (c == sh.alias) c else s"__r_$c"): _*)
         val cond = joinKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
-        // FULL outer: the reference's sequences are dense over the bucket
-        // range, so a shifted value lands at bucket t even when the unshifted
-        // series has no data at t (that row's own accumulators read unset);
-        // flattenSkip later drops rows where every selected field is unset.
+        // FULL outer: a shifted value lands at bucket t even when the
+        // unshifted series has no data at t (that row's own accumulators
+        // read unset); flattenSkip later drops rows where every selected
+        // field is unset.
         var joined = agged.join(shiftedR, cond, "full_outer")
         joinKeys.foreach { k =>
           joined = joined.withColumn(k, coalesce(col(k), col(s"__r_$k")))
         }
         agged = joined.drop(joinKeys.map("__r_" + _): _*)
       }
+      // clamp the densified series back to its own data span
+      val boundsR = bounds.toDF(bounds.columns.map(c =>
+        if (c.startsWith("__t")) c else s"__b_$c"): _*)
+      val bCond = nonTime.map(k => col(k) <=> col(s"__b_$k"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      agged = agged.join(boundsR, bCond, "inner")
+        .filter(col("_time").between(col("__tmin"), col("__tmax")))
+        .drop("__tmin", "__tmax")
+        .drop(nonTime.map("__b_" + _): _*)
     }
     agged
   }

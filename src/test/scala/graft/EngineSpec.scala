@@ -228,17 +228,17 @@ class EngineSpec extends AnyFunSuite {
         |FROM inbound WHERE path IS NOT NULL
         |GROUP BY CROSSTAB(path), period('2s') ORDER BY _time""".stripMargin)
     val rows = df.collect()
-    // series: /index.html = [56, -, 523, -], /login = [34, 12, 411, 28];
-    // the shifted series adds a dense trailing bucket (prev-only row)
-    assert(rows.length == 5)
+    // series: /index.html = [56, -, 523], /login = [34, 12, 411, 28]:
+    // dense INSIDE each pivot series' span (the b1 /index gap row carries
+    // only the shifted value), nothing past a series' last data bucket
+    assert(rows.length == 4)
     assert(rows(1).getAs[Any]("/index.html_requests") == null)
     assert(approx(d(rows(1).getAs[Any]("/index.html_prev")), 56.0))
     assert(approx(d(rows(1).getAs[Any]("/login_prev")), 34.0))
     assert(rows(2).getAs[Any]("/index.html_prev") == null) // no b1 /index data
     assert(approx(d(rows(2).getAs[Any]("/login_prev")), 12.0))
     assert(approx(d(rows(3).getAs[Any]("/login_prev")), 411.0))
-    assert(approx(d(rows(4).getAs[Any]("/login_prev")), 28.0))
-    assert(rows(4).getAs[Any]("/login_requests") == null)
+    assert(rows(3).getAs[Any]("/index.html_prev") == null) // b3 > /index span
   }
 
   test("SHIFT inside CROSSTABT shifts the totals series too") {
@@ -269,16 +269,14 @@ class EngineSpec extends AnyFunSuite {
       """SELECT requests, SHIFT(requests, '-2s') AS prev
         |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
       .collect()
-    // bucket sums: [90, 12, 934, 28]; prev shifts by one 2s bucket, and the
-    // shifted series extends one dense bucket past the data (reference
-    // sequences are dense — the final row carries only `prev`)
-    assert(rows.length == 5)
+    // bucket sums: [90, 12, 934, 28]; prev shifts by one 2s bucket. The
+    // series is dense WITHIN its data span only — nothing past the last
+    // data bucket (reference sequences end at the last flushed bucket).
+    assert(rows.length == 4)
     assert(rows(0).getAs[Any]("prev") == null)
     assert(approx(d(rows(1).getAs[Any]("prev")), 90.0))
     assert(approx(d(rows(2).getAs[Any]("prev")), 12.0))
     assert(approx(d(rows(3).getAs[Any]("prev")), 934.0))
-    assert(rows(4).getAs[Any]("requests") == null)
-    assert(approx(d(rows(4).getAs[Any]("prev")), 28.0))
   }
 
   test("SHIFT aligns across NULL dim keys (null-safe self-join)") {
@@ -295,12 +293,10 @@ class EngineSpec extends AnyFunSuite {
         |GROUP BY k, period('2s') ORDER BY k, _time""".stripMargin,
       () => T0 + 8000).collect()
     // NULL-keyed bucket at T0+2s must see the NULL-keyed value from T0
-    // (plus the dense trailing prev-only bucket at T0+4s)
+    // (no trailing row: the series span ends at T0+2s)
     val nullRows = rows.filter(_.getAs[String]("k") == null)
-    assert(nullRows.length == 3)
+    assert(nullRows.length == 2)
     assert(approx(d(nullRows(1).getAs[Any]("prev")), 1.0))
-    assert(nullRows(2).getAs[Any]("v") == null)
-    assert(approx(d(nullRows(2).getAs[Any]("prev")), 5.0))
     val aRow = rows.filter(_.getAs[String]("k") == "a")
     assert(aRow.head.getAs[Any]("prev") == null)
   }
@@ -426,13 +422,12 @@ class EngineSpec extends AnyFunSuite {
       """SELECT _points, CROSSHIFT(requests, '-4s', '2s') AS r
         |FROM inbound GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
       .collect()
-    assert(rows.length == 5) // 4 data buckets + the dense trailing shift row
+    assert(rows.length == 4)
     // bucket sums: [90, 12, 934, 28]; r_2s reads one 2s bucket back
     assert(approx(d(rows(1).getAs[Any]("r")), 12.0))
     assert(approx(d(rows(1).getAs[Any]("r_2s")), 90.0))
     assert(rows(0).getAs[Any]("r_2s") == null)
     assert(approx(d(rows(3).getAs[Any]("r_2s")), 934.0))
-    assert(approx(d(rows(4).getAs[Any]("r_2s")), 28.0))
   }
 
   test("IF(cond, _) marks groups with any matching point") {
