@@ -388,7 +388,8 @@ object Builders {
           val alias = ref(MExpr.canonical(e), cond,
             MergeOp.Sketch(lo, hi, precision),
             graft.functions.PercentileSketch.sketchAgg(v, lo, hi, precision))
-          res => graft.functions.PercentileSketch.valueAt(res(alias), pv, lo, hi)
+          res => graft.functions.PercentileSketch.valueAt(
+            res(alias), pv, lo, hi, precision)
         } else {
           // raw one-shot query: exact interpolated percentile
           val alias = ref(s"${MExpr.canonical(e)}:p$pv", cond, MergeOp.Max,

@@ -6,28 +6,74 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Mergeable percentile sketch — the zenodb PERCENTILE accumulator
-  * (/root/reference/expr/percentile.go) re-expressed as Spark typed
-  * aggregators. Values are recorded into a fixed-width histogram over
-  * [lo, hi] scaled by 10^precision (capped at 64Ki buckets, like HDR's
-  * bounded memory); out-of-range inputs are DISCARDED (BOUNDED semantics,
-  * percentile.go:16-19). Sketches are binary columns: build with
-  * [[sketchAgg]], re-merge stored sketches with [[mergeAgg]], read any
-  * quantile with [[valueAt]] — which is what makes 2-arg
-  * `PERCENTILE(existing, p)` reuse (percentile_optimized.go) free.
+  * (/root/reference/expr/percentile.go, which wraps an HDR histogram)
+  * re-expressed as Spark typed aggregators, with the publicly-documented
+  * HDR structure: the value offset is decimal-scaled to an integer
+  * o = round((v − lo)·10^precision) (percentile.go:43 scaleToInt), and
+  * recorded into a hybrid array — exact linear buckets while o < S
+  * (S = sub-bucket count, the smallest power of two ≥ 2·10^sigfigs), then
+  * per-power-of-two ranges of S/2 equal sub-buckets, so relative error is
+  * bounded by 10^-sigfigs across arbitrarily wide [lo, hi] spans. Reads
+  * return the bucket's HIGHEST equivalent value, like HDR's
+  * valueAtQuantile. `sigfigs` = precision clamped to [1, 5] exactly as the
+  * reference does (percentile.go:35-41), degraded further only if the 64Ki
+  * bucket cap would otherwise be exceeded. Out-of-range inputs are
+  * DISCARDED (BOUNDED semantics, percentile.go:16-19). Sketches are binary
+  * columns: build with [[sketchAgg]], re-merge stored sketches with
+  * [[mergeAgg]], read any quantile with [[valueAt]] — which is what makes
+  * 2-arg `PERCENTILE(existing, p)` reuse (percentile_optimized.go) free.
   *
-  * Scale note: the sketch is O(buckets) per (group, bucket) row and merges
-  * associatively, so partial aggregation and AQE work unchanged; this is the
-  * only way percentiles survive pre-aggregated storage — raw values are gone.
+  * Scale note: the sketch is O(buckets) per (group, bucket) row — bucket
+  * count is logarithmic in the span, not linear — and merges
+  * associatively, so partial aggregation and AQE work unchanged; this is
+  * the only way percentiles survive pre-aggregated storage — raw values
+  * are gone.
   */
 object PercentileSketch {
 
   val MaxBuckets = 65536
 
-  def numBuckets(lo: Double, hi: Double, precision: Int): Int = {
-    val p = math.max(0, math.min(6, precision))
-    val ideal = (hi - lo) * math.pow(10, p) + 1
-    math.max(2, math.min(MaxBuckets, math.ceil(ideal).toLong).toInt)
+  /** decimal scaling before bucketing (reference scaleToInt) */
+  private def scaleOf(precision: Int): Double =
+    math.pow(10, math.max(-6, math.min(6, precision)))
+
+  /** sub-bucket count for a sigfig target: smallest power of 2 ≥ 2·10^sig */
+  def subBuckets(sig: Int): Int = {
+    var s = 1
+    while (s < 2 * math.pow(10, sig)) s <<= 1
+    s
   }
+
+  /** Effective significant digits: the reference clamp [1, 5]
+    * (percentile.go:35-41), degraded while the bucket array would exceed
+    * [[MaxBuckets]] (HDR memory is bounded by construction).
+    */
+  def sigOf(lo: Double, hi: Double, precision: Int): Int = {
+    var sig = math.max(1, math.min(5, precision))
+    while (sig > 1 && bucketsFor(lo, hi, precision, sig) > MaxBuckets) sig -= 1
+    sig
+  }
+
+  private def maxOffset(lo: Double, hi: Double, precision: Int): Long =
+    math.max(1L, math.round((hi - lo) * scaleOf(precision)))
+
+  /** HDR countsIndex: identity in the linear region, then (power-of-two
+    * bucket, S/2 sub-buckets) beyond it.
+    */
+  private def idxOfOffset(o: Long, s: Int): Int =
+    if (o < s) o.toInt
+    else {
+      val shift = (63 - java.lang.Long.numberOfLeadingZeros(o)) -
+        (Integer.numberOfTrailingZeros(s) - 1)
+      val sub = (o >> shift).toInt // ∈ [S/2, S)
+      (shift + 1) * (s / 2) + (sub - s / 2)
+    }
+
+  private def bucketsFor(lo: Double, hi: Double, precision: Int, sig: Int): Int =
+    idxOfOffset(maxOffset(lo, hi, precision), subBuckets(sig)) + 1
+
+  def numBuckets(lo: Double, hi: Double, precision: Int): Int =
+    bucketsFor(lo, hi, precision, sigOf(lo, hi, precision))
 
   def serialize(counts: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + counts.length * 8)
@@ -42,18 +88,34 @@ object PercentileSketch {
     Array.fill(n)(bb.getLong)
   }
 
-  private def idxOf(v: Double, lo: Double, hi: Double, b: Int): Int =
-    math.min(b - 1, math.max(0, math.round((v - lo) / (hi - lo) * (b - 1)).toInt))
+  private def idxOf(v: Double, lo: Double, hi: Double, precision: Int,
+                    s: Int, b: Int): Int = {
+    val o = math.max(0L, math.round((v - lo) * scaleOf(precision)))
+    math.min(b - 1, idxOfOffset(o, s))
+  }
 
-  /** representative value of bucket i */
-  def valueOfIdx(i: Int, lo: Double, hi: Double, b: Int): Double =
-    lo + i.toDouble * (hi - lo) / (b - 1)
+  /** HIGHEST equivalent value of bucket i, unscaled back into [lo, hi]
+    * (HDR highestEquivalentValue shape)
+    */
+  def valueOfIdx(i: Int, lo: Double, hi: Double, precision: Int): Double = {
+    val s = subBuckets(sigOf(lo, hi, precision))
+    val halfS = s / 2
+    val o: Long =
+      if (i < s) i.toLong
+      else {
+        val bucket = i / halfS - 1 // power-of-two range number ≥ 1
+        val sub = i % halfS + halfS
+        ((sub.toLong + 1) << bucket) - 1
+      }
+    math.min(hi, math.max(lo, lo + o.toDouble / scaleOf(precision)))
+  }
 
   /** quantile from counts: smallest bucket whose cumulative count reaches
     * ceil(q·n) (HDR valueAtQuantile shape). NaN when the sketch is empty —
     * the caller maps it to unset/NULL.
     */
-  def quantile(counts: Array[Long], q: Double, lo: Double, hi: Double): Double = {
+  def quantile(counts: Array[Long], q: Double, lo: Double, hi: Double,
+               precision: Int): Double = {
     val b = counts.length
     val n = counts.sum
     if (n == 0) return Double.NaN
@@ -62,7 +124,7 @@ object PercentileSketch {
     var i = 0
     while (i < b) {
       cum += counts(i)
-      if (cum >= target) return valueOfIdx(i, lo, hi, b)
+      if (cum >= target) return valueOfIdx(i, lo, hi, precision)
       i += 1
     }
     hi
@@ -71,11 +133,13 @@ object PercentileSketch {
   final class SketchAgg(lo: Double, hi: Double, precision: Int)
       extends Aggregator[java.lang.Double, Array[Long], Array[Byte]] {
     private val b = numBuckets(lo, hi, precision)
-    def zero: Array[Long] = new Array[Long](b)
+    private val s = subBuckets(sigOf(lo, hi, precision))
     def reduce(acc: Array[Long], v: java.lang.Double): Array[Long] = {
-      if (v != null && v >= lo && v <= hi) acc(idxOf(v, lo, hi, b)) += 1
+      if (v != null && v >= lo && v <= hi)
+        acc(idxOf(v, lo, hi, precision, s, b)) += 1
       acc
     }
+    def zero: Array[Long] = new Array[Long](b)
     def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
       var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a
     }
@@ -115,12 +179,13 @@ object PercentileSketch {
     udaf(new MergeAgg(numBuckets(lo, hi, precision)), Encoders.BINARY).apply(sketch)
 
   /** Read quantile q (0-1) out of a sketch column; NULL when unset/empty. */
-  def valueAt(sketch: Column, q: Double, lo: Double, hi: Double): Column = {
+  def valueAt(sketch: Column, q: Double, lo: Double, hi: Double,
+              precision: Int): Column = {
     val f = org.apache.spark.sql.functions.udf {
       (bytes: Array[Byte]) =>
         if (bytes == null) null.asInstanceOf[java.lang.Double]
         else {
-          val v = quantile(deserialize(bytes), q, lo, hi)
+          val v = quantile(deserialize(bytes), q, lo, hi, precision)
           if (v.isNaN) null.asInstanceOf[java.lang.Double]
           else java.lang.Double.valueOf(v)
         }

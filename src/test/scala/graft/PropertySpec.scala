@@ -50,9 +50,42 @@ object PercentileSketchProps extends Properties("PercentileSketch") {
       Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (vs, q1, q2) =>
       val s = sketchOf(vs)
       val (qa, qb) = if (q1 <= q2) (q1, q2) else (q2, q1)
-      val va = PercentileSketch.quantile(s, qa, lo, hi)
-      val vb = PercentileSketch.quantile(s, qb, lo, hi)
+      val va = PercentileSketch.quantile(s, qa, lo, hi, prec)
+      val vb = PercentileSketch.quantile(s, qb, lo, hi, prec)
       va <= vb && va >= lo && vb <= hi
+    }
+
+  // --- HDR-bucket accuracy: relative error bounded across wide spans ------
+  // Spans ≥ 6 decades are exactly where the old linear bucketing collapsed
+  // (64Ki buckets over [0, 2e6] ⇒ ±30 absolute error everywhere); the HDR
+  // hybrid bounds error RELATIVE to the offset: bucket width ≤ 2·o/S, plus
+  // the decimal-scaling quantization of ±0.5/10^precision.
+
+  private val wideRanges = Gen.oneOf(
+    (0.0, 2.0e6), (0.0, 1.0e9), (-1.0e3, 1.0e7), (5.0, 9.0e6))
+
+  property("single-value read-back within relative-error bound, 6+ decades") =
+    forAll(wideRanges, Gen.choose(0.0, 1.0), Gen.choose(1, 4)) { (r, frac, p) =>
+      val (wlo, whi) = r
+      val v = wlo + frac * (whi - wlo)
+      val agg = new PercentileSketch.SketchAgg(wlo, whi, p)
+      val got = PercentileSketch.quantile(
+        agg.reduce(agg.zero, v), 0.5, wlo, whi, p)
+      val s = PercentileSketch.subBuckets(PercentileSketch.sigOf(wlo, whi, p))
+      val bound = 2.0 * (v - wlo) / s + 1.0 / math.pow(10, p) + 1e-6
+      math.abs(got - v) <= bound
+    }
+
+  property("bucket count bounded; sub-buckets meet the sigfig target") =
+    forAll(wideRanges, Gen.choose(-1, 5)) { (r, p) =>
+      val (wlo, whi) = r
+      val b = PercentileSketch.numBuckets(wlo, whi, p)
+      val sig = PercentileSketch.sigOf(wlo, whi, p)
+      // reference clamp [1,5] (percentile.go:35-41); the 64Ki cap can only
+      // degrade sig, never below 1, and S always honors 2·10^sig
+      b <= PercentileSketch.MaxBuckets && sig >= 1 &&
+        sig <= math.max(1, math.min(5, p)) &&
+        PercentileSketch.subBuckets(sig) >= 2 * math.pow(10, sig)
     }
 }
 
