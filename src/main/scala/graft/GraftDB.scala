@@ -112,7 +112,17 @@ final class GraftDB(
     val targets = tablesForStream(stream)
     require(targets.nonEmpty, s"no tables defined over stream '$stream'")
     targets.foreach(_.mergeBatch(batch))
+    insertListeners.forEach(l => l(stream.toLowerCase, batch))
   }
+
+  /** Subscribe to inserted point batches — the hook the RPC Follow surface
+    * tails (the reference's followers tail the WAL, rpc.go:70-99 /
+    * cluster_follow.go; here the insert path IS the WAL-append moment).
+    */
+  private val insertListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, DataFrame) => Unit]()
+  def onInsert(listener: (String, DataFrame) => Unit): Unit =
+    insertListeners.add(listener)
 
   /** Attach a streaming source to every table over the stream. Each table
     * gets its own checkpointed foreachBatch merge (offset tracking ≅ the

@@ -61,38 +61,8 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
   }
 
   /** Parse zenodb point JSON-lines and insert into `stream`. */
-  def insertJsonLines(stream: String, jsonLines: String): Long = {
-    import spark.implicits._
-    val raw = spark.read.json(
-      spark.createDataset(jsonLines.split("\n").toSeq.filter(_.trim.nonEmpty)))
-    // ts: epoch millis number, RFC3339 string, or absent (=now)
-    val withTs =
-      if (!raw.columns.contains("ts"))
-        raw.withColumn("ts", timestamp_millis(lit(System.currentTimeMillis())))
-      else raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          raw.withColumn("ts", to_timestamp(col("ts")))
-        case _: org.apache.spark.sql.types.NumericType =>
-          raw.withColumn("ts", timestamp_millis(col("ts").cast("long")))
-        case _ => raw
-      }
-    def flatten(df: DataFrame, structCol: String, asDouble: Boolean): DataFrame =
-      if (!df.columns.contains(structCol)) df
-      else {
-        val sub = df.schema(structCol).dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val cols = sub.fields.map { f =>
-          val c = col(s"$structCol.${f.name}")
-          (if (asDouble) c.cast("double") else c).as(f.name)
-        }
-        df.select((df.columns.filterNot(_ == structCol).map(col) ++ cols): _*)
-      }
-    val flat = flatten(flatten(withTs, "dims", asDouble = false),
-      "vals", asDouble = true)
-    val n = flat.count()
-    db.insert(stream, flat)
-    n
-  }
+  def insertJsonLines(stream: String, jsonLines: String): Long =
+    PointsJson.insert(spark, db, stream, jsonLines)
 
   /** Run dialect SQL, return rows + per-column approximate cardinalities. */
   def runToJson(sql: String): String = {

@@ -1,0 +1,237 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue, TimeUnit}
+import org.apache.spark.sql.SparkSession
+import graft.GraftDB
+
+/** Length-prefixed frames: 4-byte big-endian length + UTF-8 payload.
+  * Payload is `<VERB> [arg]\n<body>`; the verb line is plain ASCII, bodies
+  * are JSON-lines (points/rows), so the protocol is language-agnostic.
+  */
+private[server] object Framing {
+  val MaxFrame: Int = 64 << 20 // 64 MiB — a batch, not a table
+
+  def write(out: DataOutputStream, payload: String): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    out.flush()
+  }
+
+  /** None on orderly EOF before a frame starts. */
+  def read(in: DataInputStream): Option[String] = {
+    val len =
+      try in.readInt()
+      catch { case _: EOFException => return None }
+    require(len >= 0 && len <= MaxFrame, s"bad frame length $len")
+    val buf = new Array[Byte](len)
+    in.readFully(buf)
+    Some(new String(buf, StandardCharsets.UTF_8))
+  }
+
+  def split(frame: String): (String, String) = frame.indexOf('\n') match {
+    case -1 => (frame.trim, "")
+    case i  => (frame.substring(0, i).trim, frame.substring(i + 1))
+  }
+}
+
+/** Remote insert/query/follow — the reference's gRPC service surface
+  * (/root/reference/rpc/rpc.go:26-99, rpc/server/rpc.go) on the embedded
+  * [[GraftDB]]. gRPC proper needs generated stubs plus a protobuf/grpc
+  * runtime this zero-dependency build deliberately excludes, so the SAME
+  * three streaming RPC shapes ride [[Framing]] over TCP:
+  *
+  *  - '''Insert''' (client-streaming, ≅ `Insert`/`EndOfInserts` →
+  *    `InsertReport`): `INSERT <stream>`, then any number of
+  *    `POINTS\n<json-lines>` frames — each is parsed and merged as it
+  *    arrives, not buffered — then `END`; reply `OK inserted=<n>` or
+  *    `ERR <msg>`.
+  *  - '''Query''' (server-streaming, ≅ `RemoteQueryResult`/`EndOfResults`):
+  *    `QUERY\n<dialect sql>`; reply `SCHEMA\n<cols>` then chunked
+  *    `ROWS\n<json-lines>` frames (local-iterator paging, never a whole-
+  *    result driver collect) then `END`.
+  *  - '''Follow''' (long-lived server stream, ≅ `Follow` tailing the WAL):
+  *    `FOLLOW <stream>`; every batch inserted from subscription time on is
+  *    delivered as `POINTS\n<json-lines>`. The reference replays from a WAL
+  *    offset; the parquet-backed engine has no raw-point WAL to replay, so
+  *    followers are forward-only (documented descope).
+  *
+  * Point JSON is the HTTP surface's shape:
+  * `{"ts": millis|RFC3339, "dims": {..}, "vals": {..}}`.
+  */
+final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
+
+  private val server = new ServerSocket()
+  @volatile private var running = false
+  private val followers =
+    new CopyOnWriteArrayList[(String, LinkedBlockingQueue[String])]()
+
+  db.onInsert { (stream, batch) =>
+    var interested = false
+    followers.forEach { case (s, _) => if (s == stream) interested = true }
+    if (interested) {
+      val lines = batch.toJSON.collect().mkString("\n")
+      followers.forEach { case (s, q) => if (s == stream) q.offer(lines) }
+    }
+  }
+
+  def start(): Int = {
+    server.bind(new InetSocketAddress(port))
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => handle(sock), "graft-rpc-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Exception => if (running) Thread.sleep(50) }
+      }
+    }, "graft-rpc-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      val first = Framing.read(in).getOrElse(return)
+      val (verbLine, body) = Framing.split(first)
+      val verb = verbLine.split("\\s+", 2)
+      verb(0) match {
+        case "INSERT" => handleInsert(verb(1), in, out)
+        case "QUERY"  => handleQuery(body, out)
+        case "FOLLOW" => handleFollow(verb(1).toLowerCase, out)
+        case other    => Framing.write(out, s"ERR unknown verb $other")
+      }
+    } catch {
+      case e: Exception =>
+        try Framing.write(out, s"ERR ${String.valueOf(e.getMessage)}")
+        catch { case _: Exception => () }
+    } finally sock.close()
+  }
+
+  private def handleInsert(stream: String, in: DataInputStream,
+                           out: DataOutputStream): Unit = {
+    var inserted = 0L
+    var done = false
+    while (!done) {
+      Framing.read(in) match {
+        case None => done = true // client hung up: report what landed
+        case Some(frame) =>
+          val (v, body) = Framing.split(frame)
+          v match {
+            case "POINTS" => inserted += PointsJson.insert(spark, db, stream, body)
+            case "END"    => done = true
+            case other    => throw new IllegalArgumentException(s"unexpected $other")
+          }
+      }
+    }
+    Framing.write(out, s"OK inserted=$inserted")
+  }
+
+  private def handleQuery(sql: String, out: DataOutputStream): Unit = {
+    val df = db.sql(sql)
+    Framing.write(out, "SCHEMA\n" + df.columns.mkString("\t"))
+    val it = df.toJSON.toLocalIterator()
+    val chunk = new StringBuilder
+    var n = 0
+    while (it.hasNext) {
+      chunk.append(it.next()).append('\n')
+      n += 1
+      if (n == 500) { Framing.write(out, "ROWS\n" + chunk); chunk.clear(); n = 0 }
+    }
+    if (n > 0) Framing.write(out, "ROWS\n" + chunk)
+    Framing.write(out, "END")
+  }
+
+  private def handleFollow(stream: String, out: DataOutputStream): Unit = {
+    val queue = new LinkedBlockingQueue[String]()
+    val sub = (stream, queue)
+    followers.add(sub)
+    try {
+      while (running) {
+        val lines = queue.poll(200, TimeUnit.MILLISECONDS)
+        if (lines != null) Framing.write(out, "POINTS\n" + lines)
+      }
+    } finally followers.remove(sub) // write failure (client gone) lands here
+  }
+}
+
+/** Client for [[RpcServer]] — the reference's `rpc.Client` surface
+  * (NewInserter / Query-with-row-callback / Follow, rpc/rpc.go:73-86).
+  */
+final class RpcClient(host: String, port: Int) {
+
+  /** Client-streaming insert: each element of `jsonLineBatches` is sent (and
+    * applied server-side) as its own frame. Returns the server's count.
+    */
+  def insert(stream: String, jsonLineBatches: Seq[String]): Long = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      Framing.write(out, s"INSERT $stream")
+      jsonLineBatches.foreach(b => Framing.write(out, "POINTS\n" + b))
+      Framing.write(out, "END")
+      val resp = Framing.read(in).getOrElse(sys.error("connection closed"))
+      if (resp.startsWith("OK inserted=")) resp.stripPrefix("OK inserted=").trim.toLong
+      else sys.error(resp)
+    } finally sock.close()
+  }
+
+  /** Server-streaming query: returns (columns, JSON rows). */
+  def query(sql: String): (Seq[String], Seq[String]) = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      Framing.write(out, "QUERY\n" + sql)
+      var cols: Seq[String] = Nil
+      val rows = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        val frame = Framing.read(in).getOrElse(sys.error("connection closed"))
+        val (v, body) = Framing.split(frame)
+        v match {
+          case "SCHEMA" => cols = body.split("\t").toSeq
+          case "ROWS"   => rows ++= body.split("\n").filter(_.nonEmpty)
+          case "END"    => done = true
+          case other    => sys.error(other + " " + body)
+        }
+      }
+      (cols, rows.result())
+    } finally sock.close()
+  }
+
+  /** Follow a stream: `onPoints` fires with each inserted batch's JSON lines
+    * until the returned handle is closed.
+    */
+  def follow(stream: String)(onPoints: String => Unit): AutoCloseable = {
+    val sock = new Socket(host, port)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    Framing.write(out, s"FOLLOW $stream")
+    val t = new Thread(() => {
+      try {
+        var done = false
+        while (!done) Framing.read(in) match {
+          case Some(frame) =>
+            val (v, body) = Framing.split(frame)
+            if (v == "POINTS") onPoints(body)
+          case None => done = true
+        }
+      } catch { case _: Exception => () }
+    }, "graft-rpc-follow")
+    t.setDaemon(true)
+    t.start()
+    () => sock.close()
+  }
+}
