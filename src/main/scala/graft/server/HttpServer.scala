@@ -26,6 +26,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
 
+  private def sqlOf(ex: HttpExchange): String =
+    Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").find(_.startsWith("sql=")))
+      .map(s => java.net.URLDecoder.decode(s.stripPrefix("sql="), "UTF-8"))
+      .getOrElse(new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8))
+
   def start(): Int = {
     server.createContext("/insert/", (ex: HttpExchange) => handle(ex) {
       val stream = ex.getRequestURI.getPath.stripPrefix("/insert/")
@@ -34,11 +40,22 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
       s"""{"inserted":$n}"""
     })
     server.createContext("/run", (ex: HttpExchange) => handle(ex) {
-      val q = Option(ex.getRequestURI.getQuery)
-        .flatMap(_.split("&").find(_.startsWith("sql=")))
-        .map(s => java.net.URLDecoder.decode(s.stripPrefix("sql="), "UTF-8"))
-        .getOrElse(new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8))
-      runToJson(q)
+      runToJson(sqlOf(ex))
+    })
+    // `/immediate` skips the cache like the reference (web/handler.go:118)
+    server.createContext("/immediate", (ex: HttpExchange) => handle(ex) {
+      runToJson(sqlOf(ex))
+    })
+    // async query + cached permalink (web/handler.go:117-124, web/cache.go):
+    // `/async?sql=` registers (or reuses, within the TTL) a cache entry keyed
+    // by the SQL text, runs the query on a background thread, and returns the
+    // entry's permalink immediately; `/cached/{permalink}` polls it.
+    server.createContext("/async", (ex: HttpExchange) => handle(ex) {
+      asyncQuery(sqlOf(ex))
+    })
+    server.createContext("/cached/", (ex: HttpExchange) => handle(ex) {
+      cachedResult(ex.getRequestURI.getPath.stripPrefix("/cached/")
+        .stripSuffix("/"))
     })
     server.start()
     server.getAddress.getPort
@@ -64,17 +81,73 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
   def insertJsonLines(stream: String, jsonLines: String): Long =
     PointsJson.insert(spark, db, stream, jsonLines)
 
-  /** Run dialect SQL, return rows + per-column approximate cardinalities. */
+  /** Run dialect SQL, return rows + per-column approximate cardinalities.
+    * Rows stream through the local iterator partition by partition (no
+    * whole-result collect), truncated at [[HttpServer.MaxRows]] with a
+    * `truncated` marker — this is a control-plane endpoint, not a data path.
+    */
   def runToJson(sql: String): String = {
     val df = db.sql(sql)
-    val rows = df.toJSON.collect().mkString("[", ",", "]")
+    val sb = new StringBuilder("[")
+    val it = df.toJSON.toLocalIterator()
+    var n = 0
+    while (it.hasNext && n < HttpServer.MaxRows) {
+      if (n > 0) sb.append(',')
+      sb.append(it.next())
+      n += 1
+    }
+    val truncated = it.hasNext
+    sb.append(']')
     val cardCols = df.columns.map(c =>
       approx_count_distinct(col(s"`$c`")).cast("long").as(c))
     val cards =
       if (df.columns.isEmpty) "{}"
       else df.agg(cardCols.head, cardCols.tail: _*).toJSON.collect()
         .headOption.getOrElse("{}")
-    s"""{"rows":$rows,"cardinalities":$cards}"""
+    s"""{"rows":$sb,"cardinalities":$cards,"truncated":$truncated}"""
+  }
+
+  // ---- async query cache (web/cache.go: permalink entries with TTL) ------
+
+  private final class CacheEntry(val permalink: String, val created: Long) {
+    @volatile var status: String = "pending"
+    @volatile var payload: String = null // result JSON or error message
+  }
+  private val bySql = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
+  private val byPermalink = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
+
+  private def asyncQuery(sql: String): String = {
+    val now = System.currentTimeMillis()
+    val entry = bySql.compute(sql, (_, old) =>
+      if (old != null && now - old.created < HttpServer.CacheTtlMillis) old
+      else {
+        val e = new CacheEntry(java.util.UUID.randomUUID().toString, now)
+        byPermalink.put(e.permalink, e)
+        val t = new Thread(() => {
+          try { e.payload = runToJson(sql); e.status = "succeeded" }
+          catch { case ex: Exception =>
+            e.payload = String.valueOf(ex.getMessage); e.status = "failed" }
+        }, s"graft-async-${e.permalink}")
+        t.setDaemon(true)
+        t.start()
+        e
+      })
+    renderEntry(entry)
+  }
+
+  private def cachedResult(permalink: String): String =
+    byPermalink.get(permalink) match {
+      case null => s"""{"status":"unknown","permalink":${jsonStr(permalink)}}"""
+      case e    => renderEntry(e)
+    }
+
+  private def renderEntry(e: CacheEntry): String = e.status match {
+    case "succeeded" =>
+      s"""{"permalink":"${e.permalink}","status":"succeeded","result":${e.payload}}"""
+    case "failed" =>
+      s"""{"permalink":"${e.permalink}","status":"failed","error":${jsonStr(e.payload)}}"""
+    case s =>
+      s"""{"permalink":"${e.permalink}","status":"$s"}"""
   }
 
   private def jsonStr(s: String): String =
@@ -82,4 +155,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+}
+
+object HttpServer {
+  /** Row cap for the JSON query endpoints (control plane, not a data path). */
+  val MaxRows: Int = 100000
+
+  /** Async query cache TTL (the reference's cache expiration, web/cache.go). */
+  val CacheTtlMillis: Long = 3600000L
 }

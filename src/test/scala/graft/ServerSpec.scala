@@ -84,6 +84,30 @@ class ServerSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("\"error\""))
+
+      // async + cached permalink (web/handler.go:117-124, web/cache.go):
+      // /async returns a permalink immediately; /cached/{permalink} polls it
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      val asy = get(s"/async?sql=$sql")
+      val permalink = "\"permalink\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(asy).map(_.group(1)).get
+      var cached = get(s"/cached/$permalink")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cached.contains("\"status\":\"succeeded\"") &&
+             !cached.contains("\"status\":\"failed\"") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); cached = get(s"/cached/$permalink")
+      }
+      assert(cached.contains("\"status\":\"succeeded\""), cached)
+      assert(cached.contains("\"rows\":["))
+      // same SQL within the TTL reuses the SAME cache entry/permalink
+      assert(get(s"/async?sql=$sql").contains(permalink))
+      // unknown permalink is a structured miss
+      assert(get("/cached/nope").contains("\"status\":\"unknown\""))
+      // /immediate skips the cache and answers inline
+      assert(get(s"/immediate?sql=$sql").contains("\"rows\":["))
     } finally srv.stop()
   }
 }
