@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   *
   * Media payloads ride as opaque `binary` columns next to a typed metadata
   * struct; all Spark-side plumbing (schema, partition sizing, batch shape)
-  * is real. The actual codec work is STUBBED — this container has no
-  * image/audio libraries — behind deterministic byte-derived fakes marked
-  * `STUB:` below, so the distributed shape is testable end-to-end and a real
-  * decoder drops in by replacing one function.
+  * is real. Codec status: uncompressed formats are decoded FOR REAL in pure
+  * JVM code — 24-bit uncompressed BMP (pixel parse + grayscale pooling) and
+  * PCM16 WAV (RIFF chunk walk + per-window RMS) need no codec library.
+  * Compressed formats (JPEG/PNG/MP3/H.264) would need libraries this
+  * container lacks, so they fall back to the deterministic byte-derived
+  * fakes marked `STUB:` below — same schema and batch shape, so a real
+  * codec drops in by extending one dispatch.
   */
 object Multimodal {
 
@@ -45,24 +48,116 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  /** STUB: image decode → fixed-dim feature vector. A real implementation
-    * would decode `payload` (JPEG/PNG) and pool pixels; the container has no
-    * codec, so features are deterministic hashes of payload chunks — the
-    * schema (`array<float>` of length `dim`) and batch shape are the real
-    * contract.
-    */
-  def decodeImageFeatures(payload: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(payload, i), lit(2000001L)) - 1000000L).cast("float") / 1000000.0f)
+  // ---- real pure-JVM decoders for uncompressed formats -------------------
 
-  /** STUB: audio decode → per-window energy envelope of `windows` values.
-    * Real path: PCM decode + RMS per window. Fake derives from byte slices
-    * so unequal payloads produce unequal envelopes.
+  /** REAL 24-bit uncompressed BMP decode: parse the header, walk the padded
+    * bottom-up (or top-down) pixel rows, and average-pool grayscale
+    * ((r+g+b)/3/255) into `dim` equal-width vertical strips. Returns null
+    * for anything that isn't plain 24bpp BMP (dispatches to the stub).
     */
-  def decodeAudioEnvelope(payload: Column, windows: Int): Column =
-    transform(sequence(lit(0), lit(windows - 1)), i =>
-      pmod(xxhash64(substring(payload, lit(1).cast("int"), lit(64).cast("int")), i),
-        lit(1000L)).cast("float") / 1000.0f)
+  private[graft] def bmpGrayStrips(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val heightRaw = bb.getInt(22)
+    val bpp = bb.getShort(28)
+    val compression = bb.getInt(30)
+    if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0 ||
+        dataOffset < 54) return null
+    val height = math.abs(heightRaw)
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + rowBytes.toLong * height > bytes.length) return null
+    val acc = new Array[Double](dim)
+    val cnt = new Array[Long](dim)
+    var y = 0
+    while (y < height) {
+      // positive height = bottom-up storage (the common case)
+      val srcRow = if (heightRaw > 0) height - 1 - y else y
+      val base = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        val cell = math.min(dim - 1, x.toLong * dim / width).toInt
+        acc(cell) += (r + g + b) / (3.0 * 255.0)
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i => if (cnt(i) == 0) 0f else (acc(i) / cnt(i)).toFloat)
+  }
+
+  /** REAL PCM16 WAV decode: walk the RIFF chunks to `fmt `/`data`, then RMS
+    * of the normalized samples over `windows` equal segments. Returns null
+    * for anything that isn't PCM16 WAV (dispatches to the stub).
+    */
+  private[graft] def wavRmsEnvelope(bytes: Array[Byte], windows: Int): Array[Float] = {
+    if (bytes == null || bytes.length < 44) return null
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var pcm16 = false
+    var dataPos = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val size = bb.getInt(pos + 4)
+      if (tag(pos, "fmt ") && pos + 24 <= bytes.length)
+        pcm16 = bb.getShort(pos + 8) == 1 && bb.getShort(pos + 22) == 16
+      else if (tag(pos, "data")) { dataPos = pos + 8; dataLen = size }
+      pos += 8 + math.max(0, size) + (size & 1) // chunks are word-aligned
+    }
+    if (!pcm16 || dataPos < 0) return null
+    val n = math.min(dataLen, bytes.length - dataPos) / 2
+    val out = new Array[Float](windows)
+    var w = 0
+    while (w < windows) {
+      val s0 = (w.toLong * n / windows).toInt
+      val s1 = ((w + 1).toLong * n / windows).toInt
+      var sum = 0.0
+      var i = s0
+      while (i < s1) {
+        val s = bb.getShort(dataPos + i * 2) / 32768.0
+        sum += s * s
+        i += 1
+      }
+      out(w) = if (s1 > s0) math.sqrt(sum / (s1 - s0)).toFloat else 0f
+      w += 1
+    }
+    out
+  }
+
+  /** image decode → `dim` pooled grayscale features: REAL for 24-bit
+    * uncompressed BMP via [[bmpGrayStrips]]; other formats fall back to the
+    * STUB (deterministic hashes of payload chunks — the `array<float>` of
+    * length `dim` schema and batch shape are the same either way).
+    */
+  def decodeImageFeatures(payload: Column, dim: Int): Column = {
+    val real = udf((b: Array[Byte]) => bmpGrayStrips(b, dim))
+    coalesce(real(payload),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(payload, i), lit(2000001L)) - 1000000L) /
+          1000000.0).cast("float")))
+  }
+
+  /** audio decode → per-window energy envelope of `windows` values: REAL
+    * for PCM16 WAV via [[wavRmsEnvelope]]; other formats fall back to the
+    * STUB byte-slice hashes (same schema).
+    */
+  def decodeAudioEnvelope(payload: Column, windows: Int): Column = {
+    val real = udf((b: Array[Byte]) => wavRmsEnvelope(b, windows))
+    coalesce(real(payload),
+      transform(sequence(lit(0), lit(windows - 1)), i =>
+        (pmod(xxhash64(substring(payload, lit(1).cast("int"), lit(64).cast("int")), i),
+          lit(1000L)) / 1000.0).cast("float")))
+  }
 
   /** STUB: sample every-nth frame of a video payload as binary slices.
     * Real path: container demux + keyframe extraction. The fake slices bytes

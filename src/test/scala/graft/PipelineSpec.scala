@@ -183,4 +183,79 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getSeq[Float](0)
     assert(f2 == out(0).getSeq[Float](0))
   }
+
+  // ---- real uncompressed-format codecs (pure JVM, no libraries) ----------
+
+  /** 24bpp bottom-up BMP with per-pixel gray level from `pix(x, y)`. */
+  private def bmpBytes(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) { // bottom row stored first
+      for (x <- 0 until w) {
+        val v = pix(x, y).toByte
+        bb.put(v).put(v).put(v)
+      }
+      bb.position(bb.position() + rowBytes - w * 3)
+    }
+    bb.array()
+  }
+
+  /** mono PCM16 WAV at 8 kHz. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("BMP decode is real: pooled grayscale matches the encoded pixels") {
+    import spark.implicits._
+    // 8x8: left half black, right half white → strips [0,0,0,0,1,1,1,1]
+    val img = bmpBytes(8, 8, (x, _) => if (x < 4) 0 else 255)
+    val feats = Seq((1L, img)).toDF("media_id", "payload")
+      .select(Multimodal.decodeImageFeatures(col("payload"), 8).as("f"))
+      .collect()(0).getSeq[Float](0)
+    assert(feats.size == 8)
+    assert(feats.take(4).forall(v => math.abs(v) < 1e-6), feats)
+    assert(feats.drop(4).forall(v => math.abs(v - 1.0f) < 1e-6), feats)
+    // gradient: strict monotone strips, and a top-down BMP reads the same
+    val grad = bmpBytes(16, 4, (x, _) => x * 16)
+    val gf = Multimodal.bmpGrayStrips(grad, 4)
+    assert(gf.sliding(2).forall(p => p(0) < p(1)), gf.toSeq)
+    // a 7-wide image exercises row padding (rowBytes 24 for 21 data bytes)
+    val odd = bmpBytes(7, 3, (x, y) => (x * 37 + y * 11) % 256)
+    val of = Multimodal.bmpGrayStrips(odd, 7)
+    val expected = (0 until 7).map(x =>
+      (0 until 3).map(y => ((x * 37 + y * 11) % 256) / 255.0).sum / 3.0)
+    of.toSeq.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("WAV decode is real: RMS envelope tracks amplitude per window") {
+    import spark.implicits._
+    // first half silence, second half full-scale square wave → [0, 0.5]
+    val half = 4000
+    val samples = Array.fill[Short](half)(0) ++
+      Array.tabulate[Short](half)(i => if (i % 2 == 0) 16384 else -16384)
+    val env = Seq((1L, wavBytes(samples))).toDF("media_id", "payload")
+      .select(Multimodal.decodeAudioEnvelope(col("payload"), 2).as("e"))
+      .collect()(0).getSeq[Float](0)
+    assert(env.size == 2)
+    assert(math.abs(env(0)) < 1e-6, env)
+    assert(math.abs(env(1) - 0.5f) < 1e-3, env)
+    // non-WAV payloads still fall back to the deterministic stub shape
+    val stub = Seq((2L, "not a wav at all".getBytes)).toDF("media_id", "payload")
+      .select(Multimodal.decodeAudioEnvelope(col("payload"), 3).as("e"))
+      .collect()(0).getSeq[Float](0)
+    assert(stub.size == 3)
+  }
 }
