@@ -84,8 +84,12 @@ final class GraftDB(
     */
   def watchSchemaFile(path: String, intervalMillis: Long = 1000L): Thread = {
     val p = java.nio.file.Paths.get(path)
+    // snapshot the baseline mtime BEFORE the thread starts: an edit landing
+    // between watch registration and the thread's first poll must be seen,
+    // not silently folded into the baseline
+    val initial = java.nio.file.Files.getLastModifiedTime(p)
     val t = new Thread(() => {
-      var last = java.nio.file.Files.getLastModifiedTime(p)
+      var last = initial
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(intervalMillis)
         val m = java.nio.file.Files.getLastModifiedTime(p)

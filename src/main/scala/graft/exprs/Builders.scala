@@ -70,8 +70,20 @@ object Builders {
     case DLike(c, pattern, neg) =>
       val m = dim(c, resolve).rlike(pattern)
       if (neg) !m else m
+    // Null-safe membership: the reference collects dim values (nil included)
+    // into a set and tests membership (planner/subquery.go:54-72), so nil is
+    // a first-class member — never a three-valued unknown. SQL's NULL-poisoned
+    // IN would drop every row under NOT when the set holds a null; here the
+    // predicate is always true/false so it composes under any boolean shape
+    // identically to the semi/anti-join path.
+    // Written as IsNotNull && In (|| IsNull) rather than coalesce so the
+    // predicate is never NULL *and* still translates to parquet pushdown
+    // filters (coalesce would block PushedFilters at the scan).
     case DIn(c, values, neg) =>
-      val m = dim(c, resolve).isin(values: _*)
+      val cc = dim(c, resolve)
+      val nonNull = values.filter(_ != null)
+      var m = cc.isNotNull && cc.isin(nonNull: _*)
+      if (values.exists(_ == null)) m = m || cc.isNull
       if (neg) !m else m
     case DInSub(_, _, _) =>
       throw new IllegalStateException(

@@ -75,15 +75,37 @@ object PercentileSketch {
   def numBuckets(lo: Double, hi: Double, precision: Int): Int =
     bucketsFor(lo, hi, precision, sigOf(lo, hi, precision))
 
-  def serialize(counts: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + counts.length * 8)
+  /** Serialized format v2: `[version:1][lo:8][hi:8][precision:4][n:4][n×8]`.
+    * The header pins the bucket geometry: a sketch stored under different
+    * (lo, hi, precision) — or by the round-1 linear-histogram format, which
+    * had no header (first byte = high byte of a ≤64Ki count, i.e. 0) — is
+    * rejected loudly instead of being silently decoded with the wrong
+    * geometry.
+    */
+  val FormatVersion: Byte = 2
+
+  def serialize(counts: Array[Long], lo: Double, hi: Double,
+                precision: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(1 + 8 + 8 + 4 + 4 + counts.length * 8)
+    bb.put(FormatVersion)
+    bb.putDouble(lo); bb.putDouble(hi); bb.putInt(precision)
     bb.putInt(counts.length)
     counts.foreach(bb.putLong)
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Array[Long] = {
+  def deserialize(bytes: Array[Byte], lo: Double, hi: Double,
+                  precision: Int): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
+    val ver = bb.get()
+    require(ver == FormatVersion,
+      s"percentile sketch format version $ver, expected $FormatVersion: " +
+        "this sketch was stored by an incompatible engine version")
+    val (slo, shi, sprec) = (bb.getDouble, bb.getDouble, bb.getInt)
+    require(slo == lo && shi == hi && sprec == precision,
+      s"percentile sketch was stored with PERCENTILE(lo=$slo, hi=$shi, " +
+        s"precision=$sprec) but this query expects (lo=$lo, hi=$hi, " +
+        s"precision=$precision)")
     val n = bb.getInt
     Array.fill(n)(bb.getLong)
   }
@@ -143,28 +165,28 @@ object PercentileSketch {
     def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
       var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a
     }
-    def finish(acc: Array[Long]): Array[Byte] = serialize(acc)
+    def finish(acc: Array[Long]): Array[Byte] = serialize(acc, lo, hi, precision)
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Re-merge stored (serialized) sketches across buckets/groups. */
-  final class MergeAgg(buckets: Int)
+  /** Re-merge stored (serialized) sketches across buckets/groups. The
+    * (lo, hi, precision) the query expects is validated against each stored
+    * sketch's header — a geometry mismatch fails loudly.
+    */
+  final class MergeAgg(lo: Double, hi: Double, precision: Int)
       extends Aggregator[Array[Byte], Array[Long], Array[Byte]] {
+    private val buckets = numBuckets(lo, hi, precision)
     def zero: Array[Long] = new Array[Long](buckets)
     def reduce(acc: Array[Long], s: Array[Byte]): Array[Long] =
-      if (s == null) acc else merge(acc, deserialize(s))
+      if (s == null) acc else merge(acc, deserialize(s, lo, hi, precision))
     def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
-      // a stored sketch serialized under different lo/hi/precision has a
-      // different bucket count — fail loudly instead of silently truncating
       require(a.length == c.length,
-        s"percentile sketch bucket-count mismatch (${a.length} vs ${c.length}): " +
-          "stored sketch was built with different PERCENTILE(lo, hi, precision) " +
-          "bounds than this query expects")
+        s"percentile sketch bucket-count mismatch (${a.length} vs ${c.length})")
       var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a
     }
-    def finish(acc: Array[Long]): Array[Byte] = serialize(acc)
+    def finish(acc: Array[Long]): Array[Byte] = serialize(acc, lo, hi, precision)
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -176,7 +198,7 @@ object PercentileSketch {
 
   /** Merge stored sketches (re-aggregation). */
   def mergeAgg(sketch: Column, lo: Double, hi: Double, precision: Int): Column =
-    udaf(new MergeAgg(numBuckets(lo, hi, precision)), Encoders.BINARY).apply(sketch)
+    udaf(new MergeAgg(lo, hi, precision), Encoders.BINARY).apply(sketch)
 
   /** Read quantile q (0-1) out of a sketch column; NULL when unset/empty. */
   def valueAt(sketch: Column, q: Double, lo: Double, hi: Double,
@@ -185,7 +207,7 @@ object PercentileSketch {
       (bytes: Array[Byte]) =>
         if (bytes == null) null.asInstanceOf[java.lang.Double]
         else {
-          val v = quantile(deserialize(bytes), q, lo, hi, precision)
+          val v = quantile(deserialize(bytes, lo, hi, precision), q, lo, hi, precision)
           if (v.isNaN) null.asInstanceOf[java.lang.Double]
           else java.lang.Double.valueOf(v)
         }

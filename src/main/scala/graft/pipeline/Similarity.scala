@@ -149,24 +149,38 @@ object Similarity {
     centroids
   }
 
-  /** Build the IVF index only if absent (or built with a different
-    * nCentroids): real deployments build once and amortize over queries, so
-    * repeated runs must not re-pay the build. Centroids are persisted next
+  /** Order-independent dataset fingerprint: row count + XOR of xxhash64(id).
+    * A single column-pruned aggregation — far cheaper than the index build
+    * it guards — that changes whenever rows are added, removed, or re-keyed.
+    */
+  def datasetFingerprint(df: DataFrame, idCol: Column): String = {
+    val r = df.agg(
+      org.apache.spark.sql.functions.count(lit(1)),
+      org.apache.spark.sql.functions.bit_xor(xxhash64(idCol))).collect()(0)
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Build the IVF index only if absent — or STALE: the cached index is
+    * keyed by (nCentroids, dataset fingerprint), so a changed dataset at the
+    * same path rebuilds instead of silently serving stale cells. Real
+    * deployments build once and amortize over queries; the fingerprint check
+    * costs one count+hash scan, not a rebuild. Centroids are persisted next
     * to the index; the sample is deterministic, so reuse is exact.
     */
   def ivfBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
                         nCentroids: Int, indexPath: String): Seq[(Int, Seq[Float])] = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
+    val fp = datasetFingerprint(df, idCol)
     if (java.nio.file.Files.exists(metaPath)) {
       val lines = java.nio.file.Files.readAllLines(metaPath)
-      if (lines.size() == nCentroids) {
+      if (lines.size() == nCentroids + 1 && lines.get(0) == s"fp=$fp") {
         return (0 until nCentroids).map { i =>
-          i -> lines.get(i).split(",").toSeq.map(_.toFloat)
+          i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
         }
       }
     }
     val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath)
-    val body = centroids.map(_._2.map(f => f.toString).mkString(","))
+    val body = (s"fp=$fp" +: centroids.map(_._2.map(f => f.toString).mkString(",")))
       .mkString("\n")
     java.nio.file.Files.writeString(metaPath, body)
     centroids

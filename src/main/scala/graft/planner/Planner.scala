@@ -63,9 +63,16 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       subqs.foreach { case DInSub(DCol(d), sub0, negated) =>
         val (subDf, subDim) = planInSubquery(sub0)
         // no distinct: the grouped subquery is already unique per dim, and
-        // semi/anti joins are insensitive to duplicate build rows anyway
-        val rhs = subDf.select(col(subDim).as(d))
-        base = base.join(rhs, Seq(d), if (negated) "left_anti" else "left_semi")
+        // semi/anti joins are insensitive to duplicate build rows anyway.
+        // <=> (null-safe equality): nil is a first-class member of the
+        // reference's collected membership set (planner/subquery.go:54-72),
+        // so a null dim matches a null subquery key — keeping this path
+        // semantically identical to the two-phase membership rewrite.
+        val subCol = s"__insub_$d"
+        val rhs = subDf.select(col(subDim).as(subCol))
+        base = base
+          .join(rhs, col(d) <=> col(subCol),
+            if (negated) "left_anti" else "left_semi")
       case other => throw new IllegalArgumentException(s"unsupported IN-subquery shape: $other")
       }
     }

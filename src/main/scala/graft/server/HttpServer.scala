@@ -22,7 +22,8 @@ import graft.GraftDB
   * Built on the JDK server: zero extra dependencies, good enough for an
   * embedded control plane (the data plane is Spark itself).
   */
-final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
+final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
+                       cacheTtlMillis: Long = HttpServer.CacheTtlMillis) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
 
@@ -116,11 +117,29 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
   private val bySql = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
   private val byPermalink = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
 
+  /** Drop every expired entry from both maps (the reference expires cache
+    * entries, web/cache.go). Runs inline on each async/cached access —
+    * O(entries), driver-side, and it bounds memory to one TTL window of
+    * distinct queries instead of leaking payloads forever.
+    */
+  private def sweepExpired(now: Long): Unit = {
+    val dead = new java.util.ArrayList[String]()
+    byPermalink.forEach { (pl, e) =>
+      if (now - e.created >= cacheTtlMillis) dead.add(pl)
+    }
+    dead.forEach { pl =>
+      val e = byPermalink.remove(pl)
+      if (e != null) bySql.entrySet().removeIf(kv => kv.getValue eq e)
+    }
+  }
+
   private def asyncQuery(sql: String): String = {
     val now = System.currentTimeMillis()
+    sweepExpired(now)
     val entry = bySql.compute(sql, (_, old) =>
-      if (old != null && now - old.created < HttpServer.CacheTtlMillis) old
+      if (old != null && now - old.created < cacheTtlMillis) old
       else {
+        if (old != null) byPermalink.remove(old.permalink)
         val e = new CacheEntry(java.util.UUID.randomUUID().toString, now)
         byPermalink.put(e.permalink, e)
         val t = new Thread(() => {
@@ -135,11 +154,13 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int) {
     renderEntry(entry)
   }
 
-  private def cachedResult(permalink: String): String =
+  private def cachedResult(permalink: String): String = {
+    sweepExpired(System.currentTimeMillis())
     byPermalink.get(permalink) match {
       case null => s"""{"status":"unknown","permalink":${jsonStr(permalink)}}"""
       case e    => renderEntry(e)
     }
+  }
 
   private def renderEntry(e: CacheEntry): String = e.status match {
     case "succeeded" =>

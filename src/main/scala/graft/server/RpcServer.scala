@@ -66,15 +66,26 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
 
   private val server = new ServerSocket()
   @volatile private var running = false
-  private val followers =
-    new CopyOnWriteArrayList[(String, LinkedBlockingQueue[String])]()
+
+  /** One per FOLLOW connection: a *bounded* batch queue (a slow consumer
+    * must not buffer the insert stream without bound) plus an overflow flag
+    * that tells the handler to disconnect it once the backlog drains.
+    */
+  private final class Follower(val stream: String) {
+    val queue = new LinkedBlockingQueue[String](RpcServer.FollowQueueCap)
+    @volatile var overflowed = false
+  }
+  private val followers = new CopyOnWriteArrayList[Follower]()
 
   db.onInsert { (stream, batch) =>
     var interested = false
-    followers.forEach { case (s, _) => if (s == stream) interested = true }
+    followers.forEach { f => if (f.stream == stream && !f.overflowed) interested = true }
     if (interested) {
       val lines = batch.toJSON.collect().mkString("\n")
-      followers.forEach { case (s, q) => if (s == stream) q.offer(lines) }
+      followers.forEach { f =>
+        if (f.stream == stream && !f.overflowed && !f.queue.offer(lines))
+          f.overflowed = true // full: stop feeding; handler disconnects it
+      }
     }
   }
 
@@ -153,16 +164,41 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
   }
 
   private def handleFollow(stream: String, out: DataOutputStream): Unit = {
-    val queue = new LinkedBlockingQueue[String]()
-    val sub = (stream, queue)
-    followers.add(sub)
+    val f = new Follower(stream)
+    followers.add(f)
     try {
-      while (running) {
-        val lines = queue.poll(200, TimeUnit.MILLISECONDS)
-        if (lines != null) Framing.write(out, "POINTS\n" + lines)
+      var idlePolls = 0
+      var live = true
+      while (running && live) {
+        val lines = f.queue.poll(200, TimeUnit.MILLISECONDS)
+        if (lines != null) {
+          Framing.write(out, "POINTS\n" + lines)
+          idlePolls = 0
+        } else if (f.overflowed) {
+          // backlog drained after an overflow: tell the client why, then cut
+          Framing.write(out,
+            "ERR slow consumer: follow queue overflowed, disconnecting")
+          live = false
+        } else {
+          // idle heartbeat: a PING to a dead socket throws, reaping followers
+          // whose client vanished without a FIN instead of spinning forever
+          idlePolls += 1
+          if (idlePolls >= RpcServer.HeartbeatPolls) {
+            Framing.write(out, "PING")
+            idlePolls = 0
+          }
+        }
       }
-    } finally followers.remove(sub) // write failure (client gone) lands here
+    } finally followers.remove(f) // write failure (client gone) lands here
   }
+}
+
+object RpcServer {
+  /** Max batches buffered per FOLLOW subscriber before it is disconnected. */
+  val FollowQueueCap: Int = 256
+
+  /** Idle 200ms polls between heartbeat PINGs (≈2s). */
+  val HeartbeatPolls: Int = 10
 }
 
 /** Client for [[RpcServer]] — the reference's `rpc.Client` surface

@@ -357,6 +357,49 @@ class EngineSpec extends AnyFunSuite {
     assert(notWrapped.map(_.toString).toSeq == anti.map(_.toString).toSeq)
   }
 
+  test("null dims are first-class IN-subquery members (join ≡ membership)") {
+    // The reference collects subquery dims (nil included) into a set and
+    // tests membership (planner/subquery.go:54-72) — two-valued, never SQL
+    // three-valued. The ungrouped-path subquery below yields the nil path
+    // group, so both null-path points must match on BOTH execution paths.
+    val semi = sql(
+      """SELECT _points FROM inbound
+        |WHERE path IN (SELECT path FROM inbound GROUP BY path)
+        |GROUP BY _""".stripMargin).collect()
+    assert(approx(d(semi(0).getAs[Any]("_points")), 8.0))
+    // same predicate forced through the two-phase membership path (OR shape)
+    val member = sql(
+      """SELECT _points FROM inbound
+        |WHERE path IN (SELECT path FROM inbound GROUP BY path)
+        |   OR server = 'nope'
+        |GROUP BY _""".stripMargin).collect()
+    assert(approx(d(member(0).getAs[Any]("_points")), 8.0))
+    // complement is exactly empty — a null in the set does NOT drop every
+    // row under NOT (SQL NOT IN would); membership is simply inverted
+    val anti = sql(
+      """SELECT _points FROM inbound
+        |WHERE path NOT IN (SELECT path FROM inbound GROUP BY path)
+        |GROUP BY _""".stripMargin).collect()
+    assert(anti.isEmpty)
+    val notMember = sql(
+      """SELECT _points FROM inbound
+        |WHERE NOT (path IN (SELECT path FROM inbound GROUP BY path))
+        |GROUP BY _""".stripMargin).collect()
+    assert(notMember.isEmpty)
+    // non-null set: null dims are NOT members, so NOT keeps them — anti-join
+    // and membership paths agree (4 = 2× /index.html + 2× nil path)
+    val antiKeep = sql(
+      """SELECT _points FROM inbound
+        |WHERE path NOT IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path)
+        |GROUP BY _""".stripMargin).collect()
+    assert(approx(d(antiKeep(0).getAs[Any]("_points")), 4.0))
+    val notMemberKeep = sql(
+      """SELECT _points FROM inbound
+        |WHERE NOT (path IN (SELECT path FROM inbound WHERE status = 500 GROUP BY path))
+        |GROUP BY _""".stripMargin).collect()
+    assert(approx(d(notMemberKeep(0).getAs[Any]("_points")), 4.0))
+  }
+
   test("nested FROM-subqueries re-aggregate at each level") {
     val rows = sql(
       """SELECT requests, _points FROM

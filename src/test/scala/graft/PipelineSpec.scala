@@ -141,6 +141,26 @@ class PipelineSpec extends AnyFunSuite {
       "IVF probe did not prune cell partitions")
   }
 
+  test("IVF cached index rebuilds when the dataset changes (fingerprint)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def mkDf(n: Long) = (0L until n).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = "target/test-ivf-fp"
+    val d1 = mkDf(40)
+    val c1 = Similarity.ivfBuildIfMissing(d1, col("embedding"), col("vec_id"), 4, idx)
+    // same dataset: reused verbatim (deterministic sample ⇒ exact equality)
+    assert(Similarity.ivfBuildIfMissing(d1, col("embedding"), col("vec_id"), 4, idx) == c1)
+    // changed dataset at the SAME path and centroid count: must rebuild, and
+    // a probe must see the new rows (stale index would miss ids ≥ 40)
+    val d2 = mkDf(60)
+    val c2 = Similarity.ivfBuildIfMissing(d2, col("embedding"), col("vec_id"), 4, idx)
+    val ids = spark.read.parquet(idx).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 60, s"stale index served: ${ids.size} rows")
+    assert(c2 != c1 || ids.contains(59L))
+  }
+
   test("shingles: n>=2 on docs shorter than n tokens is empty, not an error") {
     import spark.implicits._
     val df = Seq((0L, ""), (1L, "one"), (2L, "two words"),

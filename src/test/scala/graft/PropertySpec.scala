@@ -35,11 +35,10 @@ object PercentileSketchProps extends Properties("PercentileSketch") {
 
   property("serialized merge agrees with direct merge") =
     forAll(values, values) { (a, b) =>
-      val m = new PercentileSketch.MergeAgg(
-        PercentileSketch.numBuckets(lo, hi, prec))
+      val m = new PercentileSketch.MergeAgg(lo, hi, prec)
       val viaBytes = m.reduce(
-        m.reduce(m.zero, PercentileSketch.serialize(sketchOf(a))),
-        PercentileSketch.serialize(sketchOf(b)))
+        m.reduce(m.zero, PercentileSketch.serialize(sketchOf(a), lo, hi, prec)),
+        PercentileSketch.serialize(sketchOf(b), lo, hi, prec))
       viaBytes.toSeq ==
         new PercentileSketch.SketchAgg(lo, hi, prec)
           .merge(sketchOf(a), sketchOf(b)).toSeq
@@ -74,6 +73,23 @@ object PercentileSketchProps extends Properties("PercentileSketch") {
       val s = PercentileSketch.subBuckets(PercentileSketch.sigOf(wlo, whi, p))
       val bound = 2.0 * (v - wlo) / s + 1.0 / math.pow(10, p) + 1e-6
       math.abs(got - v) <= bound
+    }
+
+  property("geometry mismatch is rejected loudly, never silently decoded") =
+    forAll(Gen.oneOf((0.0, 50.0, 1), (0.0, 100.0, 2), (10.0, 100.0, 1))) { p =>
+      val (mlo, mhi, mprec) = p
+      val bytes = PercentileSketch.serialize(sketchOf(Seq(42.0)), lo, hi, prec)
+      // matching params round-trip; mismatched params throw (v2 header check)
+      PercentileSketch.deserialize(bytes, lo, hi, prec).sum == 1 && {
+        try { PercentileSketch.deserialize(bytes, mlo, mhi, mprec); false }
+        catch { case _: IllegalArgumentException => true }
+      } && {
+        // round-1's unversioned format (leading count int, high byte 0) is
+        // rejected rather than decoded with the new geometry
+        val legacy = java.nio.ByteBuffer.allocate(12).putInt(1).putLong(7L).array()
+        try { PercentileSketch.deserialize(legacy, lo, hi, prec); false }
+        catch { case _: IllegalArgumentException => true }
+      }
     }
 
   property("bucket count bounded; sub-buckets meet the sigfig target") =

@@ -110,4 +110,34 @@ class ServerSpec extends AnyFunSuite {
       assert(get(s"/immediate?sql=$sql").contains("\"rows\":["))
     } finally srv.stop()
   }
+
+  test("async cache evicts expired entries (no permalink leak)") {
+    val dir = Files.createTempDirectory("graft-http-ttl").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    // ttl=0: every entry is expired by the time the next request sweeps
+    val srv = new HttpServer(spark, db, 0, cacheTtlMillis = 0L)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      val sql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY server", "UTF-8")
+      val asy = get(s"/async?sql=$sql")
+      val permalink = "\"permalink\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(asy).map(_.group(1)).get
+      // a second async with the same SQL does NOT reuse the expired entry...
+      val asy2 = get(s"/async?sql=$sql")
+      assert(!asy2.contains(permalink), asy2)
+      // ...and the expired permalink has been swept from the cache
+      assert(get(s"/cached/$permalink").contains("\"status\":\"unknown\""))
+    } finally srv.stop()
+  }
 }
