@@ -332,9 +332,17 @@ object SparkEntry {
     // language-ID heuristic + quality scoring (rows-only check)
     "q_langid_quality" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
+      // tokenize + lowercase + stopword-lookup ONCE per row (materialized
+      // columns), then score language and quality off the shared arrays —
+      // higher-order functions are interpreted, so shared subtrees must be
+      // materialized, not repeated
+      docs
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__masks", TextAnalysis.langMasks(col("__toks")))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromMasks(col("__masks")).as("lang_pred"),
+          TextAnalysis.qualityScoreFromMasks(col("text"), col("__toks"),
+            col("__masks")).as("quality"),
           TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },

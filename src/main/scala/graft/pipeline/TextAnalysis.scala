@@ -39,30 +39,52 @@ object TextAnalysis {
         length(text))
 
   /** Fraction of tokens found in the given stopword list. */
-  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
-    val t = tokens(text)
+  def stopwordRatio(text: Column, stop: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(text), stop)
+
+  def stopwordRatioFromTokens(t: Column, stop: Seq[String]): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       size(filter(t, tok => array_contains(lit(stop.toArray), lower(tok))))
         .cast("double") / size(t))
-  }
 
-  def meanTokenLength(text: Column): Column = {
-    val t = tokens(text)
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthFromTokens(tokens(text))
+
+  def meanTokenLengthFromTokens(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       aggregate(t, lit(0L), (acc, tok) => acc + length(tok)).cast("double") /
         size(t))
-  }
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, some stopwords, plausible word length. The weights are a
     * heuristic, not a model — deterministic and cheap at any scale.
     */
-  def qualityScore(text: Column, stop: Seq[String] = enStopwords): Column = {
-    val n = tokenCount(text).cast("double")
+  def qualityScore(text: Column, stop: Seq[String] = enStopwords): Column =
+    qualityScoreFromTokens(text, tokens(text), stop)
+
+  /** [[qualityScore]] over a pre-tokenized column — computing the token
+    * array once per row and sharing it across qualityScore/langId/counters
+    * is the single biggest saving when scoring a corpus (tokenization is
+    * the dominant per-row regex).
+    */
+  def qualityScoreFromTokens(text: Column, t: Column,
+                             stop: Seq[String] = enStopwords): Column =
+    qualityScoreParts(text, t, stopwordRatioFromTokens(t, stop))
+
+  /** [[qualityScore]] sharing pre-computed [[langMasks]]: the English
+    * stop-ratio comes from mask bit 0, so the whole score adds zero extra
+    * string passes beyond the one shared tokenize+lookup.
+    */
+  def qualityScoreFromMasks(text: Column, t: Column, masks: Column): Column =
+    qualityScoreParts(text, t, stopwordRatioFromMasks(t, masks, 0))
+
+  private def qualityScoreParts(text: Column, t: Column,
+                                stopRatio: Column): Column = {
+    val n = size(t).cast("double")
     val lengthScore = least(n / 64.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text, stop) * 4.0, lit(1.0))
-    val mtl = meanTokenLength(text)
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val mtl = meanTokenLengthFromTokens(t)
     val wordLenScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.3)
     round((lengthScore * 0.25 + punctScore * 0.25 + stopScore * 0.25 +
       wordLenScore * 0.25), 6)
@@ -82,19 +104,53 @@ object TextAnalysis {
     "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "in", "non", "si",
       "una", "con", "del", "le", "sono"))
 
+  /** token → bitmask of languages whose stopword list contains it: one hash
+    * lookup per token replaces |langs| × |list| string comparisons (and the
+    * |langs| redundant lower() passes) when scoring all languages at once.
+    */
+  private lazy val stopwordBits: Map[String, Int] =
+    langStopwords.zipWithIndex.foldLeft(Map.empty[String, Int]) {
+      case (m, ((_, words), i)) =>
+        words.foldLeft(m)((mm, w) => mm.updated(w, mm.getOrElse(w, 0) | (1 << i)))
+    }
+
   /** n-gram-heuristic language ID: argmax of stopword hits per language;
     * "und" (undetermined) when no list scores a hit. Ties break
     * alphabetically-last via struct max — deterministic.
     */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scored = langStopwords.map { case (lang, stop) =>
-      val hits = size(filter(t, tok => array_contains(lit(stop.toArray), lower(tok))))
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def langIdFromTokens(t: Column): Column = langIdFromMasks(langMasks(t))
+
+  /** Per-token language bitmasks: lowercase each token once, resolve its
+    * stopword-membership bitmask via a literal-map hash lookup. Materialize
+    * this ONCE per row (`withColumn`) and share it — higher-order functions
+    * are interpreted (CodegenFallback), so repeated subtrees really do
+    * recompute.
+    */
+  def langMasks(t: Column): Column =
+    transform(t,
+      tok => coalesce(element_at(typedLit(stopwordBits), lower(tok)), lit(0)))
+
+  /** Language argmax over [[langMasks]] output: per-language hit counts are
+    * integer bit tests over the small mask array — no further string work.
+    */
+  def langIdFromMasks(masks: Column): Column = {
+    val scored = langStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      val hits = size(filter(masks, m => m.bitwiseAND(lit(1 << i)) =!= 0))
       struct(hits.as("s"), lit(lang).as("l"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
+
+  /** [[stopwordRatio]] for a language in [[langStopwords]], counted from
+    * pre-computed masks — shares the one lower()+lookup pass per row.
+    */
+  def stopwordRatioFromMasks(t: Column, masks: Column, langIdx: Int): Column =
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(masks, m => m.bitwiseAND(lit(1 << langIdx)) =!= 0))
+        .cast("double") / size(t))
 
   /** Deterministic document fingerprint: position-weighted token hash,
     * `(Σ_i (ascii(tok_i)+len(tok_i))·i) mod 1e9+7` (1-based i). Order-
