@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product via a left-fold in doubles — deterministic element order,
-    * so results are bit-reproducible across engines and runs.
+  /** Dot product — index-order summation in doubles, so results are
+    * bit-reproducible across engines and runs. Compiled by the native
+    * [[graft.functions.VecDot]] expression (tight codegen loop) rather than
+    * an interpreted `aggregate(zip_with(...))` fold: identical fold order
+    * and widening, ~an order of magnitude less per-pair overhead in joins.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,9 +34,9 @@ object Similarity {
 
   def cosineQuantized(a: Column, b: Column): Column = {
     val qa = quantize(a); val qb = quantize(b)
-    val dq = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val na = aggregate(transform(qa, x => x * x), lit(0L), (acc, x) => acc + x)
-    val nb = aggregate(transform(qb, x => x * x), lit(0L), (acc, x) => acc + x)
+    val dq = graft.functions.VecDot(qa, qb) // long×long stays exact
+    val na = graft.functions.VecDot(qa, qa)
+    val nb = graft.functions.VecDot(qb, qb)
     dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
@@ -92,16 +93,14 @@ object Similarity {
     val prep =
       if (quantized) df.select(blockCol.as("block"), idCol.as("id"),
         quantize(vecCol).as("qv"))
-        .withColumn("nq", sqrt(
-          aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, x) => acc + x)
-            .cast("double")))
+        .withColumn("nq",
+          sqrt(graft.functions.VecDot(col("qv"), col("qv")).cast("double")))
       else df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("qv"))
         .withColumn("nq", norm(col("qv")))
     val a = prep.as("a"); val b = prep.as("b")
     val dotC =
       if (quantized)
-        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double")
+        graft.functions.VecDot(col("a.qv"), col("b.qv")).cast("double")
       else dot(col("a.qv"), col("b.qv"))
     val pairs = a.join(b, col("a.block") === col("b.block") &&
         col("a.id") < col("b.id"))
