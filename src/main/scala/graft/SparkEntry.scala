@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{GeoIp, Redis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +40,23 @@ object SparkEntry {
   private def gqT(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Engine.sql(catalogFor(s, dir), sql, () => FixedNow)
       .withColumn("_time", unix_millis(col("_time")))
+
+  /** Deterministic /22-block IP ranges for the geo gate: 1024 blocks of
+    * 2^22 addresses whose values are arithmetic in the block index, so the
+    * DuckDB oracle reproduces the lookup with integer math while the Spark
+    * side exercises the real install→broadcast→binary-search path.
+    */
+  private def geoRanges(s: SparkSession): DataFrame =
+    s.range(1024).select(
+      (col("id") * 4194304L).as("start_ip"),
+      (col("id") * 4194304L + 4194303L).as("end_ip"),
+      concat(lit("C"), (col("id") % 37).cast("string")).as("country_code"),
+      concat(lit("R"), (col("id") % 11).cast("string")).as("region"),
+      concat(lit("city"), (col("id") % 101).cast("string")).as("city"),
+      concat(lit("isp"), (col("id") % 13).cast("string")).as("isp"),
+      concat(lit("org"), (col("id") % 7).cast("string")).as("org"),
+      (lit(9000L) + col("id") % 53).cast("string").as("asn"),
+      concat(lit("as"), (col("id") % 53).cast("string")).as("asname"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -225,6 +243,46 @@ object SparkEntry {
         |  REPLACEALL(c_mktsegment, '[AEIOU]', '_') AS seg2,
         |  ANY(DECODE(c_mktsegment, 'MACHINERY', 'm', NULL), 'fallback') AS anyk
         |ORDER BY seg, seg2, anyk""".stripMargin),
+
+    // §2.6 geo/ISP lookups: broadcast IP-range table probed by the
+    // codegen'd RangeLookup binary search (no join, no shuffle beyond the
+    // GROUP BY). The gate range DB is arithmetic-derived (/22 blocks) so
+    // DuckDB reproduces the lookup without the table; install() is the same
+    // path a real GeoLite2 export would use.
+    "q_geo" -> { (s, dir) =>
+      GeoIp.install(s, geoRanges(s))
+      val cat = catalogFor(s, dir)
+      val ev = cat.get("events").df.withColumn("ip",
+        (col("user_id") * lit(2654435761L)) % lit(4294967296L))
+      Engine.sql(cat.add(Catalog.classify("eventsip", ev)),
+        """SELECT MIN(value) AS mn, MAX(value) AS mx, _points
+          |FROM eventsip
+          |GROUP BY COUNTRY_CODE(ip) AS country, REGION_CITY(ip) AS rc,
+          |  ASN(ip) AS asn
+          |ORDER BY country, rc, asn""".stripMargin, () => FixedNow)
+    },
+
+    // §2.6 redis-style lookups: HGET/SISMEMBER against broadcast snapshots,
+    // LUA dispatching to a registered named script — enrichment without a
+    // join (the nation dim rides a broadcast probe inside codegen)
+    "q_kv_lookup" -> { (s, dir) =>
+      val cat = catalogFor(s, dir)
+      val nation = cat.get("nation").df
+      Redis.installHash(s, "nation",
+        nation.select(col("n_nationkey").cast("string"), col("n_name")))
+      Redis.installSet(s, "amer_asia",
+        nation.filter(col("n_regionkey").isin(1, 2))
+          .select(col("n_nationkey").cast("string")))
+      Redis.registerScript("initial",
+        (keys, _) => substring(element_at(keys, 1), 1, 1))
+      Engine.sql(cat,
+        """SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx, _points
+          |FROM customer
+          |GROUP BY HGET('nation', c_nationkey) AS nat,
+          |  SISMEMBER('amer_asia', c_nationkey) AS sel,
+          |  LUA('initial', ARRAY(HGET('nation', c_nationkey)), ARRAY('x')) AS ini
+          |ORDER BY nat, sel, ini""".stripMargin, () => FixedNow)
+    },
 
     // §2.2/§2.8 ASOF/UNTIL with absolute instants
     "q_asof_until" -> gq(
@@ -589,6 +647,25 @@ object SparkEntry {
         |  coalesce(CASE WHEN c_mktsegment = 'MACHINERY' THEN 'm' END, 'fallback') AS anyk,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_geo" ->
+      """WITH e AS (
+        |  SELECT ((user_id * 2654435761) % 4294967296) // 4194304 AS b, value
+        |  FROM events)
+        |SELECT 'C' || CAST(b % 37 AS VARCHAR) AS country,
+        |  'R' || CAST(b % 11 AS VARCHAR) || ', city' || CAST(b % 101 AS VARCHAR) AS rc,
+        |  CAST(9000 + b % 53 AS VARCHAR) AS asn,
+        |  min(value) AS mn, max(value) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM e GROUP BY 1, 2, 3 ORDER BY country, rc, asn""".stripMargin,
+
+    "q_kv_lookup" ->
+      """SELECT n_name AS nat, (n_regionkey IN (1, 2)) AS sel,
+        |  substr(n_name, 1, 1) AS ini,
+        |  min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY nat, sel, ini""".stripMargin,
 
     "q_asof_until" ->
       """SELECT o_orderpriority,

@@ -116,12 +116,16 @@ object Builders {
         }
       case "RAND" => rand()
       case other =>
-        val p = dimFnProviders.get(other)
-        if (p != null) p(cols)
-        else throw new IllegalArgumentException(
-          s"dim function $other has no registered provider " +
-            "(Builders.registerDimFnProvider) — geo/ISP/redis-style lookups " +
-            "are pluggable, reference zenodb.go:256-276")
+        val pr = dimFnProvidersRaw.get(other)
+        if (pr != null) pr(cols, raw)
+        else {
+          val p = dimFnProviders.get(other)
+          if (p != null) p(cols)
+          else throw new IllegalArgumentException(
+            s"dim function $other has no registered provider " +
+              "(Builders.registerDimFnProvider) — geo/ISP/redis-style lookups " +
+              "are pluggable, reference zenodb.go:256-276")
+        }
     }
 
   /** Pluggable lookup functions (CITY/ISP/ASN/HGET/... —
@@ -135,9 +139,29 @@ object Builders {
     */
   private val dimFnProviders =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Column] => Column]()
+  // raw-aware providers additionally see the parsed argument AST — needed by
+  // functions whose first arg selects a compile-time structure (HGET's hash
+  // name, LUA's script), mirroring how the reference resolves them at parse
+  // time (sql.go:92-106)
+  private val dimFnProvidersRaw = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Column], Seq[DExpr]) => Column]()
+  def registerDimFnProviderRaw(
+      name: String, f: (Seq[Column], Seq[DExpr]) => Column): Unit = {
+    dimFnProvidersRaw.put(name.toUpperCase, f)
+    graft.sqlx.Parser.registerDimFunction(name)
+  }
   def registerDimFnProvider(name: String, f: Seq[Column] => Column): Unit = {
     dimFnProviders.put(name.toUpperCase, f)
     graft.sqlx.Parser.registerDimFunction(name)
+  }
+
+  /** Invoke a registered provider directly — lets composed providers
+    * (e.g. REGION_CITY = REGION + CITY) reuse their parts.
+    */
+  def dimFnColumn(name: String, cols: Seq[Column]): Column = {
+    val p = dimFnProviders.get(name.toUpperCase)
+    require(p != null, s"no dim function provider registered for $name")
+    p(cols)
   }
 
   private def constStr(e: DExpr): String = e match {
