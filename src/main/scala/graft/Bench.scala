@@ -31,8 +31,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup amortizes JVM/codegen/session start out of per-query numbers
+    // warmup amortizes JVM/codegen/session start out of per-query numbers.
+    // Three plan families on throwaway data hit the big one-time class-load
+    // paths: scan+agg (via a real query), driver collect (CollectLimitExec +
+    // result serialization), and pivot (PivotFirst + wide-agg codegen) —
+    // without pre-running any measured query's own work.
     run("q_sum_group")
+    locally {
+      import spark.implicits._
+      spark.range(100).select(org.apache.spark.sql.functions.col("id")
+        .cast("string")).distinct().limit(1000).collect()
+      Seq(("a", "x", 1.0), ("b", "y", 2.0)).toDF("k", "p", "v")
+        .groupBy("k").pivot("p", Seq("x", "y"))
+        .agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // ingest benchmark (the reference's only perf instrumentation is insert
     // throughput, insert.go:110-118): materialize the events stream into a

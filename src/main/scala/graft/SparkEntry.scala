@@ -421,6 +421,23 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
     },
 
+    // embedding-cosine near-dup dedup: plant exact twins (same vector, new
+    // id) in a bounded block, then keep only rows with no ≥-threshold
+    // neighbor of smaller id. Threshold 0.4 sits inside the natural cosine
+    // range (max ~0.51 here) so real non-twin decisions are exercised too.
+    "q_embed_dedup" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val twins = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label"))
+      val all = e.unionByName(twins)
+      Similarity.cosineDedup(all, col("embedding"), col("vec_id"),
+          threshold = 0.4, quantized = true)
+        .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+    },
+
     // multimodal plumbing: binary payloads + metadata + stubbed decode
     "q_multimodal" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -732,6 +749,19 @@ object SparkEntry {
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH q0 AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |  FROM embeddings WHERE vec_id < 1000),
+        |allr AS (SELECT vec_id, label, qe FROM q0
+        |  UNION ALL SELECT vec_id + 100000, label, qe FROM q0 WHERE vec_id % 10 = 0),
+        |dups AS (SELECT DISTINCT b.vec_id FROM allr a JOIN allr b
+        |  ON a.vec_id < b.vec_id
+        |  AND list_dot_product(a.qe, b.qe) /
+        |    (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))) >= 0.4)
+        |SELECT vec_id, label FROM allr
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups) ORDER BY vec_id""".stripMargin,
 
     "q_embed_top_pairs" ->
       """WITH q AS (SELECT vec_id, label,

@@ -79,6 +79,50 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate dedup: drop every row that has a
+    * neighbor with cosine ≥ `threshold` and a smaller id — the one-pass
+    * "earliest representative wins" rule production dedup pipelines use.
+    * (A chain a~b~c with a<b<c keeps only a, but a component whose later
+    * member is linked only through even-later rows can keep a second
+    * representative — the documented trade vs an iterative
+    * connected-components pass, which no single shuffle can express.)
+    *
+    * Candidates come from an LSH bucket self-join (`nBits` hyperplane sign
+    * bits): identical/near-identical vectors collide deterministically, so
+    * shuffle volume is per-bucket quadratic, not corpus quadratic. nBits=0
+    * degrades to exact all-pairs — bounded blocks and oracle checks only.
+    * The dropped-id set is compact (ids only), so the final anti-join
+    * broadcasts at any realistic dup rate.
+    */
+  def cosineDedup(df: DataFrame, vecCol: Column, idCol: Column,
+                  threshold: Double, dim: Int = 0, nBits: Int = 0,
+                  quantized: Boolean = false): DataFrame = {
+    require(nBits == 0 || dim > 0, "dim is required when nBits > 0")
+    // per-ROW prep (quantization + norm) BEFORE the join: a HOF like
+    // quantize() inside the pair predicate would re-fold both arrays
+    // interpreted, once per pair — the same trap blockedTopPairs dodges
+    val base = df.select(idCol.as("id"), vecCol.as("v"))
+      .withColumn("bucket",
+        if (nBits == 0) lit(0L) else lshBucket(col("v"), dim, nBits))
+    val prep =
+      if (quantized) base
+        .select(col("id"), col("bucket"), quantize(col("v")).as("qv"))
+        .withColumn("nq",
+          sqrt(graft.functions.VecDot(col("qv"), col("qv")).cast("double")))
+      else base.select(col("id"), col("bucket"), col("v").as("qv"))
+        .withColumn("nq", norm(col("qv")))
+    val a = prep.as("a"); val b = prep.as("b")
+    val dotC =
+      if (quantized)
+        graft.functions.VecDot(col("a.qv"), col("b.qv")).cast("double")
+      else dot(col("a.qv"), col("b.qv"))
+    val dups = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(dotC / (col("a.nq") * col("b.nq")) >= threshold)
+      .select(col("b.id").as("__dup")).distinct()
+    df.join(dups, idCol === col("__dup"), "left_anti")
+  }
+
   /** Most-similar pair per block (e.g. per label/cluster): block-local
     * self-join + window rank. The block key bounds the join quadratically —
     * at scale, blocks come from LSH buckets or IVF cells, and the same

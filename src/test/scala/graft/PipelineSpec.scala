@@ -161,6 +161,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 != c1 || ids.contains(59L))
   }
 
+  test("cosine dedup: twins drop, LSH-bucketed mode equals exact mode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+    // twins of every 4th vector under new larger ids
+    val twins = base.filter(_._1 % 4 == 0).map { case (i, v) => (i + 1000L, v) }
+    val all = (base ++ twins).toDF("id", "v")
+    val exact = Similarity.cosineDedup(all, col("v"), col("id"),
+        threshold = 0.999).select("id").collect().map(_.getLong(0)).sorted
+    // every twin has its original (smaller id, cosine 1.0) -> only base stays
+    assert(exact.toSeq == (0L until 40L).toSeq)
+    // LSH-bucketed candidates: identical vectors collide deterministically,
+    // so the same rows drop without the all-pairs join
+    val lsh = Similarity.cosineDedup(all, col("v"), col("id"),
+        threshold = 0.999, dim = 16, nBits = 8)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
   test("shingles: n>=2 on docs shorter than n tokens is empty, not an error") {
     import spark.implicits._
     val df = Seq((0L, ""), (1L, "one"), (2L, "two words"),
