@@ -26,7 +26,11 @@ final case class TableDef(
     resolution: Option[scala.concurrent.duration.FiniteDuration] = None,
     /** Materialized tables: the defining field exprs, enabling accumulator
       * merge-reads (the SubMerge relation) instead of raw re-accumulation. */
-    stored: Option[graft.exprs.Builders.StoredDef] = None)
+    stored: Option[graft.exprs.Builders.StoredDef] = None,
+    /** Time-bounded scan: given (asofMs, untilMs), return a source pruned at
+      * the storage layer (manifest day dirs) instead of filtering the full
+      * scan. None = source has no storage-level pruning (raw parquet). */
+    timePrune: Option[(Option[Long], Option[Long]) => DataFrame] = None)
 
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a

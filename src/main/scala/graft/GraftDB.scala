@@ -160,7 +160,24 @@ final class GraftDB(
           fieldAgg = Map.empty,
           hasPointsCol = false,
           resolution = t.query.resolution,
-          stored = Some(Builders.StoredDef(t.tableFields)))
+          stored = Some(Builders.StoredDef(t.tableFields)),
+          timePrune = Some { (lo, hi) =>
+            t.readPruned(lo, hi) match {
+              case None => spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+              case Some(p) =>
+                // pruned day subsets can predate a live ALTER and lack the
+                // newest accumulator columns — conform to the full-store
+                // schema (missing columns read as NULL = unset)
+                val have = p.columns.toSet
+                val aligned = df.schema.fields.foldLeft(p) { (acc, f) =>
+                  if (have(f.name)) acc
+                  else acc.withColumn(f.name,
+                    org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+                }
+                aligned.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+            }
+          })
       }
     }
     new Catalog(defs.map(d => d.name -> d).toMap)

@@ -46,7 +46,21 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           resolution = info.resolution)
     }
 
-    var base = src.df
+    // ---- ASOF / UNTIL bounds — resolved BEFORE the scan so a time-bounded
+    //      query over a stored table swaps in a manifest-pruned read (only
+    //      day dirs overlapping the window are listed/opened) ----
+    val nowMs = now()
+    def pointMs(p: TimePoint): Long = p match {
+      case TimeAbs(ms) => ms
+      case TimeRel(off) => nowMs + off // offsets are negative-in-SQL
+    }
+    val loMs = q.asOf.map(pointMs)
+    val hiMs = q.until.map(pointMs)
+
+    var base = src.timePrune match {
+      case Some(prune) if loMs.isDefined || hiMs.isDefined => prune(loMs, hiMs)
+      case _ => src.df
+    }
 
     // Unknown dims resolve to NULL rather than erroring (the reference keys
     // missing dims as nil, planner_test.go "unknown dims" scenarios).
@@ -77,19 +91,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       }
     }
 
-    // ---- ASOF / UNTIL time-range filter ----
-    val nowMs = now()
-    def pointMs(p: TimePoint): Long = p match {
-      case TimeAbs(ms) => ms
-      case TimeRel(off) => nowMs + off // offsets are negative-in-SQL
-    }
-    (q.asOf, q.until) match {
-      case (None, None) => ()
-      case (a, u) =>
-        val tc = src.timeCol.getOrElse(throw new IllegalArgumentException(
-          s"ASOF/UNTIL requires a time column on ${src.name}"))
-        a.foreach(p => base = base.filter(col(tc) >= timestamp_millis(lit(pointMs(p)))))
-        u.foreach(p => base = base.filter(col(tc) < timestamp_millis(lit(pointMs(p)))))
+    // ---- ASOF / UNTIL row filter (day-dir pruning above is coarse) ----
+    if (loMs.isDefined || hiMs.isDefined) {
+      val tc = src.timeCol.getOrElse(throw new IllegalArgumentException(
+        s"ASOF/UNTIL requires a time column on ${src.name}"))
+      loMs.foreach(ms => base = base.filter(col(tc) >= timestamp_millis(lit(ms))))
+      hiMs.foreach(ms => base = base.filter(col(tc) < timestamp_millis(lit(ms))))
     }
 
     // ---- group keys ----

@@ -152,6 +152,21 @@ final class MaterializedTable(
       .parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
   }
 
+  /** Manifest-level day pruning for time-bounded reads: an ASOF/UNTIL query
+    * lists and opens ONLY the day dirs overlapping [loMs, hiMs) — so at
+    * 100 TB the scan (file listing, footers, IO) scales with the queried
+    * window, not with retention. Returns None when no stored day overlaps.
+    */
+  def readPruned(loMs: Option[Long], hiMs: Option[Long]): Option[DataFrame] = {
+    val (_, days) = readManifest()
+    val keep = days.filter { case (d, _) =>
+      loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
+    }
+    if (keep.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(keep.values.map(p => s"$storePath/$p").toSeq: _*))
+  }
+
   private def readDays(days: Map[Long, String], subset: Set[Long]): Option[DataFrame] = {
     val paths = days.filter(e => subset(e._1)).values.map(p => s"$storePath/$p").toSeq
     if (paths.isEmpty) None

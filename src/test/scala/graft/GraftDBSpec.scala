@@ -322,6 +322,46 @@ class GraftDBSpec extends AnyFunSuite {
     assert(math.abs(d(got(0).getAs[Any]("p10")) - 10.0) <= tol(10.0))
   }
 
+  test("ASOF/UNTIL prunes day dirs at the manifest, not just rows") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val DayMs = 86400000L
+    // no retention: three inserts land on three distinct days
+    val yaml =
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 3 * DayMs)
+    db.insert("inbound", points())                 // day of T0
+    db.insert("inbound", points(0).withColumn("ts",
+      org.apache.spark.sql.functions.expr(s"ts + INTERVAL 1 DAY")))
+    db.insert("inbound", points(0).withColumn("ts",
+      org.apache.spark.sql.functions.expr(s"ts + INTERVAL 2 DAY")))
+
+    def iso(ms: Long) =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("Z", "")
+    val lo = iso((T0 / DayMs + 1) * DayMs)         // start of day 2
+    val hi = iso((T0 / DayMs + 2) * DayMs)         // start of day 3
+    val bounded = db.sql(
+      s"""SELECT requests, _points FROM combined
+         |ASOF '$lo' UNTIL '$hi' GROUP BY _""".stripMargin)
+    // only the middle day's dir is scanned
+    val files = bounded.inputFiles
+    assert(files.nonEmpty)
+    val days = files.flatMap(f =>
+      "__day=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)).distinct
+    assert(days.toSeq == Seq(T0 / DayMs + 1),
+      s"expected only day ${T0 / DayMs + 1} scanned, got ${days.toSeq}")
+    // and the result matches the one-day total
+    val r = bounded.collect()(0)
+    assert(approx(d(r.getAs[Any]("requests")), 1064.0)) // one full batch
+    // a window with no stored day yields zero rows, not an error
+    val empty = db.sql(
+      s"""SELECT requests FROM combined
+         |ASOF '${iso((T0 / DayMs + 9) * DayMs)}' GROUP BY _""".stripMargin)
+    assert(empty.collect().isEmpty)
+  }
+
   test("flush is incremental: untouched day partitions are not rewritten") {
     val dir = Files.createTempDirectory("graft-incr").toString
     val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
