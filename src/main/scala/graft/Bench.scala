@@ -32,18 +32,24 @@ object Bench {
     }
 
     // warmup amortizes JVM/codegen/session start out of per-query numbers.
-    // Three plan families on throwaway data hit the big one-time class-load
+    // Five plan families on throwaway data hit the big one-time class-load
     // paths: scan+agg (via a real query), driver collect (CollectLimitExec +
-    // result serialization), and pivot (PivotFirst + wide-agg codegen) —
-    // without pre-running any measured query's own work.
+    // result serialization), pivot (PivotFirst + wide-agg codegen), join,
+    // and window (WindowExec) — without pre-running any measured query's
+    // own work.
     run("q_sum_group")
     locally {
       import spark.implicits._
-      spark.range(100).select(org.apache.spark.sql.functions.col("id")
-        .cast("string")).distinct().limit(1000).collect()
-      Seq(("a", "x", 1.0), ("b", "y", 2.0)).toDF("k", "p", "v")
-        .groupBy("k").pivot("p", Seq("x", "y"))
-        .agg(org.apache.spark.sql.functions.sum("v"))
+      import org.apache.spark.sql.functions.{col, row_number, sum}
+      spark.range(100).select(col("id").cast("string"))
+        .distinct().limit(1000).collect()
+      val t = Seq(("a", "x", 1.0), ("b", "y", 2.0)).toDF("k", "p", "v")
+      t.groupBy("k").pivot("p", Seq("x", "y")).agg(sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"))
+      t.join(t.select(col("k"), col("v").as("v2")), Seq("k"), "full")
+        .withColumn("rn", row_number().over(w))
         .write.format("noop").mode("overwrite").save()
     }
 

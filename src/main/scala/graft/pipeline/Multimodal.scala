@@ -8,13 +8,13 @@ import org.apache.spark.sql.types._
   *
   * Media payloads ride as opaque `binary` columns next to a typed metadata
   * struct; all Spark-side plumbing (schema, partition sizing, batch shape)
-  * is real. Codec status: uncompressed formats are decoded FOR REAL in pure
-  * JVM code — 24-bit uncompressed BMP (pixel parse + grayscale pooling) and
-  * PCM16 WAV (RIFF chunk walk + per-window RMS) need no codec library.
-  * Compressed formats (JPEG/PNG/MP3/H.264) would need libraries this
-  * container lacks, so they fall back to the deterministic byte-derived
-  * fakes marked `STUB:` below — same schema and batch shape, so a real
-  * codec drops in by extending one dispatch.
+  * is real. Codec status: images are decoded FOR REAL — 24-bit uncompressed
+  * BMP via a pure-JVM pixel parser, and PNG/JPEG/GIF/WBMP via the JDK's own
+  * `javax.imageio` (java.desktop ships with the runtime; no external
+  * library) — as is PCM16 WAV audio (RIFF chunk walk + per-window RMS).
+  * Only formats with no JDK codec (MP3, H.264 video) fall back to the
+  * deterministic byte-derived fakes marked `STUB:` below — same schema and
+  * batch shape, so a real codec drops in by extending one dispatch.
   */
 object Multimodal {
 
@@ -134,25 +134,106 @@ object Multimodal {
     out
   }
 
+  /** REAL compressed-image decode via the JDK's `javax.imageio`
+    * (PNG/JPEG/GIF/WBMP readers ship in java.desktop): bulk-read the ARGB
+    * raster and average-pool grayscale into `dim` vertical strips — the same
+    * pooling as [[bmpGrayStrips]]. Returns null when no JDK reader claims
+    * the bytes (dispatches onward to the stub).
+    */
+  private[graft] def imageioGrayStrips(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null || bytes.length < 8) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return null
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val cell = math.min(dim - 1, x.toLong * dim / w).toInt
+          acc(cell) += (r + g + b) / (3.0 * 255.0)
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (cnt(i) == 0) 0f else (acc(i) / cnt(i)).toFloat)
+    } catch { case _: Exception => null }
+  }
+
   /** image decode → `dim` pooled grayscale features: REAL for 24-bit
-    * uncompressed BMP via [[bmpGrayStrips]]; other formats fall back to the
-    * STUB (deterministic hashes of payload chunks — the `array<float>` of
-    * length `dim` schema and batch shape are the same either way).
+    * uncompressed BMP via [[bmpGrayStrips]] (no ImageIO overhead) and for
+    * every JDK-readable compressed format via [[imageioGrayStrips]]
+    * (PNG/JPEG/GIF/WBMP); only unreadable payloads fall back to the STUB
+    * (deterministic hashes of payload chunks — the `array<float>` of length
+    * `dim` schema and batch shape are the same either way).
     */
   def decodeImageFeatures(payload: Column, dim: Int): Column = {
-    val real = udf((b: Array[Byte]) => bmpGrayStrips(b, dim))
+    val real = udf { (b: Array[Byte]) =>
+      val bmp = bmpGrayStrips(b, dim)
+      if (bmp != null) bmp else imageioGrayStrips(b, dim)
+    }
     coalesce(real(payload),
       transform(sequence(lit(0), lit(dim - 1)), i =>
         ((pmod(xxhash64(payload, i), lit(2000001L)) - 1000000L) /
           1000000.0).cast("float")))
   }
 
+  /** REAL decode of every JDK-supported audio container/encoding
+    * (8/16/24/32-bit, µ-law, a-law WAV; AU; AIFF) via `javax.sound.sampled`:
+    * convert to signed PCM16 little-endian and RMS-window the samples — the
+    * same envelope as [[wavRmsEnvelope]]. Returns null when no JDK provider
+    * claims the bytes (dispatches onward to the stub).
+    */
+  private[graft] def audioSystemRms(bytes: Array[Byte], windows: Int): Array[Float] = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val base = src.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+      val data = pcm.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = data.length / 2
+      if (n == 0) return null
+      val out = new Array[Float](windows)
+      var w = 0
+      while (w < windows) {
+        val s0 = (w.toLong * n / windows).toInt
+        val s1 = ((w + 1).toLong * n / windows).toInt
+        var sum = 0.0
+        var i = s0
+        while (i < s1) { val s = bb.getShort(i * 2) / 32768.0; sum += s * s; i += 1 }
+        out(w) = if (s1 > s0) math.sqrt(sum / (s1 - s0)).toFloat else 0f
+        w += 1
+      }
+      out
+    } catch { case _: Exception => null }
+  }
+
   /** audio decode → per-window energy envelope of `windows` values: REAL
-    * for PCM16 WAV via [[wavRmsEnvelope]]; other formats fall back to the
-    * STUB byte-slice hashes (same schema).
+    * for PCM16 WAV via [[wavRmsEnvelope]] (no provider overhead) and for
+    * every JDK-decodable format via [[audioSystemRms]]; only payloads no
+    * JDK provider claims (e.g. MP3) fall back to the STUB byte-slice hashes
+    * (same schema).
     */
   def decodeAudioEnvelope(payload: Column, windows: Int): Column = {
-    val real = udf((b: Array[Byte]) => wavRmsEnvelope(b, windows))
+    val real = udf { (b: Array[Byte]) =>
+      val wav = wavRmsEnvelope(b, windows)
+      if (wav != null) wav else audioSystemRms(b, windows)
+    }
     coalesce(real(payload),
       transform(sequence(lit(0), lit(windows - 1)), i =>
         (pmod(xxhash64(substring(payload, lit(1).cast("int"), lit(64).cast("int")), i),

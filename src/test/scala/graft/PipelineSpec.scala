@@ -279,6 +279,40 @@ class PipelineSpec extends AnyFunSuite {
     of.toSeq.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
   }
 
+  test("PNG/JPEG/GIF decode is real via the JDK's ImageIO") {
+    import spark.implicits._
+    def encoded(fmt: String, w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // 8x4, left half black right half white → strips [0,0,1,1]. PNG is
+    // lossless; JPEG is lossy; the JDK GIF *writer* palettizes RGB input
+    // (white lands at 191), so both get loose tolerances — the structure
+    // (dark left, bright right) is what proves a real decode happened.
+    val cases = Seq("png" -> 1e-6, "gif" -> 0.3, "jpg" -> 0.05)
+    for ((fmt, tol) <- cases) {
+      val bytes = encoded(fmt, 8, 4, (x, _) => if (x < 4) 0 else 255)
+      val feats = Seq((1L, bytes)).toDF("media_id", "payload")
+        .select(Multimodal.decodeImageFeatures(col("payload"), 4).as("f"))
+        .collect()(0).getSeq[Float](0)
+      assert(feats.size == 4, fmt)
+      assert(feats.take(2).forall(v => math.abs(v) < tol), s"$fmt: $feats")
+      assert(feats.drop(2).forall(v => math.abs(v - 1.0f) < tol), s"$fmt: $feats")
+    }
+    // payloads no JDK reader claims still fall back to the stub shape
+    val stub = Seq((2L, "definitely not an image".getBytes))
+      .toDF("media_id", "payload")
+      .select(Multimodal.decodeImageFeatures(col("payload"), 5).as("f"))
+      .collect()(0).getSeq[Float](0)
+    assert(stub.size == 5)
+  }
+
   test("WAV decode is real: RMS envelope tracks amplitude per window") {
     import spark.implicits._
     // first half silence, second half full-scale square wave → [0, 0.5]
@@ -296,5 +330,32 @@ class PipelineSpec extends AnyFunSuite {
       .select(Multimodal.decodeAudioEnvelope(col("payload"), 3).as("e"))
       .collect()(0).getSeq[Float](0)
     assert(stub.size == 3)
+  }
+
+  test("8-bit WAV and AU decode for real via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // silence then loud square wave, as UNSIGNED 8-bit samples
+    val half = 4000
+    val raw = (Array.fill[Byte](half)(128.toByte) ++
+      Array.tabulate[Byte](half)(i => if (i % 2 == 0) 192.toByte else 64.toByte))
+    def container(fileType: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, raw.length)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, fileType, out)
+      out.toByteArray
+    }
+    for (t <- Seq(AudioFileFormat.Type.WAVE, AudioFileFormat.Type.AU)) {
+      val env = Seq((1L, container(t))).toDF("media_id", "payload")
+        .select(Multimodal.decodeAudioEnvelope(col("payload"), 2).as("e"))
+        .collect()(0).getSeq[Float](0)
+      assert(env.size == 2, t)
+      assert(env(0) < 0.02, s"$t: $env")               // near-silence
+      // unsigned-8 ±64 about the 128 midpoint scales to ±0.5 of full range
+      assert(math.abs(env(1) - 0.5f) < 0.02, s"$t: $env")
+    }
   }
 }
