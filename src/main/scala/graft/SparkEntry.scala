@@ -390,18 +390,17 @@ object SparkEntry {
     // language-ID heuristic + quality scoring (rows-only check)
     "q_langid_quality" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      // tokenize + lowercase + stopword-lookup ONCE per row (materialized
-      // columns), then score language and quality off the shared arrays —
-      // higher-order functions are interpreted, so shared subtrees must be
-      // materialized, not repeated
+      // ONE native pass per row (functions.TextScore) produces every count
+      // the scorers need; language/quality are plain codegen arithmetic over
+      // the struct. PipelineSpec pins equivalence with the Column/HOF
+      // formulation in TextAnalysis.
       docs
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .withColumn("__masks", TextAnalysis.langMasks(col("__toks")))
+        .withColumn("__st", graft.functions.TextScore.stats(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.langIdFromMasks(col("__masks")).as("lang_pred"),
-          TextAnalysis.qualityScoreFromMasks(col("text"), col("__toks"),
-            col("__masks")).as("quality"),
-          TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
+          graft.functions.TextScore.langIdFromStats(col("__st")).as("lang_pred"),
+          graft.functions.TextScore.qualityScoreFromStats(col("__st"))
+            .as("quality"),
+          graft.functions.TextScore.bpeishFromStats(col("__st")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },
 

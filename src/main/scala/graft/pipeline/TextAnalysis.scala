@@ -93,6 +93,11 @@ object TextAnalysis {
   val enStopwords: Seq[String] = Seq("the", "and", "of", "to", "in", "is",
     "you", "that", "it", "for", "a", "on", "with", "as", "at", "this")
 
+  /** Language → stopword list, shared with the native single-pass scorer
+    * (`functions.TextScore`) so both formulations stay in lockstep.
+    */
+  private[graft] def langStopwordLists: Seq[(String, Seq[String])] = langStopwords
+
   private val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> enStopwords,
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein",
