@@ -64,6 +64,15 @@ object SparkEntry {
 
   private val MaxD = "1.7976931348623157e308"
 
+  /** Cached on-disk IVF index for the q_ann_ivf gate (also pre-built by
+    * Bench's warmup so the measured query is probe latency, not the one-time
+    * build). The "ivf" prefix keeps the dir name from starting with "_" (the
+    * sanitized leading "/") — Spark's DataSource warns on and filters
+    * user-supplied root paths that look like hidden files.
+    */
+  private[graft] def gateIvfPath(dir: String): String =
+    s"target/gate-ivf/ivf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   // 30d / 90d in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
@@ -364,7 +373,8 @@ object SparkEntry {
     "q_embed_top_pairs" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") < 2000) // bound the per-block quadratic join
-      Similarity.blockedTopPairs(e, col("embedding"), col("vec_id"), col("label"))
+      Similarity.blockedTopPairs(e, col("embedding"), col("vec_id"), col("label"),
+          stripes = 4) // ~10 labels alone underfill 32 cores; 4² grid tasks per label
         .select(col("block").as("label"), col("id_a"), col("id_b"),
           round(col("c"), 6).as("c"))
         .orderBy(col("label"))
@@ -412,7 +422,7 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0)
-      val idx = s"target/gate-ivf/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val idx = gateIvfPath(dir)
       val centroids = Similarity.ivfBuildIfMissing(e.filter(col("vec_id") =!= 0),
         col("embedding"), col("vec_id"), nCentroids = 16, idx)
       Similarity.ivfTopK(s, idx, centroids, col("embedding"), col("vec_id"),
@@ -433,7 +443,8 @@ object SparkEntry {
           col("label"))
       val all = e.unionByName(twins)
       Similarity.cosineDedup(all, col("embedding"), col("vec_id"),
-          threshold = 0.4, quantized = true)
+          threshold = 0.4, quantized = true,
+          stripes = 8) // nBits=0 → ONE bucket; the stripe grid is all the parallelism
         .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
     },
 

@@ -69,14 +69,65 @@ object Similarity {
     * (near-duplicate detection on the embedding side).
     */
   def lshCosinePairs(df: DataFrame, vecCol: Column, idCol: Column, dim: Int,
-                     nBits: Int, threshold: Double): DataFrame = {
+                     nBits: Int, threshold: Double,
+                     stripes: Int = 1): DataFrame = {
     val withB = df.select(idCol.as("id"), vecCol.as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, nBits))
-    val a = withB.as("a"); val b = withB.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    selfPairs(withB, Seq("bucket"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Every unordered pair of `prep` rows sharing the `blockKeys` values,
+    * one row per pair as struct columns `a` and `b` (no id-order guarantee
+    * between the two — normalize with least/greatest downstream).
+    *
+    * `stripes` parallelizes giant blocks: a block's pairs otherwise all land
+    * on ONE reducer (its key hashes to a single shuffle partition) — the
+    * classic skewed-LSH-bucket / single-block failure at scale. Each row is
+    * replicated to the `stripes` (lo,hi) stripe-grid tasks it participates
+    * in, so one block's pair triangle fans out over stripes·(stripes+1)/2
+    * independent tasks at the cost of a stripes× heavier shuffle of the
+    * (compact) prep rows. Spark's AQE skew-join can't do this for us: it
+    * splits skewed *partitions*, but a single join key is atomic — the grid
+    * is the only way to cut inside one key.
+    */
+  def selfPairs(prep: DataFrame, blockKeys: Seq[String], idKey: String,
+                stripes: Int = 1): DataFrame = {
+    require(stripes >= 1, "stripes must be >= 1")
+    val cols = prep.columns.toSeq
+    if (stripes == 1) {
+      val a = prep.select(struct(cols.map(col): _*).as("a"))
+      val b = prep.select(struct(cols.map(col): _*).as("b"))
+      a.join(b,
+        blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idKey") < col(s"b.$idKey"))
+    } else {
+      // row with stripe s participates in tasks {(min(s,t), max(s,t)) : t};
+      // the side-local s==lo / s==hi predicates push below the join, so each
+      // side keeps only the copies playing that side's role in the task
+      val repl = prep
+        .withColumn("__s", pmod(xxhash64(col(idKey)), lit(stripes)).cast("int"))
+        .select(struct(cols.map(col): _*).as("r"), col("__s"),
+          explode(sequence(lit(0), lit(stripes - 1))).as("__t"))
+        .select(col("r"), col("__s"),
+          least(col("__s"), col("__t")).as("__lo"),
+          greatest(col("__s"), col("__t")).as("__hi"))
+      val a = repl.as("pa"); val b = repl.as("pb")
+      a.join(b,
+          blockKeys.map(k => col(s"pa.r.$k") === col(s"pb.r.$k")).reduce(_ && _) &&
+            col("pa.__lo") === col("pb.__lo") &&
+            col("pa.__hi") === col("pb.__hi") &&
+            col("pa.__s") === col("pa.__lo") &&
+            col("pb.__s") === col("pb.__hi") &&
+            // diagonal task (i,i): id-order picks each pair once; off-diagonal
+            // (i,j): the role predicates above already orient the pair
+            (col("pa.__s") =!= col("pb.__s") ||
+              col(s"pa.r.$idKey") < col(s"pb.r.$idKey")))
+        .select(col("pa.r").as("a"), col("pb.r").as("b"))
+    }
   }
 
   /** Embedding-cosine near-duplicate dedup: drop every row that has a
@@ -96,7 +147,7 @@ object Similarity {
     */
   def cosineDedup(df: DataFrame, vecCol: Column, idCol: Column,
                   threshold: Double, dim: Int = 0, nBits: Int = 0,
-                  quantized: Boolean = false): DataFrame = {
+                  quantized: Boolean = false, stripes: Int = 1): DataFrame = {
     require(nBits == 0 || dim > 0, "dim is required when nBits > 0")
     // per-ROW prep (quantization + norm) BEFORE the join: a HOF like
     // quantize() inside the pair predicate would re-fold both arrays
@@ -111,15 +162,13 @@ object Similarity {
           sqrt(graft.functions.VecDot(col("qv"), col("qv")).cast("double")))
       else base.select(col("id"), col("bucket"), col("v").as("qv"))
         .withColumn("nq", norm(col("qv")))
-    val a = prep.as("a"); val b = prep.as("b")
     val dotC =
       if (quantized)
         graft.functions.VecDot(col("a.qv"), col("b.qv")).cast("double")
       else dot(col("a.qv"), col("b.qv"))
-    val dups = a.join(b,
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val dups = selfPairs(prep, Seq("bucket"), "id", stripes)
       .filter(dotC / (col("a.nq") * col("b.nq")) >= threshold)
-      .select(col("b.id").as("__dup")).distinct()
+      .select(greatest(col("a.id"), col("b.id")).as("__dup")).distinct()
     df.join(dups, idCol === col("__dup"), "left_anti")
   }
 
@@ -129,7 +178,8 @@ object Similarity {
     * ranking runs unchanged.
     */
   def blockedTopPairs(df: DataFrame, vecCol: Column, idCol: Column,
-                      blockCol: Column, quantized: Boolean = true): DataFrame = {
+                      blockCol: Column, quantized: Boolean = true,
+                      stripes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // precompute per-ROW vectors and norms once; the O(pairs) join then only
     // evaluates the dot product — norms inside the pair expression would
@@ -141,15 +191,14 @@ object Similarity {
           sqrt(graft.functions.VecDot(col("qv"), col("qv")).cast("double")))
       else df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("qv"))
         .withColumn("nq", norm(col("qv")))
-    val a = prep.as("a"); val b = prep.as("b")
     val dotC =
       if (quantized)
         graft.functions.VecDot(col("a.qv"), col("b.qv")).cast("double")
       else dot(col("a.qv"), col("b.qv"))
-    val pairs = a.join(b, col("a.block") === col("b.block") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.block").as("block"), col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
+    val pairs = selfPairs(prep, Seq("block"), "id", stripes)
+      .select(col("a.block").as("block"),
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         (dotC / (col("a.nq") * col("b.nq"))).as("c"))
     val w = Window.partitionBy(col("block"))
       .orderBy(col("c").desc, col("id_a"), col("id_b"))
@@ -168,6 +217,34 @@ object Similarity {
       .orderBy(xxhash64(col("id")), col("id")).limit(n)
       .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
 
+  /** Lloyd refinement of seeded centroids: `iters` rounds of
+    * assign-then-average, each round one map-only assign plus one partial
+    * aggregation on (cell, position) — 2 jobs whose result is
+    * nCentroids×dim doubles on the driver, independent of corpus size.
+    * Hash-sampled seeds + a few Lloyd rounds is the k-means|| recipe minus
+    * the randomized oversampling, kept deterministic so a cached index can
+    * be reused exactly. A cell that loses all rows keeps its seed (mirrors
+    * k-means's empty-cluster guard). Balanced cells are what make nProbe
+    * pruning effective: with arbitrary seeds one hot cell can hold most of
+    * the corpus and the "index" degenerates to a scan.
+    */
+  def refineCentroids(df: DataFrame, vecCol: Column,
+                      centroids: Seq[(Int, Seq[Float])],
+                      iters: Int): Seq[(Int, Seq[Float])] = {
+    var cur = centroids
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(df.select(vecCol.as("__v")), col("__v"), cur)
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy("__c", "__p").agg(avg(col("__x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1).map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(_._3.toFloat).toSeq
+      }
+      cur = cur.map { case (i, seed) => i -> byCell.getOrElse(i, seed) }
+    }
+    cur
+  }
+
   /** Assign each row to its nearest centroid (broadcast argmin — map-only). */
   def ivfAssign(df: DataFrame, vecCol: Column,
                 centroids: Seq[(Int, Seq[Float])]): DataFrame = {
@@ -184,8 +261,9 @@ object Similarity {
     * them.
     */
   def ivfBuild(df: DataFrame, vecCol: Column, idCol: Column, nCentroids: Int,
-               indexPath: String): Seq[(Int, Seq[Float])] = {
-    val centroids = sampleCentroids(df, vecCol, idCol, nCentroids)
+               indexPath: String, refineIters: Int = 2): Seq[(Int, Seq[Float])] = {
+    val centroids = refineCentroids(df, vecCol,
+      sampleCentroids(df, vecCol, idCol, nCentroids), refineIters)
     ivfAssign(df, vecCol, centroids)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
@@ -211,19 +289,22 @@ object Similarity {
     * to the index; the sample is deterministic, so reuse is exact.
     */
   def ivfBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
-                        nCentroids: Int, indexPath: String): Seq[(Int, Seq[Float])] = {
+                        nCentroids: Int, indexPath: String,
+                        refineIters: Int = 2): Seq[(Int, Seq[Float])] = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
-    val fp = datasetFingerprint(df, idCol)
+    // the header keys the cache by dataset AND build recipe — a recipe
+    // change (refinement rounds) must not silently reuse old cells
+    val header = s"fp=${datasetFingerprint(df, idCol)};lloyd=$refineIters"
     if (java.nio.file.Files.exists(metaPath)) {
       val lines = java.nio.file.Files.readAllLines(metaPath)
-      if (lines.size() == nCentroids + 1 && lines.get(0) == s"fp=$fp") {
+      if (lines.size() == nCentroids + 1 && lines.get(0) == header) {
         return (0 until nCentroids).map { i =>
           i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
         }
       }
     }
-    val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath)
-    val body = (s"fp=$fp" +: centroids.map(_._2.map(f => f.toString).mkString(",")))
+    val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath, refineIters)
+    val body = (header +: centroids.map(_._2.map(f => f.toString).mkString(",")))
       .mkString("\n")
     java.nio.file.Files.writeString(metaPath, body)
     centroids

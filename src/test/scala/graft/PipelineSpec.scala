@@ -180,6 +180,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("striped selfPairs: identical pair set at any stripe count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i => (i, i % 3, rnd.nextDouble())).toDF("id", "blk", "x")
+    def pairs(stripes: Int) =
+      Similarity.selfPairs(df, Seq("blk"), "id", stripes)
+        .select(least(col("a.id"), col("b.id")), greatest(col("a.id"), col("b.id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(1)
+    // 3 blocks of 20 -> 190 pairs each
+    assert(base.size == 3 * 190)
+    for (s <- Seq(2, 5, 8, 64)) { // incl. stripes >> rows-per-block
+      val got = pairs(s)
+      assert(got == base, s"stripes=$s diverged: ${got.size} vs ${base.size}")
+    }
+  }
+
+  test("striped pair operators match their unstriped output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 50L).map(i => (i, i % 4, Array.fill(12)(rnd.nextFloat())))
+    val twins = base.filter(_._1 % 5 == 0).map { case (i, l, v) => (i + 500L, l, v) }
+    val all = (base ++ twins).toDF("id", "label", "v")
+    val d1 = Similarity.cosineDedup(all, col("v"), col("id"), threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val d8 = Similarity.cosineDedup(all, col("v"), col("id"), threshold = 0.999,
+        stripes = 8).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(d8 == d1)
+    def tp(stripes: Int) = Similarity.blockedTopPairs(all, col("v"), col("id"),
+        col("label"), stripes = stripes)
+      .select("block", "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(tp(6) == tp(1))
+    def lp(stripes: Int) = Similarity.lshCosinePairs(all, col("v"), col("id"),
+        dim = 12, nBits = 4, threshold = 0.999, stripes = stripes)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lp(3) == lp(1) && lp(1).nonEmpty)
+  }
+
   test("shingles: n>=2 on docs shorter than n tokens is empty, not an error") {
     import spark.implicits._
     val df = Seq((0L, ""), (1L, "one"), (2L, "two words"),
