@@ -50,16 +50,21 @@ object Dedup {
     * near-dup detection use [[minHashLsh]] and verify only candidates.
     */
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column, n: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, stripes: Int = 1): DataFrame = {
     val t = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
     val e = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // striped within hot posting lists: a stop-shingle's postings otherwise
+    // pair up on a single reducer (see Similarity.selfPairs)
+    Similarity.selfPairs(e, Seq("tok"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.sz")).otherwise(col("b.sz")).as("sza"),
+        when(col("a.id") < col("b.id"), col("b.sz")).otherwise(col("a.sz")).as("szb"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"),
-        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -95,22 +100,23 @@ object Dedup {
     * pays the verification cost.
     */
   def minHashLsh(df: DataFrame, textCol: Column, idCol: Column, n: Int,
-                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                 numHashes: Int, bands: Int, threshold: Double,
+                 stripes: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .filter(size(col("sh")) > 0) // empty docs have no signature
     val sig = base.select(col("id"),
       minHashFromShingles(col("sh"), numHashes).as("sig"))
-    // compact band rows: (id, band, bandHash) — no payload through the shuffle
+    // compact band rows: (id, band, bandHash) — no payload through the
+    // shuffle; striping splits a hot bucket (a band value shared by a large
+    // near-dup cluster) across reducers (see Similarity.selfPairs)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
-    val a = banded.as("a"); val b2 = banded.as("b")
-    val candidates = a.join(b2,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = Similarity.selfPairs(banded, Seq("band", "bh"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     // verify candidates only: join shingle sets back by id
     val sa = base.select(col("id").as("id_a"), col("sh").as("sha"))
@@ -146,8 +152,17 @@ object Dedup {
       (acc, bits) => zip_with(acc, bits, (a, b) => a + b * 2 - 1))
   }
 
-  /** 64-bit SimHash of the token multiset: per-bit vote of token hashes. */
-  def simHash(text: Column): Column = {
+  /** 64-bit SimHash of the token multiset: per-bit vote of token hashes.
+    * Compiled by the native [[graft.functions.SimHash64]] expression (one
+    * JVM loop per row); [[simHashColumnar]] is the Column/HOF executable
+    * spec it is pinned against in PipelineSpec.
+    */
+  def simHash(text: Column): Column = graft.functions.SimHash64.simhash64(text)
+
+  /** HOF formulation of [[simHash]] — kept as the executable spec for the
+    * native expression (same md5 nibble bits, same votes, same sign rule).
+    */
+  private[graft] def simHashColumnar(text: Column): Column = {
     val votes = simHashVotes(text)
     // assemble sign bits into a long
     aggregate(
@@ -161,7 +176,7 @@ object Dedup {
     * must agree on ≥1 chunk (pigeonhole), so the join key is a chunk value.
     */
   def simHashPairs(df: DataFrame, textCol: Column, idCol: Column,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, stripes: Int = 1): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val sigDf = df.select(idCol.as("id"), simHash(textCol).as("sig"))
@@ -170,10 +185,9 @@ object Dedup {
         val shifted = call_function("shiftrightunsigned", col("sig"), b * width)
         shifted.bitwiseAND(lit((1L << width) - 1))
       })).as(Seq("block", "bv")))
-    val a = banded.as("a"); val b2 = banded.as("b")
-    a.join(b2, col("a.block") === col("b.block") && col("a.bv") === col("b.bv") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    Similarity.selfPairs(banded, Seq("block", "bv"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)

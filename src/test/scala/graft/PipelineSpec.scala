@@ -220,6 +220,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(lp(3) == lp(1) && lp(1).nonEmpty)
   }
 
+  test("native SimHash64 is bit-identical to the Column/HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val words = Vector("alpha", "Beta", "γάμμα", "delta,", "e", "ζ7", "\ttab")
+    val docs = Seq("", " ", "   ", "a", "a b", "a  b", " padded  doc ",
+      "tab\tinside stays one-token", "ünïcødé tökens überall") ++
+      (0 until 60).map(_ => Seq.fill(1 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.size))).mkString(" " * (1 + rnd.nextInt(2))))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), Dedup.simHash(col("text")).as("n"),
+        Dedup.simHashColumnar(col("text")).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: native ${r.getLong(1)} != columnar ${r.getLong(2)}")
+    }
+    // null text → null signature on both paths
+    val nulls = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(Dedup.simHash(col("text")), Dedup.simHashColumnar(col("text")))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("striped text dedup operators match their unstriped output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc() = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, doc()))
+    val dups = base.take(8).map { case (i, t) => (i + 100L, t + " theta") }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    def jp(s: Int) = Dedup.jaccardPairs(df, col("text"), col("doc_id"), 2, 0.5, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(jp(5) == jp(1) && jp(1).nonEmpty)
+    def ml(s: Int) = Dedup.minHashLsh(df, col("text"), col("doc_id"), 2, 32, 8, 0.5, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(ml(5) == ml(1) && ml(1).nonEmpty)
+    def sp(s: Int) = Dedup.simHashPairs(df, col("text"), col("doc_id"), 7, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(sp(5) == sp(1) && sp(1).nonEmpty)
+  }
+
   test("shingles: n>=2 on docs shorter than n tokens is empty, not an error") {
     import spark.implicits._
     val df = Seq((0L, ""), (1L, "one"), (2L, "two words"),
