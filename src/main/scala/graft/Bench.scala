@@ -75,6 +75,23 @@ object Bench {
           lit("bin"), lit(2), lit(2), lit(0L))
         .select(graft.pipeline.Multimodal.decodeImageFeatures(col("payload"), 4))
         .write.format("noop").mode("overwrite").save()
+      // dialect planner families on a 2-row in-memory table: crosstab pivot
+      // (incl. the data-derived pivot-value collect job) and the shift
+      // self-join + span clamp — the first CROSSTAB/SHIFT query otherwise
+      // pays their one-time plan/codegen cost
+      val wt = Seq(("x", "p", 1.0, new java.sql.Timestamp(0L)),
+          ("y", "q", 2.0, new java.sql.Timestamp(86400000L)))
+        .toDF("k", "p", "v", "t")
+      val wcat = new Catalog(Map.empty).add(Catalog.classify("wt", wt))
+      Engine.sql(wcat, "SELECT v FROM wt GROUP BY k, CROSSTAB(p)")
+        .write.format("noop").mode("overwrite").save()
+      Engine.sql(wcat,
+          "SELECT SUM(v) AS s, SHIFT(SUM(v), '-1d') AS pv FROM wt GROUP BY _, period('1d')")
+        .write.format("noop").mode("overwrite").save()
+      // striped pair-join shape (struct pack + stripe explode + grid join)
+      graft.pipeline.Similarity.cosineDedup(vecs, col("v"), col("id"),
+          threshold = 0.999, quantized = true, stripes = 2)
+        .write.format("noop").mode("overwrite").save()
       // parquet committer/reader + partitioned discovery + GraftDB ingest path
       val wdir = java.nio.file.Files.createTempDirectory("graft-warm").toString
       t.write.mode("overwrite").partitionBy("p").parquet(s"$wdir/t")
