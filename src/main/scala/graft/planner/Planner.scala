@@ -267,52 +267,77 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       groupNames: Seq[String],
       hasTime: Boolean,
       bucketMs: Option[Long]): DataFrame = {
-    var agged = base.groupBy(groupCols: _*)
+    val agged = base.groupBy(groupCols: _*)
       .agg(compiled.aggs.head, compiled.aggs.tail: _*)
-    if (compiled.shifts.nonEmpty) {
-      require(hasTime, "SHIFT requires time bucketing (period)")
-      val nonTime = groupNames.filterNot(_ == "_time")
-      val joinKeys = "_time" +: nonTime
-      val b = bucketMs.get
-      // each series' data span, BEFORE any shift adds rows: the reference's
-      // per-group sequences are dense WITHIN [first, last] data bucket
-      // (zenodb_test.go:578-628 emits the interior gap row with only the
-      // shifted value set, but nothing past the series' last bucket)
-      val bounds = agged.groupBy(nonTime.map(col): _*)
-        .agg(min(col("_time")).as("__tmin"), max(col("_time")).as("__tmax"))
-      compiled.shifts.foreach { sh =>
-        // offsets round down to whole buckets (expr/shift.go:62-72 computes
-        // offset/resolution in bucket units)
-        val off = (sh.offsetMillis / b) * b
-        val shifted = agged.select(
-          (nonTime.map(col) :+
-            timestamp_millis(unix_millis(col("_time")) + off).as("_time") :+
-            sh.srcExpr.as(sh.alias)): _*)
-          .where(col(sh.alias).isNotNull)
-        val shiftedR = shifted.toDF(shifted.columns.map(c =>
-          if (c == sh.alias) c else s"__r_$c"): _*)
-        val cond = joinKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
-        // FULL outer: a shifted value lands at bucket t even when the
-        // unshifted series has no data at t (that row's own accumulators
-        // read unset); flattenSkip later drops rows where every selected
-        // field is unset.
-        var joined = agged.join(shiftedR, cond, "full_outer")
-        joinKeys.foreach { k =>
-          joined = joined.withColumn(k, coalesce(col(k), col(s"__r_$k")))
-        }
-        agged = joined.drop(joinKeys.map("__r_" + _): _*)
+    if (compiled.shifts.isEmpty) return agged
+
+    require(hasTime, "SHIFT requires time bucketing (period)")
+    val nonTime = groupNames.filterNot(_ == "_time")
+    val b = bucketMs.get
+    val valNames = agged.columns.filterNot(groupNames.contains).toSeq
+
+    // ONE pass over the aggregated output — no joins, no second source
+    // scan: each aggregated row explodes into its own bucket (carrying the
+    // accumulator struct) plus one re-keyed row per SHIFT (carrying only
+    // that shift's value), and a single regroup per (bucket, dims) zips
+    // them back together. The previous self-join formulation planned the
+    // aggregation once per shift side; column pruning narrowed each copy
+    // differently, so Catalyst could not reuse the exchange and the RAW
+    // table was scanned (1 + shifts + 1) times — at 100 TB each SHIFT
+    // would re-read the corpus. NULL dims stay legitimate group keys (the
+    // reference's nil dims): groupBy/Window treat NULL as a value, which
+    // is exactly what the old <=> join keys encoded.
+    //
+    // A `when(false, e)` is a NULL with e's type — the explode array needs
+    // identical struct schemas across entries.
+    def nullOf(e: Column): Column = when(lit(false), e)
+    val valsStruct = struct(valNames.map(col): _*)
+    val baseEntry = struct(
+      (col("_time").as("__t") +: valsStruct.as("__vals") +:
+        compiled.shifts.map(sh => nullOf(sh.srcExpr).as(sh.alias))): _*)
+    val shiftEntries = compiled.shifts.zipWithIndex.map { case (sh, k) =>
+      // offsets round down to whole buckets (expr/shift.go:62-72 computes
+      // offset/resolution in bucket units)
+      val off = (sh.offsetMillis / b) * b
+      val slots = compiled.shifts.zipWithIndex.map { case (s2, j) =>
+        (if (j == k) s2.srcExpr else nullOf(s2.srcExpr)).as(s2.alias)
       }
-      // clamp the densified series back to its own data span
-      val boundsR = bounds.toDF(bounds.columns.map(c =>
-        if (c.startsWith("__t")) c else s"__b_$c"): _*)
-      val bCond = nonTime.map(k => col(k) <=> col(s"__b_$k"))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      agged = agged.join(boundsR, bCond, "inner")
-        .filter(col("_time").between(col("__tmin"), col("__tmax")))
-        .drop("__tmin", "__tmax")
-        .drop(nonTime.map("__b_" + _): _*)
+      struct((timestamp_millis(unix_millis(col("_time")) + off).as("__t") +:
+        nullOf(valsStruct).as("__vals") +: slots): _*)
     }
-    agged
+    val exploded = agged.select(
+      (nonTime.map(col) :+
+        explode(array((baseEntry +: shiftEntries): _*)).as("__e")): _*)
+    // shift rows with a NULL value contribute nothing (the join formulation
+    // filtered them off the shifted side); base rows always survive — a
+    // shifted value lands at bucket t even when the unshifted series has no
+    // data there (that row's own accumulators read unset; flattenSkip later
+    // drops rows where every selected field is unset)
+    val kept = exploded.filter(col("__e.__vals").isNotNull ||
+      compiled.shifts.map(sh => col(s"__e.${sh.alias}").isNotNull)
+        .reduce(_ || _))
+    val firstAggs = first(col("__e.__vals"), ignoreNulls = true).as("__vals") +:
+      compiled.shifts.map(sh =>
+        first(col(s"__e.${sh.alias}"), ignoreNulls = true).as(sh.alias))
+    // ≤1 base and ≤1 per-shift contribution per (bucket, dims) group, so
+    // first(ignoreNulls) is deterministic
+    val regrouped = kept
+      .groupBy((nonTime.map(col) :+ col("__e.__t").as("_time")): _*)
+      .agg(firstAggs.head, firstAggs.tail: _*)
+    // clamp the densified series back to its own data span: the reference's
+    // per-group sequences are dense WITHIN [first, last] data bucket
+    // (zenodb_test.go:578-628 emits the interior gap row with only the
+    // shifted value set, but nothing past the series' last bucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(nonTime.map(col): _*)
+    val dataT = when(col("__vals").isNotNull, col("_time"))
+    val clamped = regrouped
+      .select(col("*"), min(dataT).over(w).as("__tmin"),
+        max(dataT).over(w).as("__tmax")) // one Window pass for both bounds
+      .filter(col("_time").between(col("__tmin"), col("__tmax")))
+    clamped.select((groupNames.map(col) ++
+      valNames.map(n => col("__vals").getField(n).as(n)) ++
+      compiled.shifts.map(sh => col(sh.alias))): _*)
   }
 
   /** The reference's Flatten skips rows where every selected field is unset
