@@ -199,12 +199,21 @@ object Builders {
     case object Max extends MergeOp
     /** binary percentile-sketch columns merge via histogram addition */
     final case class Sketch(lo: Double, hi: Double, precision: Int) extends MergeOp
+    /** NOT re-mergeable: the raw-query exact percentile is a final value, not
+      * an accumulator — re-aggregating it to a coarser grouping is undefined.
+      * Never reaches storage (stored percentiles are [[Sketch]]es); consumers
+      * that re-merge (crosstab totals, offline merge) must fall back to a
+      * source re-aggregation when they see it.
+      */
+    case object Opaque extends MergeOp
     def apply(op: MergeOp, c: Column): Column = op match {
       case Sum => sum(c)
       case Min => min(c)
       case Max => max(c)
       case Sketch(lo, hi, p) =>
         graft.functions.PercentileSketch.mergeAgg(c, lo, hi, p)
+      case Opaque => throw new IllegalStateException(
+        "exact-percentile accumulators are not re-mergeable")
     }
   }
 
@@ -428,7 +437,7 @@ object Builders {
             res(alias), pv, lo, hi, precision)
         } else {
           // raw one-shot query: exact interpolated percentile
-          val alias = ref(s"${MExpr.canonical(e)}:p$pv", cond, MergeOp.Max,
+          val alias = ref(s"${MExpr.canonical(e)}:p$pv", cond, MergeOp.Opaque,
             percentile(v, lit(pv)).cast("double"))
           res => res(alias)
         }

@@ -134,6 +134,21 @@ object Multimodal {
     out
   }
 
+  /** Magic-byte sniff for the formats [[imageioGrayStrips]] can actually
+    * decode (PNG/JPEG/GIF; WBMP's 0x00 0x00 header included). Probing
+    * `ImageIO.read` walks the whole reader registry per call — paying that
+    * for every non-image payload in a 100 TB corpus is the difference
+    * between a map-only decode pass and a registry-thrash pass.
+    */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+          b(3) == 'G'.toByte) ||                          // PNG
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||   // JPEG
+        (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+          b(3) == '8'.toByte) ||                          // GIF87a/89a
+        (b(0) == 0 && b(1) == 0))                         // WBMP
+
   /** REAL compressed-image decode via the JDK's `javax.imageio`
     * (PNG/JPEG/GIF/WBMP readers ship in java.desktop): bulk-read the ARGB
     * raster and average-pool grayscale into `dim` vertical strips — the same
@@ -141,7 +156,7 @@ object Multimodal {
     * the bytes (dispatches onward to the stub).
     */
   private[graft] def imageioGrayStrips(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (bytes == null || bytes.length < 8) return null
+    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes)) return null
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return null
@@ -192,8 +207,22 @@ object Multimodal {
     * same envelope as [[wavRmsEnvelope]]. Returns null when no JDK provider
     * claims the bytes (dispatches onward to the stub).
     */
+  /** Container sniff for the JDK audio providers (RIFF/WAVE, AU, AIFF) —
+    * `AudioSystem.getAudioInputStream` signals "not audio" by THROWING, and
+    * an exception per non-audio payload is the hot-path killer the image
+    * sniff above avoids for ImageIO.
+    */
+  private[graft] def looksLikeAudio(b: Array[Byte]): Boolean = {
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    b.length >= 16 &&
+      ((tag(0, "RIFF") && tag(8, "WAVE")) ||
+        tag(0, ".snd") ||                          // AU
+        (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))))
+  }
+
   private[graft] def audioSystemRms(bytes: Array[Byte], windows: Int): Array[Float] = {
-    if (bytes == null || bytes.length < 16) return null
+    if (bytes == null || bytes.length < 16 || !looksLikeAudio(bytes)) return null
     try {
       val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -288,9 +288,24 @@ object Similarity {
     * costs one count+hash scan, not a rebuild. Centroids are persisted next
     * to the index; the sample is deterministic, so reuse is exact.
     */
+  // (indexPath, input-plan hash, nCentroids, refineIters) -> centroids,
+  // recorded after this JVM has fingerprint-validated (or built) the index
+  // once for that input. Fingerprinting the corpus on EVERY probe is itself
+  // anti-scale — at 100 TB the staleness check would cost a full id-column
+  // scan per query. The plan hash keeps a *different* input DataFrame (the
+  // mid-session dataset-swap hazard the fingerprint test pins) from hitting
+  // the memo; only byte-level mutation of the same files under an identical
+  // plan evades it, and that also invalidates any open Spark scan.
+  private val ivfValidated = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Seq[(Int, Seq[Float])]]()
+
   def ivfBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
                         nCentroids: Int, indexPath: String,
                         refineIters: Int = 2): Seq[(Int, Seq[Float])] = {
+    val planHash = df.queryExecution.analyzed.semanticHash()
+    val memoKey = (indexPath, planHash, nCentroids, refineIters)
+    val hit = ivfValidated.get(memoKey)
+    if (hit != null) return hit
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
     // the header keys the cache by dataset AND build recipe — a recipe
     // change (refinement rounds) must not silently reuse old cells
@@ -298,15 +313,18 @@ object Similarity {
     if (java.nio.file.Files.exists(metaPath)) {
       val lines = java.nio.file.Files.readAllLines(metaPath)
       if (lines.size() == nCentroids + 1 && lines.get(0) == header) {
-        return (0 until nCentroids).map { i =>
+        val centroids = (0 until nCentroids).map { i =>
           i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
         }
+        ivfValidated.put(memoKey, centroids)
+        return centroids
       }
     }
     val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath, refineIters)
     val body = (header +: centroids.map(_._2.map(f => f.toString).mkString(",")))
       .mkString("\n")
     java.nio.file.Files.writeString(metaPath, body)
+    ivfValidated.put(memoKey, centroids)
     centroids
   }
 

@@ -366,41 +366,80 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     val ctCol = lower(if (ctExprs.size == 1) ctExprs.head
                       else concat_ws("_", ctExprs: _*))
     val base = base0.withColumn("__ct", ctCol)
+    val needTotals = q.crosstabTotal || compiled.having.nonEmpty
+    val explicitVals: Option[Seq[String]] =
+      q.crosstabValues.map(_.map(_.toLowerCase).distinct.sorted)
 
-    // pivot values: caller-supplied (`-- crosstab_values a,b` — no collect
-    // job, explicit bound) or data-dependent, collected sorted for
-    // deterministic column order (the reference buffers rows and sorts values
-    // too, core/group.go:190-246) behind a fail-fast cardinality guard — an
+    // Data-dependent pivot values are collected sorted for deterministic
+    // column order (the reference buffers rows and sorts values too,
+    // core/group.go:190-246) behind a fail-fast cardinality guard — an
     // unbounded high-cardinality pivot would OOM the driver AND emit an
-    // unusably wide row.
-    val pivotVals: Seq[String] = q.crosstabValues match {
-      case Some(vs) => vs.map(_.toLowerCase).distinct.sorted
-      case None =>
-        val vs = base.select(col("__ct")).where(col("__ct").isNotNull)
-          .distinct().limit(Planner.MaxPivotValues + 1)
-          .collect().map(_.getString(0)).toSeq
-        require(vs.size <= Planner.MaxPivotValues,
-          s"CROSSTAB dimension has more than ${Planner.MaxPivotValues} " +
-            "distinct values; narrow it with WHERE or supply explicit " +
-            "values via `-- crosstab_values v1,v2,...`")
-        vs.sorted
+    // unusably wide row. The collect runs against an already-AGGREGATED
+    // frame, never the raw source.
+    def collectPivotVals(agged: DataFrame): Seq[String] = {
+      val vs = agged.select(col("__ct")).where(col("__ct").isNotNull)
+        .distinct().limit(Planner.MaxPivotValues + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(vs.size <= Planner.MaxPivotValues,
+        s"CROSSTAB dimension has more than ${Planner.MaxPivotValues} " +
+          "distinct values; narrow it with WHERE or supply explicit " +
+          "values via `-- crosstab_values v1,v2,...`")
+      vs.sorted
     }
 
     // Pivot values may contain dots/spaces ("/index.html") — backtick-quote.
     def bq(n: String): Column = col(s"`${n.replace("`", "")}`")
 
     var df: DataFrame = null
+    var pivotVals: Seq[String] = Nil
     val outFieldNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    var totals0: Option[DataFrame] = None
     if (compiled.shifts.isEmpty) {
-      // fast path: pivot the accumulators directly — partial aggregation and
-      // the pivot share one shuffle. Spark names pivot outputs
-      // "<val>_<aggAlias>" for multi-agg, "<val>" for single-agg.
-      val pivoted = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
-        .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+      explicitVals match {
+        case Some(vs) if !needTotals =>
+          // fastest shape: explicit values, no totals — the partial agg and
+          // the pivot share ONE shuffle over the raw scan. Spark names pivot
+          // outputs "<val>_<aggAlias>" for multi-agg, "<val>" for single-agg.
+          pivotVals = vs
+          df = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
+            .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+        case _ =>
+          // ONE scan of the source: aggregate accumulators onto
+          // (keys, __ct) and cache that frame — it is group-cardinality
+          // sized, not corpus sized. The pivot-value collect, the pivot
+          // itself, and the totals/HAVING series all derive from it; the
+          // previous formulation re-scanned the raw source for each (2 scans
+          // for CROSSTAB, 3 for CROSSTABT — at 100 TB, 2-3 corpus reads).
+          // Blocks evicted under memory pressure recompute from lineage —
+          // correctness never depends on the cache.
+          val pre = base.groupBy((keyCols :+ col("__ct")): _*)
+            .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pivotVals = explicitVals.getOrElse(collectPivotVals(pre))
+          // each (keys, __ct) cell is exactly one pre-agg row, so first() is
+          // an exact (and merge-free) pivot of the accumulators
+          val aliases = compiled.aggSpecs.map(_.alias)
+          val firsts = aliases.map(a => first(col(a)).as(a))
+          df = pre.groupBy(keyNames.map(col): _*).pivot("__ct", pivotVals)
+            .agg(firsts.head, firsts.tail: _*)
+          if (needTotals) {
+            // totals re-merge the cached accumulators across pivot values —
+            // exact for every accumulator kind (sum/min/max/avg-parts/
+            // sketch) except the raw exact-percentile value, which is not
+            // re-mergeable: that rare shape re-aggregates the source.
+            totals0 = Some(
+              if (compiled.aggSpecs.forall(_.merge != Builders.MergeOp.Opaque)) {
+                val mergeCols = compiled.aggSpecs.map(s =>
+                  Builders.MergeOp(s.merge, col(s.alias)).as(s.alias))
+                pre.groupBy(keyNames.map(col): _*)
+                  .agg(mergeCols.head, mergeCols.tail: _*)
+              } else base.groupBy(keyCols: _*)
+                .agg(compiled.aggs.head, compiled.aggs.tail: _*))
+          }
+      }
       def pivotResolver(v: String): String => Column =
         if (compiled.aggs.size == 1) _ => bq(v)
         else alias => bq(s"${v}_$alias")
-      df = pivoted
       for (v <- pivotVals; (fname, mk) <- compiled.fields) {
         val outName = s"${v}_$fname"
         df = df.withColumn(outName, mk(pivotResolver(v)))
@@ -411,9 +450,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       // plain exprs/grouping in core/group.go): aggregate per (keys, __ct),
       // self-join each pivot-value series onto its own shifted buckets, then
       // pivot the FINAL field values. (keys, __ct) is unique post-agg, so
-      // first() is exact.
+      // first() is exact. The post-shift frame is cached so the pivot-value
+      // collect doesn't re-run the aggregation.
       val flat0 = aggregateWithShifts(base, compiled, keyCols :+ col("__ct"),
         keyNames :+ "__ct", hasTime, bucketMs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pivotVals = explicitVals.getOrElse(collectPivotVals(flat0))
       var flat = flat0
       compiled.fieldCols.foreach { case (n, c) => flat = flat.withColumn(n, c) }
       val fieldNames = compiled.fields.map(_._1)
@@ -426,13 +468,18 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           df = df.withColumnRenamed(v, s"${v}_${fieldNames.head}")
         }
       for (v <- pivotVals; f <- fieldNames) outFieldNames += s"${v}_$f"
+      if (needTotals)
+        // the totals series shifts independently of the per-pivot series, so
+        // it needs its own aggregation over the source (pre-shift
+        // accumulators at (keys) granularity can't be recovered from the
+        // post-shift per-__ct frame)
+        totals0 = Some(aggregateWithShifts(base, compiled, keyCols, keyNames,
+          hasTime, bucketMs))
     }
 
     // totals (CROSSTABT) and HAVING both come from the unpivoted aggregation
-    val needTotals = q.crosstabTotal || compiled.having.nonEmpty
-    if (needTotals) {
-      var totals = aggregateWithShifts(base, compiled, keyCols, keyNames,
-        hasTime, bucketMs)
+    totals0.foreach { t =>
+      var totals = t
       if (q.crosstabTotal) {
         compiled.fields.foreach { case (fname, mk) =>
           totals = totals.withColumn(s"total_$fname", mk(col _))

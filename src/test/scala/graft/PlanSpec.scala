@@ -69,6 +69,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("data-dependent CROSSTAB(T) scans the source once (pivot + totals read the cached pre-agg)") {
+    // the pivot-value collect, the pivot, and the CROSSTABT totals must all
+    // derive from the cached (keys × __ct) aggregate — a second parquet leaf
+    // would mean the raw corpus is re-read per stage (2-3 scans at 100 TB)
+    for (name <- Seq("q_crosstab", "q_crosstabt")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val leaves = plan.collectLeaves()
+      val cached = leaves.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      assert(cached >= 1, s"$name: expected a cached pre-agg leaf:\n$plan")
+      val fileScans = leaves.count(l =>
+        l.nodeName.contains("LogicalRelation") || l.nodeName.contains("DataSourceV2"))
+      assert(fileScans == 0,
+        s"$name: pivot/totals must not re-scan the source:\n$plan")
+    }
+  }
+
   test("stored-table re-aggregation is a single merge shuffle") {
     val yaml =
       """t:
