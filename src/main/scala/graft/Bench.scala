@@ -88,6 +88,11 @@ object Bench {
       Engine.sql(wcat,
           "SELECT SUM(v) AS s, SHIFT(SUM(v), '-1d') AS pv FROM wt GROUP BY _, period('1d')")
         .write.format("noop").mode("overwrite").save()
+      // SHIFT *inside* CROSSTAB is its own plan family (per-pivot-series
+      // explode-regroup under a pivot) — warm its codegen too
+      Engine.sql(wcat,
+          "SELECT SUM(v) AS s, SHIFT(SUM(v), '-1d') AS pv FROM wt GROUP BY CROSSTAB(p), period('1d')")
+        .write.format("noop").mode("overwrite").save()
       // striped pair-join shape (struct pack + stripe explode + grid join)
       graft.pipeline.Similarity.cosineDedup(vecs, col("v"), col("id"),
           threshold = 0.999, quantized = true, stripes = 2)
@@ -108,6 +113,10 @@ object Bench {
         .filter(col("vec_id") =!= 0)
       graft.pipeline.Similarity.ivfBuildIfMissing(emb, col("embedding"),
         col("vec_id"), nCentroids = 16, SparkEntry.gateIvfPath(sfDir))
+      // touch the partitioned index once (partition discovery + parquet
+      // footer reader class-load); the probe itself still re-lists and
+      // scans inside the measured query
+      spark.read.parquet(SparkEntry.gateIvfPath(sfDir)).limit(1).collect()
     }
 
     // ingest benchmark (the reference's only perf instrumentation is insert
