@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.{GeoIp, Redis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -460,6 +460,62 @@ object SparkEntry {
           size(Multimodal.sampleFrames(col("payload"), 16, 2, 4)).as("frames"),
           Multimodal.resizeMeta(col("meta"), 320).getField("width").as("w"))
         .orderBy(col("media_id"))
+    },
+
+    // near-dup cluster resolution: connected components (large-star/small-
+    // star) over the exact-Jaccard pair graph; id → component-min id. The
+    // pair graph here has ~half its transitive clique edges missing, so the
+    // closure genuinely propagates labels through chains.
+    "q_dedup_cluster" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source").isin("src0", "src1", "src2", "src3") &&
+          col("doc_id") < 1000)
+      val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+        n = 1, threshold = 0.9)
+      Cluster.connectedComponents(pairs).orderBy(col("id"))
+    },
+
+    // canonical-representative dedup: one survivor (min id) per cluster;
+    // docs in no pair survive untouched
+    "q_dedup_canonical" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source").isin("src0", "src1", "src2", "src3") &&
+          col("doc_id") < 1000)
+      val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+        n = 1, threshold = 0.9)
+      Cluster.dedupByPairs(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    },
+
+    // decontamination report: corpus docs sharing a word 3-gram with the
+    // eval slice, with the count of distinct shared grams
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = docs.filter(col("doc_id") < 50)
+      val corpus = docs.filter(col("doc_id") >= 50)
+      Dedup.contaminationReport(corpus, col("text"), col("doc_id"),
+          evalSet, col("text"), n = 3)
+        .orderBy(col("id"))
+    },
+
+    // deterministic stratified sampling: md5-keyed uniform per doc, per-lang
+    // rates — reproducible on any engine / partitioning
+    "q_sample" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.8), defaultRate = 0.15)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    },
+
+    // repetition quality signals: duplicate-token ratio + top-bigram share
+    // (unrounded: each is ONE int/int double division, bit-identical in any
+    // engine; round() would reopen HALF_UP-vs-HALF_EVEN at dyadic ratios)
+    "q_repetition" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          TextAnalysis.dupTokenRatio(col("text")).as("tok_rep"),
+          TextAnalysis.topBigramShare(col("text")).as("bg_share"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -912,6 +968,107 @@ object SparkEntry {
         |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin
+        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    // Connected components as a recursive transitive closure: reach(id, r) =
+    // all nodes reachable from id; the component label is min(r). Tractable
+    // here because the gate's pair graph is bounded (the Spark side scales
+    // via large-star/small-star instead).
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') AND doc_id < 1000
+        |    AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+        |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING jaccard >= 0.9),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r)
+        |SELECT id, CAST(min(r) AS BIGINT) AS "cluster"
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') AND doc_id < 1000
+        |    AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+        |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING jaccard >= 0.9),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r),
+        |cc AS (SELECT id, min(r) AS grp FROM reach GROUP BY id)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE source IN ('src0','src1','src2','src3') AND doc_id < 1000
+        |  AND doc_id NOT IN (SELECT id FROM cc WHERE id <> grp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(trim(text), ' ') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+        |           || ' ' || toks[CAST(i AS INT)+3])) END AS grams
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+        |co AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50)
+        |SELECT co.doc_id AS id, CAST(count(*) AS BIGINT) AS hits
+        |FROM co JOIN ev USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The md5-derived uniform: first 13 hex digits = 52 bits, exact in a
+    // double; division by 2^52 is exact, so selection is engine-identical.
+    "q_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM documents)
+        |SELECT doc_id, lang FROM u
+        |WHERE uv < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 0.15 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(trim(text), ' ') END AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]) END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN nt = 0 THEN 0.0 ELSE 1.0 - CAST(nd AS DOUBLE) / nt END AS tok_rep,
+        |  CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg) END AS bg_share
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate cluster resolution: connected components over candidate
+  * pair edges, then canonical-representative dedup.
+  *
+  * The pair operators ([[Dedup.minHashLsh]], [[Dedup.simHashPairs]],
+  * [[Similarity.lshCosinePairs]]) emit edges; a real dedup pipeline must
+  * resolve them into clusters and keep ONE representative per cluster —
+  * transitively: a~b and b~c puts a,b,c in one cluster even when a~c was
+  * never emitted. [[Similarity.cosineDedup]]'s single-pass "drop the larger
+  * id of every pair" rule can keep two representatives of one chain; this
+  * operator is the exact closure.
+  *
+  * Algorithm: alternating Large-Star / Small-Star (the MapReduce
+  * connected-components algorithm of Kiveris et al., SoCC'14), which
+  * converges in O(log²) rounds on any graph shape — a plain "propagate the
+  * min label to neighbors" loop needs O(diameter) rounds and dies on chain
+  * graphs at scale. Each half-step is one window aggregation over edges
+  * keyed by node (compact (long,long) rows; the document payload never
+  * enters the loop), so an iteration costs a bounded number of shuffles of
+  * the edge list regardless of corpus size.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given by pair edges.
+    * Returns (id BIGINT, cluster BIGINT) for every node that appears in at
+    * least one edge; `cluster` is the smallest node id in the component.
+    * Nodes with no edges are absent (their component is themselves) —
+    * [[dedupByPairs]] accounts for that.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    // Driver-side loop over a (count, hash-sum) signature of the edge set:
+    // one tiny aggregate per round, never the edges themselves. Each round
+    // localCheckpoints (materialize + TRUNCATE LINEAGE): largeStar references
+    // its input twice, so without truncation the logical plan doubles per
+    // round; superseded rounds' blocks are released by the context cleaner.
+    var prevSig: (Long, Long) = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // bit_xor, not sum: ANSI mode makes a 64-bit sum overflow an error,
+      // and xor of distinct-edge hashes is an equally strong set signature
+      val r = next
+        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect()(0)
+      val sig = (r.getLong(0), r.getLong(1))
+      edges = next
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    // Converged: a star forest of (child, root) edges, root = component min.
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+  }
+
+  /** Large-Star: every node links its LARGER neighbors to the minimum of its
+    * neighborhood (including itself). Output keeps the (bigger, smaller)
+    * orientation invariant.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy(col("u"))
+    nbrs.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-Star: every node links its SMALLER neighbors (and itself) to the
+    * minimum of that set. Input/output edges are (bigger, smaller).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+    val withM = edges.withColumn("m", min(col("v")).over(w))
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Keep one row per connected component of the pair graph — the smallest
+    * id survives; rows that appear in no pair survive untouched. The dropped
+    * set is (ids only) compact, so the anti-join broadcasts at any realistic
+    * duplicate rate.
+    */
+  def dedupByPairs(df: DataFrame, idCol: Column, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val losers = cc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    df.join(losers, idCol.cast("long") === col("__loser"), "left_anti")
+  }
+}

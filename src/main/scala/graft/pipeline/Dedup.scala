@@ -171,6 +171,38 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Per-document count of distinct word n-grams shared with ANY document of
+    * `evalSet` — the training-data decontamination report. Only contaminated
+    * documents appear (hits ≥ 1).
+    *
+    * Scale shape: the distinct eval-gram set is tiny next to the corpus
+    * (benchmarks are KBs–MBs; the corpus is TBs), so Spark broadcasts it and
+    * the corpus-side explode streams partition-local against a hash set —
+    * the corpus text is NEVER shuffled; the only shuffle is the per-doc hit
+    * count on (id) after the semi-side join.
+    */
+  def contaminationReport(corpus: DataFrame, textCol: Column, idCol: Column,
+                          evalSet: DataFrame, evalTextCol: Column,
+                          n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(evalTextCol, n)).as("g")).distinct()
+    corpus.select(idCol.as("id"), explode(shingles(textCol, n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Drop every corpus document sharing ≥1 word n-gram with the eval set
+    * (decontamination filter). The dropped-id set is compact, so the
+    * anti-join broadcasts.
+    */
+  def decontaminate(corpus: DataFrame, textCol: Column, idCol: Column,
+                    evalSet: DataFrame, evalTextCol: Column,
+                    n: Int): DataFrame = {
+    val bad = contaminationReport(corpus, textCol, idCol, evalSet,
+      evalTextCol, n).select(col("id").as("__contaminated"))
+    corpus.join(bad, idCol === col("__contaminated"), "left_anti")
+  }
+
   /** Pairs within Hamming distance `maxDist` of their SimHashes. Blocks the
     * 64-bit signature into `maxDist+1` chunks — any pair within distance
     * must agree on ≥1 chunk (pigeonhole), so the join key is a chunk value.

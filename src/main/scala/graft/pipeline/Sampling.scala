@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Production corpus sampling must be reproducible (same subset on re-run,
+  * on another engine, after a repartition) and cheap (no shuffle, no RNG
+  * state). Both operators here are map-only filters on an md5-derived
+  * uniform of the row KEY — md5 is bit-identical in every engine (Spark,
+  * DuckDB, Trino), so the selected id set is portable, and membership of a
+  * row is independent of partitioning, scan order, and cluster size.
+  * `Dataset.sample` by contrast is seed+partition-dependent: the same row
+  * can flip in/out when the file layout changes.
+  */
+object Sampling {
+
+  /** Uniform in [0,1): the first 13 hex digits of md5(key) = 52 bits, which
+    * a double represents exactly, divided by 2^52. Division by a power of
+    * two is exact, so every engine computes the identical double.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Keep ~rate of rows, deterministically in the key. */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    df.filter(hashUniform(keyCol) < lit(rate))
+  }
+
+  /** Per-stratum rates (e.g. keep 50% of English, 15% of everything else) —
+    * the language/domain/source re-balancing step of a data mixture. Still
+    * map-only: the rate is a CASE over the stratum column; rows never
+    * shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1]: $r"))
+    // deterministic CASE order (sorted keys) — rates is an unordered Map
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, r)) => when(strataCol === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(keyCol) < rateCol)
+  }
+}

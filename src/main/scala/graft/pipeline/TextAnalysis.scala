@@ -50,6 +50,48 @@ object TextAnalysis {
   def meanTokenLength(text: Column): Column =
     meanTokenLengthFromTokens(tokens(text))
 
+  /** 1 − distinct/total over whitespace tokens: the repeated-content signal
+    * quality filters use (0 = no repetition, →1 = one token repeated).
+    * Map-only; empty text scores 0.
+    */
+  def dupTokenRatio(text: Column): Column = {
+    val t = tokensSimple(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** 1 − distinct/total over lines (boilerplate detector: nav bars, headers,
+    * repeated list rows). Lines are '\n'-separated with surrounding
+    * whitespace kept (a re-indented duplicate is a different line).
+    */
+  def dupLineRatio(text: Column): Column = {
+    val lines = when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(split(text, "\n"))
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Share of all word bigrams taken by the single most frequent bigram —
+    * the "top n-gram fraction" filter of large-corpus quality pipelines
+    * (Rae et al.'s Gopher rules use exactly this family). 0 when the doc
+    * has fewer than 2 tokens.
+    *
+    * HOF formulation is quadratic in DISTINCT bigrams per document — fine
+    * for natural documents (counts are per-row, map-only, no shuffle); a
+    * one-pass native expression is the escape hatch if a corpus has
+    * pathological per-doc vocabulary.
+    */
+  def topBigramShare(text: Column): Column = {
+    val t = tokensSimple(text)
+    val bg = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+    val top = array_max(transform(array_distinct(bg),
+      d => size(filter(bg, x => x === d))))
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(top.cast("double") / size(bg))
+  }
+
   def meanTokenLengthFromTokens(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       aggregate(t, lit(0L), (acc, tok) => acc + length(tok)).cast("double") /

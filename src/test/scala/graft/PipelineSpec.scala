@@ -440,4 +440,118 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(env(1) - 0.5f) < 0.02, s"$t: $env")
     }
   }
+
+  test("connected components: chains, cliques and pairs resolve to min id") {
+    import spark.implicits._
+    // path 1-2-3-4-5, triangle {10,11,12}, pair {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: a 200-node path converges inside the round cap") {
+    import spark.implicits._
+    val n = 200 // adversarial for label propagation (O(diameter) rounds);
+                // large-star/small-star closes it in O(log n)
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == n + 1 && cc.forall(_._2 == 0L))
+  }
+
+  test("connected components match union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = inEdges.groupBy(id => find(id.toInt))
+      .flatMap { case (_, ids) => val m = ids.min; ids.map(_ -> m) }
+    import spark.implicits._
+    val cc = Cluster.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expected)
+  }
+
+  test("dedupByPairs keeps the min id per cluster; unpaired rows survive") {
+    import spark.implicits._
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (9L, "z"))
+      .toDF("id", "v")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Cluster.dedupByPairs(df, col("id"), pairs).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 9L))
+  }
+
+  test("decontamination: shared 3-grams flag corpus docs, others survive") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (1L, "beta gamma delta plus extra words here"),   // shares "beta gamma delta"
+      (2L, "alpha gamma beta delta are reordered now"), // same words, no shared 3-gram
+      (3L, "")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, col("text"), col("doc_id"),
+      evalSet, col("text"), n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(0L -> 1L, 1L -> 1L))
+    val clean = Dedup.decontaminate(corpus, col("text"), col("doc_id"),
+      evalSet, col("text"), n = 3).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(2L, 3L))
+  }
+
+  test("hash sampling: deterministic, partition-independent, nested by rate") {
+    val df = spark.range(2000).toDF("id")
+    def ids(d: DataFrame) = d.select("id").collect().map(_.getLong(0)).toSet
+    val s20 = ids(Sampling.hashSample(df, col("id"), 0.2))
+    val s50 = ids(Sampling.hashSample(df, col("id"), 0.5))
+    assert(s20.subsetOf(s50)) // raising the rate only ADDS rows
+    assert(ids(Sampling.hashSample(df.repartition(13), col("id"), 0.2)) == s20)
+    assert(math.abs(s20.size / 2000.0 - 0.2) < 0.03)
+    assert(math.abs(s50.size / 2000.0 - 0.5) < 0.03)
+    assert(ids(Sampling.hashSample(df, col("id"), 0.0)).isEmpty)
+    assert(ids(Sampling.hashSample(df, col("id"), 1.0)).size == 2000)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "zh")
+        .otherwise("de").as("lang"))
+    val out = Sampling.stratifiedSample(df, col("id"), col("lang"),
+        Map("en" -> 0.8, "zh" -> 0.1), defaultRate = 0.3)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") / 1000.0 - 0.8) < 0.06)
+    assert(math.abs(out.getOrElse("zh", 0L) / 1000.0 - 0.1) < 0.06)
+    assert(math.abs(out("de") / 1000.0 - 0.3) < 0.06)
+  }
+
+  test("repetition signals: dup tokens, top bigram share, dup lines") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a a a a"),   // 1 distinct of 4 tokens; every bigram is "a a"
+      (1L, "w x y z"),   // all distinct; 3 bigrams all unique
+      (2L, ""),
+      (3L, "l1\nl2\nl1\nl1")).toDF("id", "text")
+    val r = df.select(col("id"),
+        TextAnalysis.dupTokenRatio(col("text")).as("tr"),
+        TextAnalysis.topBigramShare(col("text")).as("bs"),
+        TextAnalysis.dupLineRatio(col("text")).as("lr")).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L)._1 == 0.75 && r(0L)._2 == 1.0)
+    assert(r(1L)._1 == 0.0 && math.abs(r(1L)._2 - 1.0 / 3) < 1e-12)
+    assert(r(2L) == ((0.0, 0.0, 0.0)))
+    assert(r(3L)._3 == 0.5) // 4 lines, 2 distinct
+  }
 }
