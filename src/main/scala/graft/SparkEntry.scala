@@ -508,13 +508,18 @@ object SparkEntry {
     },
 
     // repetition quality signals: duplicate-token ratio + top-bigram share
-    // (unrounded: each is ONE int/int double division, bit-identical in any
-    // engine; round() would reopen HALF_UP-vs-HALF_EVEN at dyadic ratios)
+    // via the one-pass native Repetition expression (the HOF formulation in
+    // TextAnalysis is its executable spec, pinned in PipelineSpec).
+    // Unrounded: each ratio is ONE int/int double division, bit-identical in
+    // any engine; round() would reopen HALF_UP-vs-HALF_EVEN at dyadic ratios.
     "q_repetition" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id"),
-          TextAnalysis.dupTokenRatio(col("text")).as("tok_rep"),
-          TextAnalysis.topBigramShare(col("text")).as("bg_share"))
+      docs.withColumn("__rp", graft.functions.Repetition.stats(col("text")))
+        .select(col("doc_id"),
+          graft.functions.Repetition.dupTokenRatioFromStats(col("__rp"))
+            .as("tok_rep"),
+          graft.functions.Repetition.topBigramShareFromStats(col("__rp"))
+            .as("bg_share"))
         .orderBy(col("doc_id"))
     }
   )

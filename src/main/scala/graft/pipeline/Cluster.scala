@@ -32,15 +32,55 @@ object Cluster {
     * least one edge; `cluster` is the smallest node id in the component.
     * Nodes with no edges are absent (their component is themselves) —
     * [[dedupByPairs]] accounts for that.
+    *
+    * Hybrid execution: the candidate-pair edge set is orders of magnitude
+    * smaller than the corpus (dup-rate × n compact id pairs), so when it
+    * fits comfortably on the driver (≤ `localEdgeLimit` after distinct) an
+    * in-memory union-find resolves it in one collect — the iterative star
+    * rounds each cost several shuffles of driver-loop latency. Graphs past
+    * the limit take the distributed star loop, which never collects edges.
+    * Set `localEdgeLimit = 0` to force the distributed path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 30,
+                          localEdgeLimit: Long = 1000000L): DataFrame = {
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
+    if (localEdgeLimit > 0) {
+      // limit+collect bounds driver memory even when the count would be huge:
+      // take limit+1 rows; only commit to the local path if under the limit
+      val sample = edges
+        .limit(math.min(localEdgeLimit + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (sample.length <= localEdgeLimit) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        sample.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val out = parent.keySet().toArray(Array.empty[java.lang.Long])
+          .map(id => id.longValue() -> find(id.longValue())).toSeq
+        return out.toDF("id", "cluster")
+      }
+    }
     // Driver-side loop over a (count, hash-sum) signature of the edge set:
     // one tiny aggregate per round, never the edges themselves. Each round
     // localCheckpoints (materialize + TRUNCATE LINEAGE): largeStar references

@@ -29,10 +29,20 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
-    * Docs with fewer than n tokens have no n-gram — empty array, never a
-    * descending `sequence` (which would make `slice` throw on real corpora).
+    * Docs with fewer than n tokens have no n-gram. Compiled by the native
+    * [[graft.functions.WordNGrams]] expression — one tokenize+join+dedup
+    * walk per row; [[shinglesColumnar]] is the Column/HOF executable spec
+    * it is pinned against in PipelineSpec.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NGrams.wordNGrams(text, n)
+
+  /** HOF formulation of [[shingles]] — kept as the executable spec for the
+    * native expression (same trim/split/join/distinct-order semantics).
+    * Never a descending `sequence` (which would make `slice` throw on
+    * short docs).
+    */
+  private[graft] def shinglesColumnar(text: Column, n: Int): Column = {
     require(n >= 1)
     val toks = TextAnalysis.tokensSimple(text)
     val grams =

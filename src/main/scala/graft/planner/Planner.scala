@@ -100,9 +100,16 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     }
 
     // ---- group keys ----
+    // GROUP BY * composes with explicit named dims (the IN-subquery fixup
+    // groups by all dims PLUS the selected key, which on raw tables may be
+    // classified as a value column rather than a dim)
     val dimCols: Seq[(String, Column)] =
-      if (q.groupByAll) src.dims.sorted.map(d => d -> col(d))
-      else q.groupBy.map {
+      if (q.groupByAll) {
+        val extra = q.groupBy.collect {
+          case GroupDim(n) if !src.dims.contains(n) => n
+        }
+        (src.dims ++ extra).sorted.map(d => d -> dimResolve(d).as(d))
+      } else q.groupBy.map {
         case GroupDim(n)     => n -> dimResolve(n)
         case GroupExpr(n, e) => n -> Builders.dim(e, dimResolve)
       }
@@ -211,7 +218,29 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       case n        => col(n)
     }
     aliases = fields.map(_.name).toSet
-    val having = q.having.map(resolveBare)
+    // HAVING evaluates over the flattened output row in the reference
+    // (FlatRowFilter over bytemap rows): a field name that exists nowhere
+    // reads as unset-0 instead of erroring — the e2e fixture filters on
+    // `... OR unknown = 12` (zenodb_test.go:689). Lenient resolution is
+    // scoped to HAVING only; unknown names in SELECT still fail loudly.
+    def lenientHaving(e: MExpr): MExpr = e match {
+      case MBare(n) if !aliases(n) && !storedFieldExpr.contains(n) &&
+        !src.vals.contains(n) && n != "_points" => MConst(0.0)
+      case MAgg(op, c)          => MAgg(op, lenientHaving(c))
+      case MWAvg(x, w)          => MWAvg(lenientHaving(x), lenientHaving(w))
+      case MPercentile(c, p, lo, hi, pr) =>
+        MPercentile(lenientHaving(c), lenientHaving(p), lo, hi, pr)
+      case MPercentileOpt(c, p) =>
+        MPercentileOpt(lenientHaving(c), lenientHaving(p))
+      case MIf(cond, c)         => MIf(cond, lenientHaving(c))
+      case MBounded(c, lo, hi)  => MBounded(lenientHaving(c), lo, hi)
+      case MShift(c, off, sfx)  => MShift(lenientHaving(c), off, sfx)
+      case MArith(op, l, r)     => MArith(op, lenientHaving(l), lenientHaving(r))
+      case MCond(op, l, r)      => MCond(op, lenientHaving(l), lenientHaving(r))
+      case MMath(fn, c)         => MMath(fn, lenientHaving(c))
+      case other                => other
+    }
+    val having = q.having.map(e => resolveBare(lenientHaving(e)))
     val compiled = Builders.compile(fields, having, resolveVal, dimResolve,
       src.stored)
 
@@ -558,16 +587,21 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       .orElse(sub0.groupBy.headOption.map(_.name))
       .getOrElse(throw new IllegalArgumentException(
         "IN subquery must select exactly one dimension"))
+    // The reference defaults a GROUP-BY-less subquery to GROUP BY all dims
+    // at table resolution (sql.go:601-602, table.go:220-222): membership is
+    // the dim values of rows surviving HAVING at that FINEST grouping, not
+    // of per-dim all-time totals. An explicit GROUP BY is honored as-is.
     val sub = sub0.copy(
       fields = Seq(FieldSel("_points", MAgg(AggOp.Sum, MField("_point")))),
       selectAll = false,
+      groupByAll = sub0.groupByAll || sub0.groupBy.isEmpty,
       groupBy = if (sub0.groupBy.nonEmpty) sub0.groupBy
                 else Seq(GroupDim(dimName)),
       orderBy = Nil)
     val (subDf, subInfo) = planQuery(sub)
-    require(subInfo.dims.size == 1,
-      s"IN subquery must select exactly one dimension, got ${subInfo.dims}")
-    (subDf, subInfo.dims.head)
+    require(subInfo.dims.contains(dimName),
+      s"IN subquery dim $dimName missing from grouped dims ${subInfo.dims}")
+    (subDf.select(col(dimName)).distinct(), dimName)
   }
 
   /** Peel IF wrappers when probing a defining expr's shape. */

@@ -186,12 +186,14 @@ object Parser {
       if (eatIdent("where")) where = Some(parseDOr())
 
       var groupByAll = false
+      var sawGroupBy = false
       val groupBy = ArrayBuffer.empty[GroupCol]
       var resolution: Option[scala.concurrent.duration.FiniteDuration] = None
       var stride: Option[scala.concurrent.duration.FiniteDuration] = None
       val crosstab = ArrayBuffer.empty[DExpr]
       var crosstabTotal = false
       if (eatIdent("group")) {
+        sawGroupBy = true
         expectIdent("by")
         var g1 = true
         while (g1 || eatPunct(",")) {
@@ -224,6 +226,11 @@ object Parser {
           }
         }
       }
+
+      // no GROUP BY clause at all defaults to grouping by every dim
+      // (reference sql.go:601-602); `GROUP BY _` / a bare period() is an
+      // EXPLICIT choice of time-only grouping and stays as written
+      if (!sawGroupBy) groupByAll = true
 
       var having: Option[MExpr] = None
       if (eatIdent("having")) having = Some(parseMOr(valueCtx = false))

@@ -188,6 +188,71 @@ class FixtureSpec extends AnyFunSuite {
     assert(approx(byPoints(1.0), 500.0))
   }
 
+  test("composed aggregate query: ASOF/UNTIL + IN-subquery + computed " +
+    "projections + HAVING OR + ORDER BY DESC (zenodb_test.go:669-771)") {
+    // The reference ships this as testAggregateQuery but leaves it disabled
+    // (zenodb_test.go:393 `if false`) with goldens that are internally
+    // inconsistent (i=122 needs bucket A inside the window while _points=3
+    // excludes its array points). The QUERY SHAPE is mirrored exactly —
+    // *-expansion among computed projections, IF over dims, consts, LOG2/
+    // LOG10, ASOF/UNTIL, IN-subquery whose HAVING has OR + an unknown field,
+    // outer HAVING OR, ORDER BY dim DESC — with goldens recomputed under
+    // this engine's documented semantics (NULL for unset).
+    val asOf = java.time.Instant.ofEpochMilli(T0 - 3000).toString
+    val until = java.time.Instant.ofEpochMilli(T0 + 2000).toString
+    val rows = db.sql(
+      s"""SELECT
+         |  iii / 2 AS ciii,
+         |  LOG2(iii) AS liii,
+         |  IF(dim_b != true, ii) AS ii,
+         |  biv / 10 AS biv,
+         |  *,
+         |  IF(dim_b = true, i) AS i_filtered,
+         |  _points,
+         |  LOG10(_points) AS lpoints,
+         |  5.1 AS cval,
+         |  _ AS present
+         |FROM test_a
+         |ASOF '$asOf' UNTIL '$until'
+         |WHERE dim_b != true AND dim_r IN
+         |    (SELECT dim_r FROM test_a HAVING ii * 2 = 488 OR ii = 42 OR unknown = 12)
+         |  AND discarded IS NULL
+         |GROUP BY dim_r, dim_u, period(5s)
+         |HAVING ii * 2 = 488 OR ii = 42 OR unknown = 12
+         |ORDER BY dim_u DESC""".stripMargin).collect()
+    assert(rows.length == 2)
+    def f(r: Row, n: String) = d(r.getAs[Any](n))
+    val u2 = rows(0); val u1 = rows(1)
+    // dim_u=2: only the (u=2, b=false) point at bucket B is in-window
+    assert(u2.getAs[String]("dim_r") == "A" && d(u2.getAs[Any]("dim_u")) == 2.0)
+    assert(approx(f(u2, "_points"), 1.0))
+    assert(approx(f(u2, "lpoints"), 0.0))
+    assert(f(u2, "i_filtered").isNaN) // b=true rows removed by WHERE
+    assert(approx(f(u2, "i"), 31.0))
+    assert(approx(f(u2, "ii"), 42.0))
+    assert(approx(f(u2, "iii"), 31.0 * 42.0)) // COUNT(ii)=1
+    assert(approx(f(u2, "ciii"), 31.0 * 42.0 / 2))
+    assert(approx(f(u2, "liii"), math.log(31.0 * 42.0) / math.log(2)))
+    assert(f(u2, "iv").isNaN && f(u2, "biv").isNaN) // unset
+    assert(approx(f(u2, "cval"), 5.1))
+    assert(approx(f(u2, "z"), 53.0))
+    assert(approx(f(u2, "present"), 1.0))
+    // dim_u=1 aggregates buckets A and B inside [asOf, until)
+    assert(d(u1.getAs[Any]("dim_u")) == 1.0)
+    assert(approx(f(u1, "i"), 122.0))  // 1 + 10 + 111
+    assert(approx(f(u1, "ii"), 244.0)) // 2 + 20 + 222
+    assert(approx(f(u1, "iii"), 122.0 * 244.0 / 3)) // COUNT(ii)=3
+    assert(approx(f(u1, "ciii"), 122.0 * 244.0 / 6))
+    assert(approx(f(u1, "iv"), 20.0))  // AVG(10, 20, 30)
+    assert(approx(f(u1, "biv"), 1.0))  // AVG(BOUNDED(iv,0,10)) = 10, / 10
+    assert(approx(f(u1, "_points"), 104.0)) // 103 in bucket A + 1 in B
+    assert(approx(f(u1, "lpoints"), math.log10(104.0)))
+    assert(math.abs(f(u1, "pp") - 99.0) < 1.5)
+    assert(math.abs(f(u1, "pp_5p") - 5.0) < 0.1)
+    assert(f(u1, "z").isNaN)
+    assert(approx(f(u1, "present"), 1.0))
+  }
+
   test("view inherits fields, narrows dims, filters the same stream") {
     val rows = db.sql(
       """SELECT i, ii FROM view_a GROUP BY dim_u, period('300s')

@@ -446,10 +446,13 @@ class PipelineSpec extends AnyFunSuite {
     // path 1-2-3-4-5, triangle {10,11,12}, pair {20,21}
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
-    val cc = Cluster.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    for (limit <- Seq(1000000L, 0L)) { // driver union-find AND star loop
+      val cc = Cluster.connectedComponents(edges, localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == expected, s"localEdgeLimit=$limit")
+    }
   }
 
   test("connected components: a 200-node path converges inside the round cap") {
@@ -457,7 +460,7 @@ class PipelineSpec extends AnyFunSuite {
     val n = 200 // adversarial for label propagation (O(diameter) rounds);
                 // large-star/small-star closes it in O(log n)
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val cc = Cluster.connectedComponents(edges).collect()
+    val cc = Cluster.connectedComponents(edges, localEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length == n + 1 && cc.forall(_._2 == 0L))
   }
@@ -477,7 +480,8 @@ class PipelineSpec extends AnyFunSuite {
     val expected = inEdges.groupBy(id => find(id.toInt))
       .flatMap { case (_, ids) => val m = ids.min; ids.map(_ -> m) }
     import spark.implicits._
-    val cc = Cluster.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+    val cc = Cluster.connectedComponents(edges.toDF("id_a", "id_b"),
+        localEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == expected)
   }
@@ -553,5 +557,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1L)._1 == 0.0 && math.abs(r(1L)._2 - 1.0 / 3) < 1e-12)
     assert(r(2L) == ((0.0, 0.0, 0.0)))
     assert(r(3L)._3 == 0.5) // 4 lines, 2 distinct
+  }
+
+  test("native RepetitionStats matches the Column/HOF formulation") {
+    import spark.implicits._
+    val df = Seq((0L, "a a a a"), (1L, "w x y z"), (2L, ""), (3L, "  "),
+      (4L, "a  b a  b"), (5L, "x y x y x"), (6L, "solo"),
+      (7L, "t\u00e9 caf\u00e9 t\u00e9 caf\u00e9 t\u00e9")).toDF("id", "text")
+    val both = df
+      .withColumn("__rp", graft.functions.Repetition.stats(col("text")))
+      .select(col("id"),
+        TextAnalysis.dupTokenRatio(col("text")).as("tr_hof"),
+        graft.functions.Repetition.dupTokenRatioFromStats(col("__rp")).as("tr_nat"),
+        TextAnalysis.topBigramShare(col("text")).as("bs_hof"),
+        graft.functions.Repetition.topBigramShareFromStats(col("__rp")).as("bs_nat"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"dupTokenRatio id=${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"topBigramShare id=${r.getLong(0)}")
+    }
+  }
+
+  test("native WordNGrams matches the Column/HOF shingle formulation") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d"), (1L, "a a a"), (2L, ""), (3L, "   "),
+      (4L, "one"), (5L, "x  y z"), (6L, "caf\u00e9 t\u00e9 caf\u00e9"),
+      (7L, " padded  both  ends ")).toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = df.select(col("id"),
+          Dedup.shingles(col("text"), n).as("nat"),
+          Dedup.shinglesColumnar(col("text"), n).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}")
+      }
+    }
   }
 }
