@@ -191,4 +191,14 @@ final class GraftDB(
         .foreach(_.processAllAvailable())
     Engine.sql(catalog, query, now)
   }
+
+  /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
+    * the query's job group and raises TimeoutException.
+    */
+  def sqlTimed(query: String, timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
+    if (Parser.parse(query).forceFresh)
+      activeStreams.synchronized { activeStreams.filter(_.isActive) }
+        .foreach(_.processAllAvailable())
+    Engine.sqlTimed(catalog, query, timeoutMs, now)
+  }
 }

@@ -505,4 +505,26 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("last_octet") == "23")
     assert(rows(1).getAs[String]("last_octet") == "24")
   }
+
+  test("query deadline: expiry cancels the job group; fast queries finish") {
+    // fast query, generous deadline: returns normally
+    val ok = Engine.sqlTimed(catalog,
+      "SELECT requests FROM inbound GROUP BY server", 60000L, () => T0 + 8000)
+    assert(ok.length == 2)
+    // slow query (sleeping rows), 300ms deadline: TimeoutException, promptly
+    import org.apache.spark.sql.functions._
+    val slowUdf = udf { (x: Long) => Thread.sleep(500L); x.toDouble }
+    val slow = spark.range(64).select(
+      org.apache.spark.sql.functions.col("id"),
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("v"),
+      lit(new java.sql.Timestamp(T0)).as("ts"))
+    val cat = new Catalog(Map("slowt" -> Catalog.classify("slowt", slow)))
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException] {
+      Engine.sqlTimed(cat, "SELECT SUM(v) AS s FROM slowt GROUP BY _",
+        300L, () => T0 + 8000)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 10000, s"cancel was not prompt: ${elapsedMs}ms")
+  }
 }

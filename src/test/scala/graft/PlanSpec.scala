@@ -106,4 +106,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"stored re-merge should be one shuffle:\n$p")
     assert(p.contains("partial_sum"), p)
   }
+
+  test("decontamination broadcasts the eval grams; the corpus never shuffles") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge:\n" + p)
+    // corpus-scale rows cross at most one exchange (the per-doc hit count);
+    // the other two are the eval-side distinct (tiny) and the final sort
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected exchange count:\n$p")
+  }
+
+  test("hash sampling and repetition scoring are map-only (no exchange before sort)") {
+    for (name <- Seq("q_sample", "q_repetition")) {
+      val p = planOf(name)
+      // the trailing global ORDER BY is the only allowed exchange
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name must stay map-only:\n$p")
+    }
+    // repetition runs the one-pass native expression, not the HOF chain
+    assert(planOf("q_repetition").contains("repetitionstats"),
+      planOf("q_repetition"))
+  }
 }
