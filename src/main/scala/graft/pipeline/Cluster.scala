@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster resolution: connected components over candidate
@@ -20,10 +19,10 @@ import org.apache.spark.sql.functions._
   * connected-components algorithm of Kiveris et al., SoCC'14), which
   * converges in O(log²) rounds on any graph shape — a plain "propagate the
   * min label to neighbors" loop needs O(diameter) rounds and dies on chain
-  * graphs at scale. Each half-step is one window aggregation over edges
-  * keyed by node (compact (long,long) rows; the document payload never
-  * enters the loop), so an iteration costs a bounded number of shuffles of
-  * the edge list regardless of corpus size.
+  * graphs at scale. Each half-step is one per-node min aggregation joined
+  * back onto the edges (compact (long,long) rows; the document payload
+  * never enters the loop), so an iteration costs a bounded number of
+  * shuffles of the edge list regardless of corpus size.
   */
 object Cluster {
 
@@ -108,14 +107,25 @@ object Cluster {
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 
+  /** Per-node neighborhood minimum via groupBy+join, NOT a window: a window
+    * over partitionBy(u) funnels a hub's entire neighbor list into one task
+    * (windows have no partial aggregation), and large-star deliberately
+    * GROWS hubs around component minima. groupBy gets map-side combine for
+    * the min, and the join back is a plain equi-join AQE can skew-split.
+    */
+  private def withNbrMin(nbrs: DataFrame): DataFrame = {
+    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("__nm"))
+    nbrs.join(mins, "u")
+  }
+
   /** Large-Star: every node links its LARGER neighbors to the minimum of its
     * neighborhood (including itself). Output keeps the (bigger, smaller)
     * orientation invariant.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    val w = Window.partitionBy(col("u"))
-    nbrs.withColumn("m", least(min(col("v")).over(w), col("u")))
+    withNbrMin(nbrs)
+      .withColumn("m", least(col("__nm"), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -125,8 +135,7 @@ object Cluster {
     * minimum of that set. Input/output edges are (bigger, smaller).
     */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-    val withM = edges.withColumn("m", min(col("v")).over(w))
+    val withM = withNbrMin(edges).withColumnRenamed("__nm", "m")
     withM.filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .union(withM.select(col("u"), col("m").as("v")))

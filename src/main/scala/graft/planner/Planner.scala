@@ -105,20 +105,31 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     // classified as a value column rather than a dim)
     val dimCols: Seq[(String, Column)] =
       if (q.groupByAll) {
-        val extra = q.groupBy.collect {
-          case GroupDim(n) if !src.dims.contains(n) => n
+        val extras = q.groupBy.collect {
+          case GroupDim(n) if !src.dims.contains(n) =>
+            n -> dimResolve(n).as(n)
+          case GroupExpr(n, e) if !src.dims.contains(n) =>
+            n -> Builders.dim(e, dimResolve).as(n)
         }
-        (src.dims ++ extra).sorted.map(d => d -> dimResolve(d).as(d))
+        (src.dims.map(d => d -> dimResolve(d).as(d)) ++ extras).sortBy(_._1)
       } else q.groupBy.map {
         case GroupDim(n)     => n -> dimResolve(n)
         case GroupExpr(n, e) => n -> Builders.dim(e, dimResolve)
       }
     val dimNames = dimCols.map(_._1)
 
+    // A period wider than the queried window re-buckets at the window size
+    // (the reference truncates resolution to until−asOf, local.go:152-157;
+    // both engines bucket on the epoch grid, so the capped results match).
+    val windowMs: Option[Long] = loMs.map(lo => hiMs.getOrElse(nowMs) - lo)
+    val qResMs: Option[Long] = (q.resolution.map(_.toMillis), windowMs) match {
+      case (Some(r), Some(w)) if w > 0 && r > w => Some(w)
+      case (r, _) => r
+    }
+
     // Effective resolution: query period, else the table's own declared
     // resolution (materialized tables re-bucket; raw sources stay unbucketed).
-    val effRes: Option[Long] =
-      q.resolution.map(_.toMillis).orElse(src.resolution.map(_.toMillis))
+    val effRes: Option[Long] = qResMs.orElse(src.resolution.map(_.toMillis))
     val strideMs: Option[Long] = q.stride.map(_.toMillis)
     val bucketMs: Option[Long] = strideMs.orElse(effRes)
 
@@ -206,11 +217,11 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       }
     require(fields.nonEmpty, "empty SELECT list")
 
-    // analyzer parity: query resolution must be a coarser multiple of the
-    // table's (/root/reference/planner/local.go:137-170)
-    for (tr <- src.resolution; qr <- q.resolution) {
-      require(qr.toMillis >= tr.toMillis && qr.toMillis % tr.toMillis == 0,
-        s"period(${qr}) must be a multiple of table resolution ($tr)")
+    // analyzer parity: query resolution (after the window cap) must be a
+    // coarser multiple of the table's (/root/reference/planner/local.go:137-170)
+    for (tr <- src.resolution; qr <- qResMs) {
+      require(qr >= tr.toMillis && qr % tr.toMillis == 0,
+        s"period(${qr}ms) must be a multiple of table resolution ($tr)")
     }
 
     val resolveVal: String => Column = {

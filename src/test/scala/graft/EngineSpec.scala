@@ -527,4 +527,34 @@ class EngineSpec extends AnyFunSuite {
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs < 10000, s"cancel was not prompt: ${elapsedMs}ms")
   }
+
+  test("no GROUP BY clause defaults to grouping by every dim (sql.go:601)") {
+    val rows = sql("SELECT requests FROM inbound").collect()
+    // one row per distinct (server, path, status) combination; the two
+    // load_avg-only points have `requests` unset and are skipped (Flatten
+    // drops rows where every selected field is unset)
+    assert(rows.length == 6)
+    assert(rows.head.schema.fieldNames.toSet ==
+      Set("server", "path", "status", "requests"))
+  }
+
+  test("GROUP BY * composes with explicit extra dims (planner_test.go \"group by all\")") {
+    val all = sql("SELECT requests FROM inbound GROUP BY *").collect()
+    val plus = sql("SELECT requests FROM inbound GROUP BY *, CONCAT('_', server, path) AS c")
+      .collect()
+    assert(plus.length >= all.length)
+    assert(plus.head.schema.fieldNames.contains("c"))
+  }
+
+  test("period wider than the ASOF/UNTIL window re-buckets at the window (local.go:152)") {
+    val q =
+      s"""SELECT requests FROM inbound
+         |ASOF '${java.time.Instant.ofEpochMilli(T0 + 2000)}'
+         |UNTIL '${java.time.Instant.ofEpochMilli(T0 + 6000)}'
+         |GROUP BY _, period('1h')""".stripMargin
+    val times = sql(q).collect().map(_.getAs[java.sql.Timestamp]("_time")).distinct
+    // 1h is capped to the 4s window; T0 is 4s-aligned, so rows at +2,+3s and
+    // +4,+5s land in two distinct 4s buckets (uncapped 1h would give one)
+    assert(times.length == 2, times.toSeq.toString)
+  }
 }
