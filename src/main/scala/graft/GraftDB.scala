@@ -23,7 +23,8 @@ final class GraftDB(
     schemaText: String,
     baseDir: String,
     now: () => Long = () => System.currentTimeMillis(),
-    aliasesProps: String = "") {
+    aliasesProps: String = "",
+    whitelistedDims: Set[String] = Set.empty) {
 
   if (aliasesProps.nonEmpty) Parser.registerAliasesProps(aliasesProps)
 
@@ -112,9 +113,26 @@ final class GraftDB(
   /** Batch-insert points into a stream: every table/view defined over the
     * stream folds the batch into its materialized aggregation.
     */
-  def insert(stream: String, batch: DataFrame): Unit = {
+  def insert(stream: String, batch0: DataFrame): Unit = {
     val targets = tablesForStream(stream)
     require(targets.nonEmpty, s"no tables defined over stream '$stream'")
+    // WhitelistedDimensions (zenodb.go:133-135): when set, only whitelisted
+    // dims reach the WAL — here, the merge. Non-dim columns (time, measures)
+    // always pass; the reference's e2e fixture relies on a non-whitelisted
+    // `discarded` dim vanishing at insert rather than becoming a group key.
+    val batch =
+      if (whitelistedDims.isEmpty) batch0
+      else {
+        val drop = batch0.schema.fields.collect {
+          case f if (f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.BooleanType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.LongType) &&
+            f.name != "ts" => // dim-typed (never the time or measure columns)
+            f.name
+        }.filterNot(whitelistedDims.contains)
+        batch0.drop(drop: _*)
+      }
     targets.foreach(_.mergeBatch(batch))
     insertListeners.forEach(l => l(stream.toLowerCase, batch))
   }

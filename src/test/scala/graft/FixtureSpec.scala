@@ -55,6 +55,7 @@ class FixtureSpec extends AnyFunSuite {
     StructField("ts", TimestampType),
     StructField("dim_r", StringType), StructField("dim_u", IntegerType),
     StructField("dim_b", BooleanType), StructField("dim_md", StringType),
+    StructField("discarded", StringType),
     StructField("i", DoubleType), StructField("ii", DoubleType),
     StructField("iv", DoubleType), StructField("z", DoubleType),
     StructField("p", ArrayType(DoubleType))))
@@ -64,13 +65,15 @@ class FixtureSpec extends AnyFunSuite {
                  iv: java.lang.Double = null, z: java.lang.Double = null,
                  p: Seq[Double] = null): Row =
     Row(new java.sql.Timestamp(T0 + offMs), r, Int.box(u), Boolean.box(b), md,
-      i, ii, iv, z, p)
+      "i'm discarded", i, ii, iv, z, p)
 
   lazy val db: GraftDB = {
     val dir = Files.createTempDirectory("graft-fixture").toString
-    val d = new GraftDB(spark, schemaYaml, dir, () => T0 + 100000)
-    // the `discarded` dim is whitelisted away at insert (zenodb_test.go:49-54):
-    // it simply isn't a column, and GROUP BY discarded keys it as NULL
+    // the `discarded` dim is inserted on every point but whitelisted away
+    // (zenodb_test.go:49-54 "if you include discarded here, the test will
+    // fail"): it never reaches the merge, and GROUP BY discarded keys NULL
+    val d = new GraftDB(spark, schemaYaml, dir, () => T0 + 100000,
+      whitelistedDims = Set("dim_r", "dim_u", "dim_b", "dim_md"))
     val pi = (0 to 100).filter(_ % 3 == 0).map(_.toDouble)  // 34 values
     val pf = (0 to 100).filterNot(_ % 3 == 0).map(_.toDouble) // 67 values
     val rows = Seq(
