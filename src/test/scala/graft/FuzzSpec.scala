@@ -95,4 +95,64 @@ class FuzzSpec extends AnyFunSuite {
     }
     assert(checked == 40)
   }
+
+  test("30 random period/dim-fn/arithmetic queries over events match direct builds") {
+    val cat = Catalog.fromParquetDir(spark, dir, Seq("events"))
+    val ev = cat.get("events").df
+    val rnd = new scala.util.Random(42L)
+    val periods = Seq(3600000L -> "period('1h')", 21600000L -> "period('6h')",
+      86400000L -> "period('1d')")
+
+    for (i <- 0 until 30) {
+      val (bucketMs, periodSql) = periods(rnd.nextInt(periods.size))
+      val dimPick = rnd.nextInt(3)
+      val (dimSql, dimName, dimCol) = dimPick match {
+        case 0 => ("event_type", "event_type", col("event_type"))
+        case 1 => ("CONCAT('_', event_type, user_id) AS c", "c",
+          concat_ws("_", col("event_type"), col("user_id")))
+        case 2 => ("SUBSTR(event_type, 1, 3) AS c", "c",
+          col("event_type").substr(1, 3))
+      }
+      val arith = rnd.nextInt(3)
+      val (fSql, fDirect): (String, Seq[Column] => Column) = arith match {
+        case 0 => ("SUM(value * 100) / 100 AS f" -> (a => a(0) / 100))
+        case 1 => ("SUM(value * 100) / _points AS f" -> (a => a(0) / a(1)))
+        case 2 => ("LOG10(_points) AS f" -> (a => log10(a(1))))
+      }
+      val whereSql = if (rnd.nextBoolean()) " WHERE user_id < 300" else ""
+
+      val sql = s"SELECT $fSql, _points FROM events$whereSql " +
+        s"GROUP BY $dimSql, $periodSql ORDER BY _time, $dimName"
+      val got = Engine.sql(cat, sql).collect()
+
+      var direct = ev
+      if (whereSql.nonEmpty) direct = direct.filter(col("user_id") < 300)
+      val bucket = timestamp_millis(
+        (floor(unix_millis(col("ts")) / lit(bucketMs.toDouble)) * bucketMs)
+          .cast("long")).as("_time")
+      val sumv = sum(col("value") * 100)
+      val pts = count(lit(1)).cast("double")
+      direct = direct.groupBy(bucket, dimCol.as(dimName))
+        .agg(sumv.as("__s"), pts.as("_points"))
+        .withColumn("f", fDirect(Seq(col("__s"), col("_points"))))
+        .drop("__s")
+        .orderBy(col("_time"), col(dimName))
+      val want = direct.collect()
+
+      assert(got.length == want.length,
+        s"[case $i] rows ${got.length} vs ${want.length}\n$sql")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getAs[Any](dimName) == w.getAs[Any](dimName), s"[case $i] dim\n$sql")
+        assert(g.getAs[java.sql.Timestamp]("_time") == w.getAs[java.sql.Timestamp]("_time"),
+          s"[case $i] time\n$sql")
+        for (n <- Seq("f", "_points")) {
+          val (a, b) = (g.getAs[Any](n), w.getAs[Any](n))
+          val ok = (a == null && b == null) || (a != null && b != null &&
+            math.abs(a.toString.toDouble - b.toString.toDouble) <=
+              1e-9 * math.max(1.0, math.abs(b.toString.toDouble)))
+          assert(ok, s"[case $i] $n: $a vs $b\n$sql")
+        }
+      }
+    }
+  }
 }
