@@ -30,7 +30,11 @@ final case class TableDef(
     /** Time-bounded scan: given (asofMs, untilMs), return a source pruned at
       * the storage layer (manifest day dirs) instead of filtering the full
       * scan. None = source has no storage-level pruning (raw parquet). */
-    timePrune: Option[(Option[Long], Option[Long]) => DataFrame] = None)
+    timePrune: Option[(Option[Long], Option[Long]) => DataFrame] = None,
+    /** Retention horizon for materialized tables — defines the source's
+      * default asOf (the reference's source.GetAsOf(), core/group.go:92-104)
+      * so the period-vs-window cap applies to UNTIL-only queries too. */
+    retentionMillis: Option[Long] = None)
 
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a

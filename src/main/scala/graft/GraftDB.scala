@@ -123,14 +123,14 @@ final class GraftDB(
     val batch =
       if (whitelistedDims.isEmpty) batch0
       else {
-        val drop = batch0.schema.fields.collect {
-          case f if (f.dataType == org.apache.spark.sql.types.StringType ||
-            f.dataType == org.apache.spark.sql.types.BooleanType ||
-            f.dataType == org.apache.spark.sql.types.IntegerType ||
-            f.dataType == org.apache.spark.sql.types.LongType) &&
-            f.name != "ts" => // dim-typed (never the time or measure columns)
-            f.name
-        }.filterNot(whitelistedDims.contains)
+        // dims are identified by NAME, never by Spark type (the reference
+        // slices only the dims map, insert.go:34-39): a column is a dim iff
+        // it is neither the ts column nor a val/measure of any target table.
+        // Type-based classification silently dropped integer-typed measures
+        // and let non-whitelisted double-typed dims through.
+        val measureNames = targets.flatMap(_.valNames).toSet
+        val drop = batch0.columns.filter(c =>
+          c != "ts" && !measureNames.contains(c) && !whitelistedDims.contains(c))
         batch0.drop(drop: _*)
       }
     targets.foreach(_.mergeBatch(batch))
@@ -178,6 +178,7 @@ final class GraftDB(
           fieldAgg = Map.empty,
           hasPointsCol = false,
           resolution = t.query.resolution,
+          retentionMillis = t.config.retentionMillis,
           stored = Some(Builders.StoredDef(t.tableFields)),
           timePrune = Some { (lo, hi) =>
             t.readPruned(lo, hi) match {
@@ -218,5 +219,17 @@ final class GraftDB(
       activeStreams.synchronized { activeStreams.filter(_.isActive) }
         .foreach(_.processAllAvailable())
     Engine.sqlTimed(catalog, query, timeoutMs, now)
+  }
+
+  /** Deadline form that never throws on expiry: returns rows plus
+    * [[Engine.QueryStats]] with `completed = false` when the deadline
+    * cancelled the job group (the reference's partial-result stats,
+    * common/common.go:57-64).
+    */
+  def sqlWithStats(query: String, timeoutMs: Long): Engine.QueryResult = {
+    if (Parser.parse(query).forceFresh)
+      activeStreams.synchronized { activeStreams.filter(_.isActive) }
+        .foreach(_.processAllAvailable())
+    Engine.sqlWithStats(catalog, query, timeoutMs, now)
   }
 }

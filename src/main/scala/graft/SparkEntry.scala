@@ -73,9 +73,10 @@ object SparkEntry {
   private[graft] def gateIvfPath(dir: String): String =
     s"target/gate-ivf/ivf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
-  // 30d / 90d in millis for the period/stride/shift oracle arithmetic
+  // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
+  private val W1 = 7L * 86400000L
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,6 +161,13 @@ object SparkEntry {
       """SELECT SUM(o_totalprice * 100) / 100 AS rev,
         |  SUM(o_totalprice * 100) / 100 - SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS delta
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
+    // §2.3 CROSSHIFT macro (expands to one SHIFT column per interval step:
+    // xr, xr_1w, xr_2w — sql.go:480-512)
+    "q_crosshift" -> gqT(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev,
+        |  CROSSHIFT(SUM(o_totalprice * 100) / 100, '-3w', '1w') AS xr
+        |FROM orders GROUP BY _, period('1w') ORDER BY _time""".stripMargin),
 
     // §2.4 CROSSTAB pivot
     "q_crosstab" -> gq(
@@ -626,6 +634,24 @@ object SparkEntry {
         |  AND COALESCE(a.t, p.t + $D30)
         |    BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
         |ORDER BY 1""".stripMargin,
+
+    "q_crosshift" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(o_orderdate) / $W1) * $W1 AS BIGINT) AS t,
+        |    sum(o_totalprice * 100) / 100 AS rev
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT t, rev, rev AS xr,
+        |    CAST(NULL AS DOUBLE) AS xr_1w, CAST(NULL AS DOUBLE) AS xr_2w FROM b
+        |  UNION ALL
+        |  SELECT t + $W1, NULL, NULL, rev, NULL FROM b
+        |  UNION ALL
+        |  SELECT t + ${2 * W1}, NULL, NULL, NULL, rev FROM b)
+        |SELECT t AS _time, max(rev) AS rev, max(xr) AS xr,
+        |  max(xr_1w) AS xr_1w, max(xr_2w) AS xr_2w
+        |FROM e
+        |WHERE t BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
+        |GROUP BY t ORDER BY t""".stripMargin,
 
     "q_crosstab" ->
       """SELECT l_linestatus,

@@ -101,6 +101,14 @@ object Cluster {
       prevSig = sig
       iter += 1
     }
+    // alternating star rounds converge in O(log² n) rounds on any graph
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond"), so
+    // hitting the cap means something is genuinely wrong (e.g. a signature
+    // hash collision oscillation) — returning unresolved labels silently
+    // would corrupt downstream dedup, so fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge within $maxIter rounds")
     // Converged: a star forest of (child, root) edges, root = component min.
     edges.select(col("u").as("id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("id"), col("v").as("cluster")))

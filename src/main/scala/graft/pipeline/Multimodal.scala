@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * BMP via a pure-JVM pixel parser, and PNG/JPEG/GIF/WBMP via the JDK's own
   * `javax.imageio` (java.desktop ships with the runtime; no external
   * library) — as is PCM16 WAV audio (RIFF chunk walk + per-window RMS).
-  * Only formats with no JDK codec (MP3, H.264 video) fall back to the
-  * deterministic byte-derived fakes marked `STUB:` below — same schema and
-  * batch shape, so a real codec drops in by extending one dispatch.
+  * MP3 metadata (duration/bitrate/sample rate) is REAL too, via an MPEG
+  * frame-header walk ([[mp3Meta]] — headers are plain bit fields; no codec
+  * needed). Only PCM decode of codec-less formats (MP3 samples, H.264
+  * video) falls back to the deterministic byte-derived fakes marked `STUB:`
+  * below — same schema and batch shape, so a real codec drops in by
+  * extending one dispatch.
   */
 object Multimodal {
 
@@ -267,6 +270,88 @@ object Multimodal {
       transform(sequence(lit(0), lit(windows - 1)), i =>
         (pmod(xxhash64(substring(payload, lit(1).cast("int"), lit(64).cast("int")), i),
           lit(1000L)) / 1000.0).cast("float")))
+  }
+
+  /** REAL MP3 metadata via an MPEG frame-header walk (ISO 11172-3 §2.4.1.3):
+    * no codec needed — duration, bitrate, and sample rate live in plain bit
+    * fields of each 4-byte frame header, so skip any ID3v2 tag, sync to the
+    * first Layer III header, and step frame to frame summing per-frame
+    * durations (handles VBR, where no single header is authoritative).
+    * Returns null unless ≥2 consecutive valid frames parse (a lone 0xFFEx
+    * in random bytes is not an MP3). Result: [durationMs, avgBitrateKbps,
+    * sampleRateHz, frameCount].
+    */
+  private[graft] def mp3Meta(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.length < 4) return null
+    var pos = 0
+    // ID3v2 prefix: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I'.toByte && bytes(1) == 'D'.toByte &&
+        bytes(2) == '3'.toByte) {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + sz
+    }
+    // sync scan for the first frame only (leading junk is common); after
+    // that, frames must chain exactly or we stop (trailing ID3v1/garbage)
+    val rates1 = Array(44100, 48000, 32000)
+    val kbps1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val kbps2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    var frames = 0L
+    var durationUs = 0.0
+    var payloadBytes = 0L
+    var rateOut = 0L
+    var synced = false
+    var done = false
+    var scan = pos
+    while (!done && scan + 4 <= bytes.length) {
+      val b1 = bytes(scan) & 0xff; val b2 = bytes(scan + 1) & 0xff
+      val b3 = bytes(scan + 2) & 0xff
+      val version = (b2 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = (b2 >> 1) & 3     // 1=Layer III
+      val brIdx = (b3 >> 4) & 15
+      val srIdx = (b3 >> 2) & 3
+      val pad = (b3 >> 1) & 1
+      val valid = b1 == 0xff && (b2 & 0xe0) == 0xe0 && version != 1 &&
+        layer == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3
+      if (valid) {
+        val mpeg1 = version == 3
+        val rate = rates1(srIdx) / (version match {
+          case 3 => 1; case 2 => 2; case _ => 4
+        })
+        val kbps = (if (mpeg1) kbps1 else kbps2)(brIdx)
+        val samplesPerFrame = if (mpeg1) 1152 else 576
+        val frameLen = samplesPerFrame / 8 * (kbps * 1000) / rate + pad
+        if (frameLen < 4) return null
+        frames += 1
+        durationUs += samplesPerFrame * 1e6 / rate
+        payloadBytes += frameLen
+        rateOut = rate
+        synced = true
+        scan += frameLen
+      } else if (synced) done = true // chained walk hit trailing non-frame
+      else scan += 1                 // still hunting for the first sync
+    }
+    if (frames < 2) return null
+    val durationMs = math.round(durationUs / 1000.0)
+    val avgKbps = math.round(payloadBytes * 8 / (durationUs / 1000.0))
+    Array(durationMs, avgKbps, rateOut, frames)
+  }
+
+  /** MP3 metadata probe column: `struct<duration_ms, bitrate_kbps,
+    * sample_rate, frames>` (null for non-MP3 payloads). Pairs with
+    * [[withMeta]]: `withMeta(df, lit("mp3"), lit(0), lit(0),
+    * mp3MetaProbe(col("payload")).getField("duration_ms"))` fills the meta
+    * duration from the payload itself. PCM decode for MP3 stays out of
+    * scope (the JDK ships no MP3 codec) — [[decodeAudioEnvelope]]'s STUB
+    * branch still covers the envelope schema for those payloads.
+    */
+  def mp3MetaProbe(payload: Column): Column = {
+    val p = udf { (b: Array[Byte]) =>
+      val m = mp3Meta(b)
+      if (m == null) null else (m(0), m(1), m(2), m(3))
+    }
+    p(payload).cast(
+      "struct<duration_ms:bigint,bitrate_kbps:bigint,sample_rate:bigint,frames:bigint>")
   }
 
   /** STUB: sample every-nth frame of a video payload as binary slices.

@@ -121,7 +121,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     // A period wider than the queried window re-buckets at the window size
     // (the reference truncates resolution to until−asOf, local.go:152-157;
     // both engines bucket on the epoch grid, so the capped results match).
-    val windowMs: Option[Long] = loMs.map(lo => hiMs.getOrElse(nowMs) - lo)
+    // asOf defaults to the source's data horizon (now − retention), matching
+    // source.GetAsOf() (core/group.go:92-104) — so the cap also applies to
+    // UNTIL-only and unbounded queries over retention-bounded tables.
+    val windowMs: Option[Long] =
+      loMs.orElse(src.retentionMillis.map(r => nowMs - r))
+        .map(lo => hiMs.getOrElse(nowMs) - lo)
     val qResMs: Option[Long] = (q.resolution.map(_.toMillis), windowMs) match {
       case (Some(r), Some(w)) if w > 0 && r > w => Some(w)
       case (r, _) => r
@@ -368,13 +373,23 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     // per-group sequences are dense WITHIN [first, last] data bucket
     // (zenodb_test.go:578-628 emits the interior gap row with only the
     // shifted value set, but nothing past the series' last bucket)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(nonTime.map(col): _*)
     val dataT = when(col("__vals").isNotNull, col("_time"))
-    val clamped = regrouped
-      .select(col("*"), min(dataT).over(w).as("__tmin"),
-        max(dataT).over(w).as("__tmax")) // one Window pass for both bounds
-      .filter(col("_time").between(col("__tmin"), col("__tmax")))
+    val clamped = if (nonTime.isEmpty) {
+      // dim-less (GROUP BY _, period(...)): an empty partitionBy would plan
+      // a single-partition WindowExec sorting every bucket on one core; the
+      // bounds are a global scalar, so compute them as a 1-row aggregate
+      // and broadcast-crossJoin it instead
+      val bounds = regrouped.agg(min(dataT).as("__tmin"), max(dataT).as("__tmax"))
+      regrouped.crossJoin(broadcast(bounds))
+        .filter(col("_time").between(col("__tmin"), col("__tmax")))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(nonTime.map(col): _*)
+      regrouped
+        .select(col("*"), min(dataT).over(w).as("__tmin"),
+          max(dataT).over(w).as("__tmax")) // one Window pass for both bounds
+        .filter(col("_time").between(col("__tmin"), col("__tmax")))
+    }
     clamped.select((groupNames.map(col) ++
       valNames.map(n => col("__vals").getField(n).as(n)) ++
       compiled.shifts.map(sh => col(sh.alias))): _*)
@@ -580,7 +595,17 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
   private def rewriteInSubsToMembership(e: DExpr): DExpr = e match {
     case DInSub(c, sub0, negated) =>
       val (subDf, subDim) = planInSubquery(sub0)
-      val values = subDf.select(col(subDim)).collect().map(_.get(0)).toSeq
+      // fail-fast cardinality guard (same rationale as MaxPivotValues): a
+      // miswritten subquery selecting a high-cardinality dim would otherwise
+      // collect unbounded rows onto the driver before anyone notices
+      val values = subDf.select(col(subDim))
+        .limit(Planner.MaxInMembershipValues + 1)
+        .collect().map(_.get(0)).toSeq
+      require(values.size <= Planner.MaxInMembershipValues,
+        s"IN subquery under OR/NOT yields more than " +
+          s"${Planner.MaxInMembershipValues} distinct values; narrow the " +
+          "subquery with WHERE/HAVING or restructure it as a top-level " +
+          "AND conjunct (which joins instead of collecting)")
       DIn(c, values, negated)
     case DAnd(l, r) => DAnd(rewriteInSubsToMembership(l), rewriteInSubsToMembership(r))
     case DOr(l, r)  => DOr(rewriteInSubsToMembership(l), rewriteInSubsToMembership(r))
@@ -637,4 +662,13 @@ object Planner {
     * explicit values (`-- crosstab_values ...`).
     */
   val MaxPivotValues: Int = 10000
+
+  /** Fail-fast bound on the OR/NOT IN-subquery membership collect — the
+    * two-phase path materializes the subquery's distinct dim on the driver
+    * (the footprint the reference also accepts, planner/subquery.go:13-100),
+    * so cap it like the pivot-value collect. Overridable for deployments
+    * with bigger drivers (mirrors spark.sql.pivotMaxValues being a conf).
+    */
+  def MaxInMembershipValues: Int =
+    sys.props.get("graft.maxInMembershipValues").map(_.toInt).getOrElse(100000)
 }

@@ -33,6 +33,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       .map(s => java.net.URLDecoder.decode(s.stripPrefix("sql="), "UTF-8"))
       .getOrElse(new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8))
 
+  private def timeoutOf(ex: HttpExchange): Option[Long] =
+    Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").find(_.startsWith("timeout=")))
+      .map(s => graft.sqlx.Durations.parseMillis(
+        java.net.URLDecoder.decode(s.stripPrefix("timeout="), "UTF-8")))
+
   def start(): Int = {
     server.createContext("/insert/", (ex: HttpExchange) => handle(ex) {
       val stream = ex.getRequestURI.getPath.stripPrefix("/insert/")
@@ -41,11 +47,11 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       s"""{"inserted":$n}"""
     })
     server.createContext("/run", (ex: HttpExchange) => handle(ex) {
-      runToJson(sqlOf(ex))
+      runToJson(sqlOf(ex), timeoutOf(ex))
     })
     // `/immediate` skips the cache like the reference (web/handler.go:118)
     server.createContext("/immediate", (ex: HttpExchange) => handle(ex) {
-      runToJson(sqlOf(ex))
+      runToJson(sqlOf(ex), timeoutOf(ex))
     })
     // async query + cached permalink (web/handler.go:117-124, web/cache.go):
     // `/async?sql=` registers (or reuses, within the TTL) a cache entry keyed
@@ -82,30 +88,75 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   def insertJsonLines(stream: String, jsonLines: String): Long =
     PointsJson.insert(spark, db, stream, jsonLines)
 
-  /** Run dialect SQL, return rows + per-column approximate cardinalities.
-    * Rows stream through the local iterator partition by partition (no
-    * whole-result collect), truncated at [[HttpServer.MaxRows]] with a
-    * `truncated` marker — this is a control-plane endpoint, not a data path.
+  /** Run dialect SQL, return rows + per-column approximate cardinalities +
+    * a `stats` object (elapsedMs, rows, completed — the reference's
+    * QueryStats analogue, common/common.go:57-64). Rows stream through the
+    * local iterator partition by partition (no whole-result collect),
+    * truncated at [[HttpServer.MaxRows]] with a `truncated` marker — this
+    * is a control-plane endpoint, not a data path.
+    *
+    * With `timeoutMs` set, expiry cancels the query's job group and the
+    * response carries the rows gathered so far with
+    * `stats.completed = false` — the reference's partial-results-on-deadline
+    * behavior (cluster_query.go:317-330).
     */
-  def runToJson(sql: String): String = {
+  def runToJson(sql: String, timeoutMs: Option[Long] = None): String = {
     val df = db.sql(sql)
-    val sb = new StringBuilder("[")
-    val it = df.toJSON.toLocalIterator()
-    var n = 0
-    while (it.hasNext && n < HttpServer.MaxRows) {
-      if (n > 0) sb.append(',')
-      sb.append(it.next())
-      n += 1
+    val t0 = System.nanoTime()
+    val parts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var truncated = false
+    @volatile var completed = true
+    def drain(): Unit = {
+      val it = df.toJSON.toLocalIterator()
+      var n = 0
+      while (it.hasNext && n < HttpServer.MaxRows) { parts.add(it.next()); n += 1 }
+      truncated = it.hasNext
     }
-    val truncated = it.hasNext
-    sb.append(']')
+    timeoutMs match {
+      case None => drain()
+      case Some(ms) =>
+        val sc = spark.sparkContext
+        val group = s"graft-run-${java.util.UUID.randomUUID()}"
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try {
+          val fut = pool.submit(new Runnable {
+            def run(): Unit = {
+              sc.setJobGroup(group, sql, interruptOnCancel = true)
+              try drain() finally sc.clearJobGroup()
+            }
+          }, ())
+          try fut.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              sc.cancelJobGroup(group)
+              fut.cancel(true)
+              completed = false
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        } finally pool.shutdown()
+    }
+    val rows = {
+      val sb = new StringBuilder("[")
+      val it = parts.iterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) sb.append(',')
+        sb.append(it.next()); first = false
+      }
+      sb.append(']'); sb.toString
+    }
+    // cardinalities re-run the plan as an aggregate — skip on an expired
+    // query rather than paying the scan a second time past the deadline
     val cardCols = df.columns.map(c =>
       approx_count_distinct(col(s"`$c`")).cast("long").as(c))
     val cards =
-      if (df.columns.isEmpty) "{}"
+      if (df.columns.isEmpty || !completed) "{}"
       else df.agg(cardCols.head, cardCols.tail: _*).toJSON.collect()
         .headOption.getOrElse("{}")
-    s"""{"rows":$sb,"cardinalities":$cards,"truncated":$truncated}"""
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    s"""{"rows":$rows,"cardinalities":$cards,"truncated":$truncated,""" +
+      s""""stats":{"elapsedMs":$elapsedMs,"rows":${parts.size},"completed":$completed}}"""
   }
 
   // ---- async query cache (web/cache.go: permalink entries with TTL) ------

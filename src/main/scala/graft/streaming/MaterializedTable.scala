@@ -103,7 +103,7 @@ final class MaterializedTable(
     case _                    => Set.empty
   }
 
-  private def valNames: Set[String] = tableFields.flatMap(f => measureLeaves(f.expr)).toSet
+  private[graft] def valNames: Set[String] = tableFields.flatMap(f => measureLeaves(f.expr)).toSet
 
   // ---------------------------------------------------------------------
   // Storage: a manifest of day-partitioned parquet dirs (a minimal
@@ -211,9 +211,14 @@ final class MaterializedTable(
 
     // table WHERE pre-filter (insert.go:175-189)
     query.where.foreach(w => batch = batch.filter(Builders.dim(w, dimResolve)))
-    // points older than the retention horizon are dropped (insert.go:131-136)
-    config.retentionMillis.foreach { r =>
-      batch = batch.filter(col(tsCol) >= timestamp_millis(lit(now() - r)))
+    // points older than the replay horizon are dropped: truncateBefore is
+    // the LATER of (now - retention) and (now - backfill) — backfill bounds
+    // how far back late/replayed data may land (table.go:49-51,
+    // insert.go:131-136)
+    val horizons = config.retentionMillis.toSeq ++ config.backfillMillis
+    if (horizons.nonEmpty) {
+      val truncateBefore = now() - horizons.min
+      batch = batch.filter(col(tsCol) >= timestamp_millis(lit(truncateBefore)))
     }
 
     val dims: Seq[(String, Column)] =

@@ -357,6 +357,19 @@ class EngineSpec extends AnyFunSuite {
     assert(notWrapped.map(_.toString).toSeq == anti.map(_.toString).toSeq)
   }
 
+  test("two-phase IN membership collect is bounded (fail-fast, not driver OOM)") {
+    System.setProperty("graft.maxInMembershipValues", "1")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        sql(
+          """SELECT requests FROM inbound
+            |WHERE NOT (path IN (SELECT path FROM inbound GROUP BY path))
+            |GROUP BY server""".stripMargin).collect()
+      }
+      assert(ex.getMessage.contains("distinct values"), ex.getMessage)
+    } finally System.clearProperty("graft.maxInMembershipValues")
+  }
+
   test("null dims are first-class IN-subquery members (join ≡ membership)") {
     // The reference collects subquery dims (nil included) into a set and
     // tests membership (planner/subquery.go:54-72) — two-valued, never SQL
@@ -526,6 +539,27 @@ class EngineSpec extends AnyFunSuite {
     }
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs < 10000, s"cancel was not prompt: ${elapsedMs}ms")
+  }
+
+  test("sqlWithStats reports QueryStats on both completing and expiring queries") {
+    // completing: rows + completed=true + a real elapsed time
+    val ok = Engine.sqlWithStats(catalog,
+      "SELECT requests FROM inbound GROUP BY server", 60000L, () => T0 + 8000)
+    assert(ok.stats.completed)
+    assert(ok.rows.length == 2 && ok.stats.rows == 2)
+    assert(ok.stats.elapsedMs >= 0)
+    // expiring: no throw — empty rows with completed=false
+    import org.apache.spark.sql.functions._
+    val slowUdf = udf { (x: Long) => Thread.sleep(500L); x.toDouble }
+    val slow = spark.range(64).select(
+      org.apache.spark.sql.functions.col("id"),
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("v"),
+      lit(new java.sql.Timestamp(T0)).as("ts"))
+    val cat = new Catalog(Map("slowt" -> Catalog.classify("slowt", slow)))
+    val expired = Engine.sqlWithStats(cat,
+      "SELECT SUM(v) AS s FROM slowt GROUP BY _", 300L, () => T0 + 8000)
+    assert(!expired.stats.completed)
+    assert(expired.rows.isEmpty && expired.stats.rows == 0)
   }
 
   test("no GROUP BY clause defaults to grouping by every dim (sql.go:601)") {

@@ -171,6 +171,35 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(buckets.map(r => d(r.getAs[Any]("_points"))).sum, 9.0))
   }
 
+  test("backfill bounds replay: older-than-backfill drops, younger late point merges") {
+    // the reference's truncateBefore is the later of (now - retention) and
+    // (now - backfill) — backfill caps how far back replayed data may land
+    // (/root/reference/table.go:49-51, insert.go:131-136)
+    val dir = Files.createTempDirectory("graftdb").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  backfill: 20m
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY server, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    db.insert("inbound", points())
+    // 10 min old: within backfill → merges
+    val young = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 600000), "56.234.163.23", "/late",
+        Integer.valueOf(200), Double.box(5.0), null)), 1), schema)
+    db.insert("inbound", young)
+    // 30 min old: inside retention (1h) but beyond backfill (20m) → dropped
+    val tooOld = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/old",
+        Integer.valueOf(200), Double.box(7.0), null)), 1), schema)
+    db.insert("inbound", tooOld)
+    val rows = db.sql(
+      "SELECT requests FROM combined GROUP BY _ ORDER BY _time").collect()
+    assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1069.0))
+  }
+
   test("query-time coarser re-bucketing and resolution validation") {
     val db = freshDb()
     db.insert("inbound", points())

@@ -441,6 +441,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MP3 metadata parses for real from MPEG frame headers (no codec)") {
+    import spark.implicits._
+    // hand-built MPEG1 Layer III stream: 128 kbps, 44100 Hz, no padding →
+    // frameLen = 1152/8 * 128000 / 44100 = 417 bytes; header FF FB 90 00
+    val frameLen = 1152 / 8 * 128000 / 44100
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0x00
+      f
+    }
+    val nFrames = 5
+    val bare = Array.concat(Seq.fill(nFrames)(frame()): _*)
+    // an ID3v2 tag (10-byte header + 30-byte body, syncsafe size) must skip
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 30) ++
+      new Array[Byte](30) ++ bare
+    for (payload <- Seq(bare, id3)) {
+      val m = Multimodal.mp3Meta(payload)
+      assert(m != null)
+      // 5 frames × 1152/44100 s = 130.6 ms
+      assert(m(0) == math.round(nFrames * 1152 * 1000.0 / 44100), m.toSeq)
+      assert(math.abs(m(1) - 128) <= 1, m.toSeq) // avg bitrate ≈ nominal
+      assert(m(2) == 44100 && m(3) == nFrames, m.toSeq)
+    }
+    // non-MP3 bytes (incl. a lone false sync) → null, and the probe column
+    // yields a typed null struct
+    assert(Multimodal.mp3Meta("definitely not audio".getBytes) == null)
+    assert(Multimodal.mp3Meta(Array[Byte](0xff.toByte, 0xfb.toByte)) == null)
+    val rows = Seq((1L, id3), (2L, "nope".getBytes)).toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.mp3MetaProbe(col("payload")).as("m"))
+      .orderBy("media_id").collect()
+    assert(rows(0).getStruct(1).getLong(0) == math.round(nFrames * 1152 * 1000.0 / 44100))
+    assert(rows(0).getStruct(1).getLong(2) == 44100L)
+    assert(rows(1).isNullAt(1))
+  }
+
   test("connected components: chains, cliques and pairs resolve to min id") {
     import spark.implicits._
     // path 1-2-3-4-5, triangle {10,11,12}, pair {20,21}

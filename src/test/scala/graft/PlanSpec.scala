@@ -117,6 +117,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected exchange count:\n$p")
   }
 
+  test("dim-less SHIFT clamps via broadcast scalar bounds, not a single-partition window") {
+    // GROUP BY _, period(...) + SHIFT has no non-time keys; an empty
+    // partitionBy would sort every bucket in one WindowExec task (a year at
+    // 1m resolution = 525k rows on one core). The span clamp must instead be
+    // a 1-row scalar aggregate broadcast back over the series.
+    for (name <- Seq("q_shift", "q_shift_delta")) {
+      val p = planOf(name)
+      assert(!p.contains("Window"),
+        s"$name: dim-less SHIFT must not plan a WindowExec:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name: expected broadcast of the scalar span bounds:\n$p")
+    }
+  }
+
   test("hash sampling and repetition scoring are map-only (no exchange before sort)") {
     for (name <- Seq("q_sample", "q_repetition")) {
       val p = planOf(name)

@@ -62,6 +62,17 @@ class ServerSpec extends AnyFunSuite {
       assert(body.contains("\"requests\":68.0")) // 56+12 on s1
       assert(body.contains("\"load_avg\":1.5"))
       assert(body.contains("\"cardinalities\""))
+      // QueryStats surface (common/common.go:57-64 analogue)
+      assert(body.contains("\"stats\":{") &&
+        body.contains("\"completed\":true"), body)
+      // a generous explicit timeout completes normally too
+      val runT = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$sql&timeout=60s"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(runT.body().contains("\"completed\":true"), runT.body())
+      assert(runT.body().contains("\"requests\":68.0"), runT.body())
 
       // RFC3339 ts strings parse too (web/insert.go accepts both)
       val iso = client.send(
