@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Cluster, Dedup}
+
+/** Scale-stress evidence for the pair-join family: blow the documents corpus
+  * up k× with INDEPENDENT copies (every token tagged per copy, so copy i
+  * never co-buckets with copy j — the corpus grows without the output
+  * growing super-linearly, which is what "more data" means; identical
+  * copies would instead manufacture quadratic duplicate cliques) and
+  * measure how q_minhash_lsh- and q_dedup_cluster-shaped work scales.
+  *
+  * A healthy distributed shape is ≲ linear (exponent ≈ 1.0 on the
+  * log(t_k/t_1)/log(k) fit): the LSH banding shuffles compact keys per doc
+  * and the star-rounds CC does O(E) work per round. Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleStress"
+  * Results are recorded in BENCH_LOCAL.md.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the q_dedup_cluster gate corpus (not the full table): the full corpus'
+    // stopword posting lists make exact-Jaccard quadratic in posting length,
+    // which is a property of the workload, not of the engine's scaling —
+    // the claim under test is how the GATE-shaped work grows with data size
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1", "src2", "src3") &&
+        col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+
+    // k independent copies: copy 0 verbatim; copy i>0 re-tags every token so
+    // its shingle space is disjoint from every other copy's (one crossJoin
+    // plan, not k union branches — k goes to 100+)
+    def blowUp(k: Int): String = {
+      val copies = spark.range(k).select(col("id").as("__copy"))
+      val dir = s"/tmp/graft-scale/docs_x$k"
+      base.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("__copy") * 100000000L).as("doc_id"),
+          when(col("__copy") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("__copy"), lit("_$1")))).as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    def minhash(dir: String): DataFrame = {
+      val docs = spark.read.parquet(dir)
+      Dedup.minHashLsh(docs, col("text"), col("doc_id"), n = 1,
+        numHashes = 64, bands = 32, threshold = 0.9)
+    }
+    def cluster(dir: String): DataFrame = {
+      val docs = spark.read.parquet(dir)
+      Cluster.connectedComponents(
+        Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1, threshold = 0.9))
+    }
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def minOf2(df: => DataFrame): Double = math.min(time(df), time(df))
+
+    val scales = Seq(1, 10, 100)
+    val dirs = scales.map(k => k -> blowUp(k)).toMap
+    // warmup: full pass at 1× amortizes codegen/class-load out of the fit
+    time(minhash(dirs(1))); time(cluster(dirs(1)))
+
+    val results = scales.map { k =>
+      val mh = minOf2(minhash(dirs(k)))
+      val cc = minOf2(cluster(dirs(k)))
+      println(f"""{"scale":$k,"minhash_sec":$mh%.2f,"cluster_sec":$cc%.2f}""")
+      k -> (mh, cc)
+    }.toMap
+    // two slopes: 1→max (includes the fixed per-job overhead, biased LOW)
+    // and the two largest scales (overhead amortized — the honest asymptote)
+    val kHi = scales.max
+    val kMid = scales.sorted.takeRight(2).head
+    def expo(k0: Int, k1: Int, f: ((Double, Double)) => Double): Double =
+      math.log(f(results(k1)) / f(results(k0))) / math.log(k1.toDouble / k0)
+    println(f"""{"metric":"scaling_exponent","minhash":${expo(1, kHi, _._1)}%.2f,""" +
+      f""""cluster":${expo(1, kHi, _._2)}%.2f,""" +
+      f""""minhash_tail":${expo(kMid, kHi, _._1)}%.2f,""" +
+      f""""cluster_tail":${expo(kMid, kHi, _._2)}%.2f,""" +
+      f""""scales":[${scales.mkString(",")}]}""")
+    spark.stop()
+  }
+}
