@@ -200,6 +200,46 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1069.0))
   }
 
+  test("whitelist classifies by name: integer measures survive, non-whitelisted dims of any type drop") {
+    // the reference slices only the dims map by name (insert.go:34-39):
+    // a LongType measure must not be whitelist-dropped, and a DoubleType
+    // dim must not sneak past the whitelist just because of its Spark type
+    val dir = Files.createTempDirectory("graftdb").toString
+    val yaml =
+      """t:
+        |  sql: >
+        |    SELECT hits FROM s GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000,
+      whitelistedDims = Set("k"))
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("junk", StringType), StructField("dscore", DoubleType),
+      StructField("hits", LongType)))
+    db.insert("s", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0), "a", "x", Double.box(0.1), Long.box(3L)),
+      Row(new java.sql.Timestamp(T0), "a", "y", Double.box(0.2), Long.box(4L))), 1), sch))
+    val rows = db.sql("SELECT hits FROM t GROUP BY k").collect()
+    assert(rows.length == 1, rows.toSeq)      // junk AND dscore dropped → one group
+    assert(approx(d(rows(0).getAs[Any]("hits")), 7.0)) // long measure survived
+    assert(!db.sql("SELECT hits FROM t GROUP BY *").columns.contains("dscore"))
+  }
+
+  test("UNTIL-only query caps an over-wide period at the retention window (group.go:92-104)") {
+    val db = freshDb() // retention 1h, resolution 5m, now = T0 + 10s
+    db.insert("inbound", points())
+    val rows = db.sql(
+      s"""SELECT requests FROM combined
+         |UNTIL '${java.time.Instant.ofEpochMilli(T0 + 10000)}'
+         |GROUP BY _, period('4h')""".stripMargin).collect()
+    assert(rows.length == 1)
+    // asOf defaults to now − retention, so the 4h period caps at the 1h
+    // window: the bucket sits on the 1h grid, not the 4h grid
+    assert(rows(0).getAs[java.sql.Timestamp]("_time").getTime ==
+      (T0 / 3600000L) * 3600000L)
+    assert(approx(d(rows(0).getAs[Any]("requests")), 1064.0))
+  }
+
   test("query-time coarser re-bucketing and resolution validation") {
     val db = freshDb()
     db.insert("inbound", points())
