@@ -259,10 +259,15 @@ class FixtureSpec extends AnyFunSuite {
   test("view inherits fields, narrows dims, filters the same stream") {
     val rows = db.sql(
       """SELECT i, ii FROM view_a GROUP BY dim_u, period('300s')
-        |ORDER BY dim_u""".stripMargin).collect()
-    // the 300s bucket [T0-198s, T0+102s) covers every inserted point
-    assert(rows.length == 2)
+        |ORDER BY dim_u, _time""".stripMargin).collect()
+    // the 300s period exceeds the view's 200s retention window, so it caps
+    // at the window (resolutionFor truncation with asOf defaulted from the
+    // source horizon, planner/local.go:152-157 + core/group.go:92-104):
+    // dim_u=1's points share one 200s bucket; dim_u=2's span two
+    assert(rows.length == 3)
     assert(approx(d(rows(0).getAs[Any]("i")), 122.0))   // dim_u=1: 1+10+111
-    assert(approx(d(rows(1).getAs[Any]("i")), 30531.0)) // dim_u=2: 31+30000+500
+    assert(approx(d(rows(0).getAs[Any]("ii")), 244.0))
+    assert(approx(d(rows(1).getAs[Any]("i")), 30031.0)) // dim_u=2: 31+30000
+    assert(approx(d(rows(2).getAs[Any]("i")), 500.0))   // dim_u=2, late bucket
   }
 }
