@@ -52,7 +52,9 @@ private[server] object Framing {
   *  - '''Query''' (server-streaming, ≅ `RemoteQueryResult`/`EndOfResults`):
   *    `QUERY\n<dialect sql>`; reply `SCHEMA\n<cols>` then chunked
   *    `ROWS\n<json-lines>` frames (local-iterator paging, never a whole-
-  *    result driver collect) then `END`.
+  *    result driver collect) then `END\n<QueryStats JSON>` (elapsedMs/
+  *    rows/completed — the reference's common.QueryStats rides its results
+  *    the same way).
   *  - '''Follow''' (long-lived server stream, ≅ `Follow` tailing the WAL):
   *    `FOLLOW <stream>`; every batch inserted from subscription time on is
   *    delivered as `POINTS\n<json-lines>`. The reference replays from a WAL
@@ -149,18 +151,25 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
   }
 
   private def handleQuery(sql: String, out: DataOutputStream): Unit = {
+    val t0 = System.nanoTime()
     val df = db.sql(sql)
     Framing.write(out, "SCHEMA\n" + df.columns.mkString("\t"))
     val it = df.toJSON.toLocalIterator()
     val chunk = new StringBuilder
     var n = 0
+    var total = 0L
     while (it.hasNext) {
       chunk.append(it.next()).append('\n')
-      n += 1
+      n += 1; total += 1
       if (n == 500) { Framing.write(out, "ROWS\n" + chunk); chunk.clear(); n = 0 }
     }
     if (n > 0) Framing.write(out, "ROWS\n" + chunk)
-    Framing.write(out, "END")
+    // the END frame body is the QueryStats JSON — the reference's query
+    // results travel with common.QueryStats the same way (rpc/rpc.go,
+    // common/common.go:57-64); clients that only match the verb ignore it
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    Framing.write(out,
+      s"""END\n{"elapsedMs":$elapsedMs,"rows":$total,"completed":true}""")
   }
 
   private def handleFollow(stream: String, out: DataOutputStream): Unit = {
@@ -225,12 +234,21 @@ final class RpcClient(host: String, port: Int) {
 
   /** Server-streaming query: returns (columns, JSON rows). */
   def query(sql: String): (Seq[String], Seq[String]) = {
+    val (cols, rows, _) = queryWithStats(sql)
+    (cols, rows)
+  }
+
+  /** Like [[query]], also returning the END frame's QueryStats JSON
+    * (elapsedMs/rows/completed — the reference's result stats).
+    */
+  def queryWithStats(sql: String): (Seq[String], Seq[String], String) = {
     val sock = new Socket(host, port)
     try {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
       Framing.write(out, "QUERY\n" + sql)
       var cols: Seq[String] = Nil
+      var stats: String = "{}"
       val rows = Seq.newBuilder[String]
       var done = false
       while (!done) {
@@ -239,11 +257,11 @@ final class RpcClient(host: String, port: Int) {
         v match {
           case "SCHEMA" => cols = body.split("\t").toSeq
           case "ROWS"   => rows ++= body.split("\n").filter(_.nonEmpty)
-          case "END"    => done = true
+          case "END"    => if (body.nonEmpty) stats = body; done = true
           case other    => sys.error(other + " " + body)
         }
       }
-      (cols, rows.result())
+      (cols, rows.result(), stats)
     } finally sock.close()
   }
 

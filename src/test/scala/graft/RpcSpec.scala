@@ -52,12 +52,14 @@ class RpcSpec extends AnyFunSuite {
         s"""{"ts": ${T0 + 2000}, "dims": {"server": "s2"}, "vals": {"requests": 30}}"""))
       assert(n == 3)
 
-      val (cols, rows) = client.query(
+      val (cols, rows, stats) = client.queryWithStats(
         "SELECT _points, requests FROM combined GROUP BY server ORDER BY requests DESC")
       assert(cols == Seq("_time", "server", "_points", "requests"))
       assert(rows.length == 2)
       assert(rows(0).contains("\"server\":\"s1\"") && rows(0).contains("\"requests\":68.0"))
       assert(rows(1).contains("\"server\":\"s2\"") && rows(1).contains("\"requests\":30.0"))
+      // the END frame carries QueryStats (common.QueryStats analogue)
+      assert(stats.contains("\"rows\":2") && stats.contains("\"completed\":true"), stats)
 
       // both POINTS frames reached the follower
       assert(latch.await(10, TimeUnit.SECONDS))
