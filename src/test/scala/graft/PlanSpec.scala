@@ -122,7 +122,7 @@ class PlanSpec extends AnyFunSuite {
     // partitionBy would sort every bucket in one WindowExec task (a year at
     // 1m resolution = 525k rows on one core). The span clamp must instead be
     // a 1-row scalar aggregate broadcast back over the series.
-    for (name <- Seq("q_shift", "q_shift_delta")) {
+    for (name <- Seq("q_shift", "q_shift_delta", "q_crosshift")) {
       val p = planOf(name)
       assert(!p.contains("Window"),
         s"$name: dim-less SHIFT must not plan a WindowExec:\n$p")
