@@ -112,3 +112,26 @@ object DurationProps extends Properties("Durations") {
       Durations.parseMillis(Durations.format(ms)) == ms
     }
 }
+
+object Mp3MetaProps extends Properties("Mp3Meta") {
+  // a byte-walker over untrusted payloads must never throw — at 100 TB the
+  // corpus WILL contain truncated/garbage frames, 0xFF runs, and lying ID3
+  // sizes; the contract is "valid stream or null", never an exception
+  private val junk = Gen.containerOf[Array, Byte](
+    Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  private val ffHeavy = Gen.containerOf[Array, Byte](
+    Gen.frequency(3 -> Gen.const(0xff.toByte), 2 -> Gen.const(0xfb.toByte),
+      1 -> Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+  private val lyingId3 = Gen.containerOf[Array, Byte](
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    .map(b => Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++ b)
+
+  property("never throws on arbitrary bytes") = forAll(junk) { b =>
+    graft.pipeline.Multimodal.mp3Meta(b); true
+  }
+  property("never throws on sync-heavy bytes") = forAll(ffHeavy) { b =>
+    graft.pipeline.Multimodal.mp3Meta(b); true
+  }
+  property("never throws when ID3 size exceeds the payload") =
+    forAll(lyingId3) { b => graft.pipeline.Multimodal.mp3Meta(b); true }
+}
