@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** zeno-cli parity (/root/reference/cmd/zeno-cli): a minimal REPL over a
   * schema + data dir. `runMain graft.Cli <schema.yaml> <dataDir>` then type
-  * dialect SQL, one statement per line; `\q` exits.
+  * dialect SQL, one statement per line; `\q` exits; `\stats` toggles
+  * per-query stats on stderr (the reference's `-querystats` flag,
+  * zeno-cli/main.go:44 + printQueryStats).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -25,13 +27,21 @@ object Cli {
       args.drop(2).foreach(q => db.sql(q).show(100, truncate = false))
     } else {
       val in = new java.util.Scanner(System.in)
+      var statsOn = false
       print("graft> ")
       while (in.hasNextLine) {
         val line = in.nextLine().trim
         if (line == "\\q") return
-        if (line.nonEmpty) {
-          try db.sql(line).show(100, truncate = false)
-          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+        if (line == "\\stats") {
+          statsOn = !statsOn
+          println(s"query stats ${if (statsOn) "on" else "off"}")
+        } else if (line.nonEmpty) {
+          val t0 = System.nanoTime()
+          try {
+            db.sql(line).show(100, truncate = false)
+            if (statsOn)
+              System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } catch { case e: Exception => println(s"error: ${e.getMessage}") }
         }
         print("graft> ")
       }

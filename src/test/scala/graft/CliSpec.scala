@@ -35,5 +35,21 @@ class CliSpec extends AnyFunSuite {
     val printed = out.toString
     assert(printed.contains("5.0"), printed) // 2+3
     assert(printed.contains("2.0"), printed) // _points
+
+    // REPL mode: \stats toggles per-query timing on stderr (the reference's
+    // -querystats flag)
+    val replOut = new java.io.ByteArrayOutputStream()
+    val replErr = new java.io.ByteArrayOutputStream()
+    val oldIn = System.in
+    val oldErr = System.err
+    System.setIn(new java.io.ByteArrayInputStream(
+      "\\stats\nSELECT v FROM t GROUP BY k\n\\q\n".getBytes))
+    System.setErr(new java.io.PrintStream(replErr))
+    try Console.withOut(new java.io.PrintStream(replOut)) {
+      Cli.main(Array(schemaFile.toString, dir))
+    } finally { System.setIn(oldIn); System.setErr(oldErr) }
+    assert(replOut.toString.contains("query stats on"), replOut.toString)
+    assert(replOut.toString.contains("5.0"), replOut.toString)
+    assert(replErr.toString.matches("(?s).*-- \\d+\\.\\d\\d s.*"), replErr.toString)
   }
 }
