@@ -322,14 +322,19 @@ object Multimodal {
         val samplesPerFrame = if (mpeg1) 1152 else 576
         val frameLen = samplesPerFrame / 8 * (kbps * 1000) / rate + pad
         if (frameLen < 4) return null
-        frames += 1
-        durationUs += samplesPerFrame * 1e6 / rate
-        payloadBytes += frameLen
-        rateOut = rate
-        synced = true
-        scan += frameLen
-      } else if (synced) done = true // chained walk hit trailing non-frame
-      else scan += 1                 // still hunting for the first sync
+        if (scan + frameLen <= bytes.length) {
+          frames += 1
+          durationUs += samplesPerFrame * 1e6 / rate
+          payloadBytes += frameLen
+          rateOut = rate
+          synced = true
+          scan += frameLen
+        } else if (synced) done = true // final frame truncated: valid header
+                                       // but the body runs past the payload —
+                                       // don't let it inflate duration/bitrate
+        else scan += 1                 // spurious sync too close to the end
+      } else if (synced) done = true   // chained walk hit trailing non-frame
+      else scan += 1                   // still hunting for the first sync
     }
     if (frames < 2) return null
     val durationMs = math.round(durationUs / 1000.0)

@@ -23,7 +23,8 @@ import graft.GraftDB
   * embedded control plane (the data plane is Spark itself).
   */
 final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
-                       cacheTtlMillis: Long = HttpServer.CacheTtlMillis) {
+                       cacheTtlMillis: Long = HttpServer.CacheTtlMillis,
+                       maxCacheEntries: Int = HttpServer.MaxCacheEntries) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
 
@@ -130,22 +131,22 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
             case _: java.util.concurrent.TimeoutException =>
               sc.cancelJobGroup(group)
               fut.cancel(true)
+              // cancel is asynchronous: wait for the drain thread to actually
+              // die so the snapshot below is final — otherwise stats.rows can
+              // disagree with the serialized row count
+              pool.shutdownNow()
+              pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
               completed = false
+              truncated = true // the deadline cut the result short
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause
           }
         } finally pool.shutdown()
     }
-    val rows = {
-      val sb = new StringBuilder("[")
-      val it = parts.iterator()
-      var first = true
-      while (it.hasNext) {
-        if (!first) sb.append(',')
-        sb.append(it.next()); first = false
-      }
-      sb.append(']'); sb.toString
-    }
+    // snapshot ONCE: the rows array and stats.rows must come from the same
+    // immutable view of the queue
+    val snapshot = parts.toArray(new Array[String](0))
+    val rows = snapshot.mkString("[", ",", "]")
     // cardinalities re-run the plan as an aggregate — skip on an expired
     // query rather than paying the scan a second time past the deadline
     val cardCols = df.columns.map(c =>
@@ -156,7 +157,7 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
         .headOption.getOrElse("{}")
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
     s"""{"rows":$rows,"cardinalities":$cards,"truncated":$truncated,""" +
-      s""""stats":{"elapsedMs":$elapsedMs,"rows":${parts.size},"completed":$completed}}"""
+      s""""stats":{"elapsedMs":$elapsedMs,"rows":${snapshot.length},"completed":$completed}}"""
   }
 
   // ---- async query cache (web/cache.go: permalink entries with TTL) ------
@@ -181,6 +182,19 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     dead.forEach { pl =>
       val e = byPermalink.remove(pl)
       if (e != null) bySql.entrySet().removeIf(kv => kv.getValue eq e)
+    }
+    // hard entry cap on top of the TTL: a burst of distinct queries inside
+    // one TTL window must not hold an unbounded set of result payloads —
+    // evict oldest-first until under the bound (the reference's cache is
+    // disk-backed, web/cache.go; ours is in-heap so the bound is load-bearing)
+    while (byPermalink.size > maxCacheEntries) {
+      var oldest: CacheEntry = null
+      byPermalink.forEach { (_, e) =>
+        if (oldest == null || e.created < oldest.created) oldest = e
+      }
+      if (oldest == null) return
+      byPermalink.remove(oldest.permalink)
+      bySql.entrySet().removeIf(kv => kv.getValue eq oldest)
     }
   }
 
@@ -235,4 +249,7 @@ object HttpServer {
 
   /** Async query cache TTL (the reference's cache expiration, web/cache.go). */
   val CacheTtlMillis: Long = 3600000L
+
+  /** Hard cap on live async cache entries (oldest evicted first). */
+  val MaxCacheEntries: Int = 1024
 }

@@ -40,9 +40,17 @@ private[server] object Framing {
 
 /** Remote insert/query/follow — the reference's gRPC service surface
   * (/root/reference/rpc/rpc.go:26-99, rpc/server/rpc.go) on the embedded
-  * [[GraftDB]]. gRPC proper needs generated stubs plus a protobuf/grpc
-  * runtime this zero-dependency build deliberately excludes, so the SAME
-  * three streaming RPC shapes ride [[Framing]] over TCP:
+  * [[GraftDB]]. The reference's wire stack is three layers deep — gRPC over
+  * HTTP/2, a snappy-stream-wrapped socket (rpc/snappyconn.go), and a msgpack
+  * message codec (rpc/msgpack_codec.go, NOT protobuf) — and replicating the
+  * HTTP/2+HPACK+msgpack layers dependency-free is out of scope (README
+  * "Wire compatibility"). The SAME three streaming RPC shapes ride
+  * [[Framing]] over TCP instead, and the TRANSPORT layer matches the
+  * reference exactly: connections are optionally wrapped in the public
+  * snappy framing format (the same bytes golang/snappy's NewReader/NewWriter
+  * speak in snappyconn.go), auto-detected per connection by the 0xFF stream
+  * identifier — a plain first frame always begins 0x00-0x03 (length-prefix
+  * high byte, frames ≤64 MiB), so the two framings cannot collide:
   *
   *  - '''Insert''' (client-streaming, ≅ `Insert`/`EndOfInserts` →
   *    `InsertReport`): `INSERT <stream>`, then any number of
@@ -112,8 +120,23 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
   def stop(): Unit = { running = false; server.close() }
 
   private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+    // transport auto-detect: the snappy framing format's stream identifier
+    // chunk begins 0xFF ("sNaPpY"); a plain length-prefixed frame begins
+    // 0x00-0x03. The reference compresses every RPC socket this way
+    // (rpc/snappyconn.go) — at 100 TB the follow/insert streams are
+    // cross-node bandwidth, and stream compression is the cheap win.
+    val pb = new java.io.PushbackInputStream(sock.getInputStream, 1)
+    val b0 = pb.read()
+    if (b0 == -1) { sock.close(); return }
+    pb.unread(b0)
+    val (rawIn, rawOut) =
+      if (b0 == 0xff)
+        (new org.xerial.snappy.SnappyFramedInputStream(pb): java.io.InputStream,
+          new org.xerial.snappy.SnappyFramedOutputStream(
+            sock.getOutputStream): java.io.OutputStream)
+      else (pb: java.io.InputStream, sock.getOutputStream)
+    val in = new DataInputStream(rawIn)
+    val out = new DataOutputStream(rawOut)
     try {
       val first = Framing.read(in).getOrElse(return)
       val (verbLine, body) = Framing.split(first)
@@ -212,17 +235,43 @@ object RpcServer {
 
 /** Client for [[RpcServer]] — the reference's `rpc.Client` surface
   * (NewInserter / Query-with-row-callback / Follow, rpc/rpc.go:73-86).
+  * With `snappy = true` the socket is wrapped in the snappy framing format,
+  * matching the reference's always-on snappyDialer (rpc/snappyconn.go);
+  * the server auto-detects either transport per connection.
   */
-final class RpcClient(host: String, port: Int) {
+final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
+
+  /** Defers wrapping until the first read: SnappyFramedInputStream's
+    * constructor eagerly reads the stream header, which the server only
+    * emits together with its first response frame.
+    */
+  private final class LazyInput(make: () => java.io.InputStream)
+      extends java.io.InputStream {
+    private lazy val under = make()
+    def read(): Int = under.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      under.read(b, off, len)
+  }
+
+  private def connect(): (Socket, DataInputStream, DataOutputStream) = {
+    val sock = new Socket(host, port)
+    if (snappy) {
+      val out = new DataOutputStream(
+        new org.xerial.snappy.SnappyFramedOutputStream(sock.getOutputStream))
+      val in = new DataInputStream(new LazyInput(() =>
+        new org.xerial.snappy.SnappyFramedInputStream(sock.getInputStream)))
+      (sock, in, out)
+    } else
+      (sock, new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+  }
 
   /** Client-streaming insert: each element of `jsonLineBatches` is sent (and
     * applied server-side) as its own frame. Returns the server's count.
     */
   def insert(stream: String, jsonLineBatches: Seq[String]): Long = {
-    val sock = new Socket(host, port)
+    val (sock, in, out) = connect()
     try {
-      val out = new DataOutputStream(sock.getOutputStream)
-      val in = new DataInputStream(sock.getInputStream)
       Framing.write(out, s"INSERT $stream")
       jsonLineBatches.foreach(b => Framing.write(out, "POINTS\n" + b))
       Framing.write(out, "END")
@@ -242,10 +291,8 @@ final class RpcClient(host: String, port: Int) {
     * (elapsedMs/rows/completed — the reference's result stats).
     */
   def queryWithStats(sql: String): (Seq[String], Seq[String], String) = {
-    val sock = new Socket(host, port)
+    val (sock, in, out) = connect()
     try {
-      val out = new DataOutputStream(sock.getOutputStream)
-      val in = new DataInputStream(sock.getInputStream)
       Framing.write(out, "QUERY\n" + sql)
       var cols: Seq[String] = Nil
       var stats: String = "{}"
@@ -269,9 +316,7 @@ final class RpcClient(host: String, port: Int) {
     * until the returned handle is closed.
     */
   def follow(stream: String)(onPoints: String => Unit): AutoCloseable = {
-    val sock = new Socket(host, port)
-    val out = new DataOutputStream(sock.getOutputStream)
-    val in = new DataInputStream(sock.getInputStream)
+    val (sock, in, out) = connect()
     Framing.write(out, s"FOLLOW $stream")
     val t = new Thread(() => {
       try {

@@ -211,11 +211,16 @@ final class MaterializedTable(
 
     // table WHERE pre-filter (insert.go:175-189)
     query.where.foreach(w => batch = batch.filter(Builders.dim(w, dimResolve)))
-    // points older than the replay horizon are dropped: truncateBefore is
-    // the LATER of (now - retention) and (now - backfill) — backfill bounds
-    // how far back late/replayed data may land (table.go:49-51,
-    // insert.go:131-136)
-    val horizons = config.retentionMillis.toSeq ++ config.backfillMillis
+    // points older than retention are always dropped (truncateBefore is
+    // retention-only, table.go:362-364, consulted per-insert at
+    // insert.go:131-136). Backfill bounds only the INITIAL catch-up — the
+    // reference applies it once, limiting how far back WAL replay starts
+    // when the table is first created (table.go:49-51,166-167 LimitAge);
+    // ongoing late data inside retention is accepted. Our analogue of
+    // "first created" is the first batch into an empty store.
+    val initialCatchUp = !Files.exists(manifestPath)
+    val horizons = config.retentionMillis.toSeq ++
+      (if (initialCatchUp) config.backfillMillis else None)
     if (horizons.nonEmpty) {
       val truncateBefore = now() - horizons.min
       batch = batch.filter(col(tsCol) >= timestamp_millis(lit(truncateBefore)))

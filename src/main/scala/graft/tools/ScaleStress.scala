@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cluster, Dedup}
+import graft.pipeline.{Cluster, Dedup, Similarity}
 
 /** Scale-stress evidence for the pair-join family: blow the documents corpus
   * up k× with INDEPENDENT copies (every token tagged per copy, so copy i
@@ -95,6 +95,82 @@ object ScaleStress {
       f""""cluster":${expo(1, kHi, _._2)}%.2f,""" +
       f""""minhash_tail":${expo(kMid, kHi, _._1)}%.2f,""" +
       f""""cluster_tail":${expo(kMid, kHi, _._2)}%.2f,""" +
+      f""""scales":[${scales.mkString(",")}]}""")
+
+    // ---- embedding family (the three most expensive gates) ----------------
+    // Copies carry RE-SEEDED vectors (hash-derived per element, not
+    // duplicates) and per-copy labels, so LSH buckets, IVF centroids, and
+    // top-pair blocks stay balanced as the corpus grows — k identical copies
+    // would instead pile k duplicates of every vector into the same bucket
+    // and manufacture pair cliques the base corpus doesn't have.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = embBase.select(size(col("embedding"))).first().getInt(0)
+
+    def blowUpEmb(k: Int): String = {
+      val dir = s"/tmp/graft-scale/emb_x$k"
+      val copies = spark.range(k).select(col("id").as("__copy"))
+      embBase.crossJoin(copies)
+        .select(
+          (col("vec_id") + col("__copy") * 100000000L).as("vec_id"),
+          concat(col("label"), lit("_c"), col("__copy")).as("label"),
+          when(col("__copy") === 0, col("embedding")).otherwise(
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              ((pmod(xxhash64(col("vec_id"), col("__copy"), j), lit(2000001L)) -
+                lit(1000000L)) / 1000000.0).cast("float"))).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    // the q_embed_dedup GATE deliberately runs ONE bucket (nBits=0) to
+    // exercise the stripe grid — quadratic by construction. The 100 TB path
+    // is the LSH-bucketed variant, so THAT is the shape under scaling test:
+    // nBits grows with log2(k), holding per-bucket pair work ~constant.
+    def embDedup(dir: String, k: Int): DataFrame = {
+      val e = spark.read.parquet(dir)
+      val nBits = 2 + (math.log(k.toDouble) / math.log(2)).round.toInt
+      Similarity.cosineDedup(e, col("embedding"), col("vec_id"),
+        threshold = 0.4, dim = dim, nBits = nBits, quantized = true)
+    }
+    def topPairs(dir: String): DataFrame = {
+      val e = spark.read.parquet(dir)
+      Similarity.blockedTopPairs(e, col("embedding"), col("vec_id"),
+        col("label"), stripes = 4)
+    }
+    // IVF probe: centroid count grows with sqrt(N) (the standard IVF sizing),
+    // nProbe fixed → probed rows ∝ nProbe·N/C ∝ sqrt(N). The one-time build
+    // runs OUTSIDE the timer (indexing cost, amortized over queries — same
+    // treatment as Bench's warmup).
+    def annProbe(dir: String, k: Int): () => DataFrame = {
+      val e = spark.read.parquet(dir)
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .first().getSeq[Float](0)
+      val nC = math.max(16, (16 * math.sqrt(k.toDouble)).round.toInt)
+      val idx = s"/tmp/graft-scale/ivf_x$k"
+      val centroids = Similarity.ivfBuildIfMissing(e, col("embedding"),
+        col("vec_id"), nC, idx)
+      () => Similarity.ivfTopK(spark, idx, centroids, col("embedding"),
+        col("vec_id"), q, k = 10, nProbe = 4, quantized = true)
+    }
+
+    val embDirs = scales.map(k => k -> blowUpEmb(k)).toMap
+    time(embDedup(embDirs(1), 1)); time(topPairs(embDirs(1))) // warmup
+    val embResults = scales.map { k =>
+      val dd = minOf2(embDedup(embDirs(k), k))
+      val tp = minOf2(topPairs(embDirs(k)))
+      val probe = annProbe(embDirs(k), k)
+      val ann = minOf2(probe())
+      println(f"""{"scale":$k,"embed_dedup_sec":$dd%.2f,"top_pairs_sec":$tp%.2f,"ann_probe_sec":$ann%.2f}""")
+      k -> (dd, tp, ann)
+    }.toMap
+    def expo3(k0: Int, k1: Int, f: ((Double, Double, Double)) => Double): Double =
+      math.log(f(embResults(k1)) / f(embResults(k0))) / math.log(k1.toDouble / k0)
+    println(f"""{"metric":"embed_scaling_exponent","embed_dedup":${expo3(1, kHi, _._1)}%.2f,""" +
+      f""""top_pairs":${expo3(1, kHi, _._2)}%.2f,""" +
+      f""""ann_probe":${expo3(1, kHi, _._3)}%.2f,""" +
+      f""""embed_dedup_tail":${expo3(kMid, kHi, _._1)}%.2f,""" +
+      f""""top_pairs_tail":${expo3(kMid, kHi, _._2)}%.2f,""" +
+      f""""ann_probe_tail":${expo3(kMid, kHi, _._3)}%.2f,""" +
       f""""scales":[${scales.mkString(",")}]}""")
     spark.stop()
   }

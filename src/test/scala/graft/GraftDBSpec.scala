@@ -171,10 +171,12 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(buckets.map(r => d(r.getAs[Any]("_points"))).sum, 9.0))
   }
 
-  test("backfill bounds replay: older-than-backfill drops, younger late point merges") {
-    // the reference's truncateBefore is the later of (now - retention) and
-    // (now - backfill) — backfill caps how far back replayed data may land
-    // (/root/reference/table.go:49-51, insert.go:131-136)
+  test("backfill bounds only the initial catch-up; ongoing late data obeys retention alone") {
+    // reference semantics: Backfill limits how far back WAL replay starts
+    // when the table is FIRST created (table.go:49-51,166-167 LimitAge);
+    // ongoing inserts consult truncateBefore() which is retention-only
+    // (table.go:362-364, insert.go:131-136) — a late point older than
+    // backfill but inside retention is accepted once the table is live
     val dir = Files.createTempDirectory("graftdb").toString
     val yaml =
       """combined:
@@ -184,20 +186,26 @@ class GraftDBSpec extends AnyFunSuite {
         |    SELECT requests FROM inbound GROUP BY server, period(5m)
         |""".stripMargin
     val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
-    db.insert("inbound", points())
-    // 10 min old: within backfill → merges
-    val young = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
-      Row(new java.sql.Timestamp(T0 - 600000), "56.234.163.23", "/late",
-        Integer.valueOf(200), Double.box(5.0), null)), 1), schema)
-    db.insert("inbound", young)
-    // 30 min old: inside retention (1h) but beyond backfill (20m) → dropped
-    val tooOld = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    // FIRST load (empty store = the WAL catch-up analogue): a 30-min-old
+    // point is beyond the 20m backfill depth → dropped from replay
+    val preExisting = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/replayed",
+        Integer.valueOf(200), Double.box(11.0), null)), 1), schema)
+    db.insert("inbound", points().unionAll(preExisting))
+    // ongoing ingest: the SAME 30-min-old lateness is now inside retention
+    // (1h) and backfill no longer applies → merges
+    val lateOk = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/old",
         Integer.valueOf(200), Double.box(7.0), null)), 1), schema)
-    db.insert("inbound", tooOld)
+    db.insert("inbound", lateOk)
+    // ongoing ingest: 2h old is beyond retention → dropped
+    val ancient = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0 - 7200000), "56.234.163.23", "/ancient",
+        Integer.valueOf(200), Double.box(100.0), null)), 1), schema)
+    db.insert("inbound", ancient)
     val rows = db.sql(
       "SELECT requests FROM combined GROUP BY _ ORDER BY _time").collect()
-    assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1069.0))
+    assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1071.0))
   }
 
   test("whitelist classifies by name: integer measures survive, non-whitelisted dims of any type drop") {

@@ -464,6 +464,14 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(m(1) - 128) <= 1, m.toSeq) // avg bitrate ≈ nominal
       assert(m(2) == 44100 && m(3) == nFrames, m.toSeq)
     }
+    // a truncated final frame (valid header, body cut off mid-frame) must
+    // NOT count toward frames/duration/bitrate — truncated tails otherwise
+    // skew the metadata
+    val truncated = bare ++ frame().take(frameLen / 2)
+    val mt = Multimodal.mp3Meta(truncated)
+    assert(mt != null && mt(3) == nFrames, mt.toSeq)
+    assert(mt(0) == math.round(nFrames * 1152 * 1000.0 / 44100), mt.toSeq)
+    assert(math.abs(mt(1) - 128) <= 1, mt.toSeq)
     // non-MP3 bytes (incl. a lone false sync) → null, and the probe column
     // yields a typed null struct
     assert(Multimodal.mp3Meta("definitely not audio".getBytes) == null)

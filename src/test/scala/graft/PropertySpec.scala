@@ -92,6 +92,36 @@ object PercentileSketchProps extends Properties("PercentileSketch") {
       }
     }
 
+  property("v2 wire fixture round-trips byte-for-byte (forward-compat pin)") = {
+    // A FIXTURE sketch as the round-5 engine stored it, built from literal
+    // layout constants — NOT by calling serialize() — the way the reference
+    // pins its stored msgpack exprs (expr/combined_test.go). If the header
+    // layout, the v2 geometry (112 buckets for lo=0,hi=100,prec=1), or the
+    // bucket index function drifts, stored tables become unreadable and this
+    // fails before a user's data does. Source values: 1.0, 2.5, 50.0×2,
+    // 50.1, 99.0 (plus -5.0 and 120.0, discarded by bounded-discard).
+    val bb = java.nio.ByteBuffer.allocate(921)
+    bb.put(2.toByte)                          // FormatVersion as stored
+    bb.putDouble(0.0); bb.putDouble(100.0); bb.putInt(1)
+    bb.putInt(112)                            // v2 bucket geometry
+    Seq(10 -> 1L, 25 -> 1L, 95 -> 3L, 110 -> 1L).foreach { case (i, c) =>
+      bb.putLong(25 + i * 8, c)               // 25-byte header, 8-byte counts
+    }
+    val fixture = bb.array()
+    val counts = PercentileSketch.deserialize(fixture, lo, hi, prec)
+    counts.sum == 6 &&
+      PercentileSketch.quantile(counts, 0.1, lo, hi, prec) == 1.0 &&
+      PercentileSketch.quantile(counts, 0.5, lo, hi, prec) == 51.1 &&
+      PercentileSketch.quantile(counts, 0.9, lo, hi, prec) == 99.1 &&
+      // and today's writer still emits the identical bytes
+      java.util.Arrays.equals(
+        PercentileSketch.serialize(counts, lo, hi, prec), fixture) &&
+      java.util.Arrays.equals(
+        PercentileSketch.serialize(sketchOf(
+          Seq(1.0, 2.5, 50.0, 99.0, -5.0, 120.0, 50.0, 50.1)), lo, hi, prec),
+        fixture)
+  }
+
   property("bucket count bounded; sub-buckets meet the sigfig target") =
     forAll(wideRanges, Gen.choose(-1, 5)) { (r, p) =>
       val (wlo, whi) = r

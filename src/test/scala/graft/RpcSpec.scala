@@ -73,4 +73,58 @@ class RpcSpec extends AnyFunSuite {
       assert(String.valueOf(ex.getMessage).contains("ERR"))
     } finally srv.stop()
   }
+
+  test("snappy-framed transport: auto-detected per connection, plain client coexists") {
+    // the reference wraps EVERY rpc socket in the snappy framing format
+    // (rpc/snappyconn.go snappyDialer/SnappyListener); our server detects
+    // the 0xFF stream-identifier byte and speaks the same public format
+    // (snappy-java's SnappyFramed streams implement it) per connection
+    val dir = Files.createTempDirectory("graft-rpc-snappy").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val zipped = new RpcClient("localhost", port, snappy = true)
+      val plain = new RpcClient("localhost", port)
+
+      // follow over the compressed transport
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val latch = new CountDownLatch(1)
+      val follower = zipped.follow("inbound") { lines =>
+        seen.add(lines); latch.countDown()
+      }
+      Thread.sleep(200)
+
+      // compressed streaming insert
+      val n = zipped.insert("inbound", Seq(
+        s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 7}}""",
+        s"""{"ts": ${T0 + 1000}, "dims": {"server": "s2"}, "vals": {"requests": 5}}"""))
+      assert(n == 2)
+
+      // compressed query sees the data; an interleaved PLAIN connection to
+      // the same server sees the identical result
+      for (c <- Seq(zipped, plain)) {
+        val (cols, rows, stats) = c.queryWithStats(
+          "SELECT requests FROM combined GROUP BY server ORDER BY requests DESC")
+        assert(cols == Seq("_time", "server", "requests"))
+        assert(rows.length == 2, rows)
+        assert(rows(0).contains("\"requests\":7.0"), rows)
+        assert(stats.contains("\"completed\":true"), stats)
+      }
+
+      assert(latch.await(10, TimeUnit.SECONDS))
+      assert(seen.toArray.mkString("\n").contains("\"requests\":7"))
+      follower.close()
+
+      // ERR frames survive the compressed transport too
+      val ex = intercept[RuntimeException](zipped.query("SELECT nope FROM missing"))
+      assert(String.valueOf(ex.getMessage).contains("ERR"))
+    } finally srv.stop()
+  }
 }

@@ -151,4 +151,66 @@ class ServerSpec extends AnyFunSuite {
       assert(get(s"/cached/$permalink").contains("\"status\":\"unknown\""))
     } finally srv.stop()
   }
+
+  test("async cache: concurrent same-SQL submissions share one permalink; entry cap evicts oldest") {
+    val dir = Files.createTempDirectory("graft-http-cap").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0, maxCacheEntries = 3)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      def plOf(body: String): String = "\"permalink\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(body).map(_.group(1)).get
+
+      // seed the table so the async query has something to succeed against
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 9}}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+
+      // RACE: 8 threads register the SAME sql concurrently — compute() is
+      // atomic per key, so every response must carry the same permalink and
+      // the query must run once, not 8 times racing one cache slot
+      val sql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY server", "UTF-8")
+      val pls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 8).map(_ => new Thread(() =>
+        pls.add(plOf(get(s"/async?sql=$sql")))))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      val distinct = pls.toArray(new Array[String](0)).toSet
+      assert(distinct.size == 1, s"racing submissions split the cache entry: $distinct")
+      val permalink = distinct.head
+      var cached = get(s"/cached/$permalink")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cached.contains("\"status\":\"succeeded\"") &&
+             !cached.contains("\"status\":\"failed\"") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); cached = get(s"/cached/$permalink")
+      }
+      assert(cached.contains("\"status\":\"succeeded\""), cached)
+
+      // CAP: maxCacheEntries=3 — distinct queries beyond the bound evict
+      // oldest-first instead of holding payloads without limit
+      val extraPls = (1 to 4).map { k =>
+        Thread.sleep(5) // distinct created-ms so oldest-first is well-defined
+        val s = java.net.URLEncoder.encode(
+          s"SELECT requests FROM combined GROUP BY server LIMIT $k", "UTF-8")
+        plOf(get(s"/async?sql=$s"))
+      }
+      // the original entry (oldest of the 5) must have been evicted...
+      assert(get(s"/cached/$permalink").contains("\"status\":\"unknown\""))
+      // ...while the newest survivors still resolve
+      assert(!get(s"/cached/${extraPls.last}").contains("\"status\":\"unknown\""))
+    } finally srv.stop()
+  }
 }
