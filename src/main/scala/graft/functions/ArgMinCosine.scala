@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid id by cosine over a broadcast centroid matrix — the IVF
+  * assign step (build + Lloyd refinement) as ONE native expression.
+  *
+  * The Column-level formulation (`array_min(array(struct(1 - cos(v, c_i),
+  * i), ...))`) materializes one dot-product subtree per centroid in a
+  * single projection: fine at tens of centroids, but centroid count scales
+  * with sqrt(corpus) for a balanced IVF index — a 10^9-vector corpus wants
+  * ~30k centroids, and a 30k-term expression tree blows past codegen
+  * method/constant-pool limits and falls back to interpretation. Here the
+  * matrix rides as ONE flat double[] reference object and the generated
+  * code is a fixed-size nested loop: O(1) code size, O(C·dim) runtime, and
+  * the plan stays inside whole-stage codegen at any centroid count.
+  *
+  * Ranking arithmetic: argmin of cosine distance = argmax of
+  * dot(v, c)·(1/|c|) — |v| is constant across candidates, so neither |v|
+  * nor the division is computed. Ties keep the lowest centroid position
+  * (strict `>`), matching the Column formulation's struct min tie-break on
+  * id. Returns null only for a null vector; an empty centroid set is a
+  * construction error.
+  */
+case class ArgMinCosine(child: Expression, ids: Array[Int],
+                        flat: Array[Double], invNorm: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  require(ids.nonEmpty && flat.length == ids.length * dim &&
+    invNorm.length == ids.length, "malformed centroid matrix")
+
+  override def dataType: DataType = IntegerType
+
+  private def elemOf(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case _                => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemOf(child.dataType) match {
+    case LongType | FloatType | DoubleType | IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"arg_min_cosine expects an array of long/int/float/double elements, " +
+        s"got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = elemOf(child.dataType)
+    val n = math.min(dim, v.numElements())
+    def d(i: Int): Double = et match {
+      case DoubleType  => v.getDouble(i)
+      case FloatType   => v.getFloat(i).toDouble
+      case LongType    => v.getLong(i).toDouble
+      case IntegerType => v.getInt(i).toDouble
+      case other       => throw new IllegalStateException(s"arg_min_cosine: $other")
+    }
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      var dot = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) { dot += flat(off + i) * d(i); i += 1 }
+      val s = dot * invNorm(c)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val reader = elemOf(child.dataType) match {
+        case DoubleType  => "getDouble"
+        case FloatType   => "getFloat"
+        case LongType    => "getLong"
+        case IntegerType => "getInt"
+        case other       => throw new IllegalStateException(s"arg_min_cosine: $other")
+      }
+      val flatRef = ctx.addReferenceObj("argminFlat", flat, "double[]")
+      val invRef = ctx.addReferenceObj("argminInv", invNorm, "double[]")
+      val idsRef = ctx.addReferenceObj("argminIds", ids, "int[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      s"""
+         |final int $n = java.lang.Math.min($dim, $a.numElements());
+         |int $best = 0;
+         |double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < ${ids.length}; $c++) {
+         |  double $dot = 0.0d;
+         |  final int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $flatRef[$off + $i] * ((double)$a.$reader($i));
+         |  }
+         |  final double $s = $dot * $invRef[$c];
+         |  if ($s > $bestScore) { $bestScore = $s; $best = $c; }
+         |}
+         |${ev.value} = $idsRef[$best];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMinCosine =
+    copy(child = newChild)
+}
+
+object ArgMinCosine {
+  /** Column-level entry: nearest centroid id for each vector row. */
+  def apply(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    require(centroids.nonEmpty, "arg_min_cosine needs at least one centroid")
+    val dim = centroids.head._2.length
+    val ids = centroids.map(_._1).toArray
+    val flat = new Array[Double](ids.length * dim)
+    val invNorm = new Array[Double](ids.length)
+    centroids.zipWithIndex.foreach { case ((_, v), c) =>
+      require(v.length == dim, "centroid dimensions must agree")
+      var ss = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble
+        flat(c * dim + i) = x
+        ss += x * x
+        i += 1
+      }
+      // a zero centroid can only come from a zero seed vector; rank it last
+      invNorm(c) = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    }
+    ColumnBridge.column(
+      ArgMinCosine(ColumnBridge.expression(vec), ids, flat, invNorm, dim))
+  }
+}

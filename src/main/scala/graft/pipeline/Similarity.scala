@@ -245,14 +245,18 @@ object Similarity {
     cur
   }
 
-  /** Assign each row to its nearest centroid (broadcast argmin — map-only). */
+  /** Assign each row to its nearest centroid (broadcast argmin — map-only).
+    * One native [[graft.functions.ArgMinCosine]] expression: the centroid
+    * matrix rides as a single flat reference object, so code size is O(1)
+    * in centroid count. The `array_min(array(struct(dist, id), ...))`
+    * formulation this replaces emitted one dot-product subtree PER centroid
+    * — past a few hundred centroids (and a balanced 100 TB IVF index wants
+    * sqrt(N) ≈ tens of thousands) it exceeds codegen limits and falls back
+    * to interpretation.
+    */
   def ivfAssign(df: DataFrame, vecCol: Column,
-                centroids: Seq[(Int, Seq[Float])]): DataFrame = {
-    val dists = centroids.map { case (i, c) =>
-      struct((lit(1.0) - cosine(vecCol, lit(c.toArray))).as("d"), lit(i).as("c"))
-    }
-    df.withColumn("__c", array_min(array(dists: _*)).getField("c"))
-  }
+                centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    df.withColumn("__c", graft.functions.ArgMinCosine(vecCol, centroids))
 
   /** Build an IVF index at `indexPath`: sample centroids, assign rows, and
     * write the assigned table `partitionBy("__c")`. That layout is what makes

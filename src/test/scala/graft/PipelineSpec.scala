@@ -484,6 +484,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1))
   }
 
+  test("native ArgMinCosine matches the per-centroid expression argmin") {
+    import spark.implicits._
+    // parity with the Column formulation ivfAssign used to emit (one
+    // dot-product subtree per centroid): same winner for every row,
+    // including non-contiguous centroid ids — the native expression maps
+    // matrix position back to the caller's id space
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centroids = (0 until 50).map(i =>
+      (i * 3 + 5) -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val vecs = (1 to 500).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val native = Similarity.ivfAssign(df, col("v"), centroids)
+      .select("id", "__c").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dists = centroids.map { case (i, c) =>
+      struct((lit(1.0) - Similarity.cosine(col("v"), lit(c.toArray))).as("d"),
+        lit(i).as("c"))
+    }
+    val ref = df.withColumn("__c", array_min(array(dists: _*)).getField("c"))
+      .select("id", "__c").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == ref)
+    assert(native.values.toSet.size > 10) // sanity: assignment actually spreads
+  }
+
   test("connected components: chains, cliques and pairs resolve to min id") {
     import spark.implicits._
     // path 1-2-3-4-5, triangle {10,11,12}, pair {20,21}
