@@ -80,8 +80,21 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       }
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    // the reference gzips query results (web/query.go:129,248); here it is
+    // negotiated on Accept-Encoding and skipped for tiny payloads where the
+    // gzip envelope would cost more than it saves
+    val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    val outBytes =
+      if (acceptsGzip && bytes.length >= HttpServer.GzipMinBytes) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close()
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        bos.toByteArray
+      } else bytes
+    ex.sendResponseHeaders(code, outBytes.length)
+    ex.getResponseBody.write(outBytes)
     ex.close()
   }
 
@@ -252,4 +265,7 @@ object HttpServer {
 
   /** Hard cap on live async cache entries (oldest evicted first). */
   val MaxCacheEntries: Int = 1024
+
+  /** Responses below this size skip gzip (envelope outweighs savings). */
+  val GzipMinBytes: Int = 860
 }

@@ -152,6 +152,78 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("deadline expiry over HTTP: prompt partial response, consistent counts, truncated flag") {
+    val dir = Files.createTempDirectory("graft-http-deadline").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      // 64 distinct servers so the slow per-group dim function dominates
+      val lines = (1 to 64).map(i =>
+        s"""{"ts": $T0, "dims": {"server": "s$i"}, "vals": {"requests": $i}}""")
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(lines.mkString("\n")))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      val slowUdf = org.apache.spark.sql.functions.udf {
+        (s: String) => Thread.sleep(500L); s
+      }
+      graft.functions.Redis.registerScript("spec_slow", (a, _) => slowUdf(a))
+      val sql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY LUA('spec_slow', server, server) AS sv",
+        "UTF-8")
+      val t0 = System.nanoTime()
+      val resp = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$sql&timeout=300ms"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 64 groups × 500 ms sleeps cannot finish in 300 ms; the response must
+      // come back promptly (cancel worked), marked incomplete AND truncated
+      assert(elapsedMs < 35000, s"deadline did not cancel promptly: ${elapsedMs}ms")
+      assert(resp.contains("\"completed\":false"), resp)
+      assert(resp.contains("\"truncated\":true"), resp)
+      // stats.rows must equal the number of rows actually serialized — both
+      // come from one post-cancel snapshot of the drain queue
+      val nRows = "\"rows\":\\[([^\\]]*)\\]".r.findFirstMatchIn(resp)
+        .map(m => if (m.group(1).isEmpty) 0 else m.group(1).count(_ == '{')).get
+      val statRows = "\"stats\":\\{[^}]*\"rows\":(\\d+)".r
+        .findFirstMatchIn(resp).map(_.group(1).toInt).get
+      assert(nRows == statRows, resp)
+
+      // gzip negotiation (the reference gzips query results,
+      // web/query.go:129): a large result with Accept-Encoding: gzip comes
+      // back compressed and decodes to the same JSON a plain request gets
+      val plainSql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY server ORDER BY requests DESC",
+        "UTF-8")
+      val plain = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+      val zipped = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip")
+          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(zipped.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      assert(zipped.body().length < plain.body().getBytes("UTF-8").length)
+      val unzipped = new String(
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(zipped.body())).readAllBytes(), "UTF-8")
+      def rowsOf(s: String) = "\"rows\":\\[[^\\]]*\\]".r.findFirstIn(s).get
+      assert(rowsOf(unzipped) == rowsOf(plain.body()))
+    } finally srv.stop()
+  }
+
   test("async cache: concurrent same-SQL submissions share one permalink; entry cap evicts oldest") {
     val dir = Files.createTempDirectory("graft-http-cap").toString
     val yaml =
