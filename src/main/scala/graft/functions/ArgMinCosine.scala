@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   *
   * Ranking arithmetic: argmin of cosine distance = argmax of
   * dot(v, c)·(1/|c|) — |v| is constant across candidates, so neither |v|
-  * nor the division is computed. Ties keep the lowest centroid position
-  * (strict `>`), matching the Column formulation's struct min tie-break on
-  * id. Returns null only for a null vector; an empty centroid set is a
+  * nor the division is computed. Exact ties keep the lowest centroid ID
+  * and zero-norm centroids rank last, matching the Column formulation's
+  * struct min over (distance, id) where a zero centroid scored NaN.
+  * Returns null only for a null vector; an empty centroid set is a
   * construction error.
   */
 case class ArgMinCosine(child: Expression, ids: Array[Int],
@@ -69,8 +70,13 @@ case class ArgMinCosine(child: Expression, ids: Array[Int],
       val off = c * dim
       var i = 0
       while (i < n) { dot += flat(off + i) * d(i); i += 1 }
-      val s = dot * invNorm(c)
-      if (s > bestScore) { bestScore = s; best = c }
+      // zero-norm centroid → -inf, never preferred over a real score (the
+      // struct-min formulation got NaN there, which Spark ranks last too);
+      // exact ties keep the SMALLEST id, matching array_min over (d, id)
+      val s = if (invNorm(c) == 0.0) Double.NegativeInfinity else dot * invNorm(c)
+      if (s > bestScore || (s == bestScore && ids(c) < ids(best))) {
+        bestScore = s; best = c
+      }
       c += 1
     }
     ids(best)
@@ -106,8 +112,12 @@ case class ArgMinCosine(child: Expression, ids: Array[Int],
          |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += $flatRef[$off + $i] * ((double)$a.$reader($i));
          |  }
-         |  final double $s = $dot * $invRef[$c];
-         |  if ($s > $bestScore) { $bestScore = $s; $best = $c; }
+         |  final double $s = $invRef[$c] == 0.0d
+         |    ? java.lang.Double.NEGATIVE_INFINITY : $dot * $invRef[$c];
+         |  if ($s > $bestScore ||
+         |      ($s == $bestScore && $idsRef[$c] < $idsRef[$best])) {
+         |    $bestScore = $s; $best = $c;
+         |  }
          |}
          |${ev.value} = $idsRef[$best];
        """.stripMargin

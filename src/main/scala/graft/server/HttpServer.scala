@@ -81,10 +81,18 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     // the reference gzips query results (web/query.go:129,248); here it is
-    // negotiated on Accept-Encoding and skipped for tiny payloads where the
-    // gzip envelope would cost more than it saves
+    // negotiated on Accept-Encoding — honoring an explicit q=0 refusal —
+    // and skipped for tiny payloads where the envelope costs more than it
+    // saves
     val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.contains("gzip"))
+      .exists(_.toLowerCase.split(",").map(_.trim).exists { enc =>
+        val parts = enc.split(";").map(_.trim)
+        parts.head == "gzip" &&
+          !parts.tail.exists(p => p.replace(" ", "") match {
+            case "q=0" | "q=0.0" | "q=0.00" | "q=0.000" => true
+            case _                                      => false
+          })
+      })
     val outBytes =
       if (acceptsGzip && bytes.length >= HttpServer.GzipMinBytes) {
         val bos = new java.io.ByteArrayOutputStream()
@@ -144,11 +152,15 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
             case _: java.util.concurrent.TimeoutException =>
               sc.cancelJobGroup(group)
               fut.cancel(true)
-              // cancel is asynchronous: wait for the drain thread to actually
-              // die so the snapshot below is final — otherwise stats.rows can
-              // disagree with the serialized row count
+              // cancel is asynchronous: give the drain thread a short,
+              // bounded grace to die so in-flight rows land before the
+              // snapshot. Consistency does NOT depend on this wait — the
+              // single snapshot below feeds both the rows array and
+              // stats.rows — so a thread stuck in non-interruptible IO only
+              // costs rows, not correctness, and the response stays prompt
+              // instead of stretching a 300ms deadline to 30s.
               pool.shutdownNow()
-              pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+              pool.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
               completed = false
               truncated = true // the deadline cut the result short
             case e: java.util.concurrent.ExecutionException =>
@@ -199,15 +211,23 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // hard entry cap on top of the TTL: a burst of distinct queries inside
     // one TTL window must not hold an unbounded set of result payloads —
     // evict oldest-first until under the bound (the reference's cache is
-    // disk-backed, web/cache.go; ours is in-heap so the bound is load-bearing)
+    // disk-backed, web/cache.go; ours is in-heap so the bound is
+    // load-bearing). Settled entries go first: evicting a still-'pending'
+    // entry orphans a running Spark job whose submitter can never find the
+    // result — only when EVERY entry is pending does the bound win anyway.
     while (byPermalink.size > maxCacheEntries) {
       var oldest: CacheEntry = null
+      var oldestSettled: CacheEntry = null
       byPermalink.forEach { (_, e) =>
         if (oldest == null || e.created < oldest.created) oldest = e
+        if (e.status != "pending" &&
+            (oldestSettled == null || e.created < oldestSettled.created))
+          oldestSettled = e
       }
-      if (oldest == null) return
-      byPermalink.remove(oldest.permalink)
-      bySql.entrySet().removeIf(kv => kv.getValue eq oldest)
+      val victim = if (oldestSettled != null) oldestSettled else oldest
+      if (victim == null) return
+      byPermalink.remove(victim.permalink)
+      bySql.entrySet().removeIf(kv => kv.getValue eq victim)
     }
   }
 

@@ -125,19 +125,24 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
     // 0x00-0x03. The reference compresses every RPC socket this way
     // (rpc/snappyconn.go) — at 100 TB the follow/insert streams are
     // cross-node bandwidth, and stream compression is the cheap win.
-    val pb = new java.io.PushbackInputStream(sock.getInputStream, 1)
-    val b0 = pb.read()
-    if (b0 == -1) { sock.close(); return }
-    pb.unread(b0)
-    val (rawIn, rawOut) =
-      if (b0 == 0xff)
-        (new org.xerial.snappy.SnappyFramedInputStream(pb): java.io.InputStream,
-          new org.xerial.snappy.SnappyFramedOutputStream(
-            sock.getOutputStream): java.io.OutputStream)
-      else (pb: java.io.InputStream, sock.getOutputStream)
-    val in = new DataInputStream(rawIn)
-    val out = new DataOutputStream(rawOut)
+    // Detection itself can throw (garbage after 0xFF fails the snappy
+    // header check; a reset pipe fails the eager header write), so it runs
+    // inside the same finally that closes the socket — a malformed
+    // handshake must not leak a file descriptor.
+    var out: DataOutputStream = null
     try {
+      val pb = new java.io.PushbackInputStream(sock.getInputStream, 1)
+      val b0 = pb.read()
+      if (b0 == -1) return
+      pb.unread(b0)
+      val (rawIn, rawOut) =
+        if (b0 == 0xff)
+          (new org.xerial.snappy.SnappyFramedInputStream(pb): java.io.InputStream,
+            new org.xerial.snappy.SnappyFramedOutputStream(
+              sock.getOutputStream): java.io.OutputStream)
+        else (pb: java.io.InputStream, sock.getOutputStream)
+      val in = new DataInputStream(rawIn)
+      out = new DataOutputStream(rawOut)
       val first = Framing.read(in).getOrElse(return)
       val (verbLine, body) = Framing.split(first)
       val verb = verbLine.split("\\s+", 2)
@@ -149,7 +154,7 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
       }
     } catch {
       case e: Exception =>
-        try Framing.write(out, s"ERR ${String.valueOf(e.getMessage)}")
+        try if (out != null) Framing.write(out, s"ERR ${String.valueOf(e.getMessage)}")
         catch { case _: Exception => () }
     } finally sock.close()
   }

@@ -492,11 +492,20 @@ class PipelineSpec extends AnyFunSuite {
     // matrix position back to the caller's id space
     val rnd = new scala.util.Random(7)
     val dim = 16
-    val centroids = (0 until 50).map(i =>
+    val base = (0 until 50).map(i =>
       (i * 3 + 5) -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // adversarial extras: an exact duplicate of an existing centroid under
+    // a LOWER id (exact ties must keep the smallest id, like array_min over
+    // (distance, id)), plus — for the NATIVE side only — a zero centroid,
+    // which must rank last and never win. The Column formulation can't even
+    // express the zero centroid under ANSI mode (cosine divides by a zero
+    // norm → DIVIDE_BY_ZERO), which is itself part of why ivfAssign moved
+    // to the native expression.
+    val centroids = base :+ (1 -> base(10)._2)
+    val withZero = centroids :+ (500 -> Seq.fill(dim)(0.0f))
     val vecs = (1 to 500).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
     val df = vecs.toDF("id", "v")
-    val native = Similarity.ivfAssign(df, col("v"), centroids)
+    val native = Similarity.ivfAssign(df, col("v"), withZero)
       .select("id", "__c").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val dists = centroids.map { case (i, c) =>
       struct((lit(1.0) - Similarity.cosine(col("v"), lit(c.toArray))).as("d"),

@@ -161,10 +161,14 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
     // and the whitelist itself stays honest: those three still use KEYED
-    // windows (a non-empty partitionBy), never a global one
+    // windows — a window regressing to an empty partitionBy would plan a
+    // SinglePartition exchange to feed it, so zero SinglePartition in these
+    // plans means every window remains per-group
     for (name <- windowWhitelist) {
       val p = planOf(name)
       assert(p.contains("Window"), s"$name dropped its window — update the whitelist")
+      assert(!p.contains("SinglePartition"),
+        s"$name: a SinglePartition exchange appeared — its window may have gone global:\n$p")
     }
   }
 }

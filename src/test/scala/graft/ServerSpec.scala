@@ -221,6 +221,14 @@ class ServerSpec extends AnyFunSuite {
           new java.io.ByteArrayInputStream(zipped.body())).readAllBytes(), "UTF-8")
       def rowsOf(s: String) = "\"rows\":\\[[^\\]]*\\]".r.findFirstIn(s).get
       assert(rowsOf(unzipped) == rowsOf(plain.body()))
+      // an explicit q=0 is a REFUSAL (RFC 7231), not an acceptance
+      val refused = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip;q=0, identity")
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(refused.headers().firstValue("Content-Encoding").isEmpty)
+      assert(rowsOf(refused.body()) == rowsOf(plain.body()))
     } finally srv.stop()
   }
 
