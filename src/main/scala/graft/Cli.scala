@@ -7,10 +7,19 @@ import org.apache.spark.sql.SparkSession
   * dialect SQL, one statement per line; `\q` exits; `\stats` toggles
   * per-query stats on stderr (the reference's `-querystats` flag,
   * zeno-cli/main.go:44 + printQueryStats).
+  *
+  * Remote mode — the reference CLI is actually a remote client
+  * (zeno-cli.go:68 dials the RPC server over the snappy conn): `runMain
+  * graft.Cli --connect host:port [sql...]` talks to a running [[server
+  * .RpcServer]] over the compressed transport, no local SparkSession at
+  * all. Rows print as the wire's JSON lines; `\stats` echoes the server's
+  * QueryStats from the END frame.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Cli <schema.yaml> <dataDir> [sql...]")
+    if (args.headOption.contains("--connect")) { remote(args.drop(1)); return }
+    require(args.length >= 2,
+      "usage: Cli <schema.yaml> <dataDir> [sql...] | Cli --connect host:port [sql...]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -48,5 +57,35 @@ object Cli {
     }
     // no spark.stop(): the session may be shared (getOrCreate); process exit
     // tears it down in standalone use
+  }
+
+  private def remote(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Cli --connect host:port [sql...]")
+    val hp = args(0).split(":", 2)
+    require(hp.length == 2, s"expected host:port, got ${args(0)}")
+    val client = new server.RpcClient(hp(0), hp(1).toInt, snappy = true)
+    def run(sql: String, statsOn: Boolean): Unit =
+      try {
+        val (cols, rows, stats) = client.queryWithStats(sql)
+        println(cols.mkString("\t"))
+        rows.foreach(println)
+        if (statsOn) System.err.println(s"-- $stats")
+      } catch { case e: Exception => println(s"error: ${e.getMessage}") }
+
+    if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false))
+    else {
+      val in = new java.util.Scanner(System.in)
+      var statsOn = false
+      print("graft> ")
+      while (in.hasNextLine) {
+        val line = in.nextLine().trim
+        if (line == "\\q") return
+        if (line == "\\stats") {
+          statsOn = !statsOn
+          println(s"query stats ${if (statsOn) "on" else "off"}")
+        } else if (line.nonEmpty) run(line, statsOn)
+        print("graft> ")
+      }
+    }
   }
 }

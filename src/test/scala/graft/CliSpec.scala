@@ -52,4 +52,46 @@ class CliSpec extends AnyFunSuite {
     assert(replOut.toString.contains("5.0"), replOut.toString)
     assert(replErr.toString.matches("(?s).*-- \\d+\\.\\d\\d s.*"), replErr.toString)
   }
+
+  test("remote CLI queries a running RPC server over the compressed transport") {
+    // the reference CLI is a remote client (zeno-cli.go:68 dials the rpc
+    // server through the snappy conn); --connect is that surface
+    val dir = Files.createTempDirectory("graft-cli-remote").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+    val db = new GraftDB(spark, yaml, dir)
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    db.insert("s", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(1700000000000L), "a", Double.box(2.0)),
+      Row(new java.sql.Timestamp(1700000000100L), "a", Double.box(3.0))), 1), sch))
+    val srv = new graft.server.RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      // one-shot
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Cli.main(Array("--connect", s"localhost:$port",
+          "SELECT v, _points FROM t GROUP BY k, period('100s')"))
+      }
+      val printed = out.toString
+      assert(printed.contains("\"v\":5.0"), printed)
+      assert(printed.contains("\"_points\":2.0"), printed)
+
+      // REPL with \stats: the server's QueryStats END frame echoes to stderr
+      val replOut = new java.io.ByteArrayOutputStream()
+      val replErr = new java.io.ByteArrayOutputStream()
+      val oldIn = System.in
+      val oldErr = System.err
+      System.setIn(new java.io.ByteArrayInputStream(
+        "\\stats\nSELECT v FROM t GROUP BY k\nSELECT nope FROM missing\n\\q\n".getBytes))
+      System.setErr(new java.io.PrintStream(replErr))
+      try Console.withOut(new java.io.PrintStream(replOut)) {
+        Cli.main(Array("--connect", s"localhost:$port"))
+      } finally { System.setIn(oldIn); System.setErr(oldErr) }
+      assert(replOut.toString.contains("\"v\":5.0"), replOut.toString)
+      assert(replErr.toString.contains("\"completed\":true"), replErr.toString)
+      // a bad statement reports an ERR frame, not a dropped session
+      assert(replOut.toString.contains("error:"), replOut.toString)
+    } finally srv.stop()
+  }
 }
