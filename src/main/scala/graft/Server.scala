@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** zeno daemon parity (/root/reference/cmd/zeno/zeno.go): boot a [[GraftDB]]
+  * from a schema file and serve the HTTP and RPC surfaces until the process
+  * is killed.
+  *
+  *   runMain graft.Server <schema.yaml> <dataDir> [httpPort] [rpcPort]
+  *
+  * Port 0 (the default) binds ephemerally and prints the bound ports. The
+  * schema file is polled for live ALTERs, the reference's watched-schema
+  * behavior (zeno.go srv.Schema + schema watcher) — edit the yaml in place
+  * and attached tables pick the new definition up at their next batch.
+  */
+object Server {
+
+  /** A started daemon: both surfaces share one embedded [[GraftDB]]. */
+  final case class Running(db: GraftDB, http: server.HttpServer,
+                           rpc: server.RpcServer, httpPort: Int, rpcPort: Int) {
+    def stop(): Unit = { http.stop(); rpc.stop() }
+  }
+
+  def start(spark: SparkSession, schemaPath: String, dataDir: String,
+            httpPort: Int = 0, rpcPort: Int = 0,
+            watchSchema: Boolean = true): Running = {
+    val db = new GraftDB(spark,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(schemaPath)),
+      dataDir)
+    if (watchSchema) db.watchSchemaFile(schemaPath)
+    val http = new server.HttpServer(spark, db, httpPort)
+    val rpc = new server.RpcServer(spark, db, rpcPort)
+    Running(db, http, rpc, http.start(), rpc.start())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = start(spark, args(0), args(1),
+      args.lift(2).map(_.toInt).getOrElse(0),
+      args.lift(3).map(_.toInt).getOrElse(0))
+    println(s"graft server up: http=${r.httpPort} rpc=${r.rpcPort}")
+    // serve until killed (the reference's HandleShutdownSignal + run loop)
+    Thread.currentThread().join()
+  }
+}

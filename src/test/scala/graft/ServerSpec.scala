@@ -232,6 +232,39 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("daemon: one schema boots both surfaces over a shared db (zeno.go parity)") {
+    val dir = Files.createTempDirectory("graft-daemon").toString
+    val schemaFile = Files.createTempFile("daemon-schema", ".yaml")
+    Files.writeString(schemaFile,
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin)
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false)
+    try {
+      // insert over HTTP... (wall-clock ts: the daemon runs on the real
+      // clock, so a 2023 fixture timestamp would fall outside retention)
+      val now = System.currentTimeMillis()
+      val client = HttpClient.newHttpClient()
+      val ins = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"ts": $now, "dims": {"server": "s1"}, "vals": {"requests": 41}}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(ins.body().contains("\"inserted\":1"), ins.body())
+      // ...query it back over RPC (compressed transport): same embedded db
+      val rpc = new graft.server.RpcClient("localhost", running.rpcPort,
+        snappy = true)
+      val (cols, rows) = rpc.query(
+        "SELECT requests FROM combined GROUP BY server")
+      assert(cols.contains("requests"), cols)
+      assert(rows.exists(_.contains("\"requests\":41.0")), rows)
+    } finally running.stop()
+  }
+
   test("async cache: concurrent same-SQL submissions share one permalink; entry cap evicts oldest") {
     val dir = Files.createTempDirectory("graft-http-cap").toString
     val yaml =
