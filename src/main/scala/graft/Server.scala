@@ -6,12 +6,15 @@ import org.apache.spark.sql.SparkSession
   * from a schema file and serve the HTTP and RPC surfaces until the process
   * is killed.
   *
-  *   runMain graft.Server <schema.yaml> <dataDir> [httpPort] [rpcPort]
+  *   runMain graft.Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props]
   *
   * Port 0 (the default) binds ephemerally and prints the bound ports. The
   * schema file is polled for live ALTERs, the reference's watched-schema
   * behavior (zeno.go srv.Schema + schema watcher) — edit the yaml in place
-  * and attached tables pick the new definition up at their next batch.
+  * and attached tables pick the new definition up at their next batch. The
+  * optional aliases file is the reference's `-aliases` flag
+  * (cmd/flags.go:28): `NAME = template(%v, %v)` lines registered as
+  * expression aliases before the first query.
   */
 object Server {
 
@@ -44,6 +47,8 @@ object Server {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.lift(4).foreach(p => sqlx.Parser.registerAliasesProps(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
     val r = start(spark, args(0), args(1),
       args.lift(2).map(_.toInt).getOrElse(0),
       args.lift(3).map(_.toInt).getOrElse(0))

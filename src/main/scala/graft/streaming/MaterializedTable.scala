@@ -117,22 +117,36 @@ final class MaterializedTable(
   private val DayMs = 86400000L
   private val manifestPath = Paths.get(storePath, "MANIFEST")
 
-  /** day(epoch-days) -> store-relative dir of that day's current data */
-  private def readManifest(): (Long, Map[Long, String]) =
-    if (!Files.exists(manifestPath)) (0L, Map.empty)
+  /** (version, last-applied batch id per sink, day -> store-relative dir).
+    * The per-sink batch ids are the replay-dedup ledger: Structured
+    * Streaming's foreachBatch is at-least-once, and a driver crash between
+    * a completed merge and the checkpoint commit re-delivers the SAME
+    * batchId — the reference survives the equivalent replay by recording
+    * applied WAL offsets in the filestore header (row_store.go:455-530).
+    * Because the batch id commits in the same atomic manifest swap as the
+    * data, merge + ledger update are one transaction.
+    */
+  private def readManifest(): (Long, Map[String, Long], Map[Long, String]) =
+    if (!Files.exists(manifestPath)) (0L, Map.empty, Map.empty)
     else {
       val lines = Files.readString(manifestPath).split("\n").filter(_.nonEmpty)
       val v = lines.head.stripPrefix("v=").toLong
-      (v, lines.tail.map { l =>
+      val (batchLines, dayLines) = lines.tail.partition(_.startsWith("b="))
+      val batches = batchLines.map { l =>
+        val Array(s, b) = l.stripPrefix("b=").split("\t", 2); s -> b.toLong
+      }.toMap
+      (v, batches, dayLines.map { l =>
         val Array(d, p) = l.split("\t", 2); d.toLong -> p
       }.toMap)
     }
 
-  private def writeManifest(v: Long, days: Map[Long, String]): Unit = {
+  private def writeManifest(v: Long, sinkBatches: Map[String, Long],
+                            days: Map[Long, String]): Unit = {
     Files.createDirectories(Paths.get(storePath))
     val tmp = Paths.get(storePath, s"MANIFEST.tmp$v")
-    val body = (s"v=$v" +: days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })
-      .mkString("\n")
+    val body = (s"v=$v" +:
+      (sinkBatches.toSeq.sorted.map { case (s, b) => s"b=$s\t$b" } ++
+        days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })).mkString("\n")
     Files.writeString(tmp, body)
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -146,7 +160,7 @@ final class MaterializedTable(
     * manifest would carry the committed schema instead of re-reading footers.
     */
   def read(): Option[DataFrame] = {
-    val (_, days) = readManifest()
+    val (_, _, days) = readManifest()
     if (days.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
@@ -158,7 +172,7 @@ final class MaterializedTable(
     * window, not with retention. Returns None when no stored day overlaps.
     */
   def readPruned(loMs: Option[Long], hiMs: Option[Long]): Option[DataFrame] = {
-    val (_, days) = readManifest()
+    val (_, _, days) = readManifest()
     val keep = days.filter { case (d, _) =>
       loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
     }
@@ -184,7 +198,13 @@ final class MaterializedTable(
     * direct path for batch inserts). WAL semantics land for free: streaming
     * checkpoints track offsets, batch callers own their replay.
     */
-  def mergeBatch(batch0: DataFrame): Unit = synchronized {
+  def mergeBatch(batch0: DataFrame, sinkId: Option[String] = None,
+                 batchId: Long = -1L): Unit = synchronized {
+    val (version, sinkBatches, dayMap) = readManifest()
+    // replay dedup: a re-delivered micro-batch (same sink, batchId ≤ the
+    // ledger's) was already merged and committed — merging again would
+    // double-count. Batch callers (no sinkId) own their own replay.
+    if (sinkId.exists(s => batchId <= sinkBatches.getOrElse(s, -1L))) return
     val tsCol = batch0.columns.find(_ == "ts").getOrElse(
       throw new IllegalArgumentException("point batches need a `ts` column"))
     var batch = batch0
@@ -218,7 +238,7 @@ final class MaterializedTable(
     // when the table is first created (table.go:49-51,166-167 LimitAge);
     // ongoing late data inside retention is accepted. Our analogue of
     // "first created" is the first batch into an empty store.
-    val initialCatchUp = !Files.exists(manifestPath)
+    val initialCatchUp = version == 0L // no manifest yet = first load
     val horizons = config.retentionMillis.toSeq ++
       (if (initialCatchUp) config.backfillMillis else None)
     if (horizons.nonEmpty) {
@@ -259,8 +279,6 @@ final class MaterializedTable(
       .select((unix_millis(col("_time")) / DayMs).cast("long").as("d"))
       .distinct().collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) { partialCached.unpersist(); return }
-
-    val (version, dayMap) = readManifest()
 
     // merge ONLY the touched day partitions with the batch's partials.
     // GROUP BY * derives dims per batch, so the stored partitions may carry
@@ -320,7 +338,8 @@ final class MaterializedTable(
       .map(r => (now() - r) / DayMs).getOrElse(Long.MinValue)
     val nextMap = (dayMap -- touched)
       .filter { case (d, _) => d >= horizonDay } ++ newDays
-    writeManifest(next, nextMap)
+    writeManifest(next,
+      sinkBatches ++ sinkId.map(_ -> batchId), nextMap)
 
     // best-effort cleanup: remove commit dirs no longer referenced
     // (row_store.go:681-725's superseded-generation deletion)
@@ -349,15 +368,24 @@ final class MaterializedTable(
     Files.deleteIfExists(p)
   }
 
-  /** Attach this table's materialization to a streaming point source. */
+  /** Attach this table's materialization to a streaming point source.
+    * Each micro-batch merges under the checkpoint's sink id + batchId, so
+    * an at-least-once re-delivery after a crash is recognized via the
+    * manifest's batch ledger and skipped — effectively exactly-once into
+    * the store, the property the reference gets from its applied-offset
+    * headers.
+    */
   def sink(stream: DataFrame, checkpointDir: String,
            trigger: org.apache.spark.sql.streaming.Trigger =
              org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000)) = {
+    val sid = Integer.toHexString(checkpointDir.hashCode)
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch) }
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeBatch(batch, Some(sid), bid)
+      }
       .start()
   }
 }

@@ -208,6 +208,30 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1071.0))
   }
 
+  test("replayed micro-batch (same sink + batchId) merges exactly once") {
+    // foreachBatch is at-least-once: a crash between a completed merge and
+    // the checkpoint commit re-delivers the same batchId. The manifest's
+    // per-sink batch ledger commits atomically WITH the merged data, so the
+    // replay is recognized and skipped — the reference's applied-offset
+    // header behavior (row_store.go:455-530)
+    val db = freshDb()
+    val t = db.tables("combined")
+    t.mergeBatch(points(), Some("ckptA"), 7L)
+    t.mergeBatch(points(), Some("ckptA"), 7L) // re-delivery: must be a no-op
+    def total(): Double = db.sql("SELECT requests FROM combined GROUP BY _")
+      .collect().map(r => d(r.getAs[Any]("requests"))).sum
+    assert(approx(total(), 1064.0), total())
+    // a NEW batchId on the same sink merges
+    t.mergeBatch(points(), Some("ckptA"), 8L)
+    assert(approx(total(), 2128.0), total())
+    // a different sink has an independent batchId space
+    t.mergeBatch(points(), Some("ckptB"), 7L)
+    assert(approx(total(), 3192.0), total())
+    // batch callers (no sinkId) are never deduped
+    t.mergeBatch(points())
+    assert(approx(total(), 4256.0), total())
+  }
+
   test("whitelist classifies by name: integer measures survive, non-whitelisted dims of any type drop") {
     // the reference slices only the dims map by name (insert.go:34-39):
     // a LongType measure must not be whitelist-dropped, and a DoubleType
