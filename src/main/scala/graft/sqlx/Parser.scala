@@ -131,6 +131,12 @@ object Parser {
 
   // -- parser ---------------------------------------------------------------
 
+  /** Max expression/subquery nesting depth accepted from a query string —
+    * ~6 stack frames per level keeps the cap far below any JVM stack limit
+    * while allowing queries orders of magnitude deeper than real ones.
+    */
+  val MaxExprDepth: Int = 200
+
   def parse(sql: String): Query = new P(lex(sql)).parseQuery(top = true)
 
   private final class P(lx: LexResult) {
@@ -160,7 +166,9 @@ object Parser {
       case other     => throw new IllegalArgumentException(s"expected identifier, got $other")
     }
 
-    def parseQuery(top: Boolean): Query = {
+    // descend: FROM-(subquery) and IN-(subquery) recurse through here too —
+    // a nested-subquery bomb must hit the depth cap, not the JVM stack
+    def parseQuery(top: Boolean): Query = descend {
       expectIdent("select")
       var selectAll = false
       val fields = ArrayBuffer.empty[FieldSel]
@@ -341,7 +349,21 @@ object Parser {
     // -- measure expressions -------------------------------------------------
     // precedence: OR < AND < cond < additive < multiplicative < primary
 
-    private def parseMOr(valueCtx: Boolean): MExpr = {
+    // recursion guard: this parser serves untrusted input (HTTP /run, RPC
+    // QUERY), and a recursive-descent parser fed 20k nested parens dies
+    // with StackOverflowError — an Error, which escapes the servers'
+    // `catch Exception` and kills the handler thread without a response.
+    // Cap the depth with a loud, catchable error instead.
+    private var depth = 0
+    private def descend[T](f: => T): T = {
+      depth += 1
+      if (depth > Parser.MaxExprDepth)
+        throw new IllegalArgumentException(
+          s"expression nesting exceeds ${Parser.MaxExprDepth} levels")
+      try f finally depth -= 1
+    }
+
+    private def parseMOr(valueCtx: Boolean): MExpr = descend {
       var l = parseMAnd(valueCtx)
       while (isIdent("or")) { pos += 1; l = MCond("OR", l, parseMAnd(valueCtx)) }
       l
@@ -440,7 +462,7 @@ object Parser {
 
     // -- dimension expressions ------------------------------------------------
 
-    private def parseDOr(): DExpr = {
+    private def parseDOr(): DExpr = descend {
       var l = parseDAnd()
       while (isIdent("or")) { pos += 1; l = DOr(l, parseDAnd()) }
       l
@@ -450,8 +472,9 @@ object Parser {
       while (isIdent("and")) { pos += 1; l = DAnd(l, parseDNot()) }
       l
     }
-    private def parseDNot(): DExpr =
+    private def parseDNot(): DExpr = descend {
       if (eatIdent("not")) DNot(parseDNot()) else parseDPredicate()
+    }
 
     private def parseDPredicate(): DExpr = {
       val l = parseDPrimary()

@@ -152,4 +152,25 @@ LIMIT 100, 10
     }
     assert(q.where.contains(DIn(DCol("d"), Seq("p", "q"), negated = false)))
   }
+
+  test("hostile nesting hits the depth cap, never the JVM stack") {
+    // the parser serves untrusted input (HTTP /run, RPC QUERY): a nesting
+    // bomb used to die with StackOverflowError, an Error that escapes the
+    // servers' `catch Exception` and kills the handler thread silently
+    val bombs = Seq(
+      "SELECT " + ("(" * 20000) + "x" + (")" * 20000) + " FROM t GROUP BY k",
+      "SELECT x FROM t WHERE " + ("NOT (" * 20000) + "a = 1" + (")" * 20000),
+      "SELECT x FROM " + ("(SELECT x FROM " * 20000) + "t" + (")" * 20000))
+    for (b <- bombs) {
+      val e = intercept[IllegalArgumentException](Parser.parse(b))
+      assert(String.valueOf(e.getMessage).contains("nesting"), e.getMessage)
+    }
+    // WIDE input (no nesting) is iterative and must still parse fine
+    val wide = "SELECT x FROM t WHERE " +
+      Seq.fill(20000)("a = 1").mkString(" AND ") + " GROUP BY k"
+    assert(Parser.parse(wide).where.nonEmpty)
+    // sane real-world depth stays comfortably under the cap
+    val ok = "SELECT " + ("(" * 50) + "x" + (")" * 50) + " FROM t GROUP BY k"
+    assert(Parser.parse(ok).fields.nonEmpty)
+  }
 }
