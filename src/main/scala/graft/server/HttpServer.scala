@@ -24,15 +24,35 @@ import graft.GraftDB
   */
 final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
                        cacheTtlMillis: Long = HttpServer.CacheTtlMillis,
-                       maxCacheEntries: Int = HttpServer.MaxCacheEntries) {
+                       maxCacheEntries: Int = HttpServer.MaxCacheEntries,
+                       maxBodyBytes: Int = HttpServer.MaxBodyBytes) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Bounded body read: `readAllBytes` on an unbounded POST would buffer a
+    * multi-GB upload straight into heap — cap it the way the RPC framing
+    * caps its frames, failing with a clean 400 instead of an OOM.
+    */
+  private def readBody(ex: HttpExchange): String = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      require(buf.size <= maxBodyBytes,
+        s"request body exceeds $maxBodyBytes bytes; batch large inserts " +
+          "into multiple requests")
+      n = in.read(chunk)
+    }
+    buf.toString(StandardCharsets.UTF_8)
+  }
 
   private def sqlOf(ex: HttpExchange): String =
     Option(ex.getRequestURI.getQuery)
       .flatMap(_.split("&").find(_.startsWith("sql=")))
       .map(s => java.net.URLDecoder.decode(s.stripPrefix("sql="), "UTF-8"))
-      .getOrElse(new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8))
+      .getOrElse(readBody(ex))
 
   private def timeoutOf(ex: HttpExchange): Option[Long] =
     Option(ex.getRequestURI.getQuery)
@@ -43,7 +63,7 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   def start(): Int = {
     server.createContext("/insert/", (ex: HttpExchange) => handle(ex) {
       val stream = ex.getRequestURI.getPath.stripPrefix("/insert/")
-      val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+      val body = readBody(ex)
       val n = insertJsonLines(stream, body)
       s"""{"inserted":$n}"""
     })
@@ -288,4 +308,9 @@ object HttpServer {
 
   /** Responses below this size skip gzip (envelope outweighs savings). */
   val GzipMinBytes: Int = 860
+
+  /** Request-body cap (insert batches, POSTed SQL) — mirrors the RPC
+    * framing's 64 MiB MaxFrame; larger uploads should be split.
+    */
+  val MaxBodyBytes: Int = 64 << 20
 }

@@ -232,6 +232,36 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("oversized request bodies get a clean 400, not an OOM buffer") {
+    val dir = Files.createTempDirectory("graft-http-body").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0, maxBodyBytes = 4096)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val big = "x" * 8192
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(big)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400, resp.body())
+      assert(resp.body().contains("request body exceeds"), resp.body())
+      // the server survives and still accepts a sane insert afterwards
+      val ok = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 1}}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(ok.body().contains("\"inserted\":1"), ok.body())
+    } finally srv.stop()
+  }
+
   test("daemon: one schema boots both surfaces over a shared db (zeno.go parity)") {
     val dir = Files.createTempDirectory("graft-daemon").toString
     val schemaFile = Files.createTempFile("daemon-schema", ".yaml")
