@@ -32,60 +32,57 @@ object Cli {
     val db = new GraftDB(spark, schemaText, args(1))
 
     if (args.length > 2) {
-      // one-shot mode: remaining args are statements
+      // one-shot mode: remaining args are statements; failures propagate
+      // (non-zero exit) so scripts can gate on them
       args.drop(2).foreach(q => db.sql(q).show(100, truncate = false))
-    } else {
-      val in = new java.util.Scanner(System.in)
-      var statsOn = false
-      print("graft> ")
-      while (in.hasNextLine) {
-        val line = in.nextLine().trim
-        if (line == "\\q") return
-        if (line == "\\stats") {
-          statsOn = !statsOn
-          println(s"query stats ${if (statsOn) "on" else "off"}")
-        } else if (line.nonEmpty) {
-          val t0 = System.nanoTime()
-          try {
-            db.sql(line).show(100, truncate = false)
-            if (statsOn)
-              System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          } catch { case e: Exception => println(s"error: ${e.getMessage}") }
-        }
-        print("graft> ")
-      }
+    } else repl { (line, statsOn) =>
+      val t0 = System.nanoTime()
+      db.sql(line).show(100, truncate = false)
+      if (statsOn)
+        System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // no spark.stop(): the session may be shared (getOrCreate); process exit
     // tears it down in standalone use
   }
 
+  /** Shared REPL skeleton: `\q` exits, `\stats` toggles, statement errors
+    * print and the session continues (only the REPL swallows errors —
+    * one-shot modes let them propagate for a non-zero exit).
+    */
+  private def repl(run: (String, Boolean) => Unit): Unit = {
+    val in = new java.util.Scanner(System.in)
+    var statsOn = false
+    print("graft> ")
+    while (in.hasNextLine) {
+      val line = in.nextLine().trim
+      if (line == "\\q") return
+      if (line == "\\stats") {
+        statsOn = !statsOn
+        println(s"query stats ${if (statsOn) "on" else "off"}")
+      } else if (line.nonEmpty) {
+        try run(line, statsOn)
+        catch { case e: Exception => println(s"error: ${e.getMessage}") }
+      }
+      print("graft> ")
+    }
+  }
+
   private def remote(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Cli --connect host:port [sql...]")
-    val hp = args(0).split(":", 2)
-    require(hp.length == 2, s"expected host:port, got ${args(0)}")
-    val client = new server.RpcClient(hp(0), hp(1).toInt, snappy = true)
-    def run(sql: String, statsOn: Boolean): Unit =
-      try {
-        val (cols, rows, stats) = client.queryWithStats(sql)
-        println(cols.mkString("\t"))
-        rows.foreach(println)
-        if (statsOn) System.err.println(s"-- $stats")
-      } catch { case e: Exception => println(s"error: ${e.getMessage}") }
-
-    if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false))
-    else {
-      val in = new java.util.Scanner(System.in)
-      var statsOn = false
-      print("graft> ")
-      while (in.hasNextLine) {
-        val line = in.nextLine().trim
-        if (line == "\\q") return
-        if (line == "\\stats") {
-          statsOn = !statsOn
-          println(s"query stats ${if (statsOn) "on" else "off"}")
-        } else if (line.nonEmpty) run(line, statsOn)
-        print("graft> ")
-      }
+    // split on the LAST colon so bare IPv6 literals ("::1:9000") resolve to
+    // (::1, 9000) instead of a cryptic NumberFormatException
+    val sep = args(0).lastIndexOf(':')
+    require(sep > 0 && sep < args(0).length - 1, s"expected host:port, got ${args(0)}")
+    val client = new server.RpcClient(args(0).substring(0, sep),
+      args(0).substring(sep + 1).toInt, snappy = true)
+    def run(sql: String, statsOn: Boolean): Unit = {
+      val (cols, rows, stats) = client.queryWithStats(sql)
+      println(cols.mkString("\t"))
+      rows.foreach(println)
+      if (statsOn) System.err.println(s"-- $stats")
     }
+    // one-shot failures propagate, matching embedded one-shot mode
+    if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false))
+    else repl(run)
   }
 }

@@ -93,12 +93,19 @@ final class GraftDB(
       var last = initial
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(intervalMillis)
-        val m = java.nio.file.Files.getLastModifiedTime(p)
-        if (m.compareTo(last) > 0) {
-          last = m
-          try alter(java.nio.file.Files.readString(p))
-          catch { case e: Exception => // keep serving the old schema, like the reference
-            System.err.println(s"graft: schema reload failed: ${e.getMessage}") }
+        try {
+          val m = java.nio.file.Files.getLastModifiedTime(p)
+          if (m.compareTo(last) > 0) {
+            last = m
+            try alter(java.nio.file.Files.readString(p))
+            catch { case e: Exception => // keep serving the old schema, like the reference
+              System.err.println(s"graft: schema reload failed: ${e.getMessage}") }
+          }
+        } catch {
+          case e: InterruptedException => throw e
+          // file briefly missing (editors replace atomically; deploys swap
+          // symlinks): keep polling instead of dying on NoSuchFileException
+          case _: Exception => ()
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-schema-watch")

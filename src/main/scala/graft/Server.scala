@@ -18,10 +18,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Server {
 
-  /** A started daemon: both surfaces share one embedded [[GraftDB]]. */
+  /** A started daemon: both surfaces share one embedded [[GraftDB]].
+    * `stop()` also interrupts the schema watcher, so repeated start/stop
+    * cycles in one JVM don't accumulate poller threads.
+    */
   final case class Running(db: GraftDB, http: server.HttpServer,
-                           rpc: server.RpcServer, httpPort: Int, rpcPort: Int) {
-    def stop(): Unit = { http.stop(); rpc.stop() }
+                           rpc: server.RpcServer, httpPort: Int, rpcPort: Int,
+                           watcher: Option[Thread]) {
+    def stop(): Unit = {
+      watcher.foreach(_.interrupt())
+      http.stop(); rpc.stop()
+    }
   }
 
   def start(spark: SparkSession, schemaPath: String, dataDir: String,
@@ -30,15 +37,25 @@ object Server {
     val db = new GraftDB(spark,
       java.nio.file.Files.readString(java.nio.file.Paths.get(schemaPath)),
       dataDir)
-    if (watchSchema) db.watchSchemaFile(schemaPath)
+    val watcher = if (watchSchema) Some(db.watchSchemaFile(schemaPath)) else None
     val http = new server.HttpServer(spark, db, httpPort)
+    val boundHttp = http.start()
+    // if the RPC port can't bind, unwind the already-live HTTP server and
+    // watcher — a half-started daemon the caller can't stop would squat on
+    // the HTTP port until the JVM exits
     val rpc = new server.RpcServer(spark, db, rpcPort)
-    Running(db, http, rpc, http.start(), rpc.start())
+    val boundRpc =
+      try rpc.start()
+      catch {
+        case e: Throwable =>
+          http.stop(); watcher.foreach(_.interrupt()); throw e
+      }
+    Running(db, http, rpc, boundHttp, boundRpc, watcher)
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort]")
+      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",

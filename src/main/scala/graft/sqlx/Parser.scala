@@ -137,6 +137,13 @@ object Parser {
     */
   val MaxExprDepth: Int = 200
 
+  // thread-shared so ALIAS macro expansion — which re-parses through a
+  // fresh P — inherits the caller's depth: a self- or mutually-recursive
+  // alias (F = F(%v)) must trip the cap, not restart it from zero
+  private val depthTL = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
   def parse(sql: String): Query = new P(lex(sql)).parseQuery(top = true)
 
   private final class P(lx: LexResult) {
@@ -269,10 +276,14 @@ object Parser {
         orderBy.toSeq, offset, limit, lx.forceFresh, lx.crosstabValues)
     }
 
-    private def num(): Double = advance() match {
-      case TNum(v) => v
-      case TPunct("-") => -num()
-      case other   => throw new IllegalArgumentException(s"expected number, got $other")
+    // descend: a '- - - … 1' chain recurses once per sign token — without
+    // the guard it is the same hostile-input stack bomb as nested parens
+    private def num(): Double = descend {
+      advance() match {
+        case TNum(v) => v
+        case TPunct("-") => -num()
+        case other   => throw new IllegalArgumentException(s"expected number, got $other")
+      }
     }
 
     private def str(): String = advance() match {
@@ -354,13 +365,13 @@ object Parser {
     // with StackOverflowError — an Error, which escapes the servers'
     // `catch Exception` and kills the handler thread without a response.
     // Cap the depth with a loud, catchable error instead.
-    private var depth = 0
     private def descend[T](f: => T): T = {
-      depth += 1
-      if (depth > Parser.MaxExprDepth)
+      val d = Parser.depthTL.get + 1
+      if (d > Parser.MaxExprDepth)
         throw new IllegalArgumentException(
           s"expression nesting exceeds ${Parser.MaxExprDepth} levels")
-      try f finally depth -= 1
+      Parser.depthTL.set(d)
+      try f finally Parser.depthTL.set(d - 1)
     }
 
     private def parseMOr(valueCtx: Boolean): MExpr = descend {

@@ -378,7 +378,21 @@ final class MaterializedTable(
   def sink(stream: DataFrame, checkpointDir: String,
            trigger: org.apache.spark.sql.streaming.Trigger =
              org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000)) = {
-    val sid = Integer.toHexString(checkpointDir.hashCode)
+    // ledger key = the streaming query's stable id from the checkpoint's
+    // metadata file — NOT a hash of the dir path. Spark restarts batchIds
+    // at 0 when a checkpoint is wiped; a path-keyed ledger would then
+    // silently drop every batch until the counter re-passed its old high
+    // water mark. The query id is fresh on a wiped checkpoint (new key,
+    // everything merges — back to plain at-least-once) and stable across
+    // normal restarts (replays still dedup). Resolved lazily INSIDE the
+    // first batch, after the running query has written the metadata file.
+    lazy val sid: String = {
+      val meta = Paths.get(checkpointDir, "metadata")
+      (if (Files.exists(meta))
+        "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+          .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+      else None).getOrElse(Integer.toHexString(checkpointDir.hashCode))
+    }
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)

@@ -160,11 +160,22 @@ LIMIT 100, 10
     val bombs = Seq(
       "SELECT " + ("(" * 20000) + "x" + (")" * 20000) + " FROM t GROUP BY k",
       "SELECT x FROM t WHERE " + ("NOT (" * 20000) + "a = 1" + (")" * 20000),
-      "SELECT x FROM " + ("(SELECT x FROM " * 20000) + "t" + (")" * 20000))
+      "SELECT x FROM " + ("(SELECT x FROM " * 20000) + "t" + (")" * 20000),
+      // unary-minus chains recurse through num(), not the paren path
+      "SELECT x FROM t GROUP BY k LIMIT " + ("- " * 20000) + "1")
     for (b <- bombs) {
       val e = intercept[IllegalArgumentException](Parser.parse(b))
       assert(String.valueOf(e.getMessage).contains("nesting"), e.getMessage)
     }
+    // a self-referential alias re-parses through a FRESH parser instance —
+    // the depth budget is thread-shared so the cycle trips the cap instead
+    // of overflowing the stack at query time
+    Parser.registerAlias("SPEC_CYCLE", "SPEC_CYCLE(%v)")
+    val rec = intercept[IllegalArgumentException](
+      Parser.parse("SELECT x FROM t GROUP BY SPEC_CYCLE(k) AS g"))
+    assert(String.valueOf(rec.getMessage).contains("nesting"), rec.getMessage)
+    // ...and the depth budget unwinds cleanly: the next parse is unaffected
+    assert(Parser.parse("SELECT x FROM t GROUP BY k").fields.nonEmpty)
     // WIDE input (no nesting) is iterative and must still parse fine
     val wide = "SELECT x FROM t WHERE " +
       Seq.fill(20000)("a = 1").mkString(" AND ") + " GROUP BY k"
