@@ -158,12 +158,20 @@ object Bench {
     val results = passA.zip(passB).map { case ((k, a), (_, b)) =>
       k -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    def num(v: Double): String =
+      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalA = passA.map(_._2).filter(_ >= 0).sum
+    // The driver captures only a fixed TAIL of stdout and parses the LAST
+    // line: emit the cold-read first-pass series on its own line first, then
+    // the compact primary object alone on the final line so the headline
+    // total can never be truncated off the front again (r6 verdict item #1).
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","passes":2,"first_pass_total":$totalA,"queries_first_pass":${fmt(passA)}}""")
+      s"""{"metric":"first_pass_total","value":${num(totalA)},"unit":"sec","queries_first_pass":${fmt(passA)}}""")
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","passes":2,"first_pass_total":${num(totalA)}}""")
     spark.stop()
   }
 }

@@ -38,11 +38,19 @@ object Server {
       java.nio.file.Files.readString(java.nio.file.Paths.get(schemaPath)),
       dataDir)
     val watcher = if (watchSchema) Some(db.watchSchemaFile(schemaPath)) else None
-    val http = new server.HttpServer(spark, db, httpPort)
-    val boundHttp = http.start()
-    // if the RPC port can't bind, unwind the already-live HTTP server and
-    // watcher — a half-started daemon the caller can't stop would squat on
-    // the HTTP port until the JVM exits
+    // any half-start below must unwind whatever already came up — a daemon
+    // the caller can't stop would squat on ports / leak the watcher thread
+    // until the JVM exits (embedded callers retrying start() would
+    // accumulate poller threads)
+    val http =
+      try new server.HttpServer(spark, db, httpPort)
+      catch { case e: Throwable => watcher.foreach(_.interrupt()); throw e }
+    val boundHttp =
+      try http.start()
+      catch {
+        case e: Throwable =>
+          http.stop(); watcher.foreach(_.interrupt()); throw e
+      }
     val rpc = new server.RpcServer(spark, db, rpcPort)
     val boundRpc =
       try rpc.start()

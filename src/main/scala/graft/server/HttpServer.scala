@@ -104,14 +104,17 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // negotiated on Accept-Encoding — honoring an explicit q=0 refusal —
     // and skipped for tiny payloads where the envelope costs more than it
     // saves
+    // "gzip" or "*" counts as acceptance unless its qvalue parses to 0
+    // (RFC 9110 §12.5.3: q is a number, not a fixed spelling — "q=0.0000"
+    // must refuse just like "q=0")
     val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .exists(_.toLowerCase.split(",").map(_.trim).exists { enc =>
         val parts = enc.split(";").map(_.trim)
-        parts.head == "gzip" &&
-          !parts.tail.exists(p => p.replace(" ", "") match {
-            case "q=0" | "q=0.0" | "q=0.00" | "q=0.000" => true
-            case _                                      => false
-          })
+        val q = parts.tail.map(_.replace(" ", "")).collectFirst {
+          case p if p.startsWith("q=") =>
+            try p.drop(2).toDouble catch { case _: NumberFormatException => 1.0 }
+        }.getOrElse(1.0)
+        (parts.head == "gzip" || parts.head == "*") && q > 0.0
       })
     val outBytes =
       if (acceptsGzip && bytes.length >= HttpServer.GzipMinBytes) {
