@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * .RpcServer]] over the compressed transport, no local SparkSession at
   * all. Rows print as the wire's JSON lines; `\stats` echoes the server's
   * QueryStats from the END frame.
+  *
+  * `\i <stream> <file.jsonl>` inserts point JSON lines (the HTTP/RPC
+  * `{"ts", "dims", "vals"}` shape) into a stream — remotely via the
+  * client-streaming INSERT verb in 500-line frames (the reference's
+  * `NewInserter`, rpc/rpc.go), locally via the embedded insert path. Works
+  * as a REPL line or a one-shot argument.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -31,16 +37,24 @@ object Cli {
     val schemaText = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
     val db = new GraftDB(spark, schemaText, args(1))
 
+    def run(line: String, statsOn: Boolean): Unit = parseInsert(line) match {
+      case Some((stream, path)) =>
+        var n = 0L
+        eachLineChunk(path, 5000) { chunk =>
+          n += server.PointsJson.insert(spark, db, stream, chunk)
+        }
+        println(s"inserted $n")
+      case None =>
+        val t0 = System.nanoTime()
+        db.sql(line).show(100, truncate = false)
+        if (statsOn)
+          System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     if (args.length > 2) {
       // one-shot mode: remaining args are statements; failures propagate
       // (non-zero exit) so scripts can gate on them
-      args.drop(2).foreach(q => db.sql(q).show(100, truncate = false))
-    } else repl { (line, statsOn) =>
-      val t0 = System.nanoTime()
-      db.sql(line).show(100, truncate = false)
-      if (statsOn)
-        System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+      args.drop(2).foreach(run(_, statsOn = false))
+    } else repl(run)
     // no spark.stop(): the session may be shared (getOrCreate); process exit
     // tears it down in standalone use
   }
@@ -75,14 +89,61 @@ object Cli {
     require(sep > 0 && sep < args(0).length - 1, s"expected host:port, got ${args(0)}")
     val client = new server.RpcClient(args(0).substring(0, sep),
       args(0).substring(sep + 1).toInt, snappy = true)
-    def run(sql: String, statsOn: Boolean): Unit = {
-      val (cols, rows, stats) = client.queryWithStats(sql)
-      println(cols.mkString("\t"))
-      rows.foreach(println)
-      if (statsOn) System.err.println(s"-- $stats")
+    def run(line: String, statsOn: Boolean): Unit = parseInsert(line) match {
+      case Some((stream, path)) =>
+        // stream the file as 500-line POINTS frames (never whole-file)
+        val n = client.insert(stream, new Iterator[String] {
+          private val reader = java.nio.file.Files.newBufferedReader(
+            java.nio.file.Paths.get(path))
+          private var pending = reader.readLine()
+          def hasNext: Boolean = pending != null
+          def next(): String = {
+            val sb = new StringBuilder
+            var i = 0
+            while (pending != null && i < 500) {
+              sb.append(pending).append('\n'); i += 1
+              pending = reader.readLine()
+            }
+            if (pending == null) reader.close()
+            sb.toString
+          }
+        })
+        println(s"inserted $n")
+      case None =>
+        val (cols, rows, stats) = client.queryWithStats(line)
+        println(cols.mkString("\t"))
+        rows.foreach(println)
+        if (statsOn) System.err.println(s"-- $stats")
     }
     // one-shot failures propagate, matching embedded one-shot mode
     if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false))
     else repl(run)
+  }
+
+  /** `\i <stream> <file.jsonl>` → Some((stream, path)). */
+  private def parseInsert(line: String): Option[(String, String)] =
+    if (!line.startsWith("\\i ")) None
+    else line.drop(3).trim.split("\\s+", 2) match {
+      case Array(stream, path) => Some((stream, path.trim))
+      case _ => throw new IllegalArgumentException(
+        "usage: \\i <stream> <file.jsonl>")
+    }
+
+  /** Feed a file to `f` in chunks of `maxLines` JSON lines. */
+  private def eachLineChunk(path: String, maxLines: Int)(f: String => Unit): Unit = {
+    val reader = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(path))
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        val sb = new StringBuilder
+        var i = 0
+        while (line != null && i < maxLines) {
+          sb.append(line).append('\n'); i += 1
+          line = reader.readLine()
+        }
+        f(sb.toString)
+      }
+    } finally reader.close()
   }
 }

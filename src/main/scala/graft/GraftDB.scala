@@ -141,17 +141,89 @@ final class GraftDB(
         batch0.drop(drop: _*)
       }
     targets.foreach(_.mergeBatch(batch))
-    insertListeners.forEach(l => l(stream.toLowerCase, batch))
+    if (journalOn) appendJournal(stream.toLowerCase, batch)
   }
 
-  /** Subscribe to inserted point batches — the hook the RPC Follow surface
-    * tails (the reference's followers tail the WAL, rpc.go:70-99 /
-    * cluster_follow.go; here the insert path IS the WAL-append moment).
+  // ---------------------------------------------------------------------
+  // Follow journal — the replay source for the RPC Follow surface. The
+  // reference's followers tail the WAL and resume from a client-held offset
+  // (rpc/rpc.go Follow, cluster_follow.go); graft stores only aggregated
+  // state, so the journal keeps a BOUNDED per-stream log of committed
+  // insert batches as JSON-lines files named by a dense monotonic marker
+  // (`_follow/<stream>/<marker>.jsonl`). An entry is appended AFTER the
+  // batch merges into every table over the stream, so a marker only ever
+  // names a committed batch. Entries are written streaming (toLocalIterator,
+  // never a whole-batch driver collect) to a tmp file and published with an
+  // atomic rename, so tailing readers never observe a torn entry.
+  // Journaling is off until a follow-capable server enables it — embedded
+  // ingest without followers pays nothing.
+  // ---------------------------------------------------------------------
+
+  @volatile private var journalOn = false
+
+  /** Turn on follow journaling (idempotent; called by the RPC server). */
+  def enableFollowJournal(): Unit = { journalOn = true }
+
+  private val journalSeqs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def journalDirOf(stream: String): java.nio.file.Path =
+    java.nio.file.Paths.get(baseDir, "_follow", stream)
+
+  private def listJournal(stream: String): Seq[(Long, java.nio.file.Path)] = {
+    val dir = journalDirOf(stream)
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, java.nio.file.Path)]
+      val it = java.nio.file.Files.list(dir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".jsonl"))
+          scala.util.Try(n.stripSuffix(".jsonl").toLong).foreach(s => b += (s -> p))
+      }
+      b.sortBy(_._1).toSeq
+    }
+  }
+
+  /** Highest committed marker for a stream (0 when nothing is journaled). */
+  def followMarker(stream: String): Long =
+    listJournal(stream.toLowerCase).lastOption.map(_._1).getOrElse(0L)
+
+  /** Committed journal entries with marker > `after`, oldest first. Markers
+    * are dense, so a gap between `after` and the head means pruning outran
+    * the caller — detect it, don't silently skip.
     */
-  private val insertListeners =
-    new java.util.concurrent.CopyOnWriteArrayList[(String, DataFrame) => Unit]()
-  def onInsert(listener: (String, DataFrame) => Unit): Unit =
-    insertListeners.add(listener)
+  def followEntriesAfter(stream: String, after: Long): Seq[(Long, java.nio.file.Path)] =
+    listJournal(stream.toLowerCase).filter(_._1 > after)
+
+  private def appendJournal(stream: String, batch: DataFrame): Unit = {
+    val dir = journalDirOf(stream)
+    java.nio.file.Files.createDirectories(dir)
+    val seqRef = journalSeqs.computeIfAbsent(stream,
+      _ => new java.util.concurrent.atomic.AtomicLong(followMarker(stream)))
+    val seq = seqRef.incrementAndGet()
+    val tmp = dir.resolve(s".tmp-$seq")
+    val w = java.nio.file.Files.newBufferedWriter(tmp)
+    try {
+      val it = batch.toJSON.toLocalIterator()
+      while (it.hasNext) { w.write(it.next()); w.write('\n') }
+    } finally w.close()
+    java.nio.file.Files.move(tmp, dir.resolve(s"$seq.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // bound the replay horizon: keep at most MaxEntries / MaxBytes of
+    // history (oldest pruned first; the newest entry always survives). A
+    // follower that falls behind the horizon is disconnected with a gap
+    // error rather than fed a silently-incomplete stream.
+    var entries = listJournal(stream)
+    var bytes = entries.map(e => java.nio.file.Files.size(e._2)).sum
+    while (entries.length > GraftDB.FollowJournalMaxEntries ||
+        (bytes > GraftDB.FollowJournalMaxBytes && entries.length > 1)) {
+      bytes -= java.nio.file.Files.size(entries.head._2)
+      java.nio.file.Files.deleteIfExists(entries.head._2)
+      entries = entries.tail
+    }
+  }
 
   /** Attach a streaming source to every table over the stream. Each table
     * gets its own checkpointed foreachBatch merge (offset tracking ≅ the
@@ -239,4 +311,10 @@ final class GraftDB(
         .foreach(_.processAllAvailable())
     Engine.sqlWithStats(catalog, query, timeoutMs, now)
   }
+}
+
+object GraftDB {
+  /** Follow-journal replay horizon: max entries / bytes kept per stream. */
+  val FollowJournalMaxEntries: Int = 1024
+  val FollowJournalMaxBytes: Long = 256L << 20
 }

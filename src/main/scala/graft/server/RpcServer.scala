@@ -3,7 +3,6 @@ package graft.server
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue, TimeUnit}
 import org.apache.spark.sql.SparkSession
 import graft.GraftDB
 
@@ -63,11 +62,19 @@ private[server] object Framing {
   *    result driver collect) then `END\n<QueryStats JSON>` (elapsedMs/
   *    rows/completed — the reference's common.QueryStats rides its results
   *    the same way).
-  *  - '''Follow''' (long-lived server stream, ≅ `Follow` tailing the WAL):
-  *    `FOLLOW <stream>`; every batch inserted from subscription time on is
-  *    delivered as `POINTS\n<json-lines>`. The reference replays from a WAL
-  *    offset; the parquet-backed engine has no raw-point WAL to replay, so
-  *    followers are forward-only (documented descope).
+  *  - '''Follow''' (long-lived server stream, ≅ `Follow` replaying from a
+  *    client-held WAL offset then going live, rpc/rpc.go Follow /
+  *    cluster_follow.go): `FOLLOW <stream> [since=<marker>]`. The server
+  *    tails the database's bounded follow journal of committed insert
+  *    batches: entries after `since` (all history a fresh follower can
+  *    reach, when omitted: live-only from subscription time) stream as
+  *    `POINTS <marker>\n<json-lines>` frames — chunked, a fat batch never
+  *    rides one frame or one driver string — with the batch's final chunk
+  *    flagged `POINTS <marker> end`. A client that reconnects with the last
+  *    end-flagged marker it processed resumes without loss (at-least-once
+  *    per batch, the reference's resume contract). Markers are dense, so a
+  *    follower that falls behind the journal's pruning horizon gets an
+  *    `ERR replay gap` instead of a silently-incomplete stream.
   *
   * Point JSON is the HTTP surface's shape:
   * `{"ts": millis|RFC3339, "dims": {..}, "vals": {..}}`.
@@ -77,27 +84,9 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
   private val server = new ServerSocket()
   @volatile private var running = false
 
-  /** One per FOLLOW connection: a *bounded* batch queue (a slow consumer
-    * must not buffer the insert stream without bound) plus an overflow flag
-    * that tells the handler to disconnect it once the backlog drains.
-    */
-  private final class Follower(val stream: String) {
-    val queue = new LinkedBlockingQueue[String](RpcServer.FollowQueueCap)
-    @volatile var overflowed = false
-  }
-  private val followers = new CopyOnWriteArrayList[Follower]()
-
-  db.onInsert { (stream, batch) =>
-    var interested = false
-    followers.forEach { f => if (f.stream == stream && !f.overflowed) interested = true }
-    if (interested) {
-      val lines = batch.toJSON.collect().mkString("\n")
-      followers.forEach { f =>
-        if (f.stream == stream && !f.overflowed && !f.queue.offer(lines))
-          f.overflowed = true // full: stop feeding; handler disconnects it
-      }
-    }
-  }
+  // the follow surface replays from the journal; without it FOLLOW could
+  // only ever see batches inserted while a follower happened to be attached
+  db.enableFollowJournal()
 
   def start(): Int = {
     server.bind(new InetSocketAddress(port))
@@ -149,7 +138,7 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
       verb(0) match {
         case "INSERT" => handleInsert(verb(1), in, out)
         case "QUERY"  => handleQuery(body, out)
-        case "FOLLOW" => handleFollow(verb(1).toLowerCase, out)
+        case "FOLLOW" => handleFollow(verb(1), out)
         case other    => Framing.write(out, s"ERR unknown verb $other")
       }
     } catch {
@@ -200,42 +189,109 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
       s"""END\n{"elapsedMs":$elapsedMs,"rows":$total,"completed":true}""")
   }
 
-  private def handleFollow(stream: String, out: DataOutputStream): Unit = {
-    val f = new Follower(stream)
-    followers.add(f)
-    try {
-      var idlePolls = 0
-      var live = true
-      while (running && live) {
-        val lines = f.queue.poll(200, TimeUnit.MILLISECONDS)
-        if (lines != null) {
-          Framing.write(out, "POINTS\n" + lines)
+  private def handleFollow(argLine: String, out: DataOutputStream): Unit = {
+    val toks = argLine.trim.split("\\s+")
+    val stream = toks(0).toLowerCase
+    val since = toks.drop(1).collectFirst {
+      case t if t.startsWith("since=") => t.stripPrefix("since=").toLong
+    }
+    val head = db.followMarker(stream)
+    if (since.exists(_ > head)) {
+      // a marker from the future means a wiped/foreign store — resuming
+      // would replay under a marker sequence the client's isn't part of
+      Framing.write(out,
+        s"ERR replay gap: since=${since.get} is ahead of marker $head")
+      return
+    }
+    // no since= → live-only from subscription time (the pre-replay Follow)
+    var last = since.getOrElse(head)
+    var idlePolls = 0
+    var gapPolls = 0
+    while (running) {
+      val entries = db.followEntriesAfter(stream, last)
+      if (entries.isEmpty) {
+        // idle heartbeat: a PING to a dead socket throws, reaping followers
+        // whose client vanished without a FIN instead of spinning forever
+        idlePolls += 1
+        if (idlePolls >= RpcServer.HeartbeatPolls) {
+          Framing.write(out, "PING")
           idlePolls = 0
-        } else if (f.overflowed) {
-          // backlog drained after an overflow: tell the client why, then cut
-          Framing.write(out,
-            "ERR slow consumer: follow queue overflowed, disconnecting")
-          live = false
-        } else {
-          // idle heartbeat: a PING to a dead socket throws, reaping followers
-          // whose client vanished without a FIN instead of spinning forever
-          idlePolls += 1
-          if (idlePolls >= RpcServer.HeartbeatPolls) {
-            Framing.write(out, "PING")
-            idlePolls = 0
-          }
+        }
+        Thread.sleep(RpcServer.FollowPollMillis)
+      } else if (entries.head._1 != last + 1) {
+        // markers are dense, so a hole is either journal pruning outrunning
+        // this consumer (permanent) or a concurrent insert whose atomic
+        // rename hasn't landed yet — marker N+1 can become visible moments
+        // before N (permanent holes only ever open at the OLD end; transient
+        // ones resolve as soon as the in-flight writer renames). Retry
+        // briefly before failing loud.
+        gapPolls += 1
+        if (gapPolls >= RpcServer.GapRetryPolls) {
+          Framing.write(out, s"ERR replay gap: have marker $last, oldest " +
+            s"available ${entries.head._1}; reconnect without since=")
+          return
+        }
+        Thread.sleep(RpcServer.FollowPollMillis)
+      } else {
+        idlePolls = 0
+        gapPolls = 0
+        // consume only the dense prefix: a hole PAST the head (e.g. [4, 6]
+        // with 5 in flight) re-enters the gap-retry branch next iteration
+        val dense = entries.zipWithIndex
+          .takeWhile { case ((m, _), i) => m == last + 1 + i }.map(_._1)
+        dense.foreach { case (marker, path) =>
+          writeJournalEntry(marker, path, out)
+        }
+        last = dense.last._1
+      }
+    }
+  }
+
+  /** Stream one journal entry as chunked POINTS frames: ≤500 lines / ≤8 MiB
+    * per frame so a fat insert batch can neither blow [[Framing.MaxFrame]]
+    * nor materialize as one giant string; the final chunk carries the `end`
+    * flag that makes the marker safe to resume from.
+    */
+  private def writeJournalEntry(marker: Long, path: java.nio.file.Path,
+                                out: DataOutputStream): Unit = {
+    val reader = java.nio.file.Files.newBufferedReader(path)
+    try {
+      val chunk = new StringBuilder
+      var n = 0
+      var line = reader.readLine()
+      while (line != null) {
+        chunk.append(line).append('\n')
+        n += 1
+        line = reader.readLine()
+        if (line != null &&
+            (n >= RpcServer.FollowChunkRows ||
+              chunk.length >= RpcServer.FollowChunkChars)) {
+          Framing.write(out, s"POINTS $marker\n" + chunk)
+          chunk.clear(); n = 0
         }
       }
-    } finally followers.remove(f) // write failure (client gone) lands here
+      Framing.write(out, s"POINTS $marker end\n" + chunk)
+    } finally reader.close()
   }
 }
 
 object RpcServer {
-  /** Max batches buffered per FOLLOW subscriber before it is disconnected. */
-  val FollowQueueCap: Int = 256
+  /** Journal-poll interval for live tailing (the idle path; replay and a
+    * busy stream never sleep).
+    */
+  val FollowPollMillis: Long = 150L
 
-  /** Idle 200ms polls between heartbeat PINGs (≈2s). */
-  val HeartbeatPolls: Int = 10
+  /** Idle polls between heartbeat PINGs (≈2s at [[FollowPollMillis]]). */
+  val HeartbeatPolls: Int = 13
+
+  /** Polls to wait out a transient marker hole (an in-flight concurrent
+    * insert's rename) before declaring a permanent replay gap (≈3s).
+    */
+  val GapRetryPolls: Int = 20
+
+  /** Per-frame chunk bounds for FOLLOW delivery. */
+  val FollowChunkRows: Int = 500
+  val FollowChunkChars: Int = 8 << 20
 }
 
 /** Client for [[RpcServer]] — the reference's `rpc.Client` surface
@@ -274,7 +330,14 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
   /** Client-streaming insert: each element of `jsonLineBatches` is sent (and
     * applied server-side) as its own frame. Returns the server's count.
     */
-  def insert(stream: String, jsonLineBatches: Seq[String]): Long = {
+  def insert(stream: String, jsonLineBatches: Seq[String]): Long =
+    insert(stream, jsonLineBatches.iterator)
+
+  /** Iterator form — the reference's streaming `NewInserter` (rpc/rpc.go):
+    * batches are framed and sent as the iterator produces them, so a large
+    * upload never materializes client-side.
+    */
+  def insert(stream: String, jsonLineBatches: Iterator[String]): Long = {
     val (sock, in, out) = connect()
     try {
       Framing.write(out, s"INSERT $stream")
@@ -317,19 +380,41 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
     } finally sock.close()
   }
 
-  /** Follow a stream: `onPoints` fires with each inserted batch's JSON lines
-    * until the returned handle is closed.
+  /** Follow a stream live-only: `onPoints` fires with each inserted batch's
+    * JSON lines until the returned handle is closed.
     */
-  def follow(stream: String)(onPoints: String => Unit): AutoCloseable = {
+  def follow(stream: String)(onPoints: String => Unit): AutoCloseable =
+    followSince(stream, None)(
+      (_, lines, _) => if (lines.nonEmpty) onPoints(lines))()
+
+  /** Follow with backlog replay (the reference's offset-resuming Follow,
+    * rpc/rpc.go): with `since = Some(m)` every committed batch after marker
+    * `m` replays first, then the stream goes live. `onChunk(marker, lines,
+    * end)` fires per frame; a batch may span several frames and only its
+    * `end = true` frame makes `marker` safe to hand back as the next
+    * `since`. `onError` receives the server's ERR line (e.g. a replay gap
+    * past the journal horizon) before the connection closes.
+    */
+  def followSince(stream: String, since: Option[Long])(
+      onChunk: (Long, String, Boolean) => Unit)(
+      onError: String => Unit = _ => ()): AutoCloseable = {
     val (sock, in, out) = connect()
-    Framing.write(out, s"FOLLOW $stream")
+    Framing.write(out,
+      s"FOLLOW $stream" + since.map(m => s" since=$m").getOrElse(""))
     val t = new Thread(() => {
       try {
         var done = false
         while (!done) Framing.read(in) match {
           case Some(frame) =>
             val (v, body) = Framing.split(frame)
-            if (v == "POINTS") onPoints(body)
+            val toks = v.split("\\s+")
+            toks(0) match {
+              case "POINTS" =>
+                onChunk(toks(1).toLong, body, toks.contains("end"))
+              case "PING" => ()
+              case _ if v.startsWith("ERR") => onError(v); done = true
+              case _ => ()
+            }
           case None => done = true
         }
       } catch { case _: Exception => () }

@@ -237,7 +237,12 @@ final class MaterializedTable(
     // reference applies it once, limiting how far back WAL replay starts
     // when the table is first created (table.go:49-51,166-167 LimitAge);
     // ongoing late data inside retention is accepted. Our analogue of
-    // "first created" is the first batch into an empty store.
+    // "first created" is the first batch into an empty store. A source that
+    // splits the initial catch-up across micro-batches (maxOffsetsPerTrigger)
+    // gets the bound on batch 0 only — documented approximation
+    // (COVERAGE.md §2.8): the reference bounds a WAL POSITION, not a
+    // timestamp, so accepting old points in later batches errs loose
+    // (extra old data), never lossy.
     val initialCatchUp = version == 0L // no manifest yet = first load
     val horizons = config.retentionMillis.toSeq ++
       (if (initialCatchUp) config.backfillMillis else None)
@@ -342,13 +347,24 @@ final class MaterializedTable(
       sinkBatches ++ sinkId.map(_ -> batchId), nextMap)
 
     // best-effort cleanup: remove commit dirs no longer referenced
-    // (row_store.go:681-725's superseded-generation deletion)
+    // (row_store.go:681-725's superseded-generation deletion) — but only
+    // after a grace window (wall clock, NOT the injected logical clock:
+    // file mtimes are real time), because a reader that loaded the
+    // PREVIOUS manifest may still be scanning the superseded generation.
+    // Deleting under it would tear the read mid-swap; the grace window is
+    // the same tombstone-retention idea public table formats use. Dirs a
+    // transient error skips this round age past the grace and go next round.
+    val grace = java.lang.Long.getLong("graft.commitGcGraceMillis",
+      MaterializedTable.CommitGcGraceMillis)
+    val cutoff = System.currentTimeMillis() - grace
     val live = nextMap.values.map(_.split("/")(1).toLong).toSet
     val commitsRoot = Paths.get(storePath, "commits")
     if (Files.isDirectory(commitsRoot)) {
       Files.list(commitsRoot).iterator().asScalaSeq.foreach { p =>
         val v = scala.util.Try(p.getFileName.toString.toLong).toOption
-        if (v.exists(x => x != next && !live.contains(x)))
+        if (v.exists(x => x != next && !live.contains(x)) &&
+            (scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+              .getOrElse(Long.MaxValue) < cutoff))
           try deleteRecursively(p) catch { case _: Exception => () }
       }
     }
@@ -386,20 +402,39 @@ final class MaterializedTable(
     // everything merges — back to plain at-least-once) and stable across
     // normal restarts (replays still dedup). Resolved lazily INSIDE the
     // first batch, after the running query has written the metadata file.
-    lazy val sid: String = {
+    // When the metadata is unreadable there is NO safe key — any synthetic
+    // one (e.g. a path hash) recreates the wiped-checkpoint failure mode —
+    // so dedup disables (None) and ingest degrades to plain at-least-once.
+    lazy val sid: Option[String] = {
       val meta = Paths.get(checkpointDir, "metadata")
-      (if (Files.exists(meta))
-        "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
-          .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
-      else None).getOrElse(Integer.toHexString(checkpointDir.hashCode))
+      val parsed =
+        try {
+          if (Files.exists(meta))
+            "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+              .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+          else None
+        } catch { case _: Exception => None }
+      if (parsed.isEmpty)
+        System.err.println(s"graft: table ${config.name}: cannot read the " +
+          s"streaming query id from $meta; replay dedup disabled for this " +
+          "run (at-least-once)")
+      parsed
     }
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        mergeBatch(batch, Some(sid), bid)
+        mergeBatch(batch, sid, bid)
       }
       .start()
   }
+}
+
+object MaterializedTable {
+  /** Default grace before a superseded commit generation is deleted —
+    * readers that loaded the previous manifest get this long to finish
+    * scanning it (`-Dgraft.commitGcGraceMillis=` overrides).
+    */
+  val CommitGcGraceMillis: Long = 30000L
 }

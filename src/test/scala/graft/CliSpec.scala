@@ -92,6 +92,43 @@ class CliSpec extends AnyFunSuite {
       assert(replErr.toString.contains("\"completed\":true"), replErr.toString)
       // a bad statement reports an ERR frame, not a dropped session
       assert(replOut.toString.contains("error:"), replOut.toString)
+
+      // remote insert: \i streams a JSONL file over the INSERT verb (the
+      // reference client surface includes the streaming inserter,
+      // rpc/rpc.go NewInserter), then a query sees the new points
+      val jsonl = Files.createTempFile("points", ".jsonl")
+      Files.writeString(jsonl,
+        (1 to 1100).map(i => // >500 lines forces multiple POINTS frames
+          s"""{"ts": ${1700000000000L + i}, "dims": {"k": "b"}, "vals": {"v": 1}}""")
+          .mkString("\n"))
+      val insOut = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(insOut)) {
+        Cli.main(Array("--connect", s"localhost:$port",
+          s"\\i s ${jsonl}",
+          "SELECT v FROM t WHERE k = 'b' GROUP BY k, period('100s')"))
+      }
+      assert(insOut.toString.contains("inserted 1100"), insOut.toString)
+      assert(insOut.toString.contains("\"v\":1100.0"), insOut.toString)
     } finally srv.stop()
+  }
+
+  test("embedded CLI \\i inserts a JSONL file through the local insert path") {
+    val dir = Files.createTempDirectory("graft-cli-ins").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+    val schemaFile = Files.createTempFile("schema", ".yaml")
+    Files.writeString(schemaFile, yaml)
+    val jsonl = Files.createTempFile("points", ".jsonl")
+    Files.writeString(jsonl, Seq(
+      s"""{"ts": 1700000000000, "dims": {"k": "a"}, "vals": {"v": 2}}""",
+      s"""{"ts": 1700000000100, "dims": {"k": "a"}, "vals": {"v": 3}}""")
+      .mkString("\n"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array(schemaFile.toString, dir,
+        s"\\i s ${jsonl}",
+        "SELECT v FROM t GROUP BY k"))
+    }
+    assert(out.toString.contains("inserted 2"), out.toString)
+    assert(out.toString.contains("5.0"), out.toString)
   }
 }

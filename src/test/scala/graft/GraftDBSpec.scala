@@ -486,6 +486,70 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("v")), 12.0))
   }
 
+  test("manifest GC soak: sustained micro-batches with concurrent readers stay bounded and untorn") {
+    // ~200 merge generations through one table while readers continuously
+    // re-open the store: the commits dir must stay bounded (superseded
+    // generations deleted once past the GC grace), no read may ever tear
+    // (FileNotFound on a swapped-out generation), and the manifest must
+    // stay O(days + sinks), not O(batches)
+    // grace must exceed a reader's worst-case latency under contention, or
+    // deletions legitimately land under a scan still using the old manifest
+    System.setProperty("graft.commitGcGraceMillis", "5000")
+    try {
+      val dir = Files.createTempDirectory("graft-soak").toString
+      val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+      val db = new GraftDB(spark, yaml, dir, () => T0 + 2 * 86400000L)
+      val sch = StructType(Seq(StructField("ts", TimestampType),
+        StructField("k", StringType), StructField("v", DoubleType)))
+      def batch(i: Int) = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        // alternate two day partitions so GC must track a multi-day live set
+        Row(new java.sql.Timestamp(T0 + (i % 2) * 86400000L), "a",
+          Double.box(1.0))), 1), sch)
+
+      db.insert("s", batch(0)) // a fresh table is queryable after first data
+      val readErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val sums = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      @volatile var stopReaders = false
+      val reader = new Thread(() => {
+        while (!stopReaders) {
+          try {
+            val rows = db.sql("SELECT v FROM t GROUP BY _, period('10d')").collect()
+            if (rows.nonEmpty) sums.add(d(rows(0).getAs[Any]("v")))
+          } catch { case e: Throwable => readErrors.add(e) }
+        }
+      })
+      reader.setDaemon(true); reader.start()
+
+      val n = 200
+      (2 to n).foreach(i => db.insert("s", batch(i)))
+      stopReaders = true
+      reader.join(10000)
+
+      // no torn reads, and every observed running total is sane + monotonic
+      assert(readErrors.isEmpty,
+        readErrors.toArray.take(2).map(String.valueOf).mkString("; ").take(800))
+      val observed = sums.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+      assert(observed.nonEmpty)
+      assert(observed.forall(s => s >= 1.0 && s <= n.toDouble), observed.max)
+      assert(observed.sameElements(observed.sorted), "reader saw a regressing total")
+
+      // final state is exactly the sum of all batches (no loss, no double)
+      val fin = db.sql("SELECT v, _points FROM t GROUP BY _, period('10d')").collect()
+      assert(approx(d(fin(0).getAs[Any]("v")), n.toDouble))
+
+      // after the grace passes, one more insert sweeps every superseded
+      // generation: only live generations (≤ 1 per day + the new commit)
+      // may remain, and the manifest holds one line per day + version
+      Thread.sleep(5500)
+      db.insert("s", batch(n + 1))
+      val commitDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/t/commits")).count()
+      assert(commitDirs <= 3, s"commits dir not bounded: $commitDirs dirs")
+      val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/t/MANIFEST"))
+      assert(manifest.split("\n").length == 3, manifest) // v= + 2 day lines
+    } finally System.clearProperty("graft.commitGcGraceMillis")
+  }
+
   test("materialized events table agrees with the raw-table query") {
     // self-consistency: ingest the driver's events table into a materialized
     // aggregation, then compare a coarser re-aggregation against the same

@@ -74,6 +74,117 @@ class RpcSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("FOLLOW backlog replay: since-marker resumes committed batches, then live") {
+    // the reference's Follow replays from a client-held WAL offset before
+    // going live (rpc/rpc.go Follow, cluster_follow.go); graft replays from
+    // the bounded follow journal of committed insert batches
+    val dir = Files.createTempDirectory("graft-rpc-replay").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = new RpcClient("localhost", port)
+      def point(i: Int) =
+        s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""
+
+      // two batches committed BEFORE any follower exists
+      client.insert("inbound", Seq(point(1)))
+      client.insert("inbound", Seq(point(2)))
+
+      // subscribe from the beginning: both committed batches replay as
+      // backlog, each frame carrying its dense marker with the end flag
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      var lastDone = 0L
+      val latch1 = new CountDownLatch(2)
+      val f1 = client.followSince("inbound", Some(0L)) { (m, lines, end) =>
+        got.add(m -> lines)
+        if (end) { lastDone = m; latch1.countDown() }
+      }()
+      assert(latch1.await(10, TimeUnit.SECONDS))
+      assert(got.toArray(Array.empty[(Long, String)]).map(_._1).toSeq == Seq(1L, 2L))
+      assert(got.peek()._2.contains("\"requests\":1"))
+      assert(lastDone == 2L)
+
+      // live tail: a batch inserted while subscribed arrives with marker 3
+      val latch2 = new CountDownLatch(1)
+      val live = new java.util.concurrent.atomic.AtomicReference[(Long, String)]()
+      val f1b = client.followSince("inbound", Some(lastDone)) { (m, lines, end) =>
+        if (end && m > 2) { live.set(m -> lines); latch2.countDown() }
+      }()
+      f1.close()
+      Thread.sleep(300) // subscription lands
+      client.insert("inbound", Seq(point(3)))
+      assert(latch2.await(10, TimeUnit.SECONDS))
+      assert(live.get()._1 == 3L && live.get()._2.contains("\"requests\":3"))
+      f1b.close()
+
+      // reconnect mid-stream: batches 4 and 5 land while disconnected;
+      // resuming from the last end-flagged marker replays exactly them
+      client.insert("inbound", Seq(point(4)))
+      client.insert("inbound", Seq(point(5)))
+      val resumed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latch3 = new CountDownLatch(2)
+      val f2 = client.followSince("inbound", Some(3L)) { (m, _, end) =>
+        if (end) { resumed.add(m); latch3.countDown() }
+      }()
+      assert(latch3.await(10, TimeUnit.SECONDS))
+      assert(resumed.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq ==
+        Seq(4L, 5L))
+      f2.close()
+
+      // a marker ahead of the journal (wiped/foreign store) fails loud
+      val err = new java.util.concurrent.atomic.AtomicReference[String]()
+      val latch4 = new CountDownLatch(1)
+      val f3 = client.followSince("inbound", Some(99L))((_, _, _) => ()) { e =>
+        err.set(e); latch4.countDown()
+      }
+      assert(latch4.await(10, TimeUnit.SECONDS))
+      assert(err.get().contains("replay gap"), err.get())
+      f3.close()
+    } finally srv.stop()
+  }
+
+  test("FOLLOW chunking: a fat batch splits across frames, end flag on the last") {
+    val dir = Files.createTempDirectory("graft-rpc-chunk").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = new RpcClient("localhost", port)
+      // one insert batch of 1200 points > FollowChunkRows=500 → 3 frames
+      val fat = (1 to 1200).map(i =>
+        s"""{"ts": ${T0 + i}, "dims": {"server": "s${i % 7}"}, "vals": {"requests": $i}}""")
+        .mkString("\n")
+      client.insert("inbound", Seq(fat))
+
+      val frames = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Boolean)]()
+      val latch = new CountDownLatch(1)
+      val f = client.followSince("inbound", Some(0L)) { (m, lines, end) =>
+        frames.add((m, lines.split("\n").count(_.nonEmpty), end))
+        if (end) latch.countDown()
+      }()
+      assert(latch.await(10, TimeUnit.SECONDS))
+      val fs = frames.toArray(Array.empty[(Long, Int, Boolean)]).toSeq
+      assert(fs.length == 3, fs.map(x => (x._1, x._2, x._3)))
+      assert(fs.forall(_._1 == 1L)) // one batch = one marker
+      assert(fs.map(_._2).sum == 1200) // no row lost or duplicated
+      assert(fs.map(_._3) == Seq(false, false, true)) // end flags the last
+      f.close()
+    } finally srv.stop()
+  }
+
   test("snappy-framed transport: auto-detected per connection, plain client coexists") {
     // the reference wraps EVERY rpc socket in the snappy framing format
     // (rpc/snappyconn.go snappyDialer/SnappyListener); our server detects

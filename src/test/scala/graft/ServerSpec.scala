@@ -295,6 +295,91 @@ class ServerSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("daemon crash-replay: restart on the same checkpoint+store is exactly-once; wiped checkpoint degrades to at-least-once") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import scala.jdk.CollectionConverters._
+    // ledger semantics proven END-TO-END through the daemon: a restart that
+    // re-delivers an already-merged micro-batch (the crash window between a
+    // completed merge and the checkpoint commit) must not double-count —
+    // the reference's applied-WAL-offset header behavior
+    // (row_store.go:455-530); a WIPED checkpoint means a fresh query id, so
+    // the ledger steps aside and ingest degrades to documented
+    // at-least-once (MaterializedTable.sink scaladoc)
+    val store = Files.createTempDirectory("graft-crash-store").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val input = Files.createTempDirectory("graft-crash-in")
+    val schemaFile = Files.createTempFile("crash-schema", ".yaml")
+    Files.writeString(schemaFile,
+      "st:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n")
+    val inSchema = StructType(Seq(StructField("tsMs", LongType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+
+    def boot() = {
+      val r = Server.start(spark, schemaFile.toString, store, watchSchema = false)
+      val stream = spark.readStream.schema(inSchema).json(input.toString)
+        .withColumn("ts", timestamp_millis(col("tsMs"))).drop("tsMs")
+      (r, r.db.attachStream("s", stream, ckpt))
+    }
+    def addFile(name: String, lines: String*): Unit = {
+      // write outside + atomic move: the file source must never list a
+      // half-written file
+      val tmp = Files.createTempFile("pts", ".json")
+      Files.writeString(tmp, lines.mkString("\n"))
+      Files.move(tmp, input.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def point(k: String, v: Double) =
+      s"""{"tsMs": $T0, "k": "$k", "v": $v}"""
+    def totals(db: GraftDB): Map[String, Double] =
+      db.sql("SELECT v FROM st GROUP BY k, period('100s')").collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+
+    // run 1: two committed micro-batches
+    val (r1, q1) = boot()
+    addFile("f1.json", point("x", 1.0), point("x", 2.0))
+    q1.foreach(_.processAllAvailable())
+    addFile("f2.json", point("x", 10.0))
+    q1.foreach(_.processAllAvailable())
+    assert(totals(r1.db) == Map("x" -> 13.0))
+    q1.foreach(_.stop()); r1.stop()
+
+    // crash simulation: drop the newest checkpoint commit marker — Spark
+    // will re-deliver that batch (same batchId, same offsets) on restart,
+    // exactly what a crash between merge and checkpoint commit produces
+    val commits = java.nio.file.Paths.get(ckpt, "st", "commits")
+    val newest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    // and its checksum sidecar, or the local fs refuses the re-written marker
+    Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+
+    // run 2: the re-delivered batch is recognized via the manifest ledger
+    // and skipped; genuinely new data still merges
+    val (r2, q2) = boot()
+    q2.foreach(_.processAllAvailable()) // replays f2's batch
+    assert(totals(r2.db) == Map("x" -> 13.0), "replayed batch double-counted")
+    addFile("f3.json", point("y", 5.0))
+    q2.foreach(_.processAllAvailable())
+    assert(totals(r2.db) == Map("x" -> 13.0, "y" -> 5.0))
+    q2.foreach(_.stop()); r2.stop()
+
+    // wiped checkpoint: fresh query id → fresh ledger key → the file source
+    // re-reads everything and every batch merges again (at-least-once, the
+    // documented degradation — NOT silent data loss)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(ckpt))
+    val (r3, q3) = boot()
+    q3.foreach(_.processAllAvailable())
+    assert(totals(r3.db) == Map("x" -> 26.0, "y" -> 10.0),
+      "wiped checkpoint should re-merge (at-least-once), never drop")
+    q3.foreach(_.stop()); r3.stop()
+  }
+
   test("async cache: concurrent same-SQL submissions share one permalink; entry cap evicts oldest") {
     val dir = Files.createTempDirectory("graft-http-cap").toString
     val yaml =
