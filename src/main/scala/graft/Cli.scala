@@ -91,23 +91,26 @@ object Cli {
       args(0).substring(sep + 1).toInt, snappy = true)
     def run(line: String, statsOn: Boolean): Unit = parseInsert(line) match {
       case Some((stream, path)) =>
-        // stream the file as 500-line POINTS frames (never whole-file)
-        val n = client.insert(stream, new Iterator[String] {
-          private val reader = java.nio.file.Files.newBufferedReader(
-            java.nio.file.Paths.get(path))
-          private var pending = reader.readLine()
-          def hasNext: Boolean = pending != null
-          def next(): String = {
-            val sb = new StringBuilder
-            var i = 0
-            while (pending != null && i < 500) {
-              sb.append(pending).append('\n'); i += 1
-              pending = reader.readLine()
+        // stream the file as 500-line POINTS frames (never whole-file);
+        // close in a finally, not inside next() — an empty file or a
+        // server error mid-stream must not leak the reader
+        val reader = java.nio.file.Files.newBufferedReader(
+          java.nio.file.Paths.get(path))
+        val n =
+          try client.insert(stream, new Iterator[String] {
+            private var pending = reader.readLine()
+            def hasNext: Boolean = pending != null
+            def next(): String = {
+              val sb = new StringBuilder
+              var i = 0
+              while (pending != null && i < 500) {
+                sb.append(pending).append('\n'); i += 1
+                pending = reader.readLine()
+              }
+              sb.toString
             }
-            if (pending == null) reader.close()
-            sb.toString
-          }
-        })
+          })
+          finally reader.close()
         println(s"inserted $n")
       case None =>
         val (cols, rows, stats) = client.queryWithStats(line)

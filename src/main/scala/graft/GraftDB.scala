@@ -164,64 +164,111 @@ final class GraftDB(
   /** Turn on follow journaling (idempotent; called by the RPC server). */
   def enableFollowJournal(): Unit = { journalOn = true }
 
+  /** Per-stream journal state: the marker counter doubles as the append
+    * lock, so allocate + write + publish + prune are one atomic section per
+    * stream (concurrent inserts to the same stream can't race the prune
+    * loop or observe each other's half-allocated markers).
+    */
   private val journalSeqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  private def journalDirOf(stream: String): java.nio.file.Path =
+  private def journalDirOf(stream: String): java.nio.file.Path = {
+    // the stream name reaches here from unauthenticated FOLLOW frames, not
+    // just the schema: reject anything that isn't a plain identifier-ish
+    // token or it becomes a path-traversal primitive
+    require(stream.nonEmpty && stream != "." && stream != ".." &&
+      stream.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid stream name '$stream'")
     java.nio.file.Paths.get(baseDir, "_follow", stream)
+  }
 
   private def listJournal(stream: String): Seq[(Long, java.nio.file.Path)] = {
     val dir = journalDirOf(stream)
     if (!java.nio.file.Files.isDirectory(dir)) Nil
     else {
       val b = scala.collection.mutable.ArrayBuffer.empty[(Long, java.nio.file.Path)]
-      val it = java.nio.file.Files.list(dir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.endsWith(".jsonl"))
-          scala.util.Try(n.stripSuffix(".jsonl").toLong).foreach(s => b += (s -> p))
-      }
+      val st = java.nio.file.Files.list(dir)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".jsonl"))
+            scala.util.Try(n.stripSuffix(".jsonl").toLong).foreach(s => b += (s -> p))
+        }
+      } finally st.close() // Files.list holds a directory fd until closed
       b.sortBy(_._1).toSeq
     }
   }
 
-  /** Highest committed marker for a stream (0 when nothing is journaled). */
-  def followMarker(stream: String): Long =
-    listJournal(stream.toLowerCase).lastOption.map(_._1).getOrElse(0L)
+  private def journalSeq(stream: String): java.util.concurrent.atomic.AtomicLong =
+    journalSeqs.computeIfAbsent(stream,
+      s => new java.util.concurrent.atomic.AtomicLong(
+        listJournal(s).lastOption.map(_._1).getOrElse(0L)))
+
+  /** Highest committed marker for a stream (0 when nothing is journaled).
+    * Served from the in-memory counter once this process has appended —
+    * followers poll this every 150ms, and the idle path must not be a
+    * directory listing per poll.
+    */
+  def followMarker(stream: String): Long = {
+    val s = stream.toLowerCase
+    Option(journalSeqs.get(s)).map(_.get)
+      .getOrElse(listJournal(s).lastOption.map(_._1).getOrElse(0L))
+  }
 
   /** Committed journal entries with marker > `after`, oldest first. Markers
     * are dense, so a gap between `after` and the head means pruning outran
     * the caller — detect it, don't silently skip.
     */
-  def followEntriesAfter(stream: String, after: Long): Seq[(Long, java.nio.file.Path)] =
-    listJournal(stream.toLowerCase).filter(_._1 > after)
+  def followEntriesAfter(stream: String, after: Long): Seq[(Long, java.nio.file.Path)] = {
+    if (followMarker(stream) <= after) Nil // idle fast path: no listing
+    else listJournal(stream.toLowerCase).filter(_._1 > after)
+  }
 
   private def appendJournal(stream: String, batch: DataFrame): Unit = {
-    val dir = journalDirOf(stream)
-    java.nio.file.Files.createDirectories(dir)
-    val seqRef = journalSeqs.computeIfAbsent(stream,
-      _ => new java.util.concurrent.atomic.AtomicLong(followMarker(stream)))
-    val seq = seqRef.incrementAndGet()
-    val tmp = dir.resolve(s".tmp-$seq")
-    val w = java.nio.file.Files.newBufferedWriter(tmp)
-    try {
-      val it = batch.toJSON.toLocalIterator()
-      while (it.hasNext) { w.write(it.next()); w.write('\n') }
-    } finally w.close()
-    java.nio.file.Files.move(tmp, dir.resolve(s"$seq.jsonl"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // bound the replay horizon: keep at most MaxEntries / MaxBytes of
-    // history (oldest pruned first; the newest entry always survives). A
-    // follower that falls behind the horizon is disconnected with a gap
-    // error rather than fed a silently-incomplete stream.
-    var entries = listJournal(stream)
-    var bytes = entries.map(e => java.nio.file.Files.size(e._2)).sum
-    while (entries.length > GraftDB.FollowJournalMaxEntries ||
-        (bytes > GraftDB.FollowJournalMaxBytes && entries.length > 1)) {
-      bytes -= java.nio.file.Files.size(entries.head._2)
-      java.nio.file.Files.deleteIfExists(entries.head._2)
-      entries = entries.tail
+    val lock = journalSeq(stream)
+    lock.synchronized {
+      val dir = journalDirOf(stream)
+      java.nio.file.Files.createDirectories(dir)
+      val seq = lock.incrementAndGet()
+      val target = dir.resolve(s"$seq.jsonl")
+      try {
+        val tmp = dir.resolve(s".tmp-$seq")
+        val w = java.nio.file.Files.newBufferedWriter(tmp)
+        try {
+          val it = batch.toJSON.toLocalIterator()
+          while (it.hasNext) { w.write(it.next()); w.write('\n') }
+        } finally w.close()
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Exception =>
+          // the merge already committed — the journal is the follower feed,
+          // not the store of record, so a failed append must not fail the
+          // insert (the client would retry and double-merge). Publish an
+          // EMPTY entry so markers stay dense: a burned marker would wedge
+          // every resuming follower on a permanent replay gap.
+          try java.nio.file.Files.write(target, Array.emptyByteArray)
+          catch { case _: Exception => () }
+          System.err.println(s"graft: follow journal append failed for " +
+            s"'$stream' marker $seq: ${e.getMessage}")
+      }
+      // bound the replay horizon: keep at most MaxEntries / MaxBytes of
+      // history (oldest pruned first; the newest entry always survives). A
+      // follower that falls behind the horizon is disconnected with a gap
+      // error rather than fed a silently-incomplete stream.
+      def size(p: java.nio.file.Path): Long =
+        try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+      var entries = listJournal(stream)
+      var bytes = entries.map(e => size(e._2)).sum
+      while (entries.length > GraftDB.FollowJournalMaxEntries ||
+          (bytes > GraftDB.FollowJournalMaxBytes && entries.length > 1)) {
+        bytes -= size(entries.head._2)
+        try java.nio.file.Files.deleteIfExists(entries.head._2)
+        catch { case _: Exception => () }
+        entries = entries.tail
+      }
     }
   }
 

@@ -51,7 +51,12 @@ object Server {
         case e: Throwable =>
           http.stop(); watcher.foreach(_.interrupt()); throw e
       }
-    val rpc = new server.RpcServer(spark, db, rpcPort)
+    val rpc =
+      try new server.RpcServer(spark, db, rpcPort)
+      catch {
+        case e: Throwable =>
+          http.stop(); watcher.foreach(_.interrupt()); throw e
+      }
     val boundRpc =
       try rpc.start()
       catch {

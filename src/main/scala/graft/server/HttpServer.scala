@@ -106,16 +106,23 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // saves
     // "gzip" or "*" counts as acceptance unless its qvalue parses to 0
     // (RFC 9110 §12.5.3: q is a number, not a fixed spelling — "q=0.0000"
-    // must refuse just like "q=0")
+    // must refuse just like "q=0"), and an EXPLICIT gzip member always
+    // outranks "*" ("*" matches only codings not otherwise named, so
+    // "gzip;q=0, *" is a refusal, not an acceptance)
     val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.split(",").map(_.trim).exists { enc =>
-        val parts = enc.split(";").map(_.trim)
-        val q = parts.tail.map(_.replace(" ", "")).collectFirst {
-          case p if p.startsWith("q=") =>
-            try p.drop(2).toDouble catch { case _: NumberFormatException => 1.0 }
-        }.getOrElse(1.0)
-        (parts.head == "gzip" || parts.head == "*") && q > 0.0
-      })
+      .exists { h =>
+        val qs: Map[String, Double] =
+          h.toLowerCase.split(",").map(_.trim).flatMap { enc =>
+            val parts = enc.split(";").map(_.trim)
+            val q = parts.tail.map(_.replace(" ", "")).collectFirst {
+              case p if p.startsWith("q=") =>
+                try p.drop(2).toDouble
+                catch { case _: NumberFormatException => 1.0 }
+            }.getOrElse(1.0)
+            if (parts.head.nonEmpty) Some(parts.head -> q) else None
+          }.toMap
+        qs.get("gzip").orElse(qs.get("*")).exists(_ > 0.0)
+      }
     val outBytes =
       if (acceptsGzip && bytes.length >= HttpServer.GzipMinBytes) {
         val bos = new java.io.ByteArrayOutputStream()

@@ -401,6 +401,7 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
     val (sock, in, out) = connect()
     Framing.write(out,
       s"FOLLOW $stream" + since.map(m => s" since=$m").getOrElse(""))
+    @volatile var closed = false
     val t = new Thread(() => {
       try {
         var done = false
@@ -417,10 +418,18 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
             }
           case None => done = true
         }
-      } catch { case _: Exception => () }
+      } catch {
+        // a dead socket after close() is the expected shutdown path; any
+        // OTHER failure (onChunk threw, bad frame, server vanished) must
+        // reach the caller — a silently-dead reader thread looks exactly
+        // like an idle live tail
+        case e: Exception if !closed =>
+          try onError(s"ERR follow client failure: ${e.getMessage}")
+          catch { case _: Exception => () }
+      } finally { try sock.close() catch { case _: Exception => () } }
     }, "graft-rpc-follow")
     t.setDaemon(true)
     t.start()
-    () => sock.close()
+    () => { closed = true; sock.close() }
   }
 }

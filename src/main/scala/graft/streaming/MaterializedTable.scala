@@ -331,13 +331,15 @@ final class MaterializedTable(
 
     // pick up the day dirs this commit produced
     val commitDir = Paths.get(storePath, "commits", next.toString)
-    val newDays: Map[Long, String] =
-      Files.list(commitDir).iterator().asScalaSeq
-        .filter(p => p.getFileName.toString.startsWith("__day="))
+    val newDays: Map[Long, String] = {
+      val st = Files.list(commitDir)
+      val ps = try st.iterator().asScalaSeq finally st.close()
+      ps.filter(p => p.getFileName.toString.startsWith("__day="))
         .map { p =>
           val d = p.getFileName.toString.stripPrefix("__day=").toLong
           d -> s"$commitRel/__day=$d"
         }.toMap
+    }
 
     val horizonDay = config.retentionMillis
       .map(r => (now() - r) / DayMs).getOrElse(Long.MinValue)
@@ -348,24 +350,34 @@ final class MaterializedTable(
 
     // best-effort cleanup: remove commit dirs no longer referenced
     // (row_store.go:681-725's superseded-generation deletion) — but only
-    // after a grace window (wall clock, NOT the injected logical clock:
-    // file mtimes are real time), because a reader that loaded the
-    // PREVIOUS manifest may still be scanning the superseded generation.
-    // Deleting under it would tear the read mid-swap; the grace window is
-    // the same tombstone-retention idea public table formats use. Dirs a
-    // transient error skips this round age past the grace and go next round.
+    // after a grace window from SUPERSESSION, because a reader that loaded
+    // the previous manifest may still be scanning the superseded
+    // generation; deleting under it would tear the read mid-swap. The
+    // clock starts at a `.superseded` stamp dropped the first time a
+    // generation is seen unreferenced (the dir's own mtime is its CREATION
+    // time — a long-lived generation superseded minutes later would
+    // otherwise be deleted instantly). Wall clock, not the injected
+    // logical clock: readers live in real time. Same tombstone-retention
+    // idea public table formats use; dirs a transient error skips this
+    // round go next round.
     val grace = java.lang.Long.getLong("graft.commitGcGraceMillis",
       MaterializedTable.CommitGcGraceMillis)
-    val cutoff = System.currentTimeMillis() - grace
+    val nowWall = System.currentTimeMillis()
     val live = nextMap.values.map(_.split("/")(1).toLong).toSet
     val commitsRoot = Paths.get(storePath, "commits")
     if (Files.isDirectory(commitsRoot)) {
-      Files.list(commitsRoot).iterator().asScalaSeq.foreach { p =>
+      val st = Files.list(commitsRoot)
+      val dirs = try st.iterator().asScalaSeq finally st.close()
+      dirs.foreach { p =>
         val v = scala.util.Try(p.getFileName.toString.toLong).toOption
-        if (v.exists(x => x != next && !live.contains(x)) &&
-            (scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-              .getOrElse(Long.MaxValue) < cutoff))
-          try deleteRecursively(p) catch { case _: Exception => () }
+        if (v.exists(x => x != next && !live.contains(x))) {
+          val stamp = p.resolve(".superseded")
+          try {
+            if (!Files.exists(stamp)) Files.createFile(stamp)
+            else if (Files.getLastModifiedTime(stamp).toMillis < nowWall - grace)
+              deleteRecursively(p)
+          } catch { case _: Exception => () }
+        }
       }
     }
   }
@@ -379,8 +391,10 @@ final class MaterializedTable(
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.forEach(deleteRecursively) finally st.close()
+    }
     Files.deleteIfExists(p)
   }
 

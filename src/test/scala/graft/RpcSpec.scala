@@ -147,6 +147,17 @@ class RpcSpec extends AnyFunSuite {
       assert(latch4.await(10, TimeUnit.SECONDS))
       assert(err.get().contains("replay gap"), err.get())
       f3.close()
+
+      // a stream name that is a path-traversal attempt gets an ERR frame,
+      // never a directory walk outside the data dir
+      val travErr = new java.util.concurrent.atomic.AtomicReference[String]()
+      val latch5 = new CountDownLatch(1)
+      val f4 = client.followSince("../../../etc", Some(0L))((_, _, _) => ()) { e =>
+        travErr.set(e); latch5.countDown()
+      }
+      assert(latch5.await(10, TimeUnit.SECONDS))
+      assert(travErr.get().contains("invalid stream name"), travErr.get())
+      f4.close()
     } finally srv.stop()
   }
 

@@ -229,6 +229,21 @@ class ServerSpec extends AnyFunSuite {
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(refused.headers().firstValue("Content-Encoding").isEmpty)
       assert(rowsOf(refused.body()) == rowsOf(plain.body()))
+      // "*" accepts gzip when gzip isn't named (RFC 9110 §12.5.3)...
+      val star = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "*")
+          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(star.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      // ...but an EXPLICIT gzip;q=0 outranks "*": still a refusal
+      val starRefused = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip;q=0, *")
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(starRefused.headers().firstValue("Content-Encoding").isEmpty)
+      assert(rowsOf(starRefused.body()) == rowsOf(plain.body()))
     } finally srv.stop()
   }
 
