@@ -361,7 +361,12 @@ final class GraftDB(
 }
 
 object GraftDB {
-  /** Follow-journal replay horizon: max entries / bytes kept per stream. */
-  val FollowJournalMaxEntries: Int = 1024
-  val FollowJournalMaxBytes: Long = 256L << 20
+  /** Follow-journal replay horizon: max entries / bytes kept per stream
+    * (`-Dgraft.followJournalMaxEntries=` / `-Dgraft.followJournalMaxBytes=`
+    * override).
+    */
+  def FollowJournalMaxEntries: Int =
+    Integer.getInteger("graft.followJournalMaxEntries", 1024)
+  def FollowJournalMaxBytes: Long =
+    java.lang.Long.getLong("graft.followJournalMaxBytes", 256L << 20)
 }

@@ -426,6 +426,7 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
         case e: Exception if !closed =>
           try onError(s"ERR follow client failure: ${e.getMessage}")
           catch { case _: Exception => () }
+        case _: Exception => () // post-close socket teardown: expected
       } finally { try sock.close() catch { case _: Exception => () } }
     }, "graft-rpc-follow")
     t.setDaemon(true)

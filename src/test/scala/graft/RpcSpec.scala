@@ -161,6 +161,49 @@ class RpcSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("FOLLOW behind the pruned journal horizon fails loud, never silently skips") {
+    // markers are dense; once pruning removes entries a resuming follower
+    // still needs, it must get ERR replay gap — a silent skip would drop
+    // committed batches without the client ever knowing
+    System.setProperty("graft.followJournalMaxEntries", "3")
+    val dir = Files.createTempDirectory("graft-rpc-horizon").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = new RpcClient("localhost", port)
+      (1 to 5).foreach { i =>
+        client.insert("inbound", Seq(
+          s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""))
+      }
+      // entries 1-2 pruned (cap 3 keeps 3-5); resuming from 0 must error
+      val err = new java.util.concurrent.atomic.AtomicReference[String]()
+      val latch = new CountDownLatch(1)
+      val f = client.followSince("inbound", Some(0L))((_, _, _) => ()) { e =>
+        err.set(e); latch.countDown()
+      }
+      assert(latch.await(15, TimeUnit.SECONDS))
+      assert(err.get().contains("replay gap"), err.get())
+      f.close()
+      // resuming from INSIDE the kept window still works
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latch2 = new CountDownLatch(3)
+      val f2 = client.followSince("inbound", Some(2L)) { (m, _, end) =>
+        if (end) { got.add(m); latch2.countDown() }
+      }()
+      assert(latch2.await(15, TimeUnit.SECONDS))
+      assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq ==
+        Seq(3L, 4L, 5L))
+      f2.close()
+    } finally { srv.stop(); System.clearProperty("graft.followJournalMaxEntries") }
+  }
+
   test("FOLLOW chunking: a fat batch splits across frames, end flag on the last") {
     val dir = Files.createTempDirectory("graft-rpc-chunk").toString
     val yaml =
