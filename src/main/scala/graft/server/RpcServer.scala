@@ -247,31 +247,42 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
     }
   }
 
-  /** Stream one journal entry as chunked POINTS frames: ≤500 lines / ≤8 MiB
-    * per frame so a fat insert batch can neither blow [[Framing.MaxFrame]]
-    * nor materialize as one giant string; the final chunk carries the `end`
-    * flag that makes the marker safe to resume from.
+  /** Stream one journal entry (a dir of part files from the distributed
+    * journal write, or a plain file) as chunked POINTS frames: ≤500 lines /
+    * ≤8 MiB per frame so a fat insert batch can neither blow
+    * [[Framing.MaxFrame]] nor materialize as one giant string. The final
+    * chunk carries the `end` flag that makes the marker safe to resume
+    * from — a completed chunk is held back until the next line proves more
+    * data exists, so the flag lands on the true last frame even when the
+    * entry ends exactly on a chunk boundary or a trailing part is empty.
     */
   private def writeJournalEntry(marker: Long, path: java.nio.file.Path,
                                 out: DataOutputStream): Unit = {
-    val reader = java.nio.file.Files.newBufferedReader(path)
-    try {
-      val chunk = new StringBuilder
-      var n = 0
-      var line = reader.readLine()
-      while (line != null) {
-        chunk.append(line).append('\n')
-        n += 1
-        line = reader.readLine()
-        if (line != null &&
-            (n >= RpcServer.FollowChunkRows ||
-              chunk.length >= RpcServer.FollowChunkChars)) {
-          Framing.write(out, s"POINTS $marker\n" + chunk)
-          chunk.clear(); n = 0
+    var pending: String = null // completed chunk awaiting a non-end flush
+    val chunk = new StringBuilder
+    var n = 0
+    def roll(): Unit = {
+      if (pending != null) Framing.write(out, s"POINTS $marker\n" + pending)
+      pending = chunk.toString
+      chunk.clear(); n = 0
+    }
+    graft.GraftDB.entryFiles(path).foreach { f =>
+      val reader = java.nio.file.Files.newBufferedReader(f)
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          // roll BEFORE appending: the arriving line proves more data
+          // exists, so the held-back chunk can flush as non-end
+          if (n >= RpcServer.FollowChunkRows ||
+              chunk.length >= RpcServer.FollowChunkChars) roll()
+          chunk.append(line).append('\n')
+          n += 1
+          line = reader.readLine()
         }
-      }
-      Framing.write(out, s"POINTS $marker end\n" + chunk)
-    } finally reader.close()
+      } finally reader.close()
+    }
+    roll()
+    Framing.write(out, s"POINTS $marker end\n" + pending)
   }
 }
 

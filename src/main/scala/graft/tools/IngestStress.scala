@@ -110,6 +110,20 @@ object IngestStress {
     println(f"""{"metric":"ingest_store_independence","ratio_10x":${
       sameBatch(10) / sameBatch(1)}%.2f,"ratio_100x":${
       sameBatch(100) / sameBatch(1)}%.2f}""")
+
+    // follow-journal overhead: with an RPC server attached every committed
+    // batch also streams through a driver-side toLocalIterator pass into
+    // the journal (the reference's leader funnels followed points through
+    // one process the same way) — quantify the cost at 10×
+    val jStore = freshStore()
+    val jdb = new GraftDB(spark, yaml, jStore)
+    jdb.enableFollowJournal()
+    val batch10 = spark.read.parquet(dirs(10))
+    val tj0 = System.nanoTime()
+    jdb.insert("evs", batch10)
+    val tj = (System.nanoTime() - tj0) / 1e9
+    println(f"""{"metric":"ingest_journal_overhead","with_journal_10x_sec":$tj%.2f,""" +
+      f""""without_sec":${batchTimes(10)}%.2f,"ratio":${tj / batchTimes(10)}%.2f}""")
     spark.stop()
   }
 }
