@@ -161,6 +161,53 @@ class RpcSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("concurrent inserts to one stream: a follower sees every marker, dense and in order") {
+    // the journal's per-stream lock serializes marker allocation + publish;
+    // the handler's gap-retry absorbs the transient window where marker N+1
+    // becomes visible before N — under real contention the follower must
+    // still receive 1..N dense, in order, with no replay-gap error
+    val dir = Files.createTempDirectory("graft-rpc-conc").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = new RpcClient("localhost", port)
+      val total = 18
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val err = new java.util.concurrent.atomic.AtomicReference[String]()
+      val latch = new CountDownLatch(total)
+      val f = client.followSince("inbound", Some(0L)) { (m, _, end) =>
+        if (end) { seen.add(m); latch.countDown() }
+      } { e => err.set(e) }
+
+      val insertErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 3).map { t =>
+        val th = new Thread(() => {
+          try (1 to total / 3).foreach { i =>
+            new RpcClient("localhost", port).insert("inbound", Seq(
+              s"""{"ts": ${T0 + (t * 100 + i) * 1000}, "dims": {"server": "t$t"}, "vals": {"requests": $i}}"""))
+          } catch { case e: Throwable => insertErrs.add(e) }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(60000))
+      assert(insertErrs.isEmpty, insertErrs.toArray.take(2).mkString("; "))
+
+      assert(latch.await(30, TimeUnit.SECONDS),
+        s"got ${seen.size}/$total markers; err=${err.get()}")
+      assert(err.get() == null, String.valueOf(err.get()))
+      val markers = seen.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      assert(markers == (1L to total.toLong), markers)
+      f.close()
+    } finally srv.stop()
+  }
+
   test("FOLLOW behind the pruned journal horizon fails loud, never silently skips") {
     // markers are dense; once pruning removes entries a resuming follower
     // still needs, it must get ERR replay gap — a silent skip would drop
