@@ -165,13 +165,25 @@ final class GraftDB(
   /** Turn on follow journaling (idempotent; called by the RPC server). */
   def enableFollowJournal(): Unit = { journalOn = true }
 
-  /** Per-stream journal state: the marker counter doubles as the append
-    * lock, so allocate + write + publish + prune are one atomic section per
-    * stream (concurrent inserts to the same stream can't race the prune
-    * loop or observe each other's half-allocated markers).
+  /** Per-stream journal state (this process is the store's single writer):
+    * the marker counter plus the live entry deque with per-entry byte
+    * sizes, so the steady state touches the directory only to publish and
+    * prune — follower polls and prune accounting never re-list or re-stat
+    * (with dir-of-parts entries that would be O(entries × parts) syscalls
+    * per poll/append). All mutation and reads go through the instance
+    * lock; entries in the deque are dense by construction.
     */
-  private val journalSeqs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private final class Journal(seed: Seq[(Long, java.nio.file.Path)]) {
+    var seq: Long = seed.lastOption.map(_._1).getOrElse(0L)
+    val entries =
+      scala.collection.mutable.ArrayDeque.empty[(Long, java.nio.file.Path, Long)]
+    var bytes: Long = 0L
+    seed.foreach { case (m, p) =>
+      val sz = GraftDB.sizeOf(p); entries += ((m, p, sz)); bytes += sz
+    }
+  }
+  private val journals =
+    new java.util.concurrent.ConcurrentHashMap[String, Journal]()
 
   private def journalDirOf(stream: String): java.nio.file.Path = {
     // the stream name reaches here from unauthenticated FOLLOW frames, not
@@ -202,70 +214,116 @@ final class GraftDB(
     }
   }
 
-  private def journalSeq(stream: String): java.util.concurrent.atomic.AtomicLong =
-    journalSeqs.computeIfAbsent(stream,
-      s => new java.util.concurrent.atomic.AtomicLong(
-        listJournal(s).lastOption.map(_._1).getOrElse(0L)))
+  /** Seed (once) the in-memory state from disk — the restart path — after
+    * sweeping crash leftovers (unpublished `.tmp-*`, half-deleted `.del-*`).
+    */
+  private def journalOf(stream: String): Journal =
+    journals.computeIfAbsent(stream, s => {
+      val dir = journalDirOf(s)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val st = java.nio.file.Files.list(dir)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith(".tmp-") || n.startsWith(".del-"))
+              try GraftDB.deleteRecursively(p) catch { case _: Exception => () }
+          }
+        } finally st.close()
+      }
+      new Journal(listJournal(s))
+    })
+
+  /** The stream's journal state if it exists (in memory, or seedable from a
+    * restart's on-disk journal). Never allocates state for names that have
+    * never journaled — FOLLOW takes arbitrary client input.
+    */
+  private def journalFor(stream: String): Option[Journal] =
+    Option(journals.get(stream)).orElse {
+      if (java.nio.file.Files.isDirectory(journalDirOf(stream)))
+        Some(journalOf(stream))
+      else None
+    }
 
   /** Highest committed marker for a stream (0 when nothing is journaled).
-    * Served from the in-memory counter once this process has appended —
-    * followers poll this every 150ms, and the idle path must not be a
-    * directory listing per poll.
+    * Served from memory — followers poll this every 150ms, and the idle
+    * path must not be a directory listing per poll (a restart seeds the
+    * state from disk once, on first touch).
     */
-  def followMarker(stream: String): Long = {
-    val s = stream.toLowerCase
-    Option(journalSeqs.get(s)).map(_.get)
-      .getOrElse(listJournal(s).lastOption.map(_._1).getOrElse(0L))
-  }
+  def followMarker(stream: String): Long =
+    journalFor(stream.toLowerCase).map(j => j.synchronized(j.seq)).getOrElse(0L)
 
-  /** Committed journal entries with marker > `after`, oldest first. Markers
-    * are dense, so a gap between `after` and the head means pruning outran
-    * the caller — detect it, don't silently skip.
+  /** Committed journal entries with marker > `after`, oldest first — a
+    * snapshot of the live deque, dense by construction. A gap between
+    * `after` and the head means pruning outran the caller — the RPC layer
+    * turns that into a loud error, never a silent skip.
     */
-  def followEntriesAfter(stream: String, after: Long): Seq[(Long, java.nio.file.Path)] = {
-    if (followMarker(stream) <= after) Nil // idle fast path: no listing
-    else listJournal(stream.toLowerCase).filter(_._1 > after)
-  }
+  def followEntriesAfter(stream: String, after: Long): Seq[(Long, java.nio.file.Path)] =
+    journalFor(stream.toLowerCase) match {
+      case None => Nil
+      case Some(j) => j.synchronized {
+        if (j.seq <= after) Nil
+        else j.entries.iterator.filter(_._1 > after)
+          .map(e => (e._1, e._2)).toSeq
+      }
+    }
 
   private def appendJournal(stream: String, batch: DataFrame): Unit = {
-    val lock = journalSeq(stream)
-    lock.synchronized {
+    val j = journalOf(stream)
+    j.synchronized {
       val dir = journalDirOf(stream)
       java.nio.file.Files.createDirectories(dir)
-      val seq = lock.incrementAndGet()
+      j.seq += 1
+      val seq = j.seq
       val target = dir.resolve(s"$seq.jsonl")
+      val tmp = dir.resolve(s".tmp-$seq")
       try {
-        val tmp = dir.resolve(s".tmp-$seq")
         // executors serialize + write their own partitions in parallel; the
-        // dir rename is the atomic publish (same-fs, tmp lives beside target)
-        batch.toJSON.write.mode(SaveMode.Overwrite).text(tmp.toString)
+        // dir rename is the atomic publish (same-fs, tmp lives beside
+        // target). Explicit file:// URI: the store is java.nio-managed
+        // local fs, and a non-local fs.defaultFS must not silently split
+        // the write (Spark side) from the publish (nio side).
+        batch.toJSON.write.mode(SaveMode.Overwrite).text(tmp.toUri.toString)
         java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch {
         case e: Exception =>
           // the merge already committed — the journal is the follower feed,
           // not the store of record, so a failed append must not fail the
-          // insert (the client would retry and double-merge). Publish an
-          // EMPTY entry so markers stay dense: a burned marker would wedge
-          // every resuming follower on a permanent replay gap.
+          // insert (the client would retry and double-merge). Clean the
+          // partial tmp and publish an EMPTY entry so markers stay dense:
+          // a burned marker would wedge every resuming follower on a
+          // permanent replay gap.
+          try GraftDB.deleteRecursively(tmp) catch { case _: Exception => () }
           try java.nio.file.Files.createDirectories(target)
           catch { case _: Exception => () }
           System.err.println(s"graft: follow journal append failed for " +
             s"'$stream' marker $seq: ${e.getMessage}")
       }
+      val sz = GraftDB.sizeOf(target)
+      j.entries += ((seq, target, sz))
+      j.bytes += sz
       // bound the replay horizon: keep at most MaxEntries / MaxBytes of
       // history (oldest pruned first; the newest entry always survives). A
       // follower that falls behind the horizon is disconnected with a gap
-      // error rather than fed a silently-incomplete stream.
-      var entries = listJournal(stream)
-      var bytes = entries.map(e => GraftDB.sizeOf(e._2)).sum
-      while (entries.length > GraftDB.FollowJournalMaxEntries ||
-          (bytes > GraftDB.FollowJournalMaxBytes && entries.length > 1)) {
-        entries.head._2 match { case p =>
-          bytes -= GraftDB.sizeOf(p)
-          try GraftDB.deleteRecursively(p) catch { case _: Exception => () }
+      // error rather than fed a silently-incomplete stream. Pruning HIDES
+      // the entry with an atomic rename before deleting its contents: a
+      // concurrent replay mid-read then fails loud (NoSuchFile → ERR frame)
+      // instead of streaming a truncated batch flagged `end`.
+      while (j.entries.length > GraftDB.FollowJournalMaxEntries ||
+          (j.bytes > GraftDB.FollowJournalMaxBytes && j.entries.length > 1)) {
+        val (m, p, sz0) = j.entries.head
+        try {
+          val hidden = p.resolveSibling(s".del-$m")
+          java.nio.file.Files.move(p, hidden,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          try GraftDB.deleteRecursively(hidden) catch { case _: Exception => () }
+        } catch {
+          case _: Exception => return // still visible + counted; retry next append
         }
-        entries = entries.tail
+        j.entries.removeHead()
+        j.bytes -= sz0
       }
     }
   }

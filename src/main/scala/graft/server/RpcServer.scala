@@ -206,7 +206,6 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
     // no since= → live-only from subscription time (the pre-replay Follow)
     var last = since.getOrElse(head)
     var idlePolls = 0
-    var gapPolls = 0
     while (running) {
       val entries = db.followEntriesAfter(stream, last)
       if (entries.isEmpty) {
@@ -219,30 +218,19 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
         }
         Thread.sleep(RpcServer.FollowPollMillis)
       } else if (entries.head._1 != last + 1) {
-        // markers are dense, so a hole is either journal pruning outrunning
-        // this consumer (permanent) or a concurrent insert whose atomic
-        // rename hasn't landed yet — marker N+1 can become visible moments
-        // before N (permanent holes only ever open at the OLD end; transient
-        // ones resolve as soon as the in-flight writer renames). Retry
-        // briefly before failing loud.
-        gapPolls += 1
-        if (gapPolls >= RpcServer.GapRetryPolls) {
-          Framing.write(out, s"ERR replay gap: have marker $last, oldest " +
-            s"available ${entries.head._1}; reconnect without since=")
-          return
-        }
-        Thread.sleep(RpcServer.FollowPollMillis)
+        // the journal publishes markers under a per-stream lock and serves
+        // entries from a dense in-memory deque, so a hole below the head
+        // has exactly one cause: pruning outran this consumer. Permanent —
+        // fail loud, a silent skip would drop committed batches.
+        Framing.write(out, s"ERR replay gap: have marker $last, oldest " +
+          s"available ${entries.head._1}; reconnect without since=")
+        return
       } else {
         idlePolls = 0
-        gapPolls = 0
-        // consume only the dense prefix: a hole PAST the head (e.g. [4, 6]
-        // with 5 in flight) re-enters the gap-retry branch next iteration
-        val dense = entries.zipWithIndex
-          .takeWhile { case ((m, _), i) => m == last + 1 + i }.map(_._1)
-        dense.foreach { case (marker, path) =>
+        entries.foreach { case (marker, path) =>
           writeJournalEntry(marker, path, out)
+          last = marker
         }
-        last = dense.last._1
       }
     }
   }
@@ -294,11 +282,6 @@ object RpcServer {
 
   /** Idle polls between heartbeat PINGs (≈2s at [[FollowPollMillis]]). */
   val HeartbeatPolls: Int = 13
-
-  /** Polls to wait out a transient marker hole (an in-flight concurrent
-    * insert's rename) before declaring a permanent replay gap (≈3s).
-    */
-  val GapRetryPolls: Int = 20
 
   /** Per-frame chunk bounds for FOLLOW delivery. */
   val FollowChunkRows: Int = 500

@@ -390,13 +390,8 @@ final class MaterializedTable(
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val st = Files.list(p)
-      try st.forEach(deleteRecursively) finally st.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.GraftDB.deleteRecursively(p)
 
   /** Attach this table's materialization to a streaming point source.
     * Each micro-batch merges under the checkpoint's sink id + batchId, so

@@ -112,9 +112,10 @@ object IngestStress {
       sameBatch(100) / sameBatch(1)}%.2f}""")
 
     // follow-journal overhead: with an RPC server attached every committed
-    // batch also streams through a driver-side toLocalIterator pass into
-    // the journal (the reference's leader funnels followed points through
-    // one process the same way) — quantify the cost at 10×
+    // batch is also serialized into the journal by a distributed Spark
+    // text write (executors write their own partitions — the one-time
+    // driver-side toLocalIterator funnel measured 2.09× here and was
+    // replaced) — quantify the remaining cost at 10×
     val jStore = freshStore()
     val jdb = new GraftDB(spark, yaml, jStore)
     jdb.enableFollowJournal()

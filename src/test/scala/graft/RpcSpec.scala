@@ -162,10 +162,10 @@ class RpcSpec extends AnyFunSuite {
   }
 
   test("concurrent inserts to one stream: a follower sees every marker, dense and in order") {
-    // the journal's per-stream lock serializes marker allocation + publish;
-    // the handler's gap-retry absorbs the transient window where marker N+1
-    // becomes visible before N — under real contention the follower must
-    // still receive 1..N dense, in order, with no replay-gap error
+    // the journal's per-stream lock serializes marker allocation + publish
+    // and followers read a dense in-memory deque — under real contention
+    // the follower must still receive 1..N dense, in order, with no
+    // replay-gap error
     val dir = Files.createTempDirectory("graft-rpc-conc").toString
     val yaml =
       """combined:
