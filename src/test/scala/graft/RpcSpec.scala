@@ -161,6 +161,49 @@ class RpcSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("journal survives a restart: a new server over the same store replays the backlog") {
+    // the in-memory journal state must seed from disk on first touch, so a
+    // follower resuming against a RESTARTED server still gets every batch
+    // committed before the restart (the reference's WAL outlives the
+    // process; so must the journal)
+    val dir = Files.createTempDirectory("graft-rpc-restart").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    def point(i: Int) =
+      s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""
+
+    val db1 = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv1 = new RpcServer(spark, db1, 0)
+    val port1 = srv1.start()
+    new RpcClient("localhost", port1).insert("inbound", Seq(point(1)))
+    new RpcClient("localhost", port1).insert("inbound", Seq(point(2)))
+    srv1.stop()
+
+    // fresh process analogue: new GraftDB + server over the same store
+    val db2 = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv2 = new RpcServer(spark, db2, 0)
+    val port2 = srv2.start()
+    try {
+      val client = new RpcClient("localhost", port2)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latch = new CountDownLatch(3)
+      val f = client.followSince("inbound", Some(0L)) { (m, _, end) =>
+        if (end) { got.add(m); latch.countDown() }
+      }()
+      Thread.sleep(300)
+      // markers continue the pre-restart sequence, not restart at 1
+      client.insert("inbound", Seq(point(3)))
+      assert(latch.await(15, TimeUnit.SECONDS))
+      assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq ==
+        Seq(1L, 2L, 3L))
+      f.close()
+    } finally srv2.stop()
+  }
+
   test("concurrent inserts to one stream: a follower sees every marker, dense and in order") {
     // the journal's per-stream lock serializes marker allocation + publish
     // and followers read a dense in-memory deque — under real contention
