@@ -271,35 +271,67 @@ final class GraftDB(
 
   private def appendJournal(stream: String, batch: DataFrame): Unit = {
     val j = journalOf(stream)
-    j.synchronized {
-      val dir = journalDirOf(stream)
+    val dir = journalDirOf(stream)
+    // The entry is WRITTEN outside the per-stream lock — the Spark job is
+    // the expensive part, and holding the monitor across it serialized
+    // concurrent same-stream inserts and blocked follower polls for its
+    // whole duration (measured 1.31× ingest overhead). The tmp name is
+    // unique per append (not marker-derived: the marker isn't allocated
+    // yet); the lock below only allocates the marker and publishes with a
+    // same-dir rename, so publish order = lock order and markers stay
+    // dense and monotonic. Entries are gzip-compressed (JSON lines squeeze
+    // ~5-10×, so the byte-capped horizon reaches correspondingly further
+    // back); executors serialize + compress their own partitions in
+    // parallel. Explicit file:// URI: the store is java.nio-managed local
+    // fs, and a non-local fs.defaultFS must not silently split the write
+    // (Spark side) from the publish (nio side).
+    val tmp = dir.resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}")
+    var writeErr: Exception = null
+    try {
+      // dir creation sits inside the same guard: the merge already
+      // committed, so NOTHING on the journal path may fail the insert
       java.nio.file.Files.createDirectories(dir)
+      batch.toJSON.write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip").text(tmp.toUri.toString)
+    } catch {
+      case e: Exception =>
+        writeErr = e
+        try GraftDB.deleteRecursively(tmp) catch { case _: Exception => () }
+    }
+    // prune targets are HIDDEN under the lock but deleted after release —
+    // recursive file deletion needs no ordering guarantee once renamed away
+    val toDelete = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    j.synchronized {
       j.seq += 1
       val seq = j.seq
       val target = dir.resolve(s"$seq.jsonl")
-      val tmp = dir.resolve(s".tmp-$seq")
-      try {
-        // executors serialize + write their own partitions in parallel; the
-        // dir rename is the atomic publish (same-fs, tmp lives beside
-        // target). Explicit file:// URI: the store is java.nio-managed
-        // local fs, and a non-local fs.defaultFS must not silently split
-        // the write (Spark side) from the publish (nio side).
-        batch.toJSON.write.mode(SaveMode.Overwrite).text(tmp.toUri.toString)
-        java.nio.file.Files.move(tmp, target,
+      if (writeErr == null) {
+        try java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case e: Exception =>
-          // the merge already committed — the journal is the follower feed,
-          // not the store of record, so a failed append must not fail the
-          // insert (the client would retry and double-merge). Clean the
-          // partial tmp and publish an EMPTY entry so markers stay dense:
-          // a burned marker would wedge every resuming follower on a
-          // permanent replay gap.
-          try GraftDB.deleteRecursively(tmp) catch { case _: Exception => () }
-          try java.nio.file.Files.createDirectories(target)
-          catch { case _: Exception => () }
-          System.err.println(s"graft: follow journal append failed for " +
-            s"'$stream' marker $seq: ${e.getMessage}")
+        catch {
+          case e: Exception =>
+            writeErr = e
+            try GraftDB.deleteRecursively(tmp) catch { case _: Exception => () }
+        }
+      }
+      if (writeErr != null) {
+        // the merge already committed — the journal is the follower feed,
+        // not the store of record, so a failed append must not fail the
+        // insert (the client would retry and double-merge). Publish an
+        // EMPTY entry stamped `_FAILED` so markers stay dense (a burned
+        // marker would wedge every resuming follower on a permanent replay
+        // gap) AND the loss is loud: the RPC layer turns the stamp into a
+        // `WARN missed <marker>` frame so a follower knows a committed
+        // batch never reached the feed and can trigger a re-sync. If even
+        // the stamp dir can't be created (disk full), the entry path won't
+        // exist — readers treat a missing path as missed, never crash.
+        try {
+          java.nio.file.Files.createDirectories(target)
+          java.nio.file.Files.createFile(target.resolve(GraftDB.FailedStamp))
+        } catch { case _: Exception => () }
+        System.err.println(s"graft: follow journal append failed for " +
+          s"'$stream' marker $seq: ${writeErr.getMessage}")
       }
       val sz = GraftDB.sizeOf(target)
       j.entries += ((seq, target, sz))
@@ -311,21 +343,26 @@ final class GraftDB(
       // the entry with an atomic rename before deleting its contents: a
       // concurrent replay mid-read then fails loud (NoSuchFile → ERR frame)
       // instead of streaming a truncated batch flagged `end`.
-      while (j.entries.length > GraftDB.FollowJournalMaxEntries ||
-          (j.bytes > GraftDB.FollowJournalMaxBytes && j.entries.length > 1)) {
+      var pruneOk = true
+      while (pruneOk &&
+          (j.entries.length > GraftDB.FollowJournalMaxEntries ||
+          (j.bytes > GraftDB.FollowJournalMaxBytes && j.entries.length > 1))) {
         val (m, p, sz0) = j.entries.head
         try {
           val hidden = p.resolveSibling(s".del-$m")
           java.nio.file.Files.move(p, hidden,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          try GraftDB.deleteRecursively(hidden) catch { case _: Exception => () }
+          toDelete += hidden
+          j.entries.removeHead()
+          j.bytes -= sz0
         } catch {
-          case _: Exception => return // still visible + counted; retry next append
+          // still visible + counted; retry next append
+          case _: Exception => pruneOk = false
         }
-        j.entries.removeHead()
-        j.bytes -= sz0
       }
     }
+    toDelete.foreach(p =>
+      try GraftDB.deleteRecursively(p) catch { case _: Exception => () })
   }
 
   /** Attach a streaming source to every table over the stream. Each table
@@ -426,13 +463,44 @@ object GraftDB {
   def FollowJournalMaxBytes: Long =
     java.lang.Long.getLong("graft.followJournalMaxBytes", 256L << 20)
 
+  /** Stamp file marking a journal entry whose append FAILED: the marker is
+    * published (density) but the batch's points never reached the feed. The
+    * RPC layer surfaces it as a `WARN missed <marker>` frame.
+    */
+  val FailedStamp = "_FAILED"
+
+  /** True when a journal entry's batch is irrecoverably absent from the
+    * feed: the append failed (stamped), or the entry path itself could not
+    * even be created (disk full — nothing exists to read).
+    */
+  def entryMissed(entry: java.nio.file.Path): Boolean =
+    !java.nio.file.Files.exists(entry) ||
+      java.nio.file.Files.exists(entry.resolve(FailedStamp))
+
+  /** Line reader over one entry data file, transparently gunzipping —
+    * journal entries are written with the gzip codec (`part-*.txt.gz`), but
+    * plain files survive from pre-compression journals and tests.
+    */
+  def entryReader(f: java.nio.file.Path): java.io.BufferedReader = {
+    val in = java.nio.file.Files.newInputStream(f)
+    val wrapped: java.io.InputStream =
+      if (f.getFileName.toString.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(in)
+      else in
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      wrapped, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** The JSON-lines data files of one journal entry, in deterministic
     * order: `part-*` under the entry dir (a Spark text write), skipping
     * `_SUCCESS`/checksum sidecars. Row order across parts is partition
-    * order — insert batches carry no intra-batch ordering contract.
+    * order — insert batches carry no intra-batch ordering contract. A
+    * missing path (a failed append that couldn't even stamp itself) reads
+    * as empty rather than throwing.
     */
   def entryFiles(entry: java.nio.file.Path): Seq[java.nio.file.Path] =
-    if (!java.nio.file.Files.isDirectory(entry)) Seq(entry)
+    if (!java.nio.file.Files.exists(entry)) Nil
+    else if (!java.nio.file.Files.isDirectory(entry)) Seq(entry)
     else {
       val st = java.nio.file.Files.list(entry)
       val fs =

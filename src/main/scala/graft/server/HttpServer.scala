@@ -109,6 +109,10 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // must refuse just like "q=0"), and an EXPLICIT gzip member always
     // outranks "*" ("*" matches only codings not otherwise named, so
     // "gzip;q=0, *" is a refusal, not an acceptance)
+    // a malformed qvalue ("q=junk") is a refusal for that member, not an
+    // acceptance — compression must be opted INTO, and garbage is not an
+    // opt-in; duplicate members resolve first-wins (RFC 9110 leaves it
+    // unspecified; first-wins is the conservative reading)
     val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .exists { h =>
         val qs: Map[String, Double] =
@@ -117,10 +121,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
             val q = parts.tail.map(_.replace(" ", "")).collectFirst {
               case p if p.startsWith("q=") =>
                 try p.drop(2).toDouble
-                catch { case _: NumberFormatException => 1.0 }
+                catch { case _: NumberFormatException => 0.0 }
             }.getOrElse(1.0)
             if (parts.head.nonEmpty) Some(parts.head -> q) else None
-          }.toMap
+          }.foldLeft(Map.empty[String, Double]) { case (m, (k, v)) =>
+            if (m.contains(k)) m else m + (k -> v)
+          }
         qs.get("gzip").orElse(qs.get("*")).exists(_ > 0.0)
       }
     val outBytes =

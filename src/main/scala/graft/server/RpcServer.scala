@@ -246,6 +246,17 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
     */
   private def writeJournalEntry(marker: Long, path: java.nio.file.Path,
                                 out: DataOutputStream): Unit = {
+    // a `_FAILED`-stamped (or wholly absent) entry means a committed batch
+    // never reached the feed — the reference's WAL append failure fails the
+    // insert itself so its followers can't silently miss data; here the
+    // insert survived, so the LOSS must be loud instead: a WARN frame the
+    // client can turn into a re-sync. The empty end-flagged POINTS frame
+    // still follows so the resume cursor advances past the marker.
+    if (graft.GraftDB.entryMissed(path)) {
+      Framing.write(out, s"WARN missed $marker")
+      Framing.write(out, s"POINTS $marker end\n")
+      return
+    }
     var pending: String = null // completed chunk awaiting a non-end flush
     val chunk = new StringBuilder
     var n = 0
@@ -255,7 +266,7 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
       chunk.clear(); n = 0
     }
     graft.GraftDB.entryFiles(path).foreach { f =>
-      val reader = java.nio.file.Files.newBufferedReader(f)
+      val reader = graft.GraftDB.entryReader(f)
       try {
         var line = reader.readLine()
         while (line != null) {
@@ -387,11 +398,18 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
     * end)` fires per frame; a batch may span several frames and only its
     * `end = true` frame makes `marker` safe to hand back as the next
     * `since`. `onError` receives the server's ERR line (e.g. a replay gap
-    * past the journal horizon) before the connection closes.
+    * past the journal horizon) before the connection closes. `onWarn`
+    * receives advisory `WARN` lines — today only `WARN missed <marker>`,
+    * a committed batch whose journal append failed server-side and whose
+    * points will never arrive; the stream CONTINUES (the marker still
+    * end-flags empty), and a caller that needs every point should re-sync
+    * out of band.
     */
   def followSince(stream: String, since: Option[Long])(
       onChunk: (Long, String, Boolean) => Unit)(
-      onError: String => Unit = _ => ()): AutoCloseable = {
+      onError: String => Unit = _ => (),
+      onWarn: String => Unit = w => System.err.println(s"graft follow: $w"))
+      : AutoCloseable = {
     val (sock, in, out) = connect()
     Framing.write(out,
       s"FOLLOW $stream" + since.map(m => s" since=$m").getOrElse(""))
@@ -406,6 +424,7 @@ final class RpcClient(host: String, port: Int, snappy: Boolean = false) {
             toks(0) match {
               case "POINTS" =>
                 onChunk(toks(1).toLong, body, toks.contains("end"))
+              case "WARN" => onWarn(v)
               case "PING" => ()
               case _ if v.startsWith("ERR") => onError(v); done = true
               case _ => ()

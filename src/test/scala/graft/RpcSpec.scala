@@ -97,6 +97,13 @@ class RpcSpec extends AnyFunSuite {
       client.insert("inbound", Seq(point(1)))
       client.insert("inbound", Seq(point(2)))
 
+      // entries are gzip-compressed on disk — the byte-capped replay
+      // horizon reaches ~5-10× further back at the same cap
+      val e1 = java.nio.file.Paths.get(dir, "_follow", "inbound", "1.jsonl")
+      val parts = GraftDB.entryFiles(e1)
+      assert(parts.nonEmpty &&
+        parts.forall(_.getFileName.toString.endsWith(".gz")), parts)
+
       // subscribe from the beginning: both committed batches replay as
       // backlog, each frame carrying its dense marker with the end flag
       val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
@@ -327,6 +334,113 @@ class RpcSpec extends AnyFunSuite {
       assert(fs.map(_._3) == Seq(false, false, true)) // end flags the last
       f.close()
     } finally srv.stop()
+  }
+
+  test("failed journal append: follower gets WARN missed, stream continues, markers dense") {
+    // the reference's WAL append failure fails the insert itself, so its
+    // followers can't silently miss data (wal.go); here the merge commits
+    // first and the journal is only the feed — a failed append must not
+    // fail the insert, but the LOSS must be loud: WARN missed <marker>,
+    // then the empty end-flagged frame so the resume cursor advances
+    val dir = Files.createTempDirectory("graft-rpc-warn").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = new RpcClient("localhost", port)
+      def point(i: Int) =
+        s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""
+      client.insert("inbound", Seq(point(1)))
+
+      val chunks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Boolean)]()
+      val warns = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val m1 = new CountDownLatch(1)
+      val m3 = new CountDownLatch(3)
+      val f = client.followSince("inbound", Some(0L)) { (m, lines, end) =>
+        chunks.add((m, lines, end))
+        if (end) { if (m == 1) m1.countDown(); m3.countDown() }
+      }(onError = _ => (), onWarn = w => warns.add(w))
+      assert(m1.await(10, TimeUnit.SECONDS)) // marker 1 replayed with data
+
+      // induce an append failure: replace the stream's journal dir with a
+      // plain FILE — the distributed entry write and even the failure
+      // stamp's createDirectories both fail (running as root bypasses
+      // permission bits, so a read-only dir can't induce this)
+      val jdir = java.nio.file.Paths.get(dir, "_follow", "inbound")
+      GraftDB.deleteRecursively(jdir)
+      Files.createFile(jdir)
+      val n = client.insert("inbound", Seq(point(2)))
+      assert(n == 1) // the insert itself SUCCEEDS — the merge committed
+
+      // heal and keep going: marker density must survive the failure
+      Files.delete(jdir)
+      client.insert("inbound", Seq(point(3)))
+
+      assert(m3.await(15, TimeUnit.SECONDS),
+        s"saw ${chunks.size} chunks, warns=${warns.toArray.mkString(",")}")
+      assert(warns.toArray(Array.empty[String]).toSeq == Seq("WARN missed 2"))
+      val ends = chunks.toArray(Array.empty[(Long, String, Boolean)])
+        .toSeq.filter(_._3)
+      assert(ends.map(_._1) == Seq(1L, 2L, 3L), ends.map(_._1)) // dense
+      assert(ends(1)._2.trim.isEmpty) // the missed marker carries no rows
+      assert(ends(2)._2.contains("\"requests\":3")) // post-failure data flows
+      f.close()
+
+      // the STORE has all three points even though the feed missed one
+      val (_, rows, _) = client.queryWithStats(
+        "SELECT requests FROM combined GROUP BY * ORDER BY requests")
+      assert(rows.length == 3, rows)
+    } finally srv.stop()
+  }
+
+  test("a _FAILED-stamped entry from a prior process replays as WARN missed") {
+    // the stamp is durable: a restarted server seeding its journal from
+    // disk must surface the missed batch to replaying followers too
+    val dir = Files.createTempDirectory("graft-rpc-warn-restart").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    def point(i: Int) =
+      s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""
+    val db1 = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv1 = new RpcServer(spark, db1, 0)
+    val port1 = srv1.start()
+    new RpcClient("localhost", port1).insert("inbound", Seq(point(1)))
+    srv1.stop()
+    // a failed append's stamped entry, as appendJournal publishes it
+    val stamped = java.nio.file.Paths.get(dir, "_follow", "inbound", "2.jsonl")
+    Files.createDirectories(stamped)
+    Files.createFile(stamped.resolve(GraftDB.FailedStamp))
+
+    val db2 = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv2 = new RpcServer(spark, db2, 0)
+    val port2 = srv2.start()
+    try {
+      val client = new RpcClient("localhost", port2)
+      val warns = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ends = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latch = new CountDownLatch(3)
+      val f = client.followSince("inbound", Some(0L)) { (m, _, end) =>
+        if (end) { ends.add(m); latch.countDown() }
+      }(onError = _ => (), onWarn = w => warns.add(w))
+      Thread.sleep(300)
+      // markers continue past the stamped entry (seed saw it: seq=2)
+      client.insert("inbound", Seq(point(3)))
+      assert(latch.await(15, TimeUnit.SECONDS))
+      assert(ends.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq ==
+        Seq(1L, 2L, 3L))
+      assert(warns.toArray(Array.empty[String]).toSeq == Seq("WARN missed 2"))
+      f.close()
+    } finally srv2.stop()
   }
 
   test("snappy-framed transport: auto-detected per connection, plain client coexists") {

@@ -244,6 +244,28 @@ class ServerSpec extends AnyFunSuite {
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(starRefused.headers().firstValue("Content-Encoding").isEmpty)
       assert(rowsOf(starRefused.body()) == rowsOf(plain.body()))
+      // a malformed qvalue is a refusal, not a silent acceptance: garbage is
+      // not an opt-in to compression
+      val malformed = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip;q=junk")
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(malformed.headers().firstValue("Content-Encoding").isEmpty)
+      // duplicate members resolve first-wins: "gzip;q=1, gzip;q=0" accepts,
+      // "gzip;q=0, gzip;q=1" refuses
+      val dupAccept = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip;q=1, gzip;q=0")
+          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(dupAccept.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      val dupRefuse = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/run?sql=$plainSql"))
+          .header("Accept-Encoding", "gzip;q=0, gzip;q=1")
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(dupRefuse.headers().firstValue("Content-Encoding").isEmpty)
     } finally srv.stop()
   }
 
