@@ -269,6 +269,23 @@ final class GraftDB(
       }
     }
 
+  /** Per-stream journal depth for the `/metrics` surface:
+    * stream -> (entries, bytes). Streams that have never journaled (or whose
+    * journal is not yet memory-seeded this process) are simply absent —
+    * metrics must not force-seed state for idle streams.
+    */
+  def journalStats: Map[String, (Int, Long)] = {
+    val b = Map.newBuilder[String, (Int, Long)]
+    journals.forEach { (s, j) =>
+      b += s -> j.synchronized((j.entries.length, j.bytes))
+    }
+    b.result()
+  }
+
+  /** Attached streaming queries still running (the `/metrics` surface). */
+  def activeStreamCount: Int =
+    activeStreams.synchronized(activeStreams.count(_.isActive))
+
   private def appendJournal(stream: String, batch: DataFrame): Unit = {
     val j = journalOf(stream)
     val dir = journalDirOf(stream)

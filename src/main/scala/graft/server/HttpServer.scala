@@ -28,6 +28,25 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
                        maxBodyBytes: Int = HttpServer.MaxBodyBytes) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
+  private val startedAt = System.currentTimeMillis()
+
+  /** The `/metrics` payload. Store stats walk each table's live day dirs
+    * driver-side — O(files), a control-plane cost paid per scrape, never on
+    * the data path.
+    */
+  def metricsJson(): String = {
+    val tables = db.tables.toSeq.sortBy(_._1).map { case (name, t) =>
+      val (gen, days, bytes) = t.storeStats
+      s""""$name":{"generation":$gen,"days":$days,"bytes":$bytes}"""
+    }.mkString("{", ",", "}")
+    val journals = db.journalStats.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
+      s""""$s":{"entries":$n,"bytes":$b}"""
+    }.mkString("{", ",", "}")
+    s"""{"uptimeMs":${System.currentTimeMillis() - startedAt},""" +
+      s""""tables":$tables,"journals":$journals,""" +
+      s""""activeStreams":${db.activeStreamCount},""" +
+      s""""asyncCacheEntries":${byPermalink.size()}}"""
+  }
 
   /** Bounded body read: `readAllBytes` on an unbounded POST would buffer a
     * multi-GB upload straight into heap — cap it the way the RPC framing
@@ -84,6 +103,15 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     server.createContext("/cached/", (ex: HttpExchange) => handle(ex) {
       cachedResult(ex.getRequestURI.getPath.stripPrefix("/cached/")
         .stripSuffix("/"))
+    })
+    // ops stats (the reference serves engine stats as JSON —
+    // web/metrics.go:10-17, route web/handler.go:123; its payload is mostly
+    // cluster leader/follower partition state, which dissolved into Spark).
+    // What remains useful to an operator of THIS daemon: per-table store
+    // generation/days/bytes, follow-journal depth per stream, attached
+    // streaming queries, async-cache entries, uptime.
+    server.createContext("/metrics", (ex: HttpExchange) => handle(ex) {
+      metricsJson()
     })
     server.start()
     server.getAddress.getPort

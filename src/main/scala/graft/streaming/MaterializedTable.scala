@@ -187,6 +187,31 @@ final class MaterializedTable(
     else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
   }
 
+  /** Ops snapshot for the `/metrics` surface: manifest generation, live day
+    * count, and bytes across the live day dirs (driver-side directory
+    * walk — O(files in the store), a control-plane cost).
+    */
+  def storeStats: (Long, Int, Long) = {
+    val (v, _, days) = readManifest()
+    val bytes = days.values.map { rel =>
+      val d = Paths.get(storePath, rel)
+      if (!Files.isDirectory(d)) 0L
+      else {
+        val st = Files.list(d)
+        try {
+          var sum = 0L
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            sum += (try Files.size(p) catch { case _: Exception => 0L })
+          }
+          sum
+        } finally st.close()
+      }
+    }.sum
+    (v, days.size, bytes)
+  }
+
   /** Dim columns of the store (everything except _time and accumulators). */
   def storedDims: Seq[String] =
     read().map(_.columns.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq)

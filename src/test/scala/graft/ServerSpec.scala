@@ -329,6 +329,36 @@ class ServerSpec extends AnyFunSuite {
         "SELECT requests FROM combined GROUP BY server")
       assert(cols.contains("requests"), cols)
       assert(rows.exists(_.contains("\"requests\":41.0")), rows)
+
+      // /metrics ops surface (web/metrics.go parity, minus the cluster
+      // partition state that dissolved into Spark): store generation/days/
+      // bytes per table, journal depth per stream (the RPC server enabled
+      // journaling, so the insert above journaled), streams, cache, uptime
+      val reg = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/async?sql=" +
+              java.net.URLEncoder.encode(
+                "SELECT requests FROM combined GROUP BY server", "UTF-8")))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(reg.statusCode() == 200, reg.body())
+      val met = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(met.statusCode() == 200, met.body())
+      val m = met.body()
+      assert(m.contains("\"uptimeMs\":"), m)
+      assert(m.contains("\"activeStreams\":0"), m)
+      assert(m.contains("\"asyncCacheEntries\":1"), m)
+      val combined =
+        "\"combined\":\\{\"generation\":(\\d+),\"days\":(\\d+),\"bytes\":(\\d+)\\}".r
+      val cm = combined.findFirstMatchIn(m).getOrElse(fail(s"no table stats: $m"))
+      assert(cm.group(1).toLong >= 1 && cm.group(2).toInt >= 1 &&
+        cm.group(3).toLong > 0, m)
+      val journal =
+        "\"inbound\":\\{\"entries\":(\\d+),\"bytes\":(\\d+)\\}".r
+      val jm = journal.findFirstMatchIn(m).getOrElse(fail(s"no journal stats: $m"))
+      assert(jm.group(1).toInt >= 1 && jm.group(2).toLong > 0, m)
     } finally running.stop()
   }
 
