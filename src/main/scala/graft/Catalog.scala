@@ -16,7 +16,12 @@ import graft.sqlx.AggOp
   */
 final case class TableDef(
     name: String,
-    df: DataFrame,
+    /** Thunk, not a DataFrame: building one lists the source's files
+      * eagerly, and catalogs are rebuilt per query — a time-pruned query
+      * over a materialized store must not pay an O(store) listing for a
+      * relation it never scans. `df` forces it on first use.
+      */
+    dfFn: () => DataFrame,
     timeCol: Option[String],
     dims: Seq[String],
     vals: Seq[String],
@@ -34,7 +39,9 @@ final case class TableDef(
     /** Retention horizon for materialized tables — defines the source's
       * default asOf (the reference's source.GetAsOf(), core/group.go:92-104)
       * so the period-vs-window cap applies to UNTIL-only queries too. */
-    retentionMillis: Option[Long] = None)
+    retentionMillis: Option[Long] = None) {
+  lazy val df: DataFrame = dfFn()
+}
 
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a
@@ -86,7 +93,8 @@ object Catalog {
     }.toSeq
     val dims = fields.map(_.name)
       .filterNot(vals.contains).filterNot(timeCol.contains).toSeq
-    TableDef(name.toLowerCase, df, timeCol, dims, vals,
+    val dfF = df
+    TableDef(name.toLowerCase, () => dfF, timeCol, dims, vals,
       hasPointsCol = fields.exists(_.name == "_points"))
   }
 

@@ -401,15 +401,20 @@ final class GraftDB(
     qs
   }
 
-  /** Catalog of the materialized state, for the planner. */
+  /** Catalog of the materialized state, for the planner. Built from the
+    * manifests' committed schemas ONLY — no relation is constructed and no
+    * file listed here, so planning stays O(1) in store size; a query forces
+    * exactly the relation (full or day-pruned) it scans.
+    */
   def catalog: Catalog = {
     val defs = tables.flatMap { case (name, t) =>
-      t.read().map { df =>
+      t.storedSchema().map { schema =>
+        val cols = schema.fieldNames.toSeq
         TableDef(
           name = name,
-          df = df,
+          dfFn = () => t.read().get,
           timeCol = Some("_time"),
-          dims = df.columns.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq,
+          dims = cols.filterNot(c => c == "_time" || c.startsWith("__a")),
           vals = t.tableFields.map(_.name),
           fieldAgg = Map.empty,
           hasPointsCol = false,
@@ -419,18 +424,19 @@ final class GraftDB(
           timePrune = Some { (lo, hi) =>
             t.readPruned(lo, hi) match {
               case None => spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
               case Some(p) =>
-                // pruned day subsets can predate a live ALTER and lack the
-                // newest accumulator columns — conform to the full-store
-                // schema (missing columns read as NULL = unset)
+                // manifest-schema reads come back already conformed; a
+                // LEGACY store (no schema line) may serve pruned subsets
+                // predating a live ALTER — conform to the union schema
+                // (missing columns read as NULL = unset)
                 val have = p.columns.toSet
-                val aligned = df.schema.fields.foldLeft(p) { (acc, f) =>
+                val aligned = schema.fields.foldLeft(p) { (acc, f) =>
                   if (have(f.name)) acc
                   else acc.withColumn(f.name,
                     org.apache.spark.sql.functions.lit(null).cast(f.dataType))
                 }
-                aligned.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+                aligned.select(cols.map(org.apache.spark.sql.functions.col): _*)
             }
           })
       }

@@ -37,7 +37,7 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         val (df, info) = planQuery(sub)
         TableDef(
           name = "__sub",
-          df = df,
+          dfFn = () => df,
           timeCol = if (info.timePresent) Some("_time") else None,
           dims = info.dims,
           vals = info.vals,

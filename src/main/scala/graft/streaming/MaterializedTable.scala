@@ -117,7 +117,8 @@ final class MaterializedTable(
   private val DayMs = 86400000L
   private val manifestPath = Paths.get(storePath, "MANIFEST")
 
-  /** (version, last-applied batch id per sink, day -> store-relative dir).
+  /** (version, last-applied batch id per sink, day -> store-relative dir,
+    * committed union schema).
     * The per-sink batch ids are the replay-dedup ledger: Structured
     * Streaming's foreachBatch is at-least-once, and a driver crash between
     * a completed merge and the checkpoint commit re-delivers the SAME
@@ -125,26 +126,39 @@ final class MaterializedTable(
     * applied WAL offsets in the filestore header (row_store.go:455-530).
     * Because the batch id commits in the same atomic manifest swap as the
     * data, merge + ledger update are one transaction.
+    *
+    * The schema line (`s=<StructType json>`) is the union of every
+    * generation's columns, committed at flush time, so READS never pay
+    * schema inference: at 100 TB a `mergeSchema` read of a multi-thousand-
+    * day store reads every footer at PLAN time — O(store) planning for a
+    * query that may scan one day. Legacy manifests without the line fall
+    * back to mergeSchema once; the next flush records it.
     */
-  private def readManifest(): (Long, Map[String, Long], Map[Long, String]) =
-    if (!Files.exists(manifestPath)) (0L, Map.empty, Map.empty)
+  private def readManifest(): (Long, Map[String, Long], Map[Long, String],
+      Option[org.apache.spark.sql.types.StructType]) =
+    if (!Files.exists(manifestPath)) (0L, Map.empty, Map.empty, None)
     else {
       val lines = Files.readString(manifestPath).split("\n").filter(_.nonEmpty)
       val v = lines.head.stripPrefix("v=").toLong
-      val (batchLines, dayLines) = lines.tail.partition(_.startsWith("b="))
+      val (schemaLines, rest) = lines.tail.partition(_.startsWith("s="))
+      val (batchLines, dayLines) = rest.partition(_.startsWith("b="))
       val batches = batchLines.map { l =>
         val Array(s, b) = l.stripPrefix("b=").split("\t", 2); s -> b.toLong
       }.toMap
+      val schema = schemaLines.headOption.map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("s="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
       (v, batches, dayLines.map { l =>
         val Array(d, p) = l.split("\t", 2); d.toLong -> p
-      }.toMap)
+      }.toMap, schema)
     }
 
   private def writeManifest(v: Long, sinkBatches: Map[String, Long],
-                            days: Map[Long, String]): Unit = {
+                            days: Map[Long, String],
+                            schema: org.apache.spark.sql.types.StructType): Unit = {
     Files.createDirectories(Paths.get(storePath))
     val tmp = Paths.get(storePath, s"MANIFEST.tmp$v")
-    val body = (s"v=$v" +:
+    val body = (Seq(s"v=$v", s"s=${schema.json}") ++
       (sinkBatches.toSeq.sorted.map { case (s, b) => s"b=$s\t$b" } ++
         days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })).mkString("\n")
     Files.writeString(tmp, body)
@@ -153,17 +167,36 @@ final class MaterializedTable(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Current materialized state (all live day partitions), if any.
-    * mergeSchema: after a live Alter, days flushed under the old definition
-    * lack the new accumulator columns — the union schema reads them as NULL
-    * (= unset, insert.go routes whatever arrives). At cluster scale the
-    * manifest would carry the committed schema instead of re-reading footers.
+  /** Open a set of day dirs. With the manifest's committed schema, no
+    * footer is read and no schema merged at plan time — days flushed under
+    * an older definition read missing accumulator columns as NULL (= unset,
+    * insert.go routes whatever arrives), exactly what `mergeSchema` used to
+    * reconstruct by reading every footer. Legacy manifests (no schema line)
+    * keep the mergeSchema fallback.
     */
+  private def openDays(paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  /** Current materialized state (all live day partitions), if any. */
   def read(): Option[DataFrame] = {
-    val (_, _, days) = readManifest()
+    val (_, _, days, schema) = readManifest()
     if (days.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(days.values.map(p => s"$storePath/$p").toSeq: _*))
+    else Some(openDays(days.values.map(p => s"$storePath/$p").toSeq, schema))
+  }
+
+  /** Committed schema of the materialized state WITHOUT building a relation
+    * (building one lists the store's files eagerly — the catalog must stay
+    * O(1) in store size). Legacy stores without a manifest schema pay one
+    * mergeSchema inference.
+    */
+  def storedSchema(): Option[org.apache.spark.sql.types.StructType] = {
+    val (_, _, days, schema) = readManifest()
+    if (days.isEmpty) None
+    else schema.orElse(read().map(_.schema))
   }
 
   /** Manifest-level day pruning for time-bounded reads: an ASOF/UNTIL query
@@ -172,19 +205,19 @@ final class MaterializedTable(
     * window, not with retention. Returns None when no stored day overlaps.
     */
   def readPruned(loMs: Option[Long], hiMs: Option[Long]): Option[DataFrame] = {
-    val (_, _, days) = readManifest()
+    val (_, _, days, schema) = readManifest()
     val keep = days.filter { case (d, _) =>
       loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
     }
     if (keep.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(keep.values.map(p => s"$storePath/$p").toSeq: _*))
+    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq, schema))
   }
 
-  private def readDays(days: Map[Long, String], subset: Set[Long]): Option[DataFrame] = {
+  private def readDays(days: Map[Long, String], subset: Set[Long],
+      schema: Option[org.apache.spark.sql.types.StructType]): Option[DataFrame] = {
     val paths = days.filter(e => subset(e._1)).values.map(p => s"$storePath/$p").toSeq
     if (paths.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    else Some(openDays(paths, schema))
   }
 
   /** Ops snapshot for the `/metrics` surface: manifest generation, live day
@@ -192,7 +225,7 @@ final class MaterializedTable(
     * walk — O(files in the store), a control-plane cost).
     */
   def storeStats: (Long, Int, Long) = {
-    val (v, _, days) = readManifest()
+    val (v, _, days, _) = readManifest()
     val bytes = days.values.map { rel =>
       val d = Paths.get(storePath, rel)
       if (!Files.isDirectory(d)) 0L
@@ -214,7 +247,8 @@ final class MaterializedTable(
 
   /** Dim columns of the store (everything except _time and accumulators). */
   def storedDims: Seq[String] =
-    read().map(_.columns.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq)
+    storedSchema()
+      .map(_.fieldNames.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq)
       .getOrElse(explicitDims)
 
   private def explicitDims: Seq[String] = query.groupBy.map(_.name)
@@ -225,7 +259,7 @@ final class MaterializedTable(
     */
   def mergeBatch(batch0: DataFrame, sinkId: Option[String] = None,
                  batchId: Long = -1L): Unit = synchronized {
-    val (version, sinkBatches, dayMap) = readManifest()
+    val (version, sinkBatches, dayMap, prevSchema) = readManifest()
     // replay dedup: a re-delivered micro-batch (same sink, batchId ≤ the
     // ledger's) was already merged and committed — merging again would
     // double-count. Batch callers (no sinkId) own their own replay.
@@ -315,7 +349,7 @@ final class MaterializedTable(
     // dims this batch lacks (heterogeneous per-point dims, insert.go routes
     // whatever arrives) — key the merge on the UNION of batch and stored
     // dims, treating the missing side as NULL, or those rows collapse.
-    val merged = readDays(dayMap, touched) match {
+    val merged = readDays(dayMap, touched, prevSchema) match {
       case None => partialCached
       case Some(existing) =>
         val storedDimCols = existing.columns
@@ -340,12 +374,18 @@ final class MaterializedTable(
     // (the reference's optional sorted filestore, table.go:537-557) so
     // row-group stats prune reads. Always repartition on __day too: the
     // dynamic-partition write otherwise emits (tasks × days) tiny files.
+    // Sort DIMS FIRST, time second: day-dir pruning already bounds time at
+    // the directory level, so the row-group min/max budget goes to the
+    // dims — sorted on _time first, a hash-partitioned file's dim stats
+    // span the full range and a dim-equality query prunes NOTHING
+    // (measured exponent 1.01 before this ordering; the reference sorts
+    // its filestore by key for the same reason, table.go:537-557).
     val withDay = retained
       .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
     val pDims = config.partitionBy.filter(retained.columns.contains)
     val toWrite0 = withDay
       .repartition((col("__day") +: pDims.map(col)): _*)
-      .sortWithinPartitions(("_time" +: pDims).map(col): _*)
+      .sortWithinPartitions((pDims :+ "_time").map(col): _*)
 
     val next = version + 1
     val commitRel = s"commits/$next"
@@ -370,8 +410,25 @@ final class MaterializedTable(
       .map(r => (now() - r) / DayMs).getOrElse(Long.MinValue)
     val nextMap = (dayMap -- touched)
       .filter { case (d, _) => d >= horizonDay } ++ newDays
+    // committed schema = this write's columns (minus the __day partition
+    // col) unioned with every column a previous generation ever committed:
+    // untouched days flushed under an older definition still resolve, and
+    // reads never infer. All-nullable: a day missing a later-ALTERed
+    // accumulator column must read as NULL, not fail the reader.
+    val unionSchema = {
+      val newS = org.apache.spark.sql.types.StructType(
+        retained.schema.fields.map(_.copy(nullable = true)))
+      prevSchema match {
+        case None => newS
+        case Some(old) =>
+          val newNames = newS.fieldNames.toSet
+          org.apache.spark.sql.types.StructType(
+            newS.fields ++
+              old.fields.filterNot(f => newNames(f.name)).map(_.copy(nullable = true)))
+      }
+    }
     writeManifest(next,
-      sinkBatches ++ sinkId.map(_ -> batchId), nextMap)
+      sinkBatches ++ sinkId.map(_ -> batchId), nextMap, unionSchema)
 
     // best-effort cleanup: remove commit dirs no longer referenced
     // (row_store.go:681-725's superseded-generation deletion) — but only

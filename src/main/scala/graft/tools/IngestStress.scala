@@ -38,32 +38,7 @@ object IngestStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // via Catalog: events.ts is parquet TIMESTAMP(NANOS), unreadable without
-    // the nanosAsLong switch + classify()'s conversion
-    val evBase = graft.Catalog.fromParquetDir(spark, sfDir, Seq("events"))
-      .get("events").df
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-
-    // k independent copies: ids re-seeded so the group space grows k×, ts
-    // shifted a 32-day stride per copy (events span 30 days) so each copy
-    // owns its day partitions
-    def blowUp(k: Int): String = {
-      val dir = s"/tmp/graft-scale/ev_x$k"
-      if (!Files.isDirectory(java.nio.file.Paths.get(dir))) {
-        val copies = spark.range(k).select(col("id").as("__copy"))
-        evBase.crossJoin(copies)
-          .select(
-            (col("event_id") + col("__copy") * 100000000L).as("event_id"),
-            timestamp_millis(unix_millis(col("ts")) +
-              col("__copy") * (32L * 86400000L)).as("ts"),
-            (col("user_id") + col("__copy") * 100000000L).as("user_id"),
-            col("event_type"), col("value"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(dir)
-      }
-      dir
-    }
+    def blowUp(k: Int): String = EventsBlowup.blowUp(spark, sfDir, k)
 
     // the Bench ingest table shape (1h buckets over event_type × user_id)
     val yaml =

@@ -546,7 +546,8 @@ class GraftDBSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir/t/commits")).count()
       assert(commitDirs <= 3, s"commits dir not bounded: $commitDirs dirs")
       val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/t/MANIFEST"))
-      assert(manifest.split("\n").length == 3, manifest) // v= + 2 day lines
+      // v= + s= (committed schema) + 2 day lines
+      assert(manifest.split("\n").length == 4, manifest)
     } finally System.clearProperty("graft.commitGcGraceMillis")
   }
 

@@ -336,6 +336,80 @@ class RpcSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("multi-follower soak: concurrent replay + live multi-stream inserts, every follower dense") {
+    // several followers per stream (plain AND snappy transports) replay a
+    // backlog while inserters keep committing to BOTH streams — every
+    // follower must converge on the identical dense marker sequence for
+    // its stream, with no replay-gap errors and no cross-stream bleed
+    val dir = Files.createTempDirectory("graft-rpc-soak").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |out:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT sent FROM outbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      def point(stream: String, i: Int): String =
+        if (stream == "inbound")
+          s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"requests": $i}}"""
+        else
+          s"""{"ts": ${T0 + i * 1000}, "dims": {"server": "s$i"}, "vals": {"sent": $i}}"""
+      val perStream = 12
+      val backlog = 4
+      // backlog committed before any follower exists
+      for (s <- Seq("inbound", "outbound"); i <- 1 to backlog)
+        new RpcClient("localhost", port).insert(s, Seq(point(s, i)))
+
+      final case class F(stream: String, snappy: Boolean) {
+        val markers = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val err = new java.util.concurrent.atomic.AtomicReference[String]()
+        val done = new CountDownLatch(perStream)
+        val handle = new RpcClient("localhost", port, snappy)
+          .followSince(stream, Some(0L)) { (m, _, end) =>
+            if (end) { markers.add(m); done.countDown() }
+          }(onError = e => err.set(e))
+      }
+      val followers = Seq(
+        F("inbound", snappy = false), F("inbound", snappy = true),
+        F("inbound", snappy = false), F("inbound", snappy = true),
+        F("outbound", snappy = false), F("outbound", snappy = true))
+      Thread.sleep(300) // subscriptions land; replay of the backlog begins
+
+      // live phase: two inserter threads per stream fill in the rest
+      val insertErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = for (s <- Seq("inbound", "outbound"); t <- 0 until 2) yield {
+        val th = new Thread(() => {
+          try {
+            val half = (perStream - backlog) / 2
+            (1 to half).foreach { i =>
+              new RpcClient("localhost", port).insert(s,
+                Seq(point(s, backlog + t * half + i)))
+            }
+          } catch { case e: Throwable => insertErrs.add(e) }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(120000))
+      assert(insertErrs.isEmpty, insertErrs.toArray.take(2).mkString("; "))
+
+      followers.foreach { f =>
+        assert(f.done.await(60, TimeUnit.SECONDS),
+          s"${f.stream} snappy=${f.snappy}: saw ${f.markers.size}/$perStream, err=${f.err.get()}")
+        assert(f.err.get() == null, s"err=${f.err.get()}")
+        val ms = f.markers.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+        assert(ms == (1L to perStream.toLong), s"${f.stream}: $ms")
+        f.handle.close()
+      }
+    } finally srv.stop()
+  }
+
   test("failed journal append: follower gets WARN missed, stream continues, markers dense") {
     // the reference's WAL append failure fails the insert itself, so its
     // followers can't silently miss data (wal.go); here the merge commits

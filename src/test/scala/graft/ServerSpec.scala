@@ -362,6 +362,147 @@ class ServerSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("cross-feature soak: streaming sink + embedded inserts + ALTER + GC + queries + follower") {
+    // every subsystem is soaked alone elsewhere (GC, journal, crash-replay);
+    // this composes them on ONE db for the interactions: concurrent
+    // streaming micro-batches and embedded journaled inserts into the same
+    // table, a live schema ALTER mid-run, commit GC on a short grace,
+    // continuous readers, and an attached follower. Invariants: no torn
+    // reads, reader totals monotonic, dense markers, exactly-once totals,
+    // bounded commits dir, the ALTERed field queryable.
+    System.setProperty("graft.commitGcGraceMillis", "3000")
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-x-soak").toString
+      val ckpt = Files.createTempDirectory("graft-x-soak-ckpt").toString
+      val yaml =
+        """combined:
+          |  sql: >
+          |    SELECT requests FROM inbound GROUP BY *, period(5m)
+          |""".stripMargin
+      val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+      val srv = new graft.server.RpcServer(spark, db, 0) // journaling on
+      val port = srv.start()
+      try {
+        // follower attached before any data
+        val embeddedBatches = 16
+        val markers = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val fErr = new java.util.concurrent.atomic.AtomicReference[String]()
+        val fLatch = new java.util.concurrent.CountDownLatch(embeddedBatches)
+        val follower = new graft.server.RpcClient("localhost", port)
+          .followSince("inbound", Some(0L)) { (m, _, end) =>
+            if (end) { markers.add(m); fLatch.countDown() }
+          }(onError = e => fErr.set(e))
+
+        // streaming sink on the same stream
+        implicit val sq = spark.sqlContext
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Double)]
+        val stream = mem.toDF().toDF("tsMs", "server", "requests")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+          .drop("tsMs")
+        val queries = db.attachStream("inbound", stream, ckpt)
+
+        // continuous readers: any torn read (FileNotFound under a swapped
+        // generation) or regressing total fails the soak
+        val readErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val totals = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        @volatile var stopReaders = false
+        val reader = new Thread(() => {
+          while (!stopReaders) {
+            try {
+              val rows = db.sql(
+                "SELECT requests FROM combined GROUP BY _, period('10d')").collect()
+              if (rows.nonEmpty) rows(0).getAs[Any]("requests") match {
+                case dd: java.lang.Double => totals.add(dd.doubleValue)
+                case _ => ()
+              }
+            } catch {
+              // before the first merge commits, the table genuinely doesn't
+              // exist yet — that's startup, not a torn read
+              case e: IllegalArgumentException
+                  if String.valueOf(e.getMessage).contains("not found") => ()
+              case e: Throwable => readErrs.add(e)
+            }
+          }
+        })
+        reader.setDaemon(true); reader.start()
+
+        // writers: 2 embedded-insert threads (journaled) + a stream feeder,
+        // with a live ALTER landing mid-run
+        val streamedPoints = 60
+        val insErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val feeders = Seq.tabulate(2) { t =>
+          new Thread(() => {
+            try (1 to embeddedBatches / 2).foreach { i =>
+              db.insert("inbound", Seq(
+                (new java.sql.Timestamp(T0 + (t * 1000 + i) * 10), s"emb$t", 1.0))
+                .toDF("ts", "server", "requests"))
+            } catch { case e: Throwable => insErrs.add(e) }
+          })
+        } :+ new Thread(() => {
+          try (1 to streamedPoints / 5).foreach { i =>
+            mem.addData((1 to 5).map(j =>
+              (T0 + (i * 5 + j).toLong, s"st${j % 3}", 1.0)): _*)
+            Thread.sleep(100)
+          } catch { case e: Throwable => insErrs.add(e) }
+        })
+        feeders.foreach(_.start())
+        Thread.sleep(1500) // mid-run: widen the schema while everything runs
+        db.alter(
+          """combined:
+            |  sql: >
+            |    SELECT requests, AVG(requests) AS avg_req
+            |    FROM inbound GROUP BY *, period(5m)
+            |""".stripMargin)
+        feeders.foreach(_.join(120000))
+        assert(insErrs.isEmpty, insErrs.toArray.take(2).mkString("; "))
+        queries.foreach(_.processAllAvailable())
+        assert(queries.forall(_.exception.isEmpty),
+          queries.flatMap(_.exception).mkString("; "))
+        stopReaders = true
+        reader.join(10000)
+
+        assert(readErrs.isEmpty,
+          readErrs.toArray.take(2).map(String.valueOf).mkString("; ").take(800))
+        val seen = totals.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+        assert(seen.sameElements(seen.sorted), "reader saw a regressing total")
+
+        // exactly-once: every point carried requests=1.0, so the drained
+        // total is exactly the number of points either path delivered
+        val fin = db.sql(
+          "SELECT requests FROM combined GROUP BY _, period('10d') -- force_fresh")
+          .collect()
+        val total = fin(0).getAs[Any]("requests").asInstanceOf[Double]
+        assert(total == (embeddedBatches + streamedPoints).toDouble, total)
+
+        // the ALTERed field is live (pre-ALTER days read it as NULL-merged)
+        val alt = db.sql(
+          "SELECT avg_req FROM combined GROUP BY server ORDER BY server").collect()
+        assert(alt.nonEmpty)
+
+        // follower: every journaled (embedded) batch arrived, dense
+        assert(fLatch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"follower saw ${markers.size}/$embeddedBatches, err=${fErr.get()}")
+        assert(fErr.get() == null, s"err=${fErr.get()}")
+        assert(markers.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq ==
+          (1L to embeddedBatches.toLong))
+        follower.close()
+
+        // GC: once the grace passes, one more merge sweeps superseded
+        // generations — the commits dir must be bounded, not O(merges)
+        Thread.sleep(3500)
+        db.insert("inbound", Seq(
+          (new java.sql.Timestamp(T0 + 99999), "embX", 1.0))
+          .toDF("ts", "server", "requests"))
+        val commitDirs = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/combined/commits")).count()
+        assert(commitDirs <= 3, s"commits dir not bounded: $commitDirs dirs")
+      } finally srv.stop()
+    } finally System.clearProperty("graft.commitGcGraceMillis")
+  }
+
   test("daemon crash-replay: restart on the same checkpoint+store is exactly-once; wiped checkpoint degrades to at-least-once") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
