@@ -39,7 +39,12 @@ final case class TableDef(
     /** Retention horizon for materialized tables — defines the source's
       * default asOf (the reference's source.GetAsOf(), core/group.go:92-104)
       * so the period-vs-window cap applies to UNTIL-only queries too. */
-    retentionMillis: Option[Long] = None) {
+    retentionMillis: Option[Long] = None,
+    /** Bucket layout of a materialized store: (partitionby dims, count).
+      * Day dirs hold `__bucket=murmur3(dims)%count` subdirs; the planner
+      * turns a dim-equality WHERE into directory-level partition pruning
+      * (the reference's partitionby query routing, README.md:522-529). */
+    bucketSpec: Option[(Seq[String], Int)] = None) {
   lazy val df: DataFrame = dfFn()
 }
 

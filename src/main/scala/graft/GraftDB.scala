@@ -414,8 +414,10 @@ final class GraftDB(
           name = name,
           dfFn = () => t.read().get,
           timeCol = Some("_time"),
-          dims = cols.filterNot(c => c == "_time" || c.startsWith("__a")),
+          dims = cols.filterNot(c =>
+            c == "_time" || c == "__bucket" || c.startsWith("__a")),
           vals = t.tableFields.map(_.name),
+          bucketSpec = t.storedBucketSpec(),
           fieldAgg = Map.empty,
           hasPointsCol = false,
           resolution = t.query.resolution,

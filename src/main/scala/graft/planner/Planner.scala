@@ -74,6 +74,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       plain.map(rewriteInSubsToMembership).foreach { p =>
         base = base.filter(Builders.dim(p, dimResolve))
       }
+      // partitionby routing (README.md:522-529): an equality / IN constraint
+      // on every bucket dim pins the `__bucket=` dirs the rows can live in —
+      // the added predicate is foldable, so Catalyst constant-folds it and
+      // the file source prunes 1-in-N directories at planning. The WHERE
+      // itself still applies: the bucket filter is a coarse superset.
+      bucketPredicate(src, w, base.schema).foreach(p => base = base.filter(p))
       subqs.foreach { case DInSub(DCol(d), sub0, negated) =>
         val (subDf, subDim) = planInSubquery(sub0)
         // no distinct: the grouped subquery is already unique per dim, and
@@ -582,6 +588,45 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     (plain.reduceOption(DAnd.apply), subs.map(_.asInstanceOf[DInSub]))
   }
 
+  /** Directory-level bucket pruning for partitionby stores: when the WHERE
+    * pins EVERY bucket dim to a bounded candidate set via top-level AND
+    * conjuncts (`d = v` or `d IN (...)`), the rows can only live in the
+    * `__bucket = murmur3(dims) % n` dirs of those combinations. Returns the
+    * (coarse, superset) predicate to AND in; the literal-side hash uses the
+    * stored column types so it folds to the same murmur3 the flush wrote.
+    * Anything unbounded — a dim under OR/NOT, ranges, LIKE — skips pruning.
+    */
+  private def bucketPredicate(src: TableDef, w: DExpr,
+      schema: org.apache.spark.sql.types.StructType): Option[Column] =
+    src.bucketSpec.filter(_ => schema.fieldNames.contains("__bucket"))
+      .flatMap { case (bDims, n) =>
+        def conjuncts(e: DExpr): Seq[DExpr] = e match {
+          case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+          case x          => Seq(x)
+        }
+        val cs = conjuncts(w)
+        val candidates: Seq[Option[Seq[Any]]] = bDims.map { d =>
+          cs.collectFirst {
+            case DCmp("=", DCol(`d`), DConst(v)) if v != null => Seq(v)
+            case DCmp("=", DConst(v), DCol(`d`)) if v != null => Seq(v)
+            case DIn(DCol(`d`), vs, false) if vs.nonEmpty && !vs.contains(null) => vs
+          }
+        }
+        val types = bDims.map(d => schema.fields.find(_.name == d).map(_.dataType))
+        if (candidates.exists(_.isEmpty) || types.exists(_.isEmpty)) None
+        else {
+          val combos = candidates.map(_.get)
+            .foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+              for (a <- acc; v <- vs) yield a :+ v)
+          if (combos.size > Planner.MaxBucketCombos) None
+          else Some(col("__bucket").isin(combos.map { vals =>
+            pmod(hash(vals.zip(types.map(_.get)).map {
+              case (v, t) => lit(v).cast(t)
+            }: _*), lit(n))
+          }: _*))
+        }
+      }
+
   /** The reference executes ANY IN-subquery by running it first and testing
     * membership over the collected dim values
     * (/root/reference/planner/subquery.go:13-100, sql/sql.go:1028-1069).
@@ -671,4 +716,10 @@ object Planner {
     */
   def MaxInMembershipValues: Int =
     sys.props.get("graft.maxInMembershipValues").map(_.toInt).getOrElse(100000)
+
+  /** Bound on the dim-value cross product the bucket-pruning predicate
+    * enumerates (multi-dim partitionby with IN lists); past it the query
+    * just runs unpruned.
+    */
+  val MaxBucketCombos: Int = 256
 }

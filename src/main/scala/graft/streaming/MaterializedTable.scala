@@ -133,14 +133,20 @@ final class MaterializedTable(
     * day store reads every footer at PLAN time — O(store) planning for a
     * query that may scan one day. Legacy manifests without the line fall
     * back to mergeSchema once; the next flush records it.
+    *
+    * The bucket line (`p=<n>\t<dim,dim>`) records that day dirs are
+    * sub-partitioned into `__bucket=k` dirs by murmur3 of the partitionby
+    * dims — the planner turns a dim-equality WHERE into directory-level
+    * partition pruning (the reference's partitionby query routing,
+    * cluster_follow.go:797-821, README.md:522-529).
     */
-  private def readManifest(): (Long, Map[String, Long], Map[Long, String],
-      Option[org.apache.spark.sql.types.StructType]) =
-    if (!Files.exists(manifestPath)) (0L, Map.empty, Map.empty, None)
+  private def readManifest(): MaterializedTable.Manifest =
+    if (!Files.exists(manifestPath)) MaterializedTable.Manifest.Empty
     else {
       val lines = Files.readString(manifestPath).split("\n").filter(_.nonEmpty)
       val v = lines.head.stripPrefix("v=").toLong
-      val (schemaLines, rest) = lines.tail.partition(_.startsWith("s="))
+      val (schemaLines, rest0) = lines.tail.partition(_.startsWith("s="))
+      val (bucketLines, rest) = rest0.partition(_.startsWith("p="))
       val (batchLines, dayLines) = rest.partition(_.startsWith("b="))
       val batches = batchLines.map { l =>
         val Array(s, b) = l.stripPrefix("b=").split("\t", 2); s -> b.toLong
@@ -148,17 +154,23 @@ final class MaterializedTable(
       val schema = schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("s="))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      (v, batches, dayLines.map { l =>
+      val buckets = bucketLines.headOption.map { l =>
+        val Array(n, ds) = l.stripPrefix("p=").split("\t", 2)
+        (ds.split(",").toSeq, n.toInt)
+      }
+      MaterializedTable.Manifest(v, batches, dayLines.map { l =>
         val Array(d, p) = l.split("\t", 2); d.toLong -> p
-      }.toMap, schema)
+      }.toMap, schema, buckets)
     }
 
   private def writeManifest(v: Long, sinkBatches: Map[String, Long],
                             days: Map[Long, String],
-                            schema: org.apache.spark.sql.types.StructType): Unit = {
+                            schema: org.apache.spark.sql.types.StructType,
+                            buckets: Option[(Seq[String], Int)]): Unit = {
     Files.createDirectories(Paths.get(storePath))
     val tmp = Paths.get(storePath, s"MANIFEST.tmp$v")
     val body = (Seq(s"v=$v", s"s=${schema.json}") ++
+      buckets.map { case (ds, n) => s"p=$n\t${ds.mkString(",")}" }.toSeq ++
       (sinkBatches.toSeq.sorted.map { case (s, b) => s"b=$s\t$b" } ++
         days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })).mkString("\n")
     Files.writeString(tmp, body)
@@ -183,9 +195,9 @@ final class MaterializedTable(
 
   /** Current materialized state (all live day partitions), if any. */
   def read(): Option[DataFrame] = {
-    val (_, _, days, schema) = readManifest()
-    if (days.isEmpty) None
-    else Some(openDays(days.values.map(p => s"$storePath/$p").toSeq, schema))
+    val m = readManifest()
+    if (m.days.isEmpty) None
+    else Some(openDays(m.days.values.map(p => s"$storePath/$p").toSeq, m.schema))
   }
 
   /** Committed schema of the materialized state WITHOUT building a relation
@@ -194,10 +206,16 @@ final class MaterializedTable(
     * mergeSchema inference.
     */
   def storedSchema(): Option[org.apache.spark.sql.types.StructType] = {
-    val (_, _, days, schema) = readManifest()
-    if (days.isEmpty) None
-    else schema.orElse(read().map(_.schema))
+    val m = readManifest()
+    if (m.days.isEmpty) None
+    else m.schema.orElse(read().map(_.schema))
   }
+
+  /** Bucket layout of the store, if any: (partitionby dims, bucket count).
+    * The planner uses it to turn dim-equality WHEREs into `__bucket=`
+    * directory pruning.
+    */
+  def storedBucketSpec(): Option[(Seq[String], Int)] = readManifest().buckets
 
   /** Manifest-level day pruning for time-bounded reads: an ASOF/UNTIL query
     * lists and opens ONLY the day dirs overlapping [loMs, hiMs) — so at
@@ -205,12 +223,12 @@ final class MaterializedTable(
     * window, not with retention. Returns None when no stored day overlaps.
     */
   def readPruned(loMs: Option[Long], hiMs: Option[Long]): Option[DataFrame] = {
-    val (_, _, days, schema) = readManifest()
-    val keep = days.filter { case (d, _) =>
+    val m = readManifest()
+    val keep = m.days.filter { case (d, _) =>
       loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
     }
     if (keep.isEmpty) None
-    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq, schema))
+    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq, m.schema))
   }
 
   private def readDays(days: Map[Long, String], subset: Set[Long],
@@ -225,30 +243,34 @@ final class MaterializedTable(
     * walk — O(files in the store), a control-plane cost).
     */
   def storeStats: (Long, Int, Long) = {
-    val (v, _, days, _) = readManifest()
-    val bytes = days.values.map { rel =>
+    val m = readManifest()
+    val bytes = m.days.values.map { rel =>
       val d = Paths.get(storePath, rel)
       if (!Files.isDirectory(d)) 0L
       else {
-        val st = Files.list(d)
+        val st = Files.walk(d)
         try {
           var sum = 0L
           val it = st.iterator()
           while (it.hasNext) {
             val p = it.next()
-            sum += (try Files.size(p) catch { case _: Exception => 0L })
+            if (Files.isRegularFile(p))
+              sum += (try Files.size(p) catch { case _: Exception => 0L })
           }
           sum
         } finally st.close()
       }
     }.sum
-    (v, days.size, bytes)
+    (m.version, m.days.size, bytes)
   }
 
-  /** Dim columns of the store (everything except _time and accumulators). */
+  /** Dim columns of the store (everything except _time, accumulators, and
+    * the derived `__bucket` partition column).
+    */
   def storedDims: Seq[String] =
     storedSchema()
-      .map(_.fieldNames.filterNot(c => c == "_time" || c.startsWith("__a")).toSeq)
+      .map(_.fieldNames.filterNot(c =>
+        c == "_time" || c == "__bucket" || c.startsWith("__a")).toSeq)
       .getOrElse(explicitDims)
 
   private def explicitDims: Seq[String] = query.groupBy.map(_.name)
@@ -259,7 +281,9 @@ final class MaterializedTable(
     */
   def mergeBatch(batch0: DataFrame, sinkId: Option[String] = None,
                  batchId: Long = -1L): Unit = synchronized {
-    val (version, sinkBatches, dayMap, prevSchema) = readManifest()
+    val manifest = readManifest()
+    val (version, sinkBatches, dayMap, prevSchema) =
+      (manifest.version, manifest.sinkBatches, manifest.days, manifest.schema)
     // replay dedup: a re-delivered micro-batch (same sink, batchId ≤ the
     // ledger's) was already merged and committed — merging again would
     // double-count. Batch callers (no sinkId) own their own replay.
@@ -353,7 +377,7 @@ final class MaterializedTable(
       case None => partialCached
       case Some(existing) =>
         val storedDimCols = existing.columns
-          .filterNot(c => c == "_time" || c.startsWith("__a"))
+          .filterNot(c => c == "_time" || c == "__bucket" || c.startsWith("__a"))
         val mergeKeys = (keyNames ++ storedDimCols).distinct
         val unioned = existing.unionByName(partialCached, allowMissingColumns = true)
         val mergeCols = compiled.aggSpecs.map(s =>
@@ -369,28 +393,40 @@ final class MaterializedTable(
       case None    => merged
     }
 
-    // partitionby dims (cluster_follow.go:797-821's murmur3 partitioning
-    // becomes a plain repartition on the declared dims) + key-sorted files
-    // (the reference's optional sorted filestore, table.go:537-557) so
-    // row-group stats prune reads. Always repartition on __day too: the
-    // dynamic-partition write otherwise emits (tasks × days) tiny files.
-    // Sort DIMS FIRST, time second: day-dir pruning already bounds time at
-    // the directory level, so the row-group min/max budget goes to the
-    // dims — sorted on _time first, a hash-partitioned file's dim stats
-    // span the full range and a dim-equality query prunes NOTHING
-    // (measured exponent 1.01 before this ordering; the reference sorts
-    // its filestore by key for the same reason, table.go:537-557).
+    // partitionby dims (cluster_follow.go:797-821's murmur3 partitioning,
+    // README.md:522-529's partition advice): each day dir is sub-partitioned
+    // into `__bucket=k` dirs by murmur3(dims) % N, so a dim-equality query
+    // prunes at the DIRECTORY level — 1/N of the files and bytes — the way
+    // the reference routes such queries to one cluster partition. Row-group
+    // min/max sorting alone cannot do this: hash-distributed files each
+    // hold a near-uniform sample of the dim range, so their stats never
+    // exclude anything (measured exponent 1.01 = zero pruning). Buckets are
+    // all-or-nothing per store (mixed day layouts would break partition
+    // discovery): a legacy store without the manifest line stays unbucketed.
+    // Files are still sorted (dims, _time) within each bucket so row-group
+    // stats prune further WITHIN the one bucket a query opens.
     val withDay = retained
       .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
     val pDims = config.partitionBy.filter(retained.columns.contains)
-    val toWrite0 = withDay
-      .repartition((col("__day") +: pDims.map(col)): _*)
+    val bucketed: Option[(Seq[String], Int)] =
+      if (pDims.isEmpty) None
+      else if (dayMap.isEmpty) Some((pDims,
+        Integer.getInteger("graft.bucketCount", MaterializedTable.BucketCount).intValue()))
+      else manifest.buckets
+    val withBucket = bucketed match {
+      case Some((ds, n)) =>
+        withDay.withColumn("__bucket", pmod(hash(ds.map(col): _*), lit(n)))
+      case None => withDay
+    }
+    val partCols = Seq("__day") ++ bucketed.map(_ => "__bucket")
+    val toWrite0 = withBucket
+      .repartition(partCols.map(col): _*)
       .sortWithinPartitions((pDims :+ "_time").map(col): _*)
 
     val next = version + 1
     val commitRel = s"commits/$next"
     toWrite0
-      .write.mode(SaveMode.Overwrite).partitionBy("__day")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(s"$storePath/$commitRel")
     partialCached.unpersist()
 
@@ -417,7 +453,12 @@ final class MaterializedTable(
     // accumulator column must read as NULL, not fail the reader.
     val unionSchema = {
       val newS = org.apache.spark.sql.types.StructType(
-        retained.schema.fields.map(_.copy(nullable = true)))
+        retained.schema.fields.map(_.copy(nullable = true)) ++
+          // the bucket partition column must be IN the committed schema:
+          // reads pass it explicitly, so discovery surfaces the dir values
+          // as a queryable column the planner can prune on
+          bucketed.map(_ => org.apache.spark.sql.types.StructField(
+            "__bucket", org.apache.spark.sql.types.IntegerType, nullable = true)))
       prevSchema match {
         case None => newS
         case Some(old) =>
@@ -428,7 +469,7 @@ final class MaterializedTable(
       }
     }
     writeManifest(next,
-      sinkBatches ++ sinkId.map(_ -> batchId), nextMap, unionSchema)
+      sinkBatches ++ sinkId.map(_ -> batchId), nextMap, unionSchema, bucketed)
 
     // best-effort cleanup: remove commit dirs no longer referenced
     // (row_store.go:681-725's superseded-generation deletion) — but only
@@ -528,4 +569,25 @@ object MaterializedTable {
     * scanning it (`-Dgraft.commitGcGraceMillis=` overrides).
     */
   val CommitGcGraceMillis: Long = 30000L
+
+  /** Default `__bucket=` dirs per day for partitionby tables
+    * (`-Dgraft.bucketCount=` overrides). A dim-equality query reads 1/N of
+    * the store's files; at 1000-executor scale N also bounds per-bucket
+    * file sizes, so the value is a files-per-day knob, not a parallelism
+    * cap (scans parallelize by row group regardless).
+    */
+  val BucketCount: Int = 32
+
+  /** Decoded MANIFEST: generation, per-sink replay ledger, live day dirs,
+    * committed union schema, bucket layout.
+    */
+  final case class Manifest(
+      version: Long,
+      sinkBatches: Map[String, Long],
+      days: Map[Long, String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      buckets: Option[(Seq[String], Int)])
+  object Manifest {
+    val Empty: Manifest = Manifest(0L, Map.empty, Map.empty, None, None)
+  }
 }

@@ -614,4 +614,51 @@ class GraftDBSpec extends AnyFunSuite {
     assert(approx(d(rows(0).getAs[Any]("_points")), 3.0))
     assert(approx(d(rows(1).getAs[Any]("v")), 5.0))
   }
+
+  test("partitionby buckets: dim-equality queries prune __bucket= dirs; merge keeps the layout") {
+    // the reference's partitionby routes a dim-filtered query to one
+    // cluster partition (README.md:522-529); here the flush writes
+    // `__bucket=murmur3(dim)%N` dirs inside each day and the planner turns
+    // `server = X` / `server IN (...)` into directory-level pruning
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val yaml =
+      """byserver:
+        |  partitionby: [server]
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 200000000)
+    import spark.implicits._
+    def batch(off: Long, mult: Double) = (1 to 40).map(i =>
+      (new java.sql.Timestamp(T0 + off + i), s"srv$i", mult * i)).toDF("ts", "server", "requests")
+    db.insert("inbound", batch(0, 1.0))
+    // second generation re-merges existing bucketed days + adds a new day
+    db.insert("inbound", batch(0, 10.0))
+    db.insert("inbound", batch(172800000L, 100.0))
+
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/byserver/MANIFEST"))
+    assert(manifest.contains("p=32\tserver"), manifest)
+
+    val eq = db.sql("SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server")
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"), s"no bucket pruning in plan:\n${plan.take(1500)}")
+    val eqRows = eq.collect()
+    assert(eqRows.length == 1 && d(eqRows(0).getAs[Any]("requests")) == 7.0 + 70.0 + 700.0)
+
+    val in = db.sql(
+      "SELECT requests FROM byserver WHERE server IN ('srv7', 'srv9') GROUP BY server ORDER BY server")
+      .collect()
+    assert(in.length == 2)
+    assert(d(in(0).getAs[Any]("requests")) == 777.0 && d(in(1).getAs[Any]("requests")) == 999.0)
+
+    // unbounded WHERE shapes (OR across dims, LIKE) don't prune — and stay correct
+    val like = db.sql(
+      "SELECT requests FROM byserver WHERE server LIKE 'srv1%' GROUP BY _").collect()
+    assert(d(like(0).getAs[Any]("requests")) ==
+      (Seq(1) ++ (10 to 19)).map(i => i * 111.0).sum)
+
+    // full scan unaffected
+    val all = db.sql("SELECT requests FROM byserver GROUP BY _").collect()
+    assert(d(all(0).getAs[Any]("requests")) == (1 to 40).map(_ * 111.0).sum)
+  }
 }
