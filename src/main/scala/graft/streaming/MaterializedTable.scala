@@ -185,19 +185,37 @@ final class MaterializedTable(
     * insert.go routes whatever arrives), exactly what `mergeSchema` used to
     * reconstruct by reading every footer. Legacy manifests (no schema line)
     * keep the mergeSchema fallback.
+    *
+    * Bucketed stores (day dirs holding `__bucket=k` subdirs) CANNOT go
+    * through one multi-path read: Spark's partition discovery walks up from
+    * the leaf files and, with several roots whose own names embed `__day=`,
+    * asserts a single common base and throws
+    * CONFLICTING_DIRECTORY_STRUCTURES. Each day dir is therefore its own
+    * relation, anchored with `basePath = <that day dir>` so discovery
+    * surfaces exactly `__bucket`, then the (retention-bounded) relations
+    * union by name. A `__bucket` partition filter pushes through the Union
+    * into every child scan, so directory-level pruning is preserved per day.
     */
   private def openDays(paths: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
-    schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bucketed: Boolean): DataFrame = {
+    def one(ps: Seq[String], base: Option[String]): DataFrame = {
+      val r0 = schema match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read.option("mergeSchema", "true")
+      }
+      base.fold(r0)(b => r0.option("basePath", b)).parquet(ps: _*)
     }
+    if (!bucketed) one(paths, None)
+    else paths.map(p => one(Seq(p), Some(p))).reduce(_ unionByName _)
+  }
 
   /** Current materialized state (all live day partitions), if any. */
   def read(): Option[DataFrame] = {
     val m = readManifest()
     if (m.days.isEmpty) None
-    else Some(openDays(m.days.values.map(p => s"$storePath/$p").toSeq, m.schema))
+    else Some(openDays(m.days.values.map(p => s"$storePath/$p").toSeq,
+      m.schema, m.buckets.isDefined))
   }
 
   /** Committed schema of the materialized state WITHOUT building a relation
@@ -228,14 +246,16 @@ final class MaterializedTable(
       loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
     }
     if (keep.isEmpty) None
-    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq, m.schema))
+    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq,
+      m.schema, m.buckets.isDefined))
   }
 
   private def readDays(days: Map[Long, String], subset: Set[Long],
-      schema: Option[org.apache.spark.sql.types.StructType]): Option[DataFrame] = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bucketed: Boolean): Option[DataFrame] = {
     val paths = days.filter(e => subset(e._1)).values.map(p => s"$storePath/$p").toSeq
     if (paths.isEmpty) None
-    else Some(openDays(paths, schema))
+    else Some(openDays(paths, schema, bucketed))
   }
 
   /** Ops snapshot for the `/metrics` surface: manifest generation, live day
@@ -373,7 +393,7 @@ final class MaterializedTable(
     // dims this batch lacks (heterogeneous per-point dims, insert.go routes
     // whatever arrives) — key the merge on the UNION of batch and stored
     // dims, treating the missing side as NULL, or those rows collapse.
-    val merged = readDays(dayMap, touched, prevSchema) match {
+    val merged = readDays(dayMap, touched, prevSchema, manifest.buckets.isDefined) match {
       case None => partialCached
       case Some(existing) =>
         val storedDimCols = existing.columns
@@ -407,21 +427,36 @@ final class MaterializedTable(
     // stats prune further WITHIN the one bucket a query opens.
     val withDay = retained
       .withColumn("__day", (unix_millis(col("_time")) / DayMs).cast("long"))
-    val pDims = config.partitionBy.filter(retained.columns.contains)
+    // The layout is sticky: once a store commits bucketed days, EVERY later
+    // flush buckets — even a batch whose points all lack the partition dim
+    // (heterogeneous per-point dims are supported input; insert.go routes
+    // whatever arrives). A missing bucket dim hashes as a NULL literal,
+    // exactly how a stored NULL dim value hashes (Murmur3 skips null
+    // children), so rows land deterministically and dim-equality pruning
+    // stays a correct superset. Dropping the layout for one batch would mix
+    // bucketed and unbucketed day roots and wedge partition discovery.
     val bucketed: Option[(Seq[String], Int)] =
-      if (pDims.isEmpty) None
-      else if (dayMap.isEmpty) Some((pDims,
-        Integer.getInteger("graft.bucketCount", MaterializedTable.BucketCount).intValue()))
-      else manifest.buckets
+      manifest.buckets.orElse(
+        if (dayMap.isEmpty && config.partitionBy.nonEmpty)
+          Some((config.partitionBy,
+            Integer.getInteger("graft.bucketCount", MaterializedTable.BucketCount).intValue()))
+        else None)
     val withBucket = bucketed match {
       case Some((ds, n)) =>
-        withDay.withColumn("__bucket", pmod(hash(ds.map(col): _*), lit(n)))
+        val hashCols = ds.map { d =>
+          if (retained.columns.contains(d)) col(d)
+          else lit(null).cast(
+            prevSchema.flatMap(_.fields.find(_.name == d)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType))
+        }
+        withDay.withColumn("__bucket", pmod(hash(hashCols: _*), lit(n)))
       case None => withDay
     }
     val partCols = Seq("__day") ++ bucketed.map(_ => "__bucket")
+    val sortDims = config.partitionBy.filter(retained.columns.contains)
     val toWrite0 = withBucket
       .repartition(partCols.map(col): _*)
-      .sortWithinPartitions((pDims :+ "_time").map(col): _*)
+      .sortWithinPartitions((sortDims :+ "_time").map(col): _*)
 
     val next = version + 1
     val commitRel = s"commits/$next"

@@ -639,26 +639,76 @@ class GraftDBSpec extends AnyFunSuite {
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/byserver/MANIFEST"))
     assert(manifest.contains("p=32\tserver"), manifest)
 
-    val eq = db.sql("SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server")
+    val eq = db.sql(
+      "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)")
     val plan = eq.queryExecution.executedPlan.toString
     assert(plan.contains("__bucket"), s"no bucket pruning in plan:\n${plan.take(1500)}")
+    assert(!eq.columns.contains("__bucket"), eq.columns.mkString(","))
     val eqRows = eq.collect()
     assert(eqRows.length == 1 && d(eqRows(0).getAs[Any]("requests")) == 7.0 + 70.0 + 700.0)
 
+    // without period() results come back at the TABLE's resolution
+    // (/root/reference/planner/local.go:140-142): one row per touched 5m
+    // bucket — the two days stay separate rows
+    val eqRes = db.sql(
+      "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server").collect()
+    assert(eqRes.length == 2 &&
+      eqRes.map(r => d(r.getAs[Any]("requests"))).sorted.sameElements(Array(77.0, 700.0)),
+      eqRes.mkString(";"))
+
     val in = db.sql(
-      "SELECT requests FROM byserver WHERE server IN ('srv7', 'srv9') GROUP BY server ORDER BY server")
+      "SELECT requests FROM byserver WHERE server IN ('srv7', 'srv9') " +
+        "GROUP BY server, period(30d) ORDER BY server")
       .collect()
     assert(in.length == 2)
     assert(d(in(0).getAs[Any]("requests")) == 777.0 && d(in(1).getAs[Any]("requests")) == 999.0)
 
     // unbounded WHERE shapes (OR across dims, LIKE) don't prune — and stay correct
     val like = db.sql(
-      "SELECT requests FROM byserver WHERE server LIKE 'srv1%' GROUP BY _").collect()
+      "SELECT requests FROM byserver WHERE server LIKE 'srv1%' GROUP BY _, period(30d)").collect()
+    assert(like.nonEmpty, {
+      val raw = db.sql("SELECT requests FROM byserver GROUP BY server, period(30d)").collect()
+      s"LIKE returned 0 rows; all=${raw.take(50).mkString(";")}"
+    })
     assert(d(like(0).getAs[Any]("requests")) ==
       (Seq(1) ++ (10 to 19)).map(i => i * 111.0).sum)
 
     // full scan unaffected
-    val all = db.sql("SELECT requests FROM byserver GROUP BY _").collect()
+    val all = db.sql("SELECT requests FROM byserver GROUP BY _, period(30d)").collect()
     assert(d(all(0).getAs[Any]("requests")) == (1 to 40).map(_ * 111.0).sum)
+
+    // the bucketed multi-generation multi-day store answers EXACTLY what an
+    // unbucketed twin answers — bucketing is placement, never semantics
+    val dir2 = Files.createTempDirectory("graft-flat").toString
+    val db2 = new GraftDB(spark,
+      """byserver:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin, dir2, () => T0 + 200000000)
+    Seq(batch(0, 1.0), batch(0, 10.0), batch(172800000L, 100.0))
+      .foreach(b => db2.insert("inbound", b))
+    def dump(g: GraftDB) = g.sql(
+      "SELECT requests, _points FROM byserver GROUP BY server")
+      .collect().map(r => (String.valueOf(r.getAs[Any]("server")),
+        r.getAs[java.sql.Timestamp]("_time").getTime,
+        d(r.getAs[Any]("requests")), d(r.getAs[Any]("_points"))))
+      .sortBy(t => (t._1, t._2))
+    assert(dump(db).sameElements(dump(db2)))
+
+    // a batch MISSING the partition dim that touches only a NEW day keeps
+    // the layout (the dim hashes as NULL, the manifest keeps its p= line) —
+    // heterogeneous per-point dims are supported input (insert.go routes
+    // whatever arrives); dropping the layout for one batch would mix
+    // bucketed and unbucketed day roots and wedge partition discovery
+    db.insert("inbound",
+      Seq((new java.sql.Timestamp(T0 + 4 * 86400000L), 3.0)).toDF("ts", "requests"))
+    val manifest2 = Files.readString(java.nio.file.Paths.get(s"$dir/byserver/MANIFEST"))
+    assert(manifest2.contains("p=32\tserver"), manifest2)
+    val all2 = db.sql("SELECT requests FROM byserver GROUP BY _, period(30d)").collect()
+    assert(d(all2(0).getAs[Any]("requests")) == (1 to 40).map(_ * 111.0).sum + 3.0)
+    // the null-dim row is invisible to dim-equality (still pruned + correct)
+    val eq2 = db.sql(
+      "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)").collect()
+    assert(eq2.length == 1 && d(eq2(0).getAs[Any]("requests")) == 777.0)
   }
 }
