@@ -187,27 +187,48 @@ final class MaterializedTable(
     * keep the mergeSchema fallback.
     *
     * Bucketed stores (day dirs holding `__bucket=k` subdirs) CANNOT go
-    * through one multi-path read: Spark's partition discovery walks up from
-    * the leaf files and, with several roots whose own names embed `__day=`,
-    * asserts a single common base and throws
-    * CONFLICTING_DIRECTORY_STRUCTURES. Each day dir is therefore its own
-    * relation, anchored with `basePath = <that day dir>` so discovery
-    * surfaces exactly `__bucket`, then the (retention-bounded) relations
-    * union by name. A `__bucket` partition filter pushes through the Union
-    * into every child scan, so directory-level pruning is preserved per day.
+    * through one naive multi-path read: Spark's partition discovery walks up
+    * from the leaf files and, with several roots whose own names embed
+    * `__day=`, asserts a single common base and throws
+    * CONFLICTING_DIRECTORY_STRUCTURES. Anchoring each DAY as its own
+    * relation fixes that but is O(days) in plan size — a 3,001-day store
+    * unions 3,001 FileSourceScans, ships multi-MiB task binaries and OOMs
+    * the driver. Instead the day dirs group by GENERATION: one relation per
+    * `commits/N` with `basePath = commits/N` and the (manifest-pruned) day
+    * dirs as the multi-path, so discovery surfaces `__day` and `__bucket`
+    * together from a single root. The union is bounded by generation count
+    * — GC-bounded, unlike day count which grows with retention — and in the
+    * common fully-compacted case the whole store is ONE relation. Day
+    * pruning stays path-level (only kept day dirs are listed); `__bucket`
+    * partition filters prune dirs inside the one relation. The discovered
+    * `__day` column is dropped right here so the rest of the engine never
+    * sees it (it is derived from `_time`; keying a merge on it would stop
+    * stored and fresh rows from collapsing).
     */
   private def openDays(paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       bucketed: Boolean): DataFrame = {
-    def one(ps: Seq[String], base: Option[String]): DataFrame = {
-      val r0 = schema match {
-        case Some(s) => spark.read.schema(s)
-        case None    => spark.read.option("mergeSchema", "true")
+    def one(ps: Seq[String], base: Option[String],
+        s: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      val r0 = s match {
+        case Some(st) => spark.read.schema(st)
+        case None     => spark.read.option("mergeSchema", "true")
       }
       base.fold(r0)(b => r0.option("basePath", b)).parquet(ps: _*)
     }
-    if (!bucketed) one(paths, None)
-    else paths.map(p => one(Seq(p), Some(p))).reduce(_ unionByName _)
+    if (!bucketed) one(paths, None, schema)
+    else {
+      // partition columns take their type from the user schema when listed
+      // there; add __day explicitly so discovery never has to guess
+      val withDay = schema.map(s =>
+        org.apache.spark.sql.types.StructType(s.fields :+
+          org.apache.spark.sql.types.StructField("__day",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+      paths.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+        .toSeq.sortBy(_._1)
+        .map { case (gen, days) => one(days, Some(gen), withDay).drop("__day") }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Current materialized state (all live day partitions), if any. */

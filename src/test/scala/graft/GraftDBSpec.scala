@@ -663,9 +663,13 @@ class GraftDBSpec extends AnyFunSuite {
     assert(in.length == 2)
     assert(d(in(0).getAs[Any]("requests")) == 777.0 && d(in(1).getAs[Any]("requests")) == 999.0)
 
-    // unbounded WHERE shapes (OR across dims, LIKE) don't prune — and stay correct
+    // unbounded WHERE shapes (OR across dims, LIKE) don't prune — and stay
+    // correct. graft LIKE is an UNANCHORED REGEX (goexpr parity,
+    // sql/sql_test.go:69: `LIKE '172.56.'`): 'srv1' matches srv1 and
+    // srv10..srv19 as a substring — NOT SQL wildcards ('srv1%' would mean
+    // a literal percent char and match nothing).
     val like = db.sql(
-      "SELECT requests FROM byserver WHERE server LIKE 'srv1%' GROUP BY _, period(30d)").collect()
+      "SELECT requests FROM byserver WHERE server LIKE 'srv1' GROUP BY _, period(30d)").collect()
     assert(like.nonEmpty, {
       val raw = db.sql("SELECT requests FROM byserver GROUP BY server, period(30d)").collect()
       s"LIKE returned 0 rows; all=${raw.take(50).mkString(";")}"
