@@ -128,6 +128,11 @@ object Bench {
       // footer reader class-load); the probe itself still re-lists and
       // scans inside the measured query
       spark.read.parquet(SparkEntry.gateIvfPath(sfDir)).limit(1).collect()
+      // pre-build the materialized partitionby gate store for the same
+      // reason: q_partitionby_store measures bucketed-store READ latency
+      // (per-generation relation + __bucket pruning), not the one-time
+      // ingest — gateStore is fingerprint-guarded, a no-op when fresh
+      SparkEntry.gateStore(spark, sfDir)
     }
 
     // ingest benchmark (the reference's only perf instrumentation is insert

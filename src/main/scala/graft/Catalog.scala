@@ -44,7 +44,16 @@ final case class TableDef(
       * Day dirs hold `__bucket=murmur3(dims)%count` subdirs; the planner
       * turns a dim-equality WHERE into directory-level partition pruning
       * (the reference's partitionby query routing, README.md:522-529). */
-    bucketSpec: Option[(Seq[String], Int)] = None) {
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    /** Committed column types (manifest schema) — lets the planner compute
+      * bucket ids for WHERE literals DRIVER-side without forcing the full
+      * relation (building one lists the whole store). */
+    dimTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+    /** Bucket-level scan: given (asofMs, untilMs, bucket ids), return a
+      * source opened over ONLY the `__day=d/__bucket=k` dirs the manifest
+      * says can hold matching rows — the listing itself is 1/N of the
+      * store, not just the scan. None = no bucket-level pruning. */
+    bucketPrune: Option[(Option[Long], Option[Long], Set[Int]) => DataFrame] = None) {
   lazy val df: DataFrame = dfFn()
 }
 

@@ -401,6 +401,27 @@ final class GraftDB(
     qs
   }
 
+  /** Conform a pruned read to the committed union schema: manifest-schema
+    * reads come back already conformed; a LEGACY store (no schema line) may
+    * serve pruned subsets predating a live ALTER — missing columns read as
+    * NULL (= unset). None (nothing overlaps the prune) serves an empty
+    * relation with the full schema.
+    */
+  private def conform(read: Option[org.apache.spark.sql.DataFrame],
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = read match {
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    case Some(p) =>
+      val have = p.columns.toSet
+      val aligned = schema.fields.foldLeft(p) { (acc, f) =>
+        if (have(f.name)) acc
+        else acc.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+      aligned.select(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Catalog of the materialized state, for the planner. Built from the
     * manifests' committed schemas ONLY — no relation is constructed and no
     * file listed here, so planning stays O(1) in store size; a query forces
@@ -423,23 +444,12 @@ final class GraftDB(
           resolution = t.query.resolution,
           retentionMillis = t.config.retentionMillis,
           stored = Some(Builders.StoredDef(t.tableFields)),
+          dimTypes = schema.fields.map(f => f.name -> f.dataType).toMap,
           timePrune = Some { (lo, hi) =>
-            t.readPruned(lo, hi) match {
-              case None => spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-              case Some(p) =>
-                // manifest-schema reads come back already conformed; a
-                // LEGACY store (no schema line) may serve pruned subsets
-                // predating a live ALTER — conform to the union schema
-                // (missing columns read as NULL = unset)
-                val have = p.columns.toSet
-                val aligned = schema.fields.foldLeft(p) { (acc, f) =>
-                  if (have(f.name)) acc
-                  else acc.withColumn(f.name,
-                    org.apache.spark.sql.functions.lit(null).cast(f.dataType))
-                }
-                aligned.select(cols.map(org.apache.spark.sql.functions.col): _*)
-            }
+            conform(t.readPruned(lo, hi), schema, cols)
+          },
+          bucketPrune = Some { (lo, hi, ks) =>
+            conform(t.readBuckets(lo, hi, ks), schema, cols)
           })
       }
     }

@@ -78,6 +78,51 @@ object SparkEntry {
   private val D90 = 90L * 86400000L
   private val W1 = 7L * 86400000L
 
+  /** Materialized partitionby store for the q_partitionby_store gate: the
+    * events fixture ingested into a `partitionby: [user_id]` bucketed table
+    * (flush writes `__day=d/__bucket=murmur3(user_id)%32` dirs; a
+    * `WHERE user_id = k` query prunes to 1/32 of the directories —
+    * reference README.md:522-529's cluster partition routing). Built once
+    * per fixture and reused: a fingerprint of the source parquet guards
+    * staleness, and Bench's warmup pre-builds so the measured query is
+    * read latency, not the one-time ingest. MIN/MAX/COUNT accumulators
+    * only: they merge exactly (order-free), so the DuckDB oracle on the
+    * raw rows agrees bit-for-bit where a float SUM's addend order would
+    * drift.
+    */
+  private val gateStoreYaml =
+    """ev:
+      |  partitionby: [user_id]
+      |  sql: >
+      |    SELECT MIN(value) AS mn, MAX(value) AS mx
+      |    FROM evs GROUP BY event_type, user_id, period(1h)
+      |""".stripMargin
+
+  private[graft] def gateStorePath(dir: String): String =
+    s"target/gate-pb/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  private val gateStoreLock = new Object
+  private[graft] def gateStore(s: SparkSession, dir: String): GraftDB =
+    gateStoreLock.synchronized {
+      val store = gateStorePath(dir)
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      val fp = s"fp=${java.nio.file.Files.size(src)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val fpPath = java.nio.file.Paths.get(store, "fingerprint.txt")
+      val fresh = java.nio.file.Files.exists(fpPath) &&
+        java.nio.file.Files.readString(fpPath).trim == fp
+      if (!fresh) {
+        GraftDB.deleteRecursively(java.nio.file.Paths.get(store))
+        val db = new GraftDB(s, gateStoreYaml, store, () => FixedNow)
+        // the Catalog read normalizes events.ts (parquet TIMESTAMP(NANOS)
+        // arrives as long via nanosAsLong) back to a real timestamp
+        db.insert("evs",
+          Catalog.fromParquetDir(s, dir, Seq("events")).get("events").df)
+        java.nio.file.Files.writeString(fpPath, fp)
+        db
+      } else new GraftDB(s, gateStoreYaml, store, () => FixedNow)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 SUM default + _points, §2.4 Group
@@ -94,10 +139,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // §2.2 WHERE grammar: LIKE (regex/substring), IN list, comparison
+    // graft LIKE is an UNANCHORED REGEX (goexpr parity, sql_test.go:69):
+    // 'ECO' matches ECONOMY as a substring. The pattern is deliberately
+    // discriminating — SQL-wildcard LIKE 'ECO' would match only the exact
+    // string and return 0 rows, so a semantics regression flips this gate.
     "q_where_like_in" -> gq(
       """SELECT SUM(p_retailprice * 100) / 100 AS sum_price, _points
         |FROM part
-        |WHERE p_type LIKE 'BRASS' AND p_size IN (5, 10, 15, 20, 25, 30)
+        |WHERE p_type LIKE 'ECO' AND p_size IN (5, 10, 15, 20, 25, 30)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
     // §2.3 IF conditional aggregation
@@ -247,6 +296,19 @@ object SparkEntry {
       """SELECT MIN(value) AS mn, MAX(value) AS mx, _points
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // §2.8 partitionby: dim-equality query against a MATERIALIZED bucketed
+    // store (built from the events fixture; see gateStore). Exercises the
+    // whole stored path — flush layout, manifest, per-generation read,
+    // __bucket directory pruning, stored-accumulator re-aggregation —
+    // against the DuckDB oracle on the same raw rows.
+    "q_partitionby_store" -> { (s, dir) =>
+      gateStore(s, dir)
+        .sql("""SELECT mn, mx, _points FROM ev WHERE user_id = 7
+                |GROUP BY event_type, period('1d')
+                |ORDER BY _time, event_type""".stripMargin)
+        .withColumn("_time", unix_millis(col("_time")))
+    },
+
     // §2.3 LN/LOG2/LOG10 at read time
     "q_math" -> gq(
       """SELECT LN(l_quantity) AS l1, LOG2(l_quantity) AS l2,
@@ -313,10 +375,11 @@ object SparkEntry {
         |  l_quantity * 2 AS dbl
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
-    // §2.2 NOT LIKE / NOT / IS NOT NULL
+    // §2.2 NOT LIKE / NOT / IS NOT NULL — 'ECO' actually excludes ECONOMY
+    // rows (regex-substring semantics), so the NOT LIKE leg is load-bearing
     "q_where_not" -> gq(
       """SELECT _points FROM part
-        |WHERE p_type NOT LIKE 'BRASS' AND NOT (p_size > 40)
+        |WHERE p_type NOT LIKE 'ECO' AND NOT (p_size > 40)
         |  AND p_brand IS NOT NULL
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
@@ -549,11 +612,12 @@ object SparkEntry {
         |  CAST(count(l_quantity) AS DOUBLE) AS cnt, avg(l_quantity) AS av
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // oracle spells graft's regex-LIKE as regexp_matches (unanchored search)
     "q_where_like_in" ->
       """SELECT p_brand, sum(p_retailprice * 100) / 100 AS sum_price,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM part
-        |WHERE p_type LIKE '%BRASS%' AND p_size IN (5, 10, 15, 20, 25, 30)
+        |WHERE regexp_matches(p_type, 'ECO') AND p_size IN (5, 10, 15, 20, 25, 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_if" ->
@@ -746,6 +810,14 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_partitionby_store" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS _time,
+        |  min(value) AS mn, max(value) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1, 2 ORDER BY _time, event_type""".stripMargin,
+
     "q_math" ->
       """SELECT l_returnflag,
         |  ln(sum(l_quantity)) AS l1,
@@ -800,7 +872,7 @@ object SparkEntry {
     "q_where_not" ->
       """SELECT p_brand, CAST(count(*) AS DOUBLE) AS "_points"
         |FROM part
-        |WHERE p_type NOT LIKE '%BRASS%' AND NOT (p_size > 40)
+        |WHERE NOT regexp_matches(p_type, 'ECO') AND NOT (p_size > 40)
         |  AND p_brand IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -57,10 +57,21 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     val loMs = q.asOf.map(pointMs)
     val hiMs = q.until.map(pointMs)
 
-    var base = src.timePrune match {
+    // partitionby routing at the STORAGE layer (README.md:522-529): when the
+    // WHERE pins every bucket dim, compute the bucket ids driver-side and
+    // open a relation over only the matching `__day=d/__bucket=k` dirs — the
+    // LISTING is 1/N of the store, where post-listing partition pruning
+    // would still walk every directory (O(store) metadata at 3,001 days).
+    val bucketSwap: Option[DataFrame] = for {
+      w <- q.where
+      prune <- src.bucketPrune
+      ids <- bucketIds(src, w)
+    } yield prune(loMs, hiMs, ids)
+
+    var base = bucketSwap.getOrElse(src.timePrune match {
       case Some(prune) if loMs.isDefined || hiMs.isDefined => prune(loMs, hiMs)
       case _ => src.df
-    }
+    })
 
     // Unknown dims resolve to NULL rather than erroring (the reference keys
     // missing dims as nil, planner_test.go "unknown dims" scenarios).
@@ -596,36 +607,71 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     * stored column types so it folds to the same murmur3 the flush wrote.
     * Anything unbounded — a dim under OR/NOT, ranges, LIKE — skips pruning.
     */
-  private def bucketPredicate(src: TableDef, w: DExpr,
-      schema: org.apache.spark.sql.types.StructType): Option[Column] =
-    src.bucketSpec.filter(_ => schema.fieldNames.contains("__bucket"))
-      .flatMap { case (bDims, n) =>
-        def conjuncts(e: DExpr): Seq[DExpr] = e match {
-          case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-          case x          => Seq(x)
-        }
-        val cs = conjuncts(w)
-        val candidates: Seq[Option[Seq[Any]]] = bDims.map { d =>
-          cs.collectFirst {
-            case DCmp("=", DCol(`d`), DConst(v)) if v != null => Seq(v)
-            case DCmp("=", DConst(v), DCol(`d`)) if v != null => Seq(v)
-            case DIn(DCol(`d`), vs, false) if vs.nonEmpty && !vs.contains(null) => vs
-          }
-        }
-        val types = bDims.map(d => schema.fields.find(_.name == d).map(_.dataType))
-        if (candidates.exists(_.isEmpty) || types.exists(_.isEmpty)) None
-        else {
-          val combos = candidates.map(_.get)
-            .foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
-              for (a <- acc; v <- vs) yield a :+ v)
-          if (combos.size > Planner.MaxBucketCombos) None
-          else Some(col("__bucket").isin(combos.map { vals =>
-            pmod(hash(vals.zip(types.map(_.get)).map {
-              case (v, t) => lit(v).cast(t)
-            }: _*), lit(n))
-          }: _*))
+  /** Bounded per-dim candidate combos from the WHERE's top-level AND
+    * conjuncts (`d = v` / `d IN (...)` pinning EVERY bucket dim). None for
+    * anything unbounded — a dim under OR/NOT, ranges, LIKE.
+    */
+  private def bucketCombos(src: TableDef, w: DExpr): Option[(Seq[Seq[Any]], Int)] =
+    src.bucketSpec.flatMap { case (bDims, n) =>
+      def conjuncts(e: DExpr): Seq[DExpr] = e match {
+        case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x          => Seq(x)
+      }
+      val cs = conjuncts(w)
+      val candidates: Seq[Option[Seq[Any]]] = bDims.map { d =>
+        cs.collectFirst {
+          case DCmp("=", DCol(`d`), DConst(v)) if v != null => Seq(v)
+          case DCmp("=", DConst(v), DCol(`d`)) if v != null => Seq(v)
+          case DIn(DCol(`d`), vs, false) if vs.nonEmpty && !vs.contains(null) => vs
         }
       }
+      if (candidates.exists(_.isEmpty)) None
+      else {
+        val combos = candidates.map(_.get)
+          .foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+            for (a <- acc; v <- vs) yield a :+ v)
+        if (combos.size > Planner.MaxBucketCombos) None else Some((combos, n))
+      }
+    }
+
+  /** The concrete bucket ids a bounded WHERE can touch, computed DRIVER-side
+    * with the committed column types — the same `pmod(murmur3(cast(v)), n)`
+    * the flush wrote, evaluated on the literals via Catalyst (functions.hash
+    * is Murmur3Hash seed 42). Lets the planner swap in a bucket-pruned
+    * relation BEFORE the full store relation (and its full listing) is ever
+    * forced.
+    */
+  private def bucketIds(src: TableDef, w: DExpr): Option[Set[Int]] =
+    bucketCombos(src, w).flatMap { case (combos, n) =>
+      val bDims = src.bucketSpec.get._1
+      val types = bDims.map(src.dimTypes.get)
+      if (types.exists(_.isEmpty)) None
+      else scala.util.Try {
+        combos.map { vals =>
+          val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            vals.zip(types.map(_.get)).map { case (v, t) =>
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(v), t,
+                Some("UTC"))
+            }, 42).eval(null).asInstanceOf[Int]
+          ((h % n) + n) % n
+        }.toSet
+      }.toOption
+    }
+
+  private def bucketPredicate(src: TableDef, w: DExpr,
+      schema: org.apache.spark.sql.types.StructType): Option[Column] =
+    if (!schema.fieldNames.contains("__bucket")) None
+    else bucketCombos(src, w).flatMap { case (combos, n) =>
+      val bDims = src.bucketSpec.get._1
+      val types = bDims.map(d => schema.fields.find(_.name == d).map(_.dataType))
+      if (types.exists(_.isEmpty)) None
+      else Some(col("__bucket").isin(combos.map { vals =>
+        pmod(hash(vals.zip(types.map(_.get)).map {
+          case (v, t) => lit(v).cast(t)
+        }: _*), lit(n))
+      }: _*))
+    }
 
   /** The reference executes ANY IN-subquery by running it first and testing
     * membership over the collected dim values

@@ -224,11 +224,40 @@ final class MaterializedTable(
         org.apache.spark.sql.types.StructType(s.fields :+
           org.apache.spark.sql.types.StructField("__day",
             org.apache.spark.sql.types.LongType, nullable = true)))
-      paths.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      // generation root = everything before "/__day=" — works whether the
+      // leaf paths are day dirs or `__day=d/__bucket=k` bucket dirs
+      paths.groupBy(p => p.substring(0, p.indexOf("/__day=")))
         .toSeq.sortBy(_._1)
         .map { case (gen, days) => one(days, Some(gen), withDay).drop("__day") }
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  /** Bucket-level pruned read: opens ONLY the `__day=d/__bucket=k` dirs for
+    * days overlapping [loMs, hiMs) and buckets in `buckets`. The path set is
+    * CONSTRUCTED from the manifest, not discovered, so the file listing a
+    * dim-equality query pays is 1/N of the store — partition pruning after a
+    * full listing still walks every directory, which at 3,001 days × 32
+    * buckets is the dominant query cost. Dirs the manifest's day holds no
+    * rows for simply don't exist; a cheap driver-side existence check drops
+    * them (O(kept days × |buckets|) stats, no file listing). Returns None
+    * when nothing matches (caller serves an empty relation), or when the
+    * store isn't bucketed (caller should use readPruned).
+    */
+  def readBuckets(loMs: Option[Long], hiMs: Option[Long],
+      buckets: Set[Int]): Option[DataFrame] = {
+    val m = readManifest()
+    if (m.buckets.isEmpty) return None
+    val keep = m.days.filter { case (d, _) =>
+      loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
+    }
+    val paths = for {
+      p <- keep.values.toSeq
+      k <- buckets.toSeq.sorted
+      full = s"$storePath/$p/__bucket=$k"
+      if Files.isDirectory(Paths.get(full))
+    } yield full
+    if (paths.isEmpty) None else Some(openDays(paths, m.schema, bucketed = true))
   }
 
   /** Current materialized state (all live day partitions), if any. */

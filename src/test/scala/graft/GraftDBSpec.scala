@@ -644,6 +644,20 @@ class GraftDBSpec extends AnyFunSuite {
     val plan = eq.queryExecution.executedPlan.toString
     assert(plan.contains("__bucket"), s"no bucket pruning in plan:\n${plan.take(1500)}")
     assert(!eq.columns.contains("__bucket"), eq.columns.mkString(","))
+    // the pruning is at the LISTING, not just the partition filter: the
+    // planner computes the bucket id driver-side and the scan's root paths
+    // are the constructed `__day=d/__bucket=k` dirs — the relation never
+    // lists the other 31/32 of the store
+    val roots = eq.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("/__bucket=")),
+      s"scan roots not bucket-level: ${roots.take(5).mkString(";")}")
     val eqRows = eq.collect()
     assert(eqRows.length == 1 && d(eqRows(0).getAs[Any]("requests")) == 7.0 + 70.0 + 700.0)
 
