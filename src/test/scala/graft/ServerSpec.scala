@@ -375,8 +375,12 @@ class ServerSpec extends AnyFunSuite {
       import spark.implicits._
       val dir = Files.createTempDirectory("graft-x-soak").toString
       val ckpt = Files.createTempDirectory("graft-x-soak-ckpt").toString
+      // partitionby (r10): the soak's generation swaps + GC + ALTER now run
+      // against the BUCKETED layout — the per-generation basePath read and
+      // the listing-level bucket pruning must stay untorn across a swap
       val yaml =
         """combined:
+          |  partitionby: [server]
           |  sql: >
           |    SELECT requests FROM inbound GROUP BY *, period(5m)
           |""".stripMargin
@@ -409,6 +413,7 @@ class ServerSpec extends AnyFunSuite {
         val readErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
         val totals = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
         @volatile var stopReaders = false
+        val dimTotals = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
         val reader = new Thread(() => {
           while (!stopReaders) {
             try {
@@ -416,6 +421,16 @@ class ServerSpec extends AnyFunSuite {
                 "SELECT requests FROM combined GROUP BY _, period('10d')").collect()
               if (rows.nonEmpty) rows(0).getAs[Any]("requests") match {
                 case dd: java.lang.Double => totals.add(dd.doubleValue)
+                case _ => ()
+              }
+              // dim-equality rides the bucket-pruned path (driver-computed
+              // bucket id → constructed __day/__bucket dirs): a generation
+              // swapped under it must not tear the pruned listing either
+              val dimRows = db.sql(
+                "SELECT requests FROM combined WHERE server = 'emb0' " +
+                  "GROUP BY _, period('10d')").collect()
+              if (dimRows.nonEmpty) dimRows(0).getAs[Any]("requests") match {
+                case dd: java.lang.Double => dimTotals.add(dd.doubleValue)
                 case _ => ()
               }
             } catch {
@@ -468,6 +483,9 @@ class ServerSpec extends AnyFunSuite {
           readErrs.toArray.take(2).map(String.valueOf).mkString("; ").take(800))
         val seen = totals.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
         assert(seen.sameElements(seen.sorted), "reader saw a regressing total")
+        val dimSeen = dimTotals.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+        assert(dimSeen.sameElements(dimSeen.sorted),
+          "dim-equality reader saw a regressing total across a generation swap")
 
         // exactly-once: every point carried requests=1.0, so the drained
         // total is exactly the number of points either path delivered
@@ -499,6 +517,18 @@ class ServerSpec extends AnyFunSuite {
         val commitDirs = java.nio.file.Files.list(
           java.nio.file.Paths.get(s"$dir/combined/commits")).count()
         assert(commitDirs <= 3, s"commits dir not bounded: $commitDirs dirs")
+        // the bucket layout survived ALTER + GC + every generation swap,
+        // and the dim-equality path still answers exactly on the GC'd store
+        val manifest = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/combined/MANIFEST"))
+        assert(manifest.contains("p=32\tserver"), manifest.take(300))
+        val dimFin = db.sql(
+          "SELECT requests FROM combined WHERE server = 'emb0' " +
+            "GROUP BY _, period('10d')").collect()
+        assert(dimFin.length == 1 &&
+          dimFin(0).getAs[Any]("requests").asInstanceOf[Double] ==
+            (embeddedBatches / 2).toDouble,
+          dimFin.mkString(";"))
       } finally srv.stop()
     } finally System.clearProperty("graft.commitGcGraceMillis")
   }
