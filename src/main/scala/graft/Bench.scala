@@ -133,6 +133,9 @@ object Bench {
       // (per-generation relation + __bucket pruning), not the one-time
       // ingest — gateStore is fingerprint-guarded, a no-op when fresh
       SparkEntry.gateStore(spark, sfDir)
+      // and its compacted twin (fragment-then-compact() build): the gate
+      // measures the post-compaction read path, not the rewrite
+      SparkEntry.gateCompactStore(spark, sfDir)
     }
 
     // ingest benchmark (the reference's only perf instrumentation is insert

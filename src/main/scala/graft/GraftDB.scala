@@ -61,6 +61,17 @@ final class GraftDB(
   /** stream name -> tables fed by it. */
   def tables: Map[String, MaterializedTable] = tableMap
 
+  /** Fully consolidate a table's commit generations into one (explicit
+    * maintenance — flushes already auto-compact incrementally; see
+    * [[graft.streaming.MaterializedTable.compact]]). Returns day dirs
+    * rewritten.
+    */
+  def compact(table: String): Int = {
+    val t = tableMap.getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(s"no table '$table'"))
+    t.compact(full = true)
+  }
+
   /** Apply a new schema text to the RUNNING database — the reference's live
     * schema Alter (/root/reference/schema.go:16-55, zenodb_test.go:175-190):
     * existing tables are re-pointed at their new definition in place (store

@@ -123,6 +123,38 @@ object SparkEntry {
       } else new GraftDB(s, gateStoreYaml, store, () => FixedNow)
     }
 
+  /** Compacted-store twin of [[gateStore]] for the q_compacted_store gate:
+    * the events fixture ingested as THREE merges touching disjoint day sets
+    * (day mod 3), leaving the store fragmented across three commit
+    * generations — the shape a long-lived store converges on as its days
+    * quiesce under different flushes — then consolidated with compact().
+    * The gate proves the rewrite preserves results bit-for-bit against the
+    * DuckDB oracle on the raw rows, through the same bucket-pruned
+    * dim-equality read path production queries use.
+    */
+  private[graft] def gateCompactStore(s: SparkSession, dir: String): GraftDB =
+    gateStoreLock.synchronized {
+      val store = s"target/gate-compact/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      val fp = s"fp=${java.nio.file.Files.size(src)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val fpPath = java.nio.file.Paths.get(store, "fingerprint.txt")
+      val fresh = java.nio.file.Files.exists(fpPath) &&
+        java.nio.file.Files.readString(fpPath).trim == fp
+      if (!fresh) {
+        GraftDB.deleteRecursively(java.nio.file.Paths.get(store))
+        val db = new GraftDB(s, gateStoreYaml, store, () => FixedNow)
+        val evs = Catalog.fromParquetDir(s, dir, Seq("events")).get("events").df
+        (0 until 3).foreach { k =>
+          db.insert("evs", evs.filter(
+            pmod(floor(unix_millis(col("ts")) / 86400000L), lit(3)) === k))
+        }
+        db.compact("ev")
+        java.nio.file.Files.writeString(fpPath, fp)
+        db
+      } else new GraftDB(s, gateStoreYaml, store, () => FixedNow)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 SUM default + _points, §2.4 Group
@@ -304,6 +336,18 @@ object SparkEntry {
     "q_partitionby_store" -> { (s, dir) =>
       gateStore(s, dir)
         .sql("""SELECT mn, mx, _points FROM ev WHERE user_id = 7
+                |GROUP BY event_type, period('1d')
+                |ORDER BY _time, event_type""".stripMargin)
+        .withColumn("_time", unix_millis(col("_time")))
+    },
+
+    // §2.1 generation compaction: the same dim-equality query against a
+    // store deliberately FRAGMENTED across three commit generations
+    // (disjoint day-set merges) and then compact()ed — the consolidation
+    // rewrite must be invisible to results (see gateCompactStore)
+    "q_compacted_store" -> { (s, dir) =>
+      gateCompactStore(s, dir)
+        .sql("""SELECT mn, mx, _points FROM ev WHERE user_id = 3
                 |GROUP BY event_type, period('1d')
                 |ORDER BY _time, event_type""".stripMargin)
         .withColumn("_time", unix_millis(col("_time")))
@@ -816,6 +860,14 @@ object SparkEntry {
         |  min(value) AS mn, max(value) AS mx,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM events WHERE user_id = 7
+        |GROUP BY 1, 2 ORDER BY _time, event_type""".stripMargin,
+
+    "q_compacted_store" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS _time,
+        |  min(value) AS mn, max(value) AS mx,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM events WHERE user_id = 3
         |GROUP BY 1, 2 ORDER BY _time, event_type""".stripMargin,
 
     "q_math" ->

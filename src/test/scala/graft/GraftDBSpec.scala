@@ -729,4 +729,103 @@ class GraftDBSpec extends AnyFunSuite {
       "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)").collect()
     assert(eq2.length == 1 && d(eq2(0).getAs[Any]("requests")) == 777.0)
   }
+
+  test("compaction: fragmented generations consolidate; results, bucket pruning and GC unchanged") {
+    // flush rewrites only touched days, so a store whose days quiesce under
+    // different flushes converges on ~one live generation PER DAY — and the
+    // bucketed read is one relation per generation, i.e. back to the
+    // O(days) plan the per-generation read exists to prevent. Compaction is
+    // what bounds it (the reference never fragments because it rewrites the
+    // ENTIRE filestore on every flush — row_store.go:424-530; compaction is
+    // the amortized price of our O(touched-days) flush).
+    val yaml =
+      """byserver:
+        |  partitionby: [server]
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    import spark.implicits._
+    def batch(day: Int) = (1 to 10).map(i =>
+      (new java.sql.Timestamp(T0 + day * 86400000L + i * 1000L), s"srv$i", (day + 1.0) * i))
+      .toDF("ts", "server", "requests")
+    def gens(dir: String): Set[Long] =
+      Files.readString(java.nio.file.Paths.get(s"$dir/byserver/MANIFEST"))
+        .split("\n").filter(_.contains("\tcommits/"))
+        .map(_.split("\t")(1).split("/")(1).toLong).toSet
+    val expectTotal = (0 until 6).flatMap(day => (1 to 10).map(i => (day + 1.0) * i)).sum
+    val expectSrv7 = (0 until 6).map(day => (day + 1.0) * 7).sum
+
+    // ---- explicit compact(): 6 quiesced days = 6 generations -> 1 ----
+    System.setProperty("graft.compact.auto", "false")
+    try {
+      val dir = Files.createTempDirectory("graft-compact").toString
+      val db = new GraftDB(spark, yaml, dir, () => T0 + 10 * 86400000L)
+      (0 until 6).foreach(day => db.insert("inbound", batch(day)))
+      assert(gens(dir).size == 6, s"expected 6 fragmented gens, got ${gens(dir)}")
+
+      def dimEq = db.sql(
+        "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)")
+      def tot(rows: Array[Row]) = rows.map(r => d(r.getAs[Any]("requests"))).sum
+      val before = tot(dimEq.collect())
+      assert(before == expectSrv7)
+
+      assert(db.compact("byserver") == 6)
+      assert(gens(dir).size == 1, s"compact left gens ${gens(dir)}")
+      // one generation => the whole bucketed store plans as ONE relation
+      val full = db.sql("SELECT requests FROM byserver GROUP BY _, period(30d)")
+      val rels = full.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rels.size == 1, s"compacted store still plans ${rels.size} relations")
+      assert(tot(full.collect()) == expectTotal)
+      // dim-equality still prunes at the listing (constructed __bucket dirs)
+      val roots = dimEq.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(roots.nonEmpty && roots.forall(_.contains("/__bucket=")),
+        s"post-compact scan roots not bucket-level: ${roots.take(5).mkString(";")}")
+      assert(tot(dimEq.collect()) == before)
+      // compact again: already consolidated, a no-op
+      assert(db.compact("byserver") == 0)
+
+      // superseded generations carry GC stamps and die after the grace
+      // window (another flush runs the GC pass)
+      System.setProperty("graft.commitGcGraceMillis", "0")
+      try {
+        Thread.sleep(5)
+        db.insert("inbound", batch(7))
+        val live = gens(dir)
+        val onDisk = {
+          val st = Files.list(java.nio.file.Paths.get(s"$dir/byserver/commits"))
+          try {
+            val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val it = st.iterator()
+            while (it.hasNext) b += it.next().getFileName.toString.toLong
+            b.toSet
+          } finally st.close()
+        }
+        assert(onDisk == live, s"GC left superseded gens: disk=$onDisk live=$live")
+      } finally System.clearProperty("graft.commitGcGraceMillis")
+    } finally System.clearProperty("graft.compact.auto")
+
+    // ---- auto-compaction keeps generation count bounded as days quiesce ----
+    System.setProperty("graft.compact.maxGenerations", "3")
+    try {
+      val dir = Files.createTempDirectory("graft-autocompact").toString
+      val db = new GraftDB(spark, yaml, dir, () => T0 + 10 * 86400000L)
+      (0 until 6).foreach(day => db.insert("inbound", batch(day)))
+      assert(gens(dir).size <= 3,
+        s"auto-compact did not bound gens: ${gens(dir)}")
+      val total = db.sql("SELECT requests FROM byserver GROUP BY _, period(30d)").collect()
+      assert(total.map(r => d(r.getAs[Any]("requests"))).sum == expectTotal)
+      val eq = db.sql(
+        "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)").collect()
+      assert(eq.map(r => d(r.getAs[Any]("requests"))).sum == expectSrv7)
+    } finally System.clearProperty("graft.compact.maxGenerations")
+  }
 }
