@@ -91,6 +91,10 @@ object Catalog {
       f.dataType match {
         case TimestampNTZType =>
           df = df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case DateType =>
+          // DATE-typed time columns (common in real parquet) participate in
+          // period()/ASOF like timestamps — midnight UTC of the day
+          df = df.withColumn(f.name, col(f.name).cast(TimestampType))
         case LongType if f.name == "ts" =>
           // integer `div`: epoch nanos exceed double's exact range
           df = df.withColumn(f.name,

@@ -55,7 +55,11 @@ object DialectStress {
         val ord = spark.read.parquet(s"$sfDir/orders.parquet")
         dup(ord, Map(
           "o_orderkey" -> (c => c + col("__copy") * 100000000L),
-          "o_orderdate" -> (c => date_add(c, (col("__copy") * 3000).cast("int")))))
+          // keep the column TIMESTAMP: date_add returns DATE, and a stored
+          // DATE column would exercise classify's date-cast path instead of
+          // the real fixture's timestamp shape
+          "o_orderdate" -> (c =>
+            date_add(c, (col("__copy") * 3000).cast("int")).cast("timestamp"))))
           .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
         val part = spark.read.parquet(s"$sfDir/part.parquet")
         dup(part, Map(

@@ -591,4 +591,24 @@ class EngineSpec extends AnyFunSuite {
     // +4,+5s land in two distinct 4s buckets (uncapped 1h would give one)
     assert(times.length == 2, times.toSeq.toString)
   }
+
+  test("DATE-typed time columns participate in period()/ASOF as midnight UTC") {
+    // real-world parquet often carries DATE (e.g. an orderdate); classify
+    // promotes it to the table's time column instead of rejecting period()
+    val sch = StructType(Seq(
+      StructField("d", DateType), StructField("v", DoubleType)))
+    val day = 86400000L
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Date(T0 - (T0 % day)), Double.box(1.0)),
+      Row(new java.sql.Date(T0 - (T0 % day) + day), Double.box(2.0)),
+      Row(new java.sql.Date(T0 - (T0 % day) + day), Double.box(4.0))), 1), sch)
+    val cat = new Catalog(Map("bydate" -> Catalog.classify("bydate", df)))
+    assert(cat.get("bydate").timeCol.contains("d"))
+    val rows = Engine.sql(cat,
+      "SELECT v FROM bydate GROUP BY _, period('1d') ORDER BY _time",
+      () => T0 + 3 * day).collect()
+    assert(rows.length == 2)
+    assert(approx(d(rows(0).getAs[Any]("v")), 1.0))
+    assert(approx(d(rows(1).getAs[Any]("v")), 6.0))
+  }
 }

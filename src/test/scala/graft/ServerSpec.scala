@@ -464,7 +464,9 @@ class ServerSpec extends AnyFunSuite {
           } catch { case e: Throwable => insErrs.add(e) }
         })
         feeders.foreach(_.start())
-        Thread.sleep(1500) // mid-run: widen the schema while everything runs
+        Thread.sleep(1000) // mid-run: consolidate generations under readers
+        db.compact("combined") // same swap+grace-GC mechanism as a flush
+        Thread.sleep(500) // mid-run: widen the schema while everything runs
         db.alter(
           """combined:
             |  sql: >
