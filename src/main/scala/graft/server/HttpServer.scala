@@ -113,6 +113,19 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     server.createContext("/metrics", (ex: HttpExchange) => handle(ex) {
       metricsJson()
     })
+    // ops maintenance: POST /compact/{table} forces full generation
+    // consolidation (flushes already auto-compact incrementally; an
+    // operator reaches for this before e.g. bulk-exporting a store or
+    // after restoring one built elsewhere). Runs on the handler thread —
+    // it is a Spark job; the JDK server's default executor serializes
+    // handlers, which is the right pressure valve for a control plane.
+    server.createContext("/compact/", (ex: HttpExchange) => handle(ex) {
+      require(ex.getRequestMethod == "POST", "POST required")
+      val table = ex.getRequestURI.getPath.stripPrefix("/compact/")
+        .stripSuffix("/")
+      val rewritten = db.compact(table)
+      s"""{"table":${jsonStr(table)},"day_dirs_rewritten":$rewritten}"""
+    })
     server.start()
     server.getAddress.getPort
   }

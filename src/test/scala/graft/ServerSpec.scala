@@ -96,6 +96,33 @@ class ServerSpec extends AnyFunSuite {
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("\"error\""))
 
+      // ops compaction: POST /compact/{table} consolidates generations
+      // (two inserts above → >1 gen) and queries answer unchanged after
+      val comp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/compact/combined"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(comp.statusCode() == 200, comp.body())
+      assert(comp.body().contains("\"day_dirs_rewritten\""), comp.body())
+      val run3 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/run?sql=$sql"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(run3.body().contains("\"requests\":68.0"), run3.body())
+      // GET is rejected — compaction is a mutation
+      val compGet = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/compact/combined"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(compGet.statusCode() == 400, compGet.body())
+      // unknown table → structured 400, not a handler crash
+      val compBad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/compact/nosuch"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(compBad.statusCode() == 400 && compBad.body().contains("\"error\""),
+        compBad.body())
+
       // async + cached permalink (web/handler.go:117-124, web/cache.go):
       // /async returns a permalink immediately; /cached/{permalink} polls it
       def get(path: String) = client.send(
