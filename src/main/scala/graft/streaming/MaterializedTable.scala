@@ -649,7 +649,23 @@ final class MaterializedTable(
         val target = math.ceil(m.days.size.toDouble / maxGens)
         val small = byGen.filter(_._2.size < target)
         if (small.size < 2) return 0
-        small.values.flatten.toSet
+        // bounded per-pass rewrite: auto-compaction runs inside the flush
+        // lock, so merging EVERY small generation at once would stall a
+        // streaming micro-batch for the whole rewrite (minutes at 100 TB).
+        // Take the smallest generations first — most plan-size reduction
+        // per byte rewritten — up to a day budget, always ≥2 so each pass
+        // reduces the generation count; successive flushes converge the
+        // rest. Explicit compact(full=true) remains unbounded.
+        val budget = Integer.getInteger("graft.compact.maxDaysPerPass",
+          MaterializedTable.MaxCompactDaysPerPass).intValue()
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var days = 0
+        small.toSeq.sortBy(_._2.size).foreach { case (_, ds) =>
+          if (picked.size < 2 || days + ds.size <= budget) {
+            picked += ds; days += ds.size
+          }
+        }
+        picked.flatten.toSet
       }
     val read = readDays(m.days, victims, m.schema, m.buckets.isDefined)
     if (read.isEmpty) return 0
@@ -764,6 +780,13 @@ object MaterializedTable {
     * store's whole life, at O(log days) lifetime rewrites per day.
     */
   val MaxGenerations: Int = 32
+
+  /** Day-dir budget per auto-compaction pass (`-Dgraft.compact.maxDaysPerPass=`
+    * overrides). Bounds the post-flush latency spike: a pass rewrites at
+    * most this many day dirs (always ≥2 generations so the count shrinks),
+    * and later flushes converge the rest.
+    */
+  val MaxCompactDaysPerPass: Int = 128
 
   private[streaming] def autoCompact: Boolean =
     java.lang.Boolean.parseBoolean(System.getProperty("graft.compact.auto", "true"))

@@ -814,7 +814,11 @@ class GraftDBSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.compact.auto")
 
     // ---- auto-compaction keeps generation count bounded as days quiesce ----
+    // maxDaysPerPass=2 also exercises the bounded-pass path: each pass may
+    // rewrite at most 2 day dirs (the post-flush latency cap), yet the
+    // generation count still converges under the bound across flushes
     System.setProperty("graft.compact.maxGenerations", "3")
+    System.setProperty("graft.compact.maxDaysPerPass", "2")
     try {
       val dir = Files.createTempDirectory("graft-autocompact").toString
       val db = new GraftDB(spark, yaml, dir, () => T0 + 10 * 86400000L)
@@ -826,6 +830,9 @@ class GraftDBSpec extends AnyFunSuite {
       val eq = db.sql(
         "SELECT requests FROM byserver WHERE server = 'srv7' GROUP BY server, period(30d)").collect()
       assert(eq.map(r => d(r.getAs[Any]("requests"))).sum == expectSrv7)
-    } finally System.clearProperty("graft.compact.maxGenerations")
+    } finally {
+      System.clearProperty("graft.compact.maxGenerations")
+      System.clearProperty("graft.compact.maxDaysPerPass")
+    }
   }
 }
