@@ -835,4 +835,68 @@ class GraftDBSpec extends AnyFunSuite {
       System.clearProperty("graft.compact.maxDaysPerPass")
     }
   }
+
+  test("seeded store-op fuzz: random insert/compact schedules match a single-batch twin") {
+    // differential guard over the manifest machinery: any interleaving of
+    // day-scattered merges, auto-compaction passes (aggressive thresholds)
+    // and explicit compact() calls must leave a store that answers exactly
+    // like a twin built from ONE insert of the same rows. Catches day-map /
+    // generation / bucket-layout bookkeeping bugs the fixed scenarios miss.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    def runTrial(trial: Int, bucketed: Boolean): Unit = {
+      val yaml =
+        (if (bucketed)
+          """t:
+            |  partitionby: [server]
+            |  sql: >
+            |    SELECT requests FROM s GROUP BY *, period(5m)
+            |""".stripMargin
+        else
+          """t:
+            |  sql: >
+            |    SELECT requests FROM s GROUP BY *, period(5m)
+            |""".stripMargin)
+      val dir = Files.createTempDirectory(s"graft-opfuzz$trial").toString
+      val twinDir = Files.createTempDirectory(s"graft-opfuzz$trial-twin").toString
+      val db = new GraftDB(spark, yaml, dir, () => T0 + 50 * 86400000L)
+      val twin = new GraftDB(spark, yaml, twinDir, () => T0 + 50 * 86400000L)
+      val all = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String, Double)]
+      (0 until 8).foreach { _ =>
+        if (all.nonEmpty && rnd.nextInt(4) == 0) db.compact("t")
+        else {
+          // integer-valued requests: double sums stay exact regardless of
+          // merge order, so the compare below can be ==
+          val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
+            (new java.sql.Timestamp(
+              T0 + rnd.nextInt(40) * 86400000L + rnd.nextInt(86400) * 1000L),
+              s"srv${rnd.nextInt(6)}", (1 + rnd.nextInt(9)).toDouble)
+          }
+          all ++= rows
+          db.insert("s", rows.toDF("ts", "server", "requests"))
+        }
+      }
+      if (all.isEmpty) return
+      twin.insert("s", all.toSeq.toDF("ts", "server", "requests"))
+      def dump(g: GraftDB, sql: String): Seq[String] =
+        g.sql(sql).collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      val q1 = "SELECT requests, _points FROM t GROUP BY server, period(5m)"
+      val q2 = "SELECT requests FROM t WHERE server = 'srv3' GROUP BY server, period('90d')"
+      assert(dump(db, q1) == dump(twin, q1),
+        s"trial $trial (bucketed=$bucketed): scheduled store diverged from twin on q1")
+      assert(dump(db, q2) == dump(twin, q2),
+        s"trial $trial (bucketed=$bucketed): scheduled store diverged from twin on q2")
+    }
+    // aggressive auto-compaction so passes actually fire mid-schedule
+    System.setProperty("graft.compact.maxGenerations", "2")
+    System.setProperty("graft.compact.maxDaysPerPass", "3")
+    try {
+      runTrial(0, bucketed = true)
+      runTrial(1, bucketed = false)
+      runTrial(2, bucketed = true)
+    } finally {
+      System.clearProperty("graft.compact.maxGenerations")
+      System.clearProperty("graft.compact.maxDaysPerPass")
+    }
+  }
 }
