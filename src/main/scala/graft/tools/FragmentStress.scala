@@ -32,8 +32,129 @@ import graft.GraftDB
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.FragmentStress"
   */
 object FragmentStress {
+
+  /** The QueryStress store shape; shared by the subcommands below. */
+  private val StoreYaml =
+    "ev:\n  partitionby: [user_id]\n  sql: >\n    SELECT value, AVG(value) AS av FROM evs GROUP BY event_type, user_id, period(1h)\n"
+
+  /** `shatter <srcStore> <dstStore>`: hardlink-copy a (single-generation)
+    * store into the worst-case fragmented layout — every day dir in its OWN
+    * commit generation — without touching the source. This reproduces, at
+    * full scale and in minutes, the layout a store reaches after one flush
+    * per day of retention: the exact 3,001-generation shape whose per-day
+    * relations OOMed the r8/r9 stress driver. Data files are hardlinked
+    * (no bytes copied); only the manifest is rewritten.
+    */
+  private def shatter(src: String, dst: String): Unit = {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val srcEv = Paths.get(src, "ev")
+    val dstEv = Paths.get(dst, "ev")
+    graft.GraftDB.deleteRecursively(Paths.get(dst))
+    val manifest = Files.readString(srcEv.resolve("MANIFEST")).split("\n")
+    val dayLines = manifest.filter(_.contains("\tcommits/"))
+    val header = manifest.filterNot(_.contains("\tcommits/"))
+      .filterNot(_.startsWith("v="))
+    var gen = 0
+    val newLines = dayLines.map { l =>
+      val Array(day, rel) = l.split("\t", 2)
+      gen += 1
+      val from = srcEv.resolve(rel)
+      val toRel = s"commits/$gen/__day=${rel.split("__day=")(1)}"
+      val to = dstEv.resolve(toRel)
+      Files.createDirectories(to.getParent)
+      // hardlink every file below the day dir, preserving structure
+      val st = Files.walk(from)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val t = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.createLink(t, p)
+        }
+      } finally st.close()
+      s"$day\t$toRel"
+    }
+    Files.writeString(dstEv.resolve("MANIFEST"),
+      (Seq(s"v=${gen + 1}") ++ header ++ newLines).mkString("\n"))
+    println(s"""{"op":"shatter","days":$gen,"generations":$gen,"dst":"$dst"}""")
+  }
+
+  /** `measure <store> <label> [timeoutSec]`: time the QueryStress window /
+    * dim-equality shapes against an existing store under a deadline (a
+    * fragmented store may take minutes per query or OOM — run each
+    * measurement in its own JVM). `compactstore <store>`: full compact().
+    */
+  private def subcommand(args: Array[String], sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dayMs = 86400000L
+    def gens(dir: String): Int =
+      Files.readString(java.nio.file.Paths.get(dir, "ev", "MANIFEST"))
+        .split("\n").filter(_.contains("\tcommits/"))
+        .map(_.split("\t")(1).split("/")(1)).distinct.length
+    args(0) match {
+      case "measure" =>
+        val (dir, label) = (args(1), args(2))
+        val timeoutMs = args.lift(3).map(_.toLong * 1000).getOrElse(300000L)
+        val base = EventsBlowup.baseEvents(spark, sfDir)
+        val Seq(bMinMs, bMaxMs) = base
+          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+        val midDay = (bMinMs / dayMs + bMaxMs / dayMs) / 2
+        def iso(day: Long) = java.time.LocalDate.ofEpochDay(day).toString
+        val uid = base
+          .filter((unix_millis(col("ts")) / lit(dayMs)).cast("long") === midDay)
+          .select(col("user_id")).head().getLong(0)
+        val qWindow =
+          s"SELECT value FROM ev ASOF '${iso(midDay)}' UNTIL '${iso(midDay + 1)}' GROUP BY event_type"
+        val qDim =
+          s"SELECT value FROM ev WHERE user_id = $uid GROUP BY event_type, period(1h)"
+        def timed(name: String, sql: String): Double = {
+          def once(): Double = {
+            val db = new graft.GraftDB(spark, StoreYaml, dir)
+            val t0 = System.nanoTime()
+            try { db.sqlTimed(sql, timeoutMs); (System.nanoTime() - t0) / 1e9 }
+            catch {
+              case _: java.util.concurrent.TimeoutException => -1.0
+              case e: Throwable =>
+                println(s"""{"store":"$label","query":"$name","error":${"\""}${
+                  String.valueOf(e.getMessage).take(120).replace("\"", "'")}${"\""}}""")
+                -2.0
+            }
+          }
+          val a = once()
+          if (a < 0) a else math.min(a, once())
+        }
+        val tw = timed("window", qWindow)
+        val td = timed("dim_eq", qDim)
+        println(f"""{"store":"$label","gens":${gens(dir)},"window_1d_sec":$tw%.2f,"dim_eq_sec":$td%.2f,"timeout_sec":${timeoutMs / 1000}} (-1 = deadline exceeded)""")
+      case "compactstore" =>
+        val dir = args(1)
+        val before = gens(dir)
+        val t0 = System.nanoTime()
+        val rewritten = new graft.GraftDB(spark, StoreYaml, dir).compact("ev")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"compactstore","gens_before":$before,"gens_after":${gens(dir)},"day_dirs_rewritten":$rewritten,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.headOption match {
+      case Some("shatter") =>
+        shatter(args(1), args(2)); return
+      case Some("measure") | Some("compactstore") => subcommand(args, sfDir); return
+      case _ => ()
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
