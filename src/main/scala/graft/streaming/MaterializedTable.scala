@@ -633,39 +633,61 @@ final class MaterializedTable(
     *
     * @return number of day dirs consolidated (0 = nothing to do)
     */
-  def compact(full: Boolean = true): Int = synchronized { compactLocked(full) }
+  def compact(full: Boolean = true): Int = synchronized {
+    if (!full) compactLocked(full = false)
+    else {
+      // full consolidation ALSO proceeds in bounded passes: one pass over
+      // an already-fragmented store would union every generation into the
+      // very O(generations)-relations plan compaction exists to eliminate
+      // (measured: a 3,000-generation store OOMed an 8 GiB driver mid-
+      // rewrite). Smallest generations merge first, so sizes grow
+      // geometrically — O(log gens) passes, each committed atomically
+      // (resumable if interrupted).
+      var total = 0
+      var n = compactLocked(full = true)
+      while (n > 0) { total += n; n = compactLocked(full = true) }
+      total
+    }
+  }
 
   private def compactLocked(full: Boolean): Int = {
     val m = readManifest()
     if (m.days.isEmpty) return 0
     val byGen: Map[Long, Seq[Long]] = m.days.toSeq
       .groupBy(_._2.split("/")(1).toLong).view.mapValues(_.map(_._1)).toMap
+    // bounded per-pass rewrite: auto-compaction runs inside the flush
+    // lock, so merging EVERY small generation at once would stall a
+    // streaming micro-batch for the whole rewrite (minutes at 100 TB) —
+    // and an unbounded pass over a fragmented store builds an
+    // O(generations)-relations union that can OOM the driver outright.
+    // Take the smallest generations first — most plan-size reduction per
+    // byte rewritten — up to a day budget, always ≥2 so each pass reduces
+    // the generation count; successive flushes (auto) or passes (full)
+    // converge the rest.
+    def pick(eligible: Seq[(Long, Seq[Long])]): Set[Long] = {
+      val budget = Integer.getInteger("graft.compact.maxDaysPerPass",
+        MaterializedTable.MaxCompactDaysPerPass).intValue()
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var days = 0
+      eligible.sortBy(_._2.size).foreach { case (_, ds) =>
+        if (picked.size < 2 || days + ds.size <= budget) {
+          picked += ds; days += ds.size
+        }
+      }
+      picked.flatten.toSet
+    }
     val victims: Set[Long] =
-      if (full) { if (byGen.size <= 1) return 0 else m.days.keySet }
-      else {
+      if (full) {
+        if (byGen.size <= 1) return 0
+        pick(byGen.toSeq)
+      } else {
         val maxGens = Integer.getInteger("graft.compact.maxGenerations",
           MaterializedTable.MaxGenerations).intValue()
         if (byGen.size <= maxGens) return 0
         val target = math.ceil(m.days.size.toDouble / maxGens)
         val small = byGen.filter(_._2.size < target)
         if (small.size < 2) return 0
-        // bounded per-pass rewrite: auto-compaction runs inside the flush
-        // lock, so merging EVERY small generation at once would stall a
-        // streaming micro-batch for the whole rewrite (minutes at 100 TB).
-        // Take the smallest generations first — most plan-size reduction
-        // per byte rewritten — up to a day budget, always ≥2 so each pass
-        // reduces the generation count; successive flushes converge the
-        // rest. Explicit compact(full=true) remains unbounded.
-        val budget = Integer.getInteger("graft.compact.maxDaysPerPass",
-          MaterializedTable.MaxCompactDaysPerPass).intValue()
-        val picked = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-        var days = 0
-        small.toSeq.sortBy(_._2.size).foreach { case (_, ds) =>
-          if (picked.size < 2 || days + ds.size <= budget) {
-            picked += ds; days += ds.size
-          }
-        }
-        picked.flatten.toSet
+        pick(small.toSeq)
       }
     val read = readDays(m.days, victims, m.schema, m.buckets.isDefined)
     if (read.isEmpty) return 0
