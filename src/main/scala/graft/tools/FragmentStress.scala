@@ -84,6 +84,9 @@ object FragmentStress {
     * dim-equality shapes against an existing store under a deadline (a
     * fragmented store may take minutes per query or OOM — run each
     * measurement in its own JVM). `compactstore <store>`: full compact().
+    * `compare <storeA> <storeB>`: row-identity check of both query shapes
+    * across two stores (e.g. a compacted shattered store vs its
+    * single-merge twin) — compaction must be placement, never semantics.
     */
   private def subcommand(args: Array[String], sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,23 +103,26 @@ object FragmentStress {
       Files.readString(java.nio.file.Paths.get(dir, "ev", "MANIFEST"))
         .split("\n").filter(_.contains("\tcommits/"))
         .map(_.split("\t")(1).split("/")(1)).distinct.length
+    // the two QueryStress query shapes, aimed at copy-0 data (cheap to
+    // derive; only the measure/compare subcommands call this)
+    def queries(): (String, String) = {
+      val base = EventsBlowup.baseEvents(spark, sfDir)
+      val Seq(bMinMs, bMaxMs) = base
+        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+      val midDay = (bMinMs / dayMs + bMaxMs / dayMs) / 2
+      def iso(day: Long) = java.time.LocalDate.ofEpochDay(day).toString
+      val uid = base
+        .filter((unix_millis(col("ts")) / lit(dayMs)).cast("long") === midDay)
+        .select(col("user_id")).head().getLong(0)
+      (s"SELECT value FROM ev ASOF '${iso(midDay)}' UNTIL '${iso(midDay + 1)}' GROUP BY event_type",
+        s"SELECT value FROM ev WHERE user_id = $uid GROUP BY event_type, period(1h)")
+    }
     args(0) match {
       case "measure" =>
         val (dir, label) = (args(1), args(2))
         val timeoutMs = args.lift(3).map(_.toLong * 1000).getOrElse(300000L)
-        val base = EventsBlowup.baseEvents(spark, sfDir)
-        val Seq(bMinMs, bMaxMs) = base
-          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-          .head().toSeq.map(_.asInstanceOf[Long]).toSeq
-        val midDay = (bMinMs / dayMs + bMaxMs / dayMs) / 2
-        def iso(day: Long) = java.time.LocalDate.ofEpochDay(day).toString
-        val uid = base
-          .filter((unix_millis(col("ts")) / lit(dayMs)).cast("long") === midDay)
-          .select(col("user_id")).head().getLong(0)
-        val qWindow =
-          s"SELECT value FROM ev ASOF '${iso(midDay)}' UNTIL '${iso(midDay + 1)}' GROUP BY event_type"
-        val qDim =
-          s"SELECT value FROM ev WHERE user_id = $uid GROUP BY event_type, period(1h)"
+        val (qWindow, qDim) = queries()
         def timed(name: String, sql: String): Double = {
           def once(): Double = {
             val db = new graft.GraftDB(spark, StoreYaml, dir)
@@ -143,6 +149,20 @@ object FragmentStress {
         val rewritten = new graft.GraftDB(spark, StoreYaml, dir).compact("ev")
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"compactstore","gens_before":$before,"gens_after":${gens(dir)},"day_dirs_rewritten":$rewritten,"sec":$sec%.2f}""")
+      case "compare" =>
+        val (dirA, dirB) = (args(1), args(2))
+        val (qWindow, qDim) = queries()
+        // doubles rounded to 1e-6: sum order differs between layouts
+        def rows(dir: String, sql: String): Seq[String] = {
+          val db = new graft.GraftDB(spark, StoreYaml, dir)
+          db.sql(sql).collect().map(_.toSeq.map {
+            case d: Double => f"$d%.6f"
+            case x         => String.valueOf(x)
+          }.mkString("|")).toSeq.sorted
+        }
+        val idW = rows(dirA, qWindow) == rows(dirB, qWindow)
+        val dA = rows(dirA, qDim); val dB = rows(dirB, qDim)
+        println(s"""{"op":"compare","window_identical":$idW,"dim_identical":${dA == dB},"dim_rows":${dA.size}}""")
     }
     spark.stop()
   }
@@ -152,7 +172,8 @@ object FragmentStress {
     args.headOption match {
       case Some("shatter") =>
         shatter(args(1), args(2)); return
-      case Some("measure") | Some("compactstore") => subcommand(args, sfDir); return
+      case Some("measure") | Some("compactstore") | Some("compare") =>
+        subcommand(args, sfDir); return
       case _ => ()
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
