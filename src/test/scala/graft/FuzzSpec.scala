@@ -155,4 +155,170 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("25 random SHIFT compositions (dims x period x WHERE x HAVING x arith) match union-regroup builds") {
+    // the risk-register composition space (SURVEY §7.4 #3): SHIFT with 0-2
+    // dims, 1-2 distinct offsets, optional WHERE / HAVING / arithmetic on a
+    // shifted value — checked against an INDEPENDENT construction (the
+    // union-all + regroup + clamp shape of the oracle SQL, built with plain
+    // DataFrame ops) rather than the planner's explode path
+    val cat = Catalog.fromParquetDir(spark, dir, Seq("orders"))
+    val od = cat.get("orders").df
+    val rnd = new scala.util.Random(20260814L)
+    val dayMs = 86400000L
+    val dimPool = Seq("o_orderpriority", "o_orderstatus")
+    val wherePool: Seq[(String, Column)] = Seq(
+      "o_orderstatus = 'F'" -> (col("o_orderstatus") === "F"),
+      "o_orderpriority IN ('1-URGENT', '2-HIGH')" ->
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+
+    for (i <- 0 until 25) {
+      val dims = rnd.shuffle(dimPool).take(rnd.nextInt(3))
+      val pd = Seq(30, 60)(rnd.nextInt(2))
+      val p = pd * dayMs
+      val offs = rnd.shuffle(Seq(1, 2, 3)).take(1 + rnd.nextInt(2))
+      val shCols = offs.zipWithIndex.map { case (k, j) => (s"s$j", k) }
+      val withDelta = rnd.nextBoolean()
+      val where = if (rnd.nextBoolean()) Some(wherePool(rnd.nextInt(wherePool.size))) else None
+      val haveC = if (rnd.nextBoolean()) Some(Seq(100000, 400000)(rnd.nextInt(2))) else None
+
+      val revSql = "SUM(o_totalprice * 100) / 100"
+      val sql = new StringBuilder(s"SELECT $revSql AS rev")
+      shCols.foreach { case (n, k) => sql.append(s", SHIFT($revSql, '-${k * pd}d') AS $n") }
+      if (withDelta)
+        sql.append(s", $revSql - SHIFT($revSql, '-${offs.head * pd}d') AS delta")
+      sql.append(" FROM orders")
+      where.foreach { case (w, _) => sql.append(s" WHERE $w") }
+      sql.append(" GROUP BY ")
+        .append(((if (dims.isEmpty) Seq("_") else dims) :+ s"period('${pd}d')").mkString(", "))
+      haveC.foreach(c => sql.append(s" HAVING rev > $c"))
+      sql.append(" ORDER BY ").append((dims :+ "_time").mkString(", "))
+
+      val got = Engine.sql(cat, sql.toString).collect()
+
+      // independent build: base agg per (dims, bucket), one union-all entry
+      // per shift re-keyed +offset, max-regroup, clamp to the dims group's
+      // own [first, last] data bucket, flatten-skip, HAVING
+      var src = od
+      where.foreach { case (_, c) => src = src.filter(c) }
+      val dimCols = dims.map(col)
+      val tExpr = (floor(unix_millis(col("o_orderdate").cast("timestamp")) /
+        lit(p.toDouble)) * p).cast("long")
+      val base = src
+        .groupBy((dimCols :+ timestamp_millis(tExpr).as("_time")): _*)
+        .agg((sum(col("o_totalprice") * 100) / 100).as("rev"))
+      val shNames = shCols.map(_._1)
+      def entry(revV: Column, tOff: Long, active: Map[String, Column]): DataFrame =
+        base.select((dimCols :+
+          timestamp_millis(unix_millis(col("_time")) + tOff).as("_time") :+
+          revV.as("rev")) ++
+          shNames.map(n => active.getOrElse(n, lit(null).cast("double")).as(n)): _*)
+      val unioned = shCols
+        .map { case (n, k) => entry(lit(null).cast("double"), k * p, Map(n -> col("rev"))) }
+        .foldLeft(entry(col("rev"), 0L, Map.empty))(_ unionByName _)
+      var want = unioned
+        .groupBy((dimCols :+ col("_time")): _*)
+        .agg(max(col("rev")).as("rev"), shNames.map(n => max(col(n)).as(n)): _*)
+      val bounds = want.filter(col("rev").isNotNull)
+        .groupBy(dimCols: _*)
+        .agg(min("_time").as("__lo"), max("_time").as("__hi"))
+      want = (if (dims.isEmpty) want.crossJoin(bounds) else want.join(bounds, dims))
+        .filter(col("_time").between(col("__lo"), col("__hi")))
+        .drop("__lo", "__hi")
+      if (withDelta) want = want.withColumn("delta", col("rev") - col("s0"))
+      val fieldNames = Seq("rev") ++ shNames ++ (if (withDelta) Seq("delta") else Nil)
+      want = want.filter(fieldNames.map(col(_).isNotNull).reduce(_ || _))
+      haveC.foreach(c => want = want.filter(col("rev") > c))
+
+      val outCols = dims ++ Seq("_time") ++ fieldNames
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+        rows.map(r => outCols.map(c => r.getAs[Any](c) match {
+          case null                => "null"
+          case d: java.lang.Double => f"${d.doubleValue}%.4f"
+          case x                   => String.valueOf(x)
+        }).mkString("|")).toSeq.sorted
+      assert(canon(got) == canon(want.collect()),
+        s"[case $i] SHIFT composition diverged\n$sql")
+    }
+  }
+
+  test("20 random CROSSTAB/CROSSTABT queries match native pivot builds") {
+    // dynamic-pivot space (SURVEY §7.4 #4): random pivot dim x row dims x
+    // 1-2 fields x optional WHERE/period/totals, checked against Spark's own
+    // groupBy().pivot() — a construction the planner does not use (it
+    // collects pivot values and builds conditional aggregates)
+    val liCat = Catalog.fromParquetDir(spark, dir, Seq("lineitem"))
+    val liDf = liCat.get("lineitem").df
+    val rnd = new scala.util.Random(20260815L)
+    val dayMs = 86400000L
+    val dimPool = Seq("l_returnflag", "l_linestatus")
+
+    for (i <- 0 until 20) {
+      val pivotDim = dimPool(rnd.nextInt(dimPool.size))
+      val rowDims = rnd.shuffle(dimPool.filterNot(_ == pivotDim)).take(rnd.nextInt(2))
+      val totals = rnd.nextBoolean()
+      val twoFields = rnd.nextBoolean()
+      val usePeriod = rnd.nextBoolean()
+      val pd = 90
+      val where = if (rnd.nextBoolean()) Some(
+        "l_quantity > 20" -> (col("l_quantity") > 20)) else None
+
+      val fields = Seq("qty" -> "SUM(l_quantity)") ++
+        (if (twoFields) Seq("rev" -> "SUM(l_extendedprice * 100) / 100") else Nil)
+      val ct = if (totals) "CROSSTABT" else "CROSSTAB"
+      val sql = new StringBuilder("SELECT ")
+      sql.append(fields.map { case (n, e) => s"$e AS $n" }.mkString(", "))
+      sql.append(" FROM lineitem")
+      where.foreach { case (w, _) => sql.append(s" WHERE $w") }
+      sql.append(" GROUP BY ")
+      sql.append(((if (rowDims.isEmpty) Seq("_") else rowDims) :+ s"$ct($pivotDim)") ++
+        (if (usePeriod) Seq(s"period('${pd}d')") else Nil) mkString ", ")
+      if (rowDims.nonEmpty) sql.append(" ORDER BY " + rowDims.mkString(", "))
+
+      val got = Engine.sql(liCat, sql.toString).collect()
+      val gotCols = Engine.sql(liCat, sql.toString).columns.toSeq
+
+      var src = liDf
+      where.foreach { case (_, c) => src = src.filter(c) }
+      val p = pd * dayMs
+      val bucket = timestamp_millis(
+        (floor(unix_millis(col("l_shipdate").cast("timestamp")) / lit(p.toDouble)) * p)
+          .cast("long")).as("_time")
+      val keys: Seq[Column] = rowDims.map(col) ++ (if (usePeriod) Seq(bucket) else Nil)
+      def aggCols = Seq(sum(col("l_quantity")).as("qty")) ++
+        (if (twoFields) Seq((sum(col("l_extendedprice") * 100) / 100).as("rev")) else Nil)
+      var want = (if (keys.isEmpty) src.groupBy(lit(1).as("__g")) else src.groupBy(keys: _*))
+        .pivot(lower(col(pivotDim)))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .drop("__g")
+      // single-field pivots name columns bare `<val>`; engine names them
+      // `<val>_<field>` always
+      if (fields.size == 1) {
+        val keyNames = rowDims ++ (if (usePeriod) Seq("_time") else Nil)
+        want.columns.filterNot(keyNames.contains).foreach { c =>
+          want = want.withColumnRenamed(c, s"${c}_${fields.head._1}")
+        }
+      }
+      if (totals) {
+        val totAggs = Seq(sum(col("l_quantity")).as("total_qty")) ++
+          (if (twoFields) Seq((sum(col("l_extendedprice") * 100) / 100).as("total_rev")) else Nil)
+        val totDf = (if (keys.isEmpty) src.groupBy(lit(1).as("__g")) else src.groupBy(keys: _*))
+          .agg(totAggs.head, totAggs.tail: _*).drop("__g")
+        val keyNames = rowDims ++ (if (usePeriod) Seq("_time") else Nil)
+        want = if (keyNames.isEmpty) want.crossJoin(totDf)
+        else want.join(totDf, keyNames)
+      }
+      assert(gotCols.sorted == want.columns.toSeq.sorted,
+        s"[case $i] column sets differ: $gotCols vs ${want.columns.toSeq}\n$sql")
+      val outCols = gotCols.sorted
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+        rows.map(r => outCols.map(c => r.getAs[Any](c) match {
+          case null                => "null"
+          case d: java.lang.Double => f"${d.doubleValue}%.4f"
+          case x                   => String.valueOf(x)
+        }).mkString("|")).toSeq.sorted
+      assert(canon(got) == canon(want.collect()),
+        s"[case $i] CROSSTAB diverged\n$sql")
+    }
+  }
 }
