@@ -257,14 +257,52 @@ final class MaterializedTable(
       full = s"$storePath/$p/__bucket=$k"
       if Files.isDirectory(Paths.get(full))
     } yield full
-    if (paths.isEmpty) None else Some(openDays(paths, m.schema, bucketed = true))
+    if (paths.isEmpty) None
+    else Some(openDaysCached(m.version, paths, m.schema, bucketed = true))
+  }
+
+  /** Relation cache: opening a day-dir set is O(paths) DRIVER work every
+    * query — `spark.read.parquet(paths)` builds an InMemoryFileIndex
+    * (listing, partition inference) eagerly, and on a 3,000-day store that
+    * is ~4.5 s per query even with Spark's FileStatusCache warm, vs ~0.9 s
+    * to EXECUTE the dim-pruned aggregation (measured, BENCH_LOCAL.md). A
+    * long-lived server answering repeated queries re-resolves the same
+    * relation every time. DataFrames are immutable, so reuse is safe; the
+    * manifest version is in the key, so any flush/compact/ALTER/GC bump
+    * invalidates by construction (stale entries age out of the LRU — they
+    * can never be returned again). Bounded: ≤64 entries, each a file-index
+    * snapshot (a few MB at 3,000 days). The fresh/WAL side of a query is
+    * never cached — only the committed-store relation.
+    */
+  private val relationCache =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 64
+    }
+
+  private def openDaysCached(version: Long, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bucketed: Boolean): DataFrame = {
+    val sorted = paths.sorted // canonical: the same SET must hit one key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sorted.foreach(p => md.update(p.getBytes("UTF-8")))
+    val key = s"$version:$bucketed:${schema.isDefined}:" +
+      md.digest().map("%02x".format(_)).mkString
+    relationCache.synchronized {
+      val hit = relationCache.get(key)
+      if (hit != null) return hit
+    }
+    val df = openDays(sorted, schema, bucketed)
+    relationCache.synchronized { relationCache.put(key, df) }
+    df
   }
 
   /** Current materialized state (all live day partitions), if any. */
   def read(): Option[DataFrame] = {
     val m = readManifest()
     if (m.days.isEmpty) None
-    else Some(openDays(m.days.values.map(p => s"$storePath/$p").toSeq,
+    else Some(openDaysCached(m.version,
+      m.days.values.map(p => s"$storePath/$p").toSeq,
       m.schema, m.buckets.isDefined))
   }
 
@@ -296,7 +334,8 @@ final class MaterializedTable(
       loMs.forall(lo => (d + 1) * DayMs > lo) && hiMs.forall(hi => d * DayMs < hi)
     }
     if (keep.isEmpty) None
-    else Some(openDays(keep.values.map(p => s"$storePath/$p").toSeq,
+    else Some(openDaysCached(m.version,
+      keep.values.map(p => s"$storePath/$p").toSeq,
       m.schema, m.buckets.isDefined))
   }
 
