@@ -280,6 +280,9 @@ final class MaterializedTable(
           e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 64
     }
 
+  private[graft] def relationCacheSize: Int =
+    relationCache.synchronized(relationCache.size())
+
   private def openDaysCached(version: Long, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       bucketed: Boolean): DataFrame = {
@@ -293,7 +296,15 @@ final class MaterializedTable(
       if (hit != null) return hit
     }
     val df = openDays(sorted, schema, bucketed)
-    relationCache.synchronized { relationCache.put(key, df) }
+    relationCache.synchronized {
+      // a streaming table bumps its version every flush; without pruning,
+      // up to 64 never-hit-again file-index snapshots from dead versions
+      // would sit in the LRU (the full-store one is large). Versions only
+      // move forward, so anything older than this put is garbage.
+      relationCache.keySet.removeIf(
+        (k: String) => k.takeWhile(_ != ':').toLong < version)
+      relationCache.put(key, df)
+    }
     df
   }
 

@@ -836,6 +836,27 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("relation cache: repeat queries hit one entry; inserts invalidate by version") {
+    // opening a day-dir set is O(paths) driver work per query (~4.5 s at
+    // 3,000 days, BENCH_LOCAL.md) — a long-lived server must reuse the
+    // resolved relation, and a flush must invalidate it by construction
+    val db = freshDb()
+    db.insert("inbound", points())
+    val t = db.tables("combined")
+    val q = "SELECT requests FROM combined GROUP BY server"
+    def total(): Double = db.sql(q).collect().map(r => d(r.getAs[Any]("requests"))).sum
+    val first = total()
+    total(); total()
+    assert(t.relationCacheSize == 1,
+      s"3 identical queries should share one cached relation, saw ${t.relationCacheSize}")
+    db.insert("inbound", points()) // version bump: same rows again double SUMs
+    val after = total()
+    assert(approx(after, first * 2),
+      s"post-insert query must see fresh data through the cache: $first -> $after")
+    assert(t.relationCacheSize == 1,
+      "stale-version entries are pruned on put — one live entry remains")
+  }
+
   test("seeded store-op fuzz: random insert/compact schedules match a single-batch twin") {
     // differential guard over the manifest machinery: any interleaving of
     // day-scattered merges, auto-compaction passes (aggressive thresholds)
