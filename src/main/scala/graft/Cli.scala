@@ -20,12 +20,20 @@ import org.apache.spark.sql.SparkSession
   * client-streaming INSERT verb in 500-line frames (the reference's
   * `NewInserter`, rpc/rpc.go), locally via the embedded insert path. Works
   * as a REPL line or a one-shot argument.
+  *
+  * `--porcelain` (flag) / `\csv` (REPL toggle): machine-readable output —
+  * headerless CSV rows, ALL rows streamed (not .show's 100-row preview) —
+  * the reference's `-porcelain` flag (zeno-cli.go:43) and its CSV one-shot
+  * dump. Embedded mode streams via toLocalIterator so an unbounded result
+  * never buffers on the driver.
   */
 object Cli {
-  def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("--connect")) { remote(args.drop(1)); return }
+  def main(args0: Array[String]): Unit = {
+    val porcelain = args0.contains("--porcelain")
+    val args = args0.filterNot(_ == "--porcelain")
+    if (args.headOption.contains("--connect")) { remote(args.drop(1), porcelain); return }
     require(args.length >= 2,
-      "usage: Cli <schema.yaml> <dataDir> [sql...] | Cli --connect host:port [sql...]")
+      "usage: Cli <schema.yaml> <dataDir> [--porcelain] [sql...] | Cli --connect host:port [--porcelain] [sql...]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -37,7 +45,7 @@ object Cli {
     val schemaText = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
     val db = new GraftDB(spark, schemaText, args(1))
 
-    def run(line: String, statsOn: Boolean): Unit = parseInsert(line) match {
+    def run(line: String, statsOn: Boolean, csvOn: Boolean): Unit = parseInsert(line) match {
       case Some((stream, path)) =>
         var n = 0L
         eachLineChunk(path, 5000) { chunk =>
@@ -46,26 +54,31 @@ object Cli {
         println(s"inserted $n")
       case None =>
         val t0 = System.nanoTime()
-        db.sql(line).show(100, truncate = false)
+        if (csvOn) {
+          val it = db.sql(line).toLocalIterator()
+          while (it.hasNext) println(csvRow(it.next()))
+        } else db.sql(line).show(100, truncate = false)
         if (statsOn)
           System.err.println(f"-- ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (args.length > 2) {
       // one-shot mode: remaining args are statements; failures propagate
       // (non-zero exit) so scripts can gate on them
-      args.drop(2).foreach(run(_, statsOn = false))
-    } else repl(run)
+      args.drop(2).foreach(run(_, statsOn = false, csvOn = porcelain))
+    } else repl(run, porcelain)
     // no spark.stop(): the session may be shared (getOrCreate); process exit
     // tears it down in standalone use
   }
 
-  /** Shared REPL skeleton: `\q` exits, `\stats` toggles, statement errors
-    * print and the session continues (only the REPL swallows errors —
+  /** Shared REPL skeleton: `\q` exits, `\stats`/`\csv` toggle, statement
+    * errors print and the session continues (only the REPL swallows errors —
     * one-shot modes let them propagate for a non-zero exit).
     */
-  private def repl(run: (String, Boolean) => Unit): Unit = {
+  private def repl(run: (String, Boolean, Boolean) => Unit,
+      porcelain: Boolean): Unit = {
     val in = new java.util.Scanner(System.in)
     var statsOn = false
+    var csvOn = porcelain
     print("graft> ")
     while (in.hasNextLine) {
       val line = in.nextLine().trim
@@ -73,15 +86,31 @@ object Cli {
       if (line == "\\stats") {
         statsOn = !statsOn
         println(s"query stats ${if (statsOn) "on" else "off"}")
+      } else if (line == "\\csv") {
+        csvOn = !csvOn
+        println(s"csv output ${if (csvOn) "on" else "off"}")
       } else if (line.nonEmpty) {
-        try run(line, statsOn)
+        try run(line, statsOn, csvOn)
         catch { case e: Exception => println(s"error: ${e.getMessage}") }
       }
       print("graft> ")
     }
   }
 
-  private def remote(args: Array[String]): Unit = {
+  /** One result row as a CSV line (RFC-ish quoting; NULL prints empty). */
+  private def csvRow(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map { i =>
+      val v = r.get(i)
+      if (v == null) ""
+      else {
+        val s = String.valueOf(v)
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      }
+    }.mkString(",")
+
+  private def remote(args: Array[String], porcelain: Boolean): Unit = {
     require(args.nonEmpty, "usage: Cli --connect host:port [sql...]")
     // split on the LAST colon so bare IPv6 literals ("::1:9000") resolve to
     // (::1, 9000) instead of a cryptic NumberFormatException
@@ -89,7 +118,7 @@ object Cli {
     require(sep > 0 && sep < args(0).length - 1, s"expected host:port, got ${args(0)}")
     val client = new server.RpcClient(args(0).substring(0, sep),
       args(0).substring(sep + 1).toInt, snappy = true)
-    def run(line: String, statsOn: Boolean): Unit = parseInsert(line) match {
+    def run(line: String, statsOn: Boolean, csvOn: Boolean): Unit = parseInsert(line) match {
       case Some((stream, path)) =>
         // stream the file as 500-line POINTS frames (never whole-file);
         // close in a finally, not inside next() — an empty file or a
@@ -114,13 +143,13 @@ object Cli {
         println(s"inserted $n")
       case None =>
         val (cols, rows, stats) = client.queryWithStats(line)
-        println(cols.mkString("\t"))
+        if (!csvOn) println(cols.mkString("\t")) // porcelain: rows only
         rows.foreach(println)
         if (statsOn) System.err.println(s"-- $stats")
     }
     // one-shot failures propagate, matching embedded one-shot mode
-    if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false))
-    else repl(run)
+    if (args.length > 1) args.drop(1).foreach(run(_, statsOn = false, csvOn = porcelain))
+    else repl(run, porcelain)
   }
 
   /** `\i <stream> <file.jsonl>` → Some((stream, path)). */

@@ -36,6 +36,21 @@ class CliSpec extends AnyFunSuite {
     assert(printed.contains("5.0"), printed) // 2+3
     assert(printed.contains("2.0"), printed) // _points
 
+    // --porcelain: headerless CSV rows, every row streamed (the reference's
+    // -porcelain flag + CSV one-shot dump, zeno-cli.go:43,87)
+    val csvOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(csvOut)) {
+      Cli.main(Array(schemaFile.toString, dir, "--porcelain",
+        "SELECT v, _points FROM t GROUP BY k, period('100s')"))
+    }
+    val csvLines = csvOut.toString.trim.split("\n").toSeq
+    assert(csvLines.length == 1, csvOut.toString)
+    val csv = csvLines.head
+    assert(!csv.contains("|") && !csv.contains("_points"),
+      s"porcelain output must be headerless bare CSV, not a table: $csv")
+    assert(csv.split(",").contains("5.0") && csv.split(",").contains("2.0")
+      && csv.split(",").contains("a"), csv)
+
     // REPL mode: \stats toggles per-query timing on stderr (the reference's
     // -querystats flag)
     val replOut = new java.io.ByteArrayOutputStream()
