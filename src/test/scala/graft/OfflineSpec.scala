@@ -25,6 +25,52 @@ class OfflineSpec extends AnyFunSuite {
       Row(new java.sql.Timestamp(t), k, Double.box(v))
     }, 2), sch)
 
+  test("info and check report a real store; check catches a corrupted file") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-offline").toString
+    val yaml =
+      """t:
+        |  partitionby: [k]
+        |  sql: >
+        |    SELECT v FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val inSch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    db.insert("s", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(new java.sql.Timestamp(T0), "a", Double.box(2.0)),
+      Row(new java.sql.Timestamp(T0 + 100), "a", Double.box(3.0)),
+      Row(new java.sql.Timestamp(T0 + 86400000L), "b", Double.box(5.0))), 2), inSch))
+
+    val i = Offline.info(s"$dir/t")
+    assert(i("days") == 2 && i("generations") == 1, i.toString)
+    assert(i("buckets").asInstanceOf[Int] > 0, i.toString)
+    assert(i("schema_fields").asInstanceOf[Seq[String]].contains("k"), i.toString)
+    assert(i("files").asInstanceOf[Long] > 0 && i("bytes").asInstanceOf[Long] > 0)
+
+    // (a,T0) and (a,T0+100ms) share one 1s bucket -> 2 stored rows
+    assert(Offline.check(spark, s"$dir/t") == 2L)
+
+    // truncate one parquet file mid-body: check must now throw, not pass on
+    // footer metadata alone
+    val st = Files.walk(Paths.get(dir, "t", "commits"))
+    val victim = try {
+      val it = st.iterator()
+      var found: java.nio.file.Path = null
+      while (it.hasNext && found == null) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet") && Files.size(p) > 64) found = p
+      }
+      found
+    } finally st.close()
+    assert(victim != null)
+    val bytes = Files.readAllBytes(victim)
+    // corrupt data pages but keep length/footer plausible: zero the body
+    java.util.Arrays.fill(bytes, 16, bytes.length - 16, 0.toByte)
+    Files.write(victim, bytes)
+    intercept[Exception] { Offline.check(spark, s"$dir/t") }
+  }
+
   test("filter by time range and dim predicate") {
     val s = store((T0, "a", 1), (T0 + 1000, "a", 2), (T0 + 2000, "b", 3))
     val f = Offline.filterStore(s, fromMillis = Some(T0 + 500),
