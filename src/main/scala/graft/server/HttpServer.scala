@@ -36,8 +36,9 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     */
   def metricsJson(): String = {
     val tables = db.tables.toSeq.sortBy(_._1).map { case (name, t) =>
-      val (gen, days, bytes) = t.storeStats
-      s""""$name":{"generation":$gen,"days":$days,"bytes":$bytes}"""
+      val (gen, days, bytes, liveGens) = t.storeStats
+      s""""$name":{"generation":$gen,"days":$days,"bytes":$bytes,""" +
+        s""""liveGenerations":$liveGens,"cachedRelations":${t.relationCacheSize}}"""
     }.mkString("{", ",", "}")
     val journals = db.journalStats.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
       s""""$s":{"entries":$n,"bytes":$b}"""

@@ -359,11 +359,16 @@ final class MaterializedTable(
   }
 
   /** Ops snapshot for the `/metrics` surface: manifest generation, live day
-    * count, and bytes across the live day dirs (driver-side directory
-    * walk — O(files in the store), a control-plane cost).
+    * count, bytes across the live day dirs (driver-side directory walk —
+    * O(files in the store), a control-plane cost), and live GENERATION
+    * count — the compaction-health number: it is what bounds plan size, and
+    * an operator watching it climb toward `graft.compact.maxGenerations`
+    * on a table with auto-compaction disabled is watching the O(days)
+    * fragmentation failure approach.
     */
-  def storeStats: (Long, Int, Long) = {
+  def storeStats: (Long, Int, Long, Int) = {
     val m = readManifest()
+    val liveGens = m.days.values.map(_.split("/")(1)).toSet.size
     val bytes = m.days.values.map { rel =>
       val d = Paths.get(storePath, rel)
       if (!Files.isDirectory(d)) 0L
@@ -381,7 +386,7 @@ final class MaterializedTable(
         } finally st.close()
       }
     }.sum
-    (m.version, m.days.size, bytes)
+    (m.version, m.days.size, bytes, liveGens)
   }
 
   /** Dim columns of the store (everything except _time, accumulators, and

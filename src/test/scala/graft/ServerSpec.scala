@@ -378,10 +378,12 @@ class ServerSpec extends AnyFunSuite {
       assert(m.contains("\"activeStreams\":0"), m)
       assert(m.contains("\"asyncCacheEntries\":1"), m)
       val combined =
-        "\"combined\":\\{\"generation\":(\\d+),\"days\":(\\d+),\"bytes\":(\\d+)\\}".r
+        ("\"combined\":\\{\"generation\":(\\d+),\"days\":(\\d+),\"bytes\":(\\d+)," +
+          "\"liveGenerations\":(\\d+),\"cachedRelations\":(\\d+)\\}").r
       val cm = combined.findFirstMatchIn(m).getOrElse(fail(s"no table stats: $m"))
       assert(cm.group(1).toLong >= 1 && cm.group(2).toInt >= 1 &&
         cm.group(3).toLong > 0, m)
+      assert(cm.group(4).toInt >= 1, m) // live generations: compaction health
       val journal =
         "\"inbound\":\\{\"entries\":(\\d+),\"bytes\":(\\d+)\\}".r
       val jm = journal.findFirstMatchIn(m).getOrElse(fail(s"no journal stats: $m"))
