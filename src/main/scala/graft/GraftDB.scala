@@ -28,6 +28,22 @@ final class GraftDB(
 
   if (aliasesProps.nonEmpty) Parser.registerAliasesProps(aliasesProps)
 
+  // Partition-discovery task sizing: Spark's default parallelism for the
+  // listing job is 10,000, i.e. ONE TASK PER DIRECTORY for any store under
+  // 10k dirs — on a 3,000-day store the scheduling overhead of 3,000
+  // one-dir tasks is ~4.4 s of a cold query's 5.4 s (BENCH_LOCAL.md).
+  // Sizing the job to the cluster instead (one task per core, each listing
+  // a CHUNK of dirs) cuts the cold relation build to ~0.3 s and behaves
+  // the same on a real cluster, where defaultParallelism is the fleet's
+  // core count. `-Dgraft.discoveryParallelism=` overrides; 0 leaves
+  // Spark's default untouched.
+  locally {
+    val p = Integer.getInteger("graft.discoveryParallelism",
+      spark.sparkContext.defaultParallelism).intValue()
+    if (p > 0) spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.parallelism", p.toString)
+  }
+
   /** Parse a schema text into per-table resolved definitions; views resolve
     * to their parent's stream and are materialized independently
     * (/root/reference/table.go:194-250).
