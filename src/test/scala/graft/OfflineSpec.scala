@@ -28,11 +28,13 @@ class OfflineSpec extends AnyFunSuite {
   test("info and check report a real store; check catches a corrupted file") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-offline").toString
+    // include a PERCENTILE field: its accumulator is a BINARY sketch column,
+    // so check's full-decode hash must handle non-numeric storage too
     val yaml =
       """t:
         |  partitionby: [k]
         |  sql: >
-        |    SELECT v FROM s GROUP BY k, period(1s)
+        |    SELECT v, PERCENTILE(v, 50, 0, 100, 3) AS p50 FROM s GROUP BY k, period(1s)
         |""".stripMargin
     val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
     val inSch = StructType(Seq(StructField("ts", TimestampType),
