@@ -321,4 +321,53 @@ class FuzzSpec extends AnyFunSuite {
         s"[case $i] CROSSTAB diverged\n$sql")
     }
   }
+
+  test("25 random IN-subquery compositions match driver-membership builds") {
+    // the two-phase bounded IN machinery (semi/anti-join when isolated,
+    // collect+membership under OR/NOT — planner/subquery.go parity) checked
+    // against the dumbest possible equivalent: collect the subquery's
+    // members on the driver and test isin() inline
+    val cat = Catalog.fromParquetDir(spark, dir, Seq("lineitem", "part"))
+    val liDf = cat.get("lineitem").df
+    val ptDf = cat.get("part").df
+    val rnd = new scala.util.Random(20260816L)
+
+    for (i <- 0 until 25) {
+      val c = Seq(30, 40, 45, 48)(rnd.nextInt(4))
+      val subPred = s"p_size > $c"
+      val members = ptDf.filter(col("p_size") > c)
+        .select("p_partkey").collect().map(_.getLong(0)).toSeq
+      val inSql = s"l_partkey IN (SELECT p_partkey FROM part WHERE $subPred)"
+      val inCol = if (members.isEmpty) lit(false) else col("l_partkey").isin(members: _*)
+      val dimPred = Seq(
+        "l_linestatus = 'O'" -> (col("l_linestatus") === "O"),
+        "l_returnflag = 'R'" -> (col("l_returnflag") === "R"))(rnd.nextInt(2))
+      val (whereSql, whereCol) = rnd.nextInt(6) match {
+        case 0 => (inSql, inCol)
+        case 1 => (s"l_partkey NOT IN (SELECT p_partkey FROM part WHERE $subPred)", !inCol)
+        case 2 => (s"$inSql OR ${dimPred._1}", inCol || dimPred._2)
+        case 3 => (s"$inSql AND ${dimPred._1}", inCol && dimPred._2)
+        case 4 => (s"NOT ($inSql OR ${dimPred._1})", !(inCol || dimPred._2))
+        case 5 => (s"${dimPred._1} OR NOT ($inSql)", dimPred._2 || !inCol)
+      }
+      val sql = s"SELECT SUM(l_quantity) AS qty, _points FROM lineitem " +
+        s"WHERE $whereSql GROUP BY l_returnflag ORDER BY l_returnflag"
+      val got = Engine.sql(cat, sql).collect()
+      val want = liDf.filter(whereCol)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("qty"),
+          count(lit(1)).cast("double").as("_points"))
+        .orderBy(col("l_returnflag")).collect()
+
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+        rows.map(r => Seq("l_returnflag", "qty", "_points").map(c =>
+          r.getAs[Any](c) match {
+            case null                => "null"
+            case d: java.lang.Double => f"${d.doubleValue}%.4f"
+            case x                   => String.valueOf(x)
+          }).mkString("|")).toSeq.sorted
+      assert(canon(got) == canon(want),
+        s"[case $i] IN-subquery composition diverged\n$sql")
+    }
+  }
 }
