@@ -45,7 +45,10 @@ class FuzzSpec extends AnyFunSuite {
       ("l_linestatus = 'F' AND l_suppkey >= 3" ->
         (col("l_linestatus") === "F" && col("l_suppkey") >= 3)),
       ("l_returnflag <> 'N' OR l_quantity <= 10" ->
-        (col("l_returnflag") =!= "N" || col("l_quantity") <= 10)))
+        (col("l_returnflag") =!= "N" || col("l_quantity") <= 10)),
+      // goexpr LIKE = unanchored regex, not SQL wildcards (Builders.scala)
+      ("l_returnflag LIKE 'R'" -> col("l_returnflag").rlike("R")),
+      ("l_linestatus NOT LIKE '^F$'" -> !col("l_linestatus").rlike("^F$")))
 
     var checked = 0
     for (i <- 0 until 40) {
