@@ -128,6 +128,14 @@ object Bench {
       // footer reader class-load); the probe itself still re-lists and
       // scans inside the measured query
       spark.read.parquet(SparkEntry.gateIvfPath(sfDir)).limit(1).collect()
+      // same lifecycle for the IVF-PQ gate index (its corpus excludes the
+      // PQ gate's query vector, vec_id 1)
+      val embPq = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") =!= 1)
+      graft.pipeline.Similarity.ivfPqBuildIfMissing(embPq, col("embedding"),
+        col("vec_id"), nCentroids = 16, m = 8, k = 16,
+        SparkEntry.gatePqPath(sfDir))
+      spark.read.parquet(SparkEntry.gatePqPath(sfDir)).limit(1).collect()
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

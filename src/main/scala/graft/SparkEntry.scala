@@ -73,6 +73,12 @@ object SparkEntry {
   private[graft] def gateIvfPath(dir: String): String =
     s"target/gate-ivf/ivf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Cached on-disk IVF-PQ index for the q_ann_pq gate (same lifecycle as
+    * [[gateIvfPath]]).
+    */
+  private[graft] def gatePqPath(dir: String): String =
+    s"target/gate-ivf/pq${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
@@ -463,6 +469,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // corpus vocabulary: per-token tf/df, top-50 by total term frequency —
+    // the tokenizer-training statistic (two partial-agg shuffles, no
+    // COUNT DISTINCT, TakeOrdered top-k)
+    "q_vocab_topk" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.vocab(docs, col("text"), col("doc_id"))
+        .orderBy(col("tf").desc, col("token")).limit(50)
+    },
+
+    // per-document top-3 keywords by tf-idf (rounded ranking key so the
+    // window order is engine-reproducible; keyed window, no global sort)
+    "q_tfidf_keywords" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 100)
+      TextAnalysis.tfidfKeywords(docs, col("text"), col("doc_id"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // brute-force cosine top-k against one query vector (quantized = exact)
     "q_cosine_topk" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -543,6 +567,25 @@ object SparkEntry {
       Similarity.ivfTopK(s, idx, centroids, col("embedding"), col("vec_id"),
           q, k = 10, nProbe = 16, quantized = true)
         .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
+    // IVF-PQ ANN: codes-only probe (8 B/row instead of 256 B of vector) +
+    // ADC candidate scoring + exact re-rank of the broadcast candidate set.
+    // Oracle configuration: full probe + refineK >= corpus, so the re-ranked
+    // result is exactly the quantized-cosine top-k DuckDB computes; the
+    // real ANN configuration (small nProbe, bounded refineK, recall@10) is
+    // pinned in PipelineSpec.
+    "q_ann_pq" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val corpus = e.filter(col("vec_id") =!= 1)
+      val idx = gatePqPath(dir)
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
+        col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16, idx)
+      Similarity.ivfPqTopK(s, idx, coarse, books, corpus, col("embedding"),
+        col("vec_id"), q, k = 10, nProbe = 16, refineK = 1000000,
+        quantized = true)
     },
 
     // embedding-cosine near-dup dedup: plant exact twins (same vector, new
@@ -960,6 +1003,32 @@ object SparkEntry {
         |            % 1000000007 END AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_vocab_topk" ->
+      """WITH td AS (
+        |  SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY 1, 2)
+        |SELECT token, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*)::BIGINT AS df
+        |FROM td GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH td AS (
+        |  SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |    FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT token, COUNT(*)::BIGINT AS df FROM td GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM td)
+        |SELECT doc_id, token, rank, score FROM (
+        |  SELECT td.doc_id, td.token,
+        |    row_number() OVER (PARTITION BY td.doc_id
+        |      ORDER BY round(CAST(td.tf AS DOUBLE) * ln(n.n / dfs.df), 6) DESC,
+        |               td.token) AS rank,
+        |    round(CAST(td.tf AS DOUBLE) * ln(n.n / dfs.df), 6) AS score
+        |  FROM td JOIN dfs USING (token) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
         |           FROM embeddings WHERE vec_id = 0),
@@ -1123,6 +1192,19 @@ object SparkEntry {
         |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    // full-probe + full-refine IVF-PQ == exact quantized top-k (the ADC
+    // stage only selects candidates; the re-rank is exact arithmetic)
+    "q_ann_pq" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 1),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 1)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
 
     // Connected components as a recursive transitive closure: reach(id, r) =

@@ -357,4 +357,197 @@ object Similarity {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  // ---- Product quantization (IVF-PQ) ----------------------------------
+  //
+  // The 100 TB ANN economics: an IVF cell probe still reads full vectors
+  // (dim floats/row — 256 B at dim 64). PQ stores M one-byte codes per
+  // vector instead (8 B at M=8, a 32× scan-width cut), scores candidates
+  // with an O(M) table lookup per row (PqAdc, codegen), and re-ranks only
+  // the top ADC candidates against exact vectors. Codebooks are trained on
+  // UNIT-NORMALIZED vectors so the ADC sum approximates dot(q̂, x̂) =
+  // cosine(q, x) directly — no stored norms needed at probe time.
+
+  /** Unit-normalize an array<float|double> column (zero vectors pass
+    * through unchanged — their cosine against anything is already 0/NaN).
+    */
+  def normalize(a: Column): Column = {
+    val n = sqrt(graft.functions.VecDot(a, a))
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  private def pqSlice(nv: Column, sub: Int, dsub: Int): Column =
+    slice(nv, sub * dsub + 1, dsub)
+
+  /** Train PQ codebooks on the unit-normalized vectors: `m` subspaces of
+    * `dim/m` elements, `k` codewords each. Deterministic — hash-ordered
+    * seed sample plus `iters` Lloyd rounds, each round ONE aggregation job
+    * covering all m subspaces at once (explode to (sub, code, pos) triples,
+    * partial-aggregated average); the collected result is m·k·dsub doubles,
+    * independent of corpus size. Empty cells keep their seed codeword.
+    */
+  def pqTrain(df: DataFrame, vecCol: Column, idCol: Column, dim: Int,
+              m: Int, k: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(k > 1 && k <= 128, "codebook size must fit a signed byte")
+    val dsub = dim / m
+    val seeds = df.select(idCol.as("id"), normalize(vecCol).as("nv"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1))
+    require(seeds.nonEmpty, "pqTrain needs a non-empty corpus")
+    // short seed sets recycle rows (k distinct codewords are not required
+    // for correctness, only for quantization quality)
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      (0 until k).map(j => seeds(j % seeds.length)
+        .slice(s * dsub, s * dsub + dsub).toSeq)
+    }
+    val nvDf = df.select(normalize(vecCol).as("__nv"))
+    for (_ <- 0 until iters) {
+      val parts = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          graft.functions.ArgMinL2(col("__nv"), books(s), s * dsub).as("c"),
+          pqSlice(col("__nv"), s, dsub).as("sv"))
+      }
+      val means = nvDf.select(explode(array(parts: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.c").as("c"),
+          posexplode(col("e.sv")).as(Seq("p", "x")))
+        .groupBy("s", "c", "p").agg(avg(col("x")).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (sc, rows) =>
+          sc -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
+        }
+      books = (0 until m).map { s =>
+        (0 until k).map(j => means.getOrElse((s, j), books(s)(j)))
+      }
+    }
+    books
+  }
+
+  /** Encode the unit-normalized vector as `m` one-byte codewords — m
+    * O(1)-code-size native argmin loops over one shared normalized array.
+    */
+  def pqEncode(vecCol: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val nv = normalize(vecCol)
+    array((0 until m).map { s =>
+      graft.functions.ArgMinL2(nv, books(s), s * dsub).cast("byte")
+    }: _*)
+  }
+
+  /** Build an IVF-PQ index at `indexPath`: coarse IVF cells laid out as
+    * partitions (same pruning as [[ivfBuild]]), but each row stores only
+    * (id, m-byte code array). Codebooks and coarse centroids persist next
+    * to the data keyed by (recipe, dataset fingerprint).
+    */
+  def ivfPqBuild(df: DataFrame, vecCol: Column, idCol: Column,
+                 nCentroids: Int, m: Int, k: Int, indexPath: String,
+                 refineIters: Int = 2, pqIters: Int = 2)
+      : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) = {
+    val dim = df.select(size(vecCol)).first().getInt(0)
+    val coarse = refineCentroids(df, vecCol,
+      sampleCentroids(df, vecCol, idCol, nCentroids), refineIters)
+    val books = pqTrain(df, vecCol, idCol, dim, m, k, pqIters)
+    ivfAssign(df.select(idCol.as("__id"), vecCol.as("__v")), col("__v"), coarse)
+      .select(col("__id"), pqEncode(col("__v"), books).as("__codes"), col("__c"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__c").parquet(indexPath)
+    (coarse, books)
+  }
+
+  private val ivfPqValidated = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int),
+    (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]])]()
+
+  /** Fingerprint-guarded [[ivfPqBuild]] — same contract as
+    * [[ivfBuildIfMissing]]: a cached index at the same path is reused only
+    * when the dataset fingerprint AND build recipe match.
+    */
+  def ivfPqBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
+                          nCentroids: Int, m: Int, k: Int, indexPath: String,
+                          refineIters: Int = 2, pqIters: Int = 2)
+      : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) = {
+    val planHash = df.queryExecution.analyzed.semanticHash()
+    val memoKey = (indexPath, planHash, nCentroids, m * 1000 + k,
+      refineIters * 1000 + pqIters)
+    val hit = ivfPqValidated.get(memoKey)
+    if (hit != null) return hit
+    val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
+    val header = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
+      s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids"
+    if (java.nio.file.Files.exists(metaPath)) {
+      val lines = java.nio.file.Files.readAllLines(metaPath)
+      if (lines.size() == 1 + nCentroids + m * k && lines.get(0) == header) {
+        val coarse = (0 until nCentroids).map { i =>
+          i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+        }
+        val books = (0 until m).map { s =>
+          (0 until k).map { j =>
+            lines.get(1 + nCentroids + s * k + j)
+              .split(",").toSeq.map(_.toDouble)
+          }
+        }
+        val loaded = (coarse, books)
+        ivfPqValidated.put(memoKey, loaded)
+        return loaded
+      }
+    }
+    val built = ivfPqBuild(df, vecCol, idCol, nCentroids, m, k, indexPath,
+      refineIters, pqIters)
+    val body = (header +:
+      (built._1.map(_._2.map(_.toString).mkString(",")) ++
+        built._2.flatten.map(_.map(_.toString).mkString(",")))).mkString("\n")
+    java.nio.file.Files.writeString(metaPath, body)
+    ivfPqValidated.put(memoKey, built)
+    built
+  }
+
+  /** ANN top-k over an IVF-PQ index: prune to the `nProbe` nearest cells,
+    * ADC-score the code rows (O(M) lookups/row over an 8-byte column — the
+    * scan reads no vectors), keep the top `refineK` candidates, then
+    * re-rank exactly: the candidate ids (a bounded broadcast) semi-join the
+    * base table, which at 100 TB is a point-lookup-shaped read of refineK
+    * rows, not a second corpus scan. `refineK <= 0` skips the re-rank and
+    * returns raw ADC scores. Full probe + refineK >= corpus degrades to
+    * exact top-k (the oracle configuration, like [[ivfTopK]]'s).
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                coarse: Seq[(Int, Seq[Float])], books: Seq[Seq[Seq[Double]]],
+                base: DataFrame, vecCol: Column, idCol: Column,
+                query: Seq[Float], k: Int, nProbe: Int, refineK: Int,
+                quantized: Boolean = true): DataFrame = {
+    val probes = coarse.sortBy { case (i, c) => (-cosLocal(c, query), i) }
+      .take(nProbe).map(_._1)
+    val dsub = books.head.head.length
+    val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val qhat = if (qn == 0.0) query.map(_.toDouble)
+               else query.map(_.toDouble / qn)
+    val lut = books.zipWithIndex.map { case (book, s) =>
+      val qs = qhat.slice(s * dsub, s * dsub + dsub)
+      book.map(cw => cw.zip(qs).map { case (a, b) => a * b }.sum)
+    }
+    val adc = spark.read.parquet(indexPath)
+      .filter(col("__c").isin(probes: _*))
+      .select(col("__id"),
+        graft.functions.PqAdc(col("__codes"), lut).as("__adc"))
+    if (refineK <= 0)
+      adc.select(col("__id").as("id"), col("__adc"))
+        .orderBy(col("__adc").desc, col("id")).limit(k)
+        .select(col("id"), round(col("__adc"), 6).as("score"))
+    else {
+      val cand = adc.orderBy(col("__adc").desc, col("__id")).limit(refineK)
+        .select(col("__id"))
+      val q = lit(query.toArray)
+      val score = if (quantized) cosineQuantized(vecCol, q)
+                  else cosine(vecCol, q)
+      // rank on the UNROUNDED score (the oracle's ORDER BY), round only in
+      // the final projection
+      base.join(broadcast(cand), idCol === col("__id"))
+        .select(idCol.as("id"), score.as("__s"))
+        .orderBy(col("__s").desc, col("id")).limit(k)
+        .select(col("id"), round(col("__s"), 6).as("score"))
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -221,5 +221,62 @@ object TextAnalysis {
             (t, i) => (ascii(t) + length(t)).cast("long") * i),
           lit(0L), (acc, x) => acc + x),
         lit(1000000007L)))
+  }
+
+  /** Per-(doc, token) term frequency — the shared first stage of [[vocab]]
+    * and [[tfidfKeywords]]. Explode + one partial-aggregated shuffle on
+    * (doc, token); empty texts drop out before the explode.
+    */
+  private def docTermFreq(df: DataFrame, textCol: Column,
+                          idCol: Column): DataFrame =
+    df.filter(length(trim(textCol)) > 0)
+      .select(idCol.as("doc_id"), explode(tokensSimple(textCol)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary: per-token total term frequency (`tf`) and document
+    * frequency (`df`) — the statistic a tokenizer-training / vocab-building
+    * pass needs over a training corpus.
+    *
+    * Scale design: two partial-aggregated shuffles — (doc, token) then
+    * token — instead of `COUNT(DISTINCT doc)` in one, so no per-token
+    * distinct-doc set ever materializes: at 100 TB a stopword's billions of
+    * postings reduce map-side per partition in stage 1 and arrive at stage 2
+    * already one row per (doc, token). Top-k consumers should `orderBy`
+    * + `limit`, which Catalyst plans as TakeOrderedAndProject (no global
+    * sort).
+    */
+  def vocab(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docTermFreq(df, textCol, idCol)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+
+  /** Per-document top-`k` keywords by tf-idf
+    * (`score = tf · ln(N / df)`, rounded to 6 decimals so the ranking key is
+    * reproducible across engines; ties break on token order).
+    *
+    * Scale design: the (doc, token) relation aggregates once per stage; the
+    * document-frequency side joins back on `token` (AQE broadcasts it when
+    * the vocabulary is small — it is NOT forced broadcast, web-scale token
+    * sets can exceed executor memory); the corpus size N rides as a
+    * broadcast 1-row aggregate; the final ranking is a per-document keyed
+    * window, never a global sort. A production pipeline would persist
+    * `docTermFreq` once instead of recomputing it for the df/N branches —
+    * that is a caching decision, not a plan-shape one.
+    */
+  def tfidfKeywords(df: DataFrame, textCol: Column, idCol: Column,
+                    k: Int): DataFrame = {
+    val perDoc = docTermFreq(df, textCol, idCol)
+    val dfs = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDf = perDoc.agg(
+      countDistinct(col("doc_id")).cast("double").as("__n"))
+    val score = round(
+      col("tf").cast("double") * log(col("__n") / col("df")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(score.desc, col("token"))
+    perDoc.join(dfs, "token")
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("token"),
+        row_number().over(w).cast("long").as("rank"), score.as("score"))
+      .filter(col("rank") <= k)
   }
 }

@@ -670,4 +670,121 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def pqCorpus(n: Int, dim: Int, nClusters: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }.toDF("id", "v")
+  }
+
+  test("IVF-PQ: full probe + full refine equals exact top-k; ANN configs keep recall") {
+    val vecs = pqCorpus(n = 400, dim = 32, nClusters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(vecs, col("v"),
+      col("id"), nCentroids = 8, m = 8, k = 16, indexPath = dir)
+    val q = vecs.filter(col("id") === 0).select(col("v"))
+      .collect()(0).getSeq[Float](0)
+    val exact = Similarity.topK(vecs, col("v"), col("id"), q, k = 10,
+        quantized = true)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // oracle configuration: the PQ stage only proposes candidates, the
+    // re-rank is exact — identical rows to brute force
+    val full = Similarity.ivfPqTopK(spark, dir, coarse, books, vecs,
+        col("v"), col("id"), q, k = 10, nProbe = 8, refineK = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === exact.toSeq)
+    // ANN configuration: 3/8 cells probed, 50 ADC candidates re-ranked
+    val exactIds = exact.map(_._1).toSet
+    val ann = Similarity.ivfPqTopK(spark, dir, coarse, books, vecs,
+        col("v"), col("id"), q, k = 10, nProbe = 3, refineK = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert((ann & exactIds).size >= 6, s"ANN recall too low: $ann vs $exactIds")
+    // codes-only configuration (refineK <= 0): intra-cluster ordering sits
+    // below PQ resolution (16 codewords/subspace code the cluster structure,
+    // not the noise), so the honest property is neighborhood retrieval —
+    // every ADC hit comes from the query's planted cluster (id ≡ 0 mod 8)
+    val adc = Similarity.ivfPqTopK(spark, dir, coarse, books, vecs,
+        col("v"), col("id"), q, k = 10, nProbe = 8, refineK = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(adc.size === 10 && adc.forall(_ % 8 === 0),
+      s"ADC hits left the query's cluster: $adc")
+  }
+
+  test("IVF-PQ build is deterministic and fingerprint-guarded") {
+    val vecs = pqCorpus(n = 200, dim = 16, nClusters = 4)
+    val d1 = java.nio.file.Files.createTempDirectory("pq-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("pq-b").toString
+    val b1 = Similarity.ivfPqBuildIfMissing(vecs, col("v"), col("id"),
+      nCentroids = 4, m = 4, k = 8, indexPath = d1)
+    val b2 = Similarity.ivfPqBuildIfMissing(vecs, col("v"), col("id"),
+      nCentroids = 4, m = 4, k = 8, indexPath = d2)
+    assert(b1._1 === b2._1, "coarse centroids must be deterministic")
+    assert(b1._2 === b2._2, "PQ codebooks must be deterministic")
+    // reload from the meta file (fresh memo key via a re-read plan) matches
+    val again = Similarity.ivfPqBuildIfMissing(
+      vecs.filter(col("id") >= 0), col("v"), col("id"),
+      nCentroids = 4, m = 4, k = 8, indexPath = d1)
+    assert(again._2 === b1._2)
+  }
+
+  test("pqEncode codes are in range; PqAdc matches driver-side LUT math") {
+    val vecs = pqCorpus(n = 50, dim = 16, nClusters = 4)
+    val books = Similarity.pqTrain(vecs, col("v"), col("id"), dim = 16,
+      m = 4, k = 8)
+    val rnd = new scala.util.Random(11)
+    val q = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val lut = books.zipWithIndex.map { case (book, s) =>
+      val qs = q.map(_.toDouble / qn).slice(s * 4, s * 4 + 4)
+      book.map(cw => cw.zip(qs).map { case (a, b) => a * b }.sum)
+    }
+    val rows = vecs
+      .select(col("id"), Similarity.pqEncode(col("v"), books).as("codes"))
+      .select(col("id"), col("codes"),
+        graft.functions.PqAdc(col("codes"), lut).as("adc"))
+      .collect()
+    for (r <- rows) {
+      val codes = r.getSeq[Byte](1)
+      assert(codes.length === 4)
+      assert(codes.forall(c => c >= 0 && c < 8), s"code out of range: $codes")
+      val local = codes.zipWithIndex.map { case (c, s) => lut(s)(c.toInt) }.sum
+      assert(math.abs(r.getDouble(2) - local) < 1e-12,
+        s"ADC mismatch for id ${r.getLong(0)}")
+    }
+  }
+
+  test("vocab: tf counts every occurrence, df counts each doc once") {
+    val v = TextAnalysis.vocab(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "the" appears twice in each of docs 0,1,2 -> tf 6, df 3
+    assert(v("the") === ((6L, 3L)))
+    assert(v("dog") === ((2L, 2L)))   // docs 0 and 2
+    assert(v("spark") === ((1L, 1L)))
+    // "der" twice inside ONE doc: tf 2, df 1 — the distinction the two-stage
+    // aggregation exists to get right
+    assert(v("der") === ((2L, 1L)))
+    assert(!v.contains(""), "empty text must not contribute an empty token")
+  }
+
+  test("tfidf keywords: corpus-wide tokens rank below doc-specific ones") {
+    val kw = TextAnalysis.tfidfKeywords(docs, col("text"), col("doc_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1), r.getDouble(3)))
+    val byDoc = kw.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // doc 0: "the" (tf 2) outscores even rarer tokens; "dog" (df 2) beats
+    // the df-3 shared tokens — tf·idf ordering, not tf or idf alone
+    assert(byDoc(0L) === Seq("the", "dog"))
+    assert(byDoc.values.forall(_.size <= 2))
+    for ((_, _, _, s) <- kw) assert(!s.isNaN && s >= 0.0)
+    // empty doc 7 contributes nothing
+    assert(!byDoc.contains(7L))
+    // deterministic: a second run returns identical rows
+    val again = TextAnalysis.tfidfKeywords(docs, col("text"), col("doc_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1), r.getDouble(3)))
+    assert(kw.sortBy(t => (t._1, t._2)) === again.sortBy(t => (t._1, t._2)))
+  }
 }

@@ -149,7 +149,8 @@ class PlanSpec extends AnyFunSuite {
     // single-partition exchange, or an unexpected WindowExec — must fail
     // the build, not wait for a judge sweep. Keyed windows are legitimate
     // per-group ranking in exactly these three gates:
-    val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs", "q_crosstab_shift")
+    val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
+      "q_crosstab_shift", "q_tfidf_keywords")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val issues = Seq(
@@ -167,7 +168,11 @@ class PlanSpec extends AnyFunSuite {
     for (name <- windowWhitelist) {
       val p = planOf(name)
       assert(p.contains("Window"), s"$name dropped its window — update the whitelist")
-      assert(!p.contains("SinglePartition"),
+      // q_tfidf_keywords carries ONE legitimate SinglePartition: the 1-row
+      // corpus-size (N) scalar aggregate that broadcasts into the idf term.
+      // Its ranking window must still be keyed, so any second one fails.
+      val allowed = if (name == "q_tfidf_keywords") 1 else 0
+      assert("SinglePartition".r.findAllIn(p).size <= allowed,
         s"$name: a SinglePartition exchange appeared — its window may have gone global:\n$p")
     }
   }
