@@ -442,6 +442,31 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     },
 
+    // incremental exact dedup: a "today's crawl" batch against the admitted
+    // history via the persistent hash-only index (the index never shuffles;
+    // the batch's hashes broadcast into one map-only index scan). The batch
+    // plants re-crawls of history docs and intra-batch doubles so the gate
+    // actually exercises both rejection paths; admit=false keeps the gate a
+    // pure read (the stateful admit path is PipelineSpec-pinned).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hist = docs.filter(col("source") =!= "src0")
+      val b0 = docs.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val batch = b0
+        .unionByName(hist.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("n_chars")))
+        .unionByName(b0.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("n_chars")))
+      val idx = s"target/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Dedup.buildExactIndex(hist, col("text"), idx)
+      Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx,
+          admit = false)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    },
+
     // text analysis: token/char stats per lang (portable exact arithmetic)
     "q_text_stats" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -974,6 +999,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH hist AS (SELECT * FROM documents WHERE source <> 'src0'),
+        |b0 AS (SELECT doc_id, text, n_chars FROM documents WHERE source = 'src0'),
+        |batch AS (
+        |  SELECT * FROM b0
+        |  UNION ALL SELECT doc_id + 1000000, text, n_chars FROM hist
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text, n_chars FROM b0
+        |    WHERE doc_id % 7 = 0)
+        |SELECT doc_id, n_chars FROM batch d
+        |WHERE doc_id = (SELECT min(doc_id) FROM batch d2 WHERE d2.text = d.text)
+        |  AND NOT EXISTS (SELECT 1 FROM hist c WHERE c.text = d.text)
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->

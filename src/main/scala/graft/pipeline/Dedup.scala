@@ -28,6 +28,62 @@ object Dedup {
       .drop("__rn")
   }
 
+  // ---- incremental exact dedup against a persistent index --------------
+  //
+  // The production shape: each day's crawl batch dedups against EVERYTHING
+  // ever admitted, not just against itself. The history lives as a
+  // hash-only parquet index (16-byte md5 per admitted text — at 100 TB of
+  // corpus the index is a few hundred GB, readable in one map-only pass);
+  // the batch's hash set broadcasts INTO that scan, so the index never
+  // shuffles and history size only affects scan width, never shuffle
+  // volume. Admitting survivors is a partitioned append — no rewrite of
+  // existing index files.
+
+  /** (Re)build the exact-dedup index at `indexPath` from an initial corpus:
+    * one distinct hash per text, partitioned by a 1-byte hash prefix so
+    * future appends land beside their peers.
+    */
+  def buildExactIndex(df: DataFrame, keyCol: Column, indexPath: String): Unit =
+    df.select(md5(keyCol.cast("binary")).as("__h")).distinct()
+      .withColumn("__hp", substring(col("__h"), 1, 2))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__hp").parquet(indexPath)
+
+  /** Batch rows that survive exact dedup against BOTH the batch itself
+    * (lowest `idCol` per text wins) and the persistent index at
+    * `indexPath`. With `admit = true` the survivors' hashes are appended to
+    * the index first (the daily-ingest mode: re-running the same batch then
+    * yields zero rows); `admit = false` is a pure read (the gate/oracle
+    * mode). The surviving-id set is bounded by batch size and is
+    * materialized BEFORE any append so the returned plan never observes the
+    * index rows this call added.
+    */
+  def exactIncremental(batch: DataFrame, keyCol: Column, idCol: Column,
+                       indexPath: String, admit: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    // intra-batch winners: one shuffle on the compact 32-hex hash
+    val bh = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
+      .groupBy(col("__h")).agg(min(col("__id")).as("__id"))
+    // pin the index SNAPSHOT by explicit file list: the survivor plan below
+    // stays deterministic even after this call's own append lands new files
+    // (a path-based read would be recomputed against the mutated index by
+    // Spark's recache-on-write, turning the admitted batch into 0 rows).
+    // The listing is one driver-side array of paths, same as any scan plans.
+    val preFiles = spark.read.parquet(indexPath).inputFiles.toIndexedSeq
+    val index = spark.read.parquet(preFiles: _*).select(col("__h"))
+    // map-only pass over the index with the batch hashes broadcast into it;
+    // hits are bounded by batch size
+    val hits = index.join(broadcast(bh.select(col("__h"))), Seq("__h"),
+      "left_semi").distinct()
+    val fresh = bh.join(broadcast(hits), Seq("__h"), "left_anti")
+    if (admit)
+      fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__hp").parquet(indexPath)
+    batch.join(broadcast(fresh.select(col("__id"))), idCol === col("__id"),
+      "left_semi")
+  }
+
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
     * Docs with fewer than n tokens have no n-gram. Compiled by the native
     * [[graft.functions.WordNGrams]] expression — one tokenize+join+dedup

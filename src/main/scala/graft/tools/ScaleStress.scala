@@ -153,6 +153,23 @@ object ScaleStress {
         col("vec_id"), q, k = 10, nProbe = 4, quantized = true)
     }
 
+    // IVF-PQ probe under the same sizing: the probed CODE bytes per query
+    // grow like sqrt(N)·M/dim relative to the IVF float probe; the exact
+    // re-rank touches only the fixed refineK candidate set, so the probe
+    // should track (or beat) the IVF exponent with a much smaller constant
+    // per probed row at production dims.
+    def pqProbe(dir: String, sk: Int): () => DataFrame = {
+      val e = spark.read.parquet(dir)
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .first().getSeq[Float](0)
+      val nC = math.max(16, (16 * math.sqrt(sk.toDouble)).round.toInt)
+      val idx = s"/tmp/graft-scale/pq_x$sk"
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(e, col("embedding"),
+        col("vec_id"), nC, 8, 16, idx)
+      () => Similarity.ivfPqTopK(spark, idx, coarse, books, e,
+        col("embedding"), col("vec_id"), q, k = 10, nProbe = 4, refineK = 50)
+    }
+
     val embDirs = scales.map(k => k -> blowUpEmb(k)).toMap
     time(embDedup(embDirs(1), 1)); time(topPairs(embDirs(1))) // warmup
     val embResults = scales.map { k =>
@@ -160,17 +177,21 @@ object ScaleStress {
       val tp = minOf2(topPairs(embDirs(k)))
       val probe = annProbe(embDirs(k), k)
       val ann = minOf2(probe())
-      println(f"""{"scale":$k,"embed_dedup_sec":$dd%.2f,"top_pairs_sec":$tp%.2f,"ann_probe_sec":$ann%.2f}""")
-      k -> (dd, tp, ann)
+      val pprobe = pqProbe(embDirs(k), k)
+      val pq = minOf2(pprobe())
+      println(f"""{"scale":$k,"embed_dedup_sec":$dd%.2f,"top_pairs_sec":$tp%.2f,"ann_probe_sec":$ann%.2f,"pq_probe_sec":$pq%.2f}""")
+      k -> (dd, tp, ann, pq)
     }.toMap
-    def expo3(k0: Int, k1: Int, f: ((Double, Double, Double)) => Double): Double =
+    def expo3(k0: Int, k1: Int, f: ((Double, Double, Double, Double)) => Double): Double =
       math.log(f(embResults(k1)) / f(embResults(k0))) / math.log(k1.toDouble / k0)
     println(f"""{"metric":"embed_scaling_exponent","embed_dedup":${expo3(1, kHi, _._1)}%.2f,""" +
       f""""top_pairs":${expo3(1, kHi, _._2)}%.2f,""" +
       f""""ann_probe":${expo3(1, kHi, _._3)}%.2f,""" +
+      f""""pq_probe":${expo3(1, kHi, _._4)}%.2f,""" +
       f""""embed_dedup_tail":${expo3(kMid, kHi, _._1)}%.2f,""" +
       f""""top_pairs_tail":${expo3(kMid, kHi, _._2)}%.2f,""" +
       f""""ann_probe_tail":${expo3(kMid, kHi, _._3)}%.2f,""" +
+      f""""pq_probe_tail":${expo3(kMid, kHi, _._4)}%.2f,""" +
       f""""scales":[${scales.mkString(",")}]}""")
     spark.stop()
   }

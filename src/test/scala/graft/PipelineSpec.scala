@@ -671,6 +671,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental exact dedup: index admits once, across and within batches") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup-idx").toString + "/i"
+    Dedup.buildExactIndex(
+      Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text"),
+      col("text"), idx)
+    // batch 1: one history dup, one intra-batch double, two fresh
+    val b1 = Seq((1L, "alpha"), (2L, "gamma"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.exactIncremental(b1, col("text"), col("doc_id"), idx)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq === Seq(2L, 4L))
+    // the same batch replayed: everything is now history
+    val s1b = Dedup.exactIncremental(b1, col("text"), col("doc_id"), idx)
+      .collect()
+    assert(s1b.isEmpty, "replayed batch must dedup to nothing")
+    // batch 2: a dup of batch 1's admission plus one genuinely new text
+    val b2 = Seq((10L, "gamma"), (11L, "epsilon")).toDF("doc_id", "text")
+    val s2 = Dedup.exactIncremental(b2, col("text"), col("doc_id"), idx)
+      .collect().map(_.getLong(0)).sorted
+    assert(s2.toSeq === Seq(11L))
+    // admit=false is a pure read: nothing new became history
+    val s3 = Dedup.exactIncremental(
+      Seq((20L, "zeta")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, admit = false)
+      .collect().map(_.getLong(0))
+    assert(s3.toSeq === Seq(20L))
+    val s4 = Dedup.exactIncremental(
+      Seq((21L, "zeta")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, admit = false)
+      .collect().map(_.getLong(0))
+    assert(s4.toSeq === Seq(21L), "admit=false must not mutate the index")
+  }
+
   private def pqCorpus(n: Int, dim: Int, nClusters: Int): DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
