@@ -143,6 +143,29 @@ class PlanSpec extends AnyFunSuite {
       planOf("q_repetition"))
   }
 
+  test("IVF-PQ probe prunes index partitions and broadcasts the candidate set") {
+    val p = planOf("q_ann_pq")
+    // the cell filter must reach PARTITION pruning (read nProbe/nCentroids
+    // of the files), not sit as a row predicate over a full scan
+    assert(p.contains("PartitionFilters: [__c"),
+      s"q_ann_pq: cell filter did not become a partition filter:\n$p")
+    // ADC top-k is a TakeOrdered, and the exact re-rank joins the bounded
+    // candidate set by broadcast — never a shuffled join of the base table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"q_ann_pq re-rank shuffled:\n$p")
+  }
+
+  test("incremental dedup never shuffles the history index through a join") {
+    val p = planOf("q_dedup_incremental")
+    // every join is broadcast (batch hashes INTO the index scan, candidate
+    // ids INTO the batch): a SortMergeJoin here would shuffle the full
+    // index per batch — the exact cost the operator exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"q_dedup_incremental shuffled the index:\n$p")
+  }
+
   test("plan hygiene sweep: every gate query stays free of scale-killer shapes") {
     // tools/PlanSweep promoted into CI (r5 verdict #3): the shapes that
     // silently serialize at 100 TB — a cartesian product, more than one
