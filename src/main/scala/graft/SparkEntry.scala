@@ -494,6 +494,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // end-to-end curation composition — the actual user workflow the
+    // pipeline operators exist for: quality-score gate -> exact dedup ->
+    // deterministic per-language sample. Every stage is map-only or
+    // one-compact-shuffle, so the composition inherits the per-operator
+    // scale properties; the oracle replays the identical three stages in
+    // SQL (threshold on the ROUNDED score so the cut is engine-portable).
+    "q_curation" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = docs
+        .withColumn("__st", graft.functions.TextScore.stats(col("text")))
+        .withColumn("quality",
+          round(graft.functions.TextScore.qualityScoreFromStats(col("__st")), 6))
+        .withColumn("lang_pred",
+          graft.functions.TextScore.langIdFromStats(col("__st")))
+      val kept = scored.filter(col("quality") >= 0.75)
+      val deduped = Dedup.exact(kept, col("text"), col("doc_id"))
+      Sampling.stratifiedSample(deduped, col("doc_id"), col("lang_pred"),
+          Map("en" -> 0.5), defaultRate = 0.2)
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // corpus vocabulary: per-token tf/df, top-50 by total term frequency —
     // the tokenizer-training statistic (two partial-agg shuffles, no
     // COUNT DISTINCT, TakeOrdered top-k)
@@ -1041,6 +1063,71 @@ object SparkEntry {
         |              (x, i) -> CAST(ascii(x) + length(x) AS BIGINT) * i))
         |            % 1000000007 END AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS ntoks,
+        |    list_sum(list_transform(toks, tok -> length(tok))) AS toklen,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['the','and','of','to','in','is','you','that','it','for','a','on','with','as','at','this'],
+        |      lower(tok)))) AS h_en,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['der','die','und','das','ist','nicht','mit','ein','ich','auf','sich','den','zu','von'],
+        |      lower(tok)))) AS h_de,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['le','la','et','les','des','un','une','est','pour','que','dans','qui','au','pas','sur'],
+        |      lower(tok)))) AS h_fr,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['el','la','de','que','y','en','un','los','se','no','con','por','las','para','es'],
+        |      lower(tok)))) AS h_es,
+        |    len(list_filter(toks, tok -> list_contains(
+        |      ['il','di','che','la','e','per','un','in','non','si','una','con','del','le','sono'],
+        |      lower(tok)))) AS h_it
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, text, ntoks, toklen, h_en,
+        |    list_aggregate([struct_pack(s := h_en, l := 'en'),
+        |                    struct_pack(s := h_de, l := 'de'),
+        |                    struct_pack(s := h_fr, l := 'fr'),
+        |                    struct_pack(s := h_es, l := 'es'),
+        |                    struct_pack(s := h_it, l := 'it')], 'max') AS best
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred,
+        |    least(ntoks / 64.0, 1.0) AS ls,
+        |    1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |           / length(text) END) * 5.0, 1.0) AS ps,
+        |    least((CASE WHEN ntoks = 0 THEN 0.0
+        |      ELSE CAST(h_en AS DOUBLE) / ntoks END) * 4.0, 1.0) AS ss,
+        |    CASE WHEN (CASE WHEN ntoks = 0 THEN 0.0
+        |      ELSE CAST(toklen AS DOUBLE) / ntoks END) BETWEEN 3.0 AND 10.0
+        |      THEN 1.0 ELSE 0.3 END AS ws
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, text, lang_pred,
+        |    round(ls * 0.25 + ps * 0.25 + ss * 0.25 + ws * 0.25, 6) AS quality
+        |  FROM q),
+        |k AS (SELECT * FROM c WHERE quality >= 0.75),
+        |d AS (SELECT * FROM k
+        |      WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY text)),
+        |u AS (
+        |  SELECT doc_id, lang_pred, quality,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM d)
+        |SELECT doc_id, lang_pred, quality FROM u
+        |WHERE uv < (CASE lang_pred WHEN 'en' THEN 0.5 ELSE 0.2 END)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH td AS (
