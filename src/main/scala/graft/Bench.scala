@@ -136,6 +136,13 @@ object Bench {
         col("vec_id"), nCentroids = 16, m = 8, k = 16,
         SparkEntry.gatePqPath(sfDir))
       spark.read.parquet(SparkEntry.gatePqPath(sfDir)).limit(1).collect()
+      // and the incremental-dedup history index (fingerprint-guarded): the
+      // gate measures the batch-vs-history probe, not the one-time build
+      val histDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("source") =!= "src0")
+      graft.pipeline.Dedup.buildExactIndexIfMissing(histDocs, col("text"),
+        col("doc_id"),
+        s"target/gate-dedup/idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

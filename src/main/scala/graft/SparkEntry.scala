@@ -461,7 +461,7 @@ object SparkEntry {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
             col("n_chars")))
       val idx = s"target/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      Dedup.buildExactIndex(hist, col("text"), idx)
+      Dedup.buildExactIndexIfMissing(hist, col("text"), col("doc_id"), idx)
       Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx,
           admit = false)
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))

@@ -41,13 +41,44 @@ object Dedup {
 
   /** (Re)build the exact-dedup index at `indexPath` from an initial corpus:
     * one distinct hash per text, partitioned by a 1-byte hash prefix so
-    * future appends land beside their peers.
+    * future appends land beside their peers. Rows cluster on the prefix
+    * before the write (one shuffle) so each prefix dir gets ~one file per
+    * build instead of one per (task × prefix) — uniform hashes otherwise
+    * spray every prefix across every task and the index becomes a
+    * small-file field.
     */
   def buildExactIndex(df: DataFrame, keyCol: Column, indexPath: String): Unit =
     df.select(md5(keyCol.cast("binary")).as("__h")).distinct()
       .withColumn("__hp", substring(col("__h"), 1, 2))
+      .repartition(col("__hp"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__hp").parquet(indexPath)
+
+  // (indexPath, input-plan hash) -> fingerprint header already validated by
+  // this JVM — same guard discipline as Similarity.ivfBuildIfMissing: the
+  // fingerprint scan runs once per (path, input), not per query
+  private val exactIndexValidated =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** [[buildExactIndex]] only if the index at `indexPath` is absent or was
+    * built from a different corpus (dataset-fingerprint keyed, like the
+    * ANN index builds). Returns quickly on a warm path.
+    */
+  def buildExactIndexIfMissing(df: DataFrame, keyCol: Column, idCol: Column,
+                               indexPath: String): Unit = {
+    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash())
+    if (exactIndexValidated.containsKey(memoKey)) return
+    val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+    val header = s"fp=${Similarity.datasetFingerprint(df, idCol)}"
+    if (java.nio.file.Files.exists(metaPath) &&
+        java.nio.file.Files.readString(metaPath).trim == header) {
+      exactIndexValidated.put(memoKey, header)
+      return
+    }
+    buildExactIndex(df, keyCol, indexPath)
+    java.nio.file.Files.writeString(metaPath, header + "\n")
+    exactIndexValidated.put(memoKey, header)
+  }
 
   /** Batch rows that survive exact dedup against BOTH the batch itself
     * (lowest `idCol` per text wins) and the persistent index at
@@ -78,6 +109,7 @@ object Dedup {
     val fresh = bh.join(broadcast(hits), Seq("__h"), "left_anti")
     if (admit)
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
+        .repartition(col("__hp")) // cluster: ~one appended file per prefix
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("__hp").parquet(indexPath)
     batch.join(broadcast(fresh.select(col("__id"))), idCol === col("__id"),

@@ -705,6 +705,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(s4.toSeq === Seq(21L), "admit=false must not mutate the index")
   }
 
+  test("buildExactIndexIfMissing: fingerprint-guarded reuse and rebuild") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup-guard").toString + "/i"
+    val c1 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(c1, col("text"), col("doc_id"), idx)
+    // warm rebuild is a no-op: the index files' mtimes must not change
+    val files0 = spark.read.parquet(idx).inputFiles.sorted.toSeq
+    Dedup.buildExactIndexIfMissing(
+      c1.filter(col("doc_id") > 0), col("text"), col("doc_id"), idx)
+    assert(spark.read.parquet(idx).inputFiles.sorted.toSeq === files0)
+    // a changed corpus at the same path rebuilds instead of serving stale
+    val c2 = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(c2, col("text"), col("doc_id"), idx)
+    val out = Dedup.exactIncremental(
+      Seq((9L, "cc")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, admit = false).collect()
+    assert(out.isEmpty, "rebuilt index must know the new corpus text")
+  }
+
   private def pqCorpus(n: Int, dim: Int, nClusters: Int): DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
