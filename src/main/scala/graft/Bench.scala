@@ -136,6 +136,11 @@ object Bench {
         col("vec_id"), nCentroids = 16, m = 8, k = 16,
         SparkEntry.gatePqPath(sfDir))
       spark.read.parquet(SparkEntry.gatePqPath(sfDir)).limit(1).collect()
+      // batch-ANN gate index over its own corpus slice (vec_id >= 20)
+      val embBatch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") >= 20)
+      graft.pipeline.Similarity.ivfBuildIfMissing(embBatch, col("embedding"),
+        col("vec_id"), nCentroids = 16, SparkEntry.gateBatchPath(sfDir))
       // and the incremental-dedup history index (fingerprint-guarded): the
       // gate measures the batch-vs-history probe, not the one-time build
       val histDocs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -79,6 +79,10 @@ object SparkEntry {
   private[graft] def gatePqPath(dir: String): String =
     s"target/gate-ivf/pq${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Cached IVF index over the batch-ANN gate's corpus (vec_id >= 20). */
+  private[graft] def gateBatchPath(dir: String): String =
+    s"target/gate-ivf/batch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
@@ -633,6 +637,24 @@ object SparkEntry {
       Similarity.ivfPqTopK(s, idx, coarse, books, corpus, col("embedding"),
         col("vec_id"), q, k = 10, nProbe = 16, refineK = 1000000,
         quantized = true)
+    },
+
+    // batched ANN retrieval join: top-3 corpus neighbors for EVERY query
+    // row in one pass over the index (queries pick cells via a broadcast
+    // centroid table; the index scan prunes to the probed cells; per-query
+    // ranking is a keyed window). Full probe ≡ exact, so the oracle is the
+    // windowed exact top-k join.
+    "q_ann_batch" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gateBatchPath(dir)
+      val centroids = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, idx)
+      Similarity.ivfTopKBatch(s, idx, centroids, queries, col("vec_id"),
+          col("embedding"), col("vec_id"), col("embedding"), k = 3,
+          nProbe = 16, quantized = true)
+        .orderBy(col("qid"), col("rank"))
     },
 
     // embedding-cosine near-dup dedup: plant exact twins (same vector, new
@@ -1319,6 +1341,25 @@ object SparkEntry {
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    // full-probe batched ANN == the exact windowed top-k join
+    "q_ann_batch" ->
+      """WITH qe AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_dot_product(c.e, q.e)
+        |      / (sqrt(list_dot_product(c.e, c.e)) *
+        |         sqrt(list_dot_product(q.e, q.e))) AS cs
+        |  FROM qe q, qe c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (
+        |  SELECT qid, id, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank, round(cs, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // full-probe + full-refine IVF-PQ == exact quantized top-k (the ADC
     // stage only selects candidates; the re-rank is exact arithmetic)

@@ -358,6 +358,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched ANN: top-k corpus neighbors for EVERY row of a query
+    * DataFrame in one pass over the index — the retrieval join a RAG/
+    * augmentation pipeline runs, where per-query [[ivfTopK]] calls would
+    * mean one index scan each.
+    *
+    * Shape: queries cross a broadcast centroid table (nCentroids rows) and
+    * keep their nProbe best cells by a per-query keyed window; the distinct
+    * probed cells (≤ nCentroids ids, one tiny collect) partition-prune the
+    * index scan; the (query, cell) assignments then join the scan — by
+    * broadcast when `broadcastQueries` (one pass over the index, no index
+    * shuffle; right for query batches that fit executor memory), or by a
+    * cell-keyed shuffle join for query sets too large to broadcast (the
+    * index shuffles once on `__c`, amortized over the whole batch). Final
+    * per-query top-k is another keyed window — never a global sort.
+    */
+  def ivfTopKBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   centroids: Seq[(Int, Seq[Float])],
+                   queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                   idCol: Column, vecCol: Column, k: Int, nProbe: Int,
+                   quantized: Boolean = true,
+                   broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = {
+      import spark.implicits._
+      centroids.map { case (i, c) => (i, c.toArray) }.toDF("__cc", "__cv")
+    }
+    val cellRank = Window.partitionBy(col("__qid"))
+      .orderBy(col("__cs").desc, col("__cc"))
+    val assigned = queries.select(qIdCol.as("__qid"), qVecCol.as("__qv"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(cellRank))
+      .filter(col("__r") <= nProbe)
+      .select(col("__qid"), col("__qv"), col("__cc"))
+    // ≤ nCentroids ints — prunes the scan to the union of probed cells
+    val probed = assigned.select(col("__cc")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+    val asn = if (broadcastQueries) broadcast(assigned) else assigned
+    val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
+                else cosine(vecCol, col("__qv"))
+    idx.join(asn, idx("__c") === asn("__cc"))
+      .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"), round(col("__s"), 6).as("score"))
+  }
+
   // ---- Product quantization (IVF-PQ) ----------------------------------
   //
   // The 100 TB ANN economics: an IVF cell probe still reads full vectors

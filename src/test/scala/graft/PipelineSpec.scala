@@ -785,6 +785,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(again._2 === b1._2)
   }
 
+  test("batched ANN matches per-query probes, cell for cell") {
+    val vecs = pqCorpus(n = 300, dim = 32, nClusters = 6)
+    val dir = java.nio.file.Files.createTempDirectory("batch-idx").toString
+    val corpus = vecs.filter(col("id") >= 10)
+    val centroids = Similarity.ivfBuildIfMissing(corpus, col("v"), col("id"),
+      nCentroids = 6, indexPath = dir)
+    val queries = vecs.filter(col("id") < 10)
+    val batch = Similarity.ivfTopKBatch(spark, dir, centroids, queries,
+        col("id"), col("v"), col("id"), col("v"), k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    val qRows = queries.select(col("id"), col("v")).collect()
+    for (qr <- qRows) {
+      val qid = qr.getLong(0)
+      val single = Similarity.ivfTopK(spark, dir, centroids, col("v"),
+          col("id"), qr.getSeq[Float](1), k = 5, nProbe = 2, quantized = true)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got === single.toSeq, s"query $qid: batch != per-query probe")
+    }
+  }
+
   test("pqEncode codes are in range; PqAdc matches driver-side LUT math") {
     val vecs = pqCorpus(n = 50, dim = 16, nClusters = 4)
     val books = Similarity.pqTrain(vecs, col("v"), col("id"), dim = 16,
