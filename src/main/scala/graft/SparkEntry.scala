@@ -520,6 +520,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // deterministic n-way split: every doc gets a key-stable train/val/test
+    // label (md5-uniform vs cumulative weights — map-only, engine-portable,
+    // so eval membership survives corpus rebuilds)
+    "q_split" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // mixture balancing: per-language sample rates computed from a token
+    // budget (one aggregation -> one rate row per stratum on the driver),
+    // then the deterministic stratified sample — the data-mixing pass of a
+    // training run. Output is the post-mix per-language doc/token table.
+    "q_mixture" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withT = docs.withColumn("__tok",
+        size(TextAnalysis.tokensSimple(col("text"))).cast("double"))
+      val rates = Sampling.tokenBudgetRates(withT, col("lang"), col("__tok"),
+        budgetPerStratum = 2000.0)
+      Sampling.stratifiedSample(withT, col("doc_id"), col("lang"), rates,
+          defaultRate = 1.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("__tok")).cast("long").as("tokens"))
+        .orderBy(col("lang"))
+    },
+
     // corpus vocabulary: per-token tf/df, top-50 by total term frequency —
     // the tokenizer-training statistic (two partial-agg shuffles, no
     // COUNT DISTINCT, TakeOrdered top-k)
@@ -1150,6 +1179,43 @@ object SparkEntry {
         |SELECT doc_id, lang_pred, quality FROM u
         |WHERE uv < (CASE lang_pred WHEN 'en' THEN 0.5 ELSE 0.2 END)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM documents),
+        |c AS (SELECT (0.8::DOUBLE + 0.1::DOUBLE + 0.1::DOUBLE) AS tot)
+        |SELECT doc_id,
+        |  CASE WHEN uv < 0.8::DOUBLE / tot THEN 'train'
+        |       WHEN uv < 0.8::DOUBLE / tot + 0.1::DOUBLE / tot THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u, c ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split(trim(text), ' ')) END AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, least(1.0::DOUBLE,
+        |    2000.0::DOUBLE / greatest(1.0::DOUBLE, CAST(SUM(tok) AS DOUBLE))) AS rate
+        |  FROM t GROUP BY lang),
+        |u AS (
+        |  SELECT t.doc_id, t.lang, t.tok, r.rate,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(t.doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM t JOIN r USING (lang))
+        |SELECT lang, COUNT(*)::BIGINT AS docs, CAST(SUM(tok) AS BIGINT) AS tokens
+        |FROM u WHERE uv < rate GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH td AS (

@@ -46,4 +46,40 @@ object Sampling {
     }
     df.filter(hashUniform(keyCol) < rateCol)
   }
+
+  /** Deterministic train/val/test (or any n-way) split: a `split` label
+    * column assigned by where the key's md5-uniform lands among the
+    * cumulative weights. Map-only and key-stable — a document keeps its
+    * split across re-runs, repartitions, and engines, which is what keeps
+    * eval sets from leaking into training data as the corpus is rebuilt.
+    */
+  def splitLabel(keyCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "bad split weights")
+    val total = splits.map(_._2).sum
+    require(total > 0.0, "split weights must sum > 0")
+    val u = hashUniform(keyCol)
+    val cum = splits.scanLeft(0.0)(_ + _._2 / total).tail
+    // the last bucket takes everything to 1.0, so no row falls through
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), upper), acc) => when(u < upper, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Per-stratum sample rates that hit a target token budget per stratum:
+    * `rate(s) = min(1, budget / tokens(s))` from ONE aggregation over the
+    * corpus (one row per stratum on the driver). Composing with
+    * [[stratifiedSample]] yields the mixture-balancing pass of a training
+    * run — downsample the over-represented languages/sources until each
+    * contributes ~`budgetPerStratum` tokens, keep the small ones whole.
+    */
+  def tokenBudgetRates(df: DataFrame, strataCol: Column, tokenCol: Column,
+                       budgetPerStratum: Double): Map[String, Double] = {
+    require(budgetPerStratum > 0.0, "budget must be positive")
+    df.groupBy(strataCol.as("__s"))
+      .agg(sum(tokenCol.cast("double")).as("__t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.min(1.0, budgetPerStratum / math.max(1.0, r.getDouble(1))))
+      .toMap
+  }
 }

@@ -671,6 +671,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("split labels: exhaustive, deterministic, weight-proportional, stable") {
+    import spark.implicits._
+    val keys = spark.range(4000).select(col("id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = keys.select(col("id"),
+      Sampling.splitLabel(col("id"), splits).as("split"))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 4000L, "every row gets exactly one label")
+    assert(math.abs(counts("train") - 3200.0) < 200, counts.toString)
+    assert(math.abs(counts("val") - 400.0) < 100, counts.toString)
+    assert(math.abs(counts("test") - 400.0) < 100, counts.toString)
+    // key-stable: the same id keeps its label after a repartition
+    val a = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = keys.repartition(13)
+      .select(col("id"), Sampling.splitLabel(col("id"), splits).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("token-budget rates downsample only over-budget strata") {
+    import spark.implicits._
+    // stratum "big" holds 1000 tokens, "small" 60: budget 100 should cut
+    // big to ~10% and leave small whole
+    val df = ((0 until 100).map(i => (i.toLong, "big", 10.0)) ++
+      (100 until 130).map(i => (i.toLong, "small", 2.0)))
+      .toDF("id", "lang", "tok")
+    val rates = Sampling.tokenBudgetRates(df, col("lang"), col("tok"), 100.0)
+    assert(rates("big") === 0.1)
+    assert(rates("small") === 1.0)
+    val kept = Sampling.stratifiedSample(df, col("id"), col("lang"), rates,
+        defaultRate = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") === 30L, "under-budget stratum must be kept whole")
+    assert(kept.getOrElse("big", 0L) < 30L, s"big not downsampled: $kept")
+  }
+
   test("incremental exact dedup: index admits once, across and within batches") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup-idx").toString + "/i"
