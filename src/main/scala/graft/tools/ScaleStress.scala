@@ -170,6 +170,21 @@ object ScaleStress {
         col("embedding"), col("vec_id"), q, k = 10, nProbe = 4, refineK = 50)
     }
 
+    // batched retrieval join: 100 query vectors against the same IVF index
+    // the per-query probe uses — measures the one-pass amortization and how
+    // the batch cost grows with corpus size
+    def batchProbe(dir: String, sk: Int): () => DataFrame = {
+      val e = spark.read.parquet(dir)
+      val nC = math.max(16, (16 * math.sqrt(sk.toDouble)).round.toInt)
+      val idx = s"/tmp/graft-scale/ivf_x$sk" // shared with annProbe
+      val centroids = Similarity.ivfBuildIfMissing(e, col("embedding"),
+        col("vec_id"), nC, idx)
+      val queries = e.filter(col("vec_id") < 100)
+      () => Similarity.ivfTopKBatch(spark, idx, centroids, queries,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nProbe = 4, quantized = true)
+    }
+
     val embDirs = scales.map(k => k -> blowUpEmb(k)).toMap
     time(embDedup(embDirs(1), 1)); time(topPairs(embDirs(1))) // warmup
     val embResults = scales.map { k =>
@@ -179,7 +194,9 @@ object ScaleStress {
       val ann = minOf2(probe())
       val pprobe = pqProbe(embDirs(k), k)
       val pq = minOf2(pprobe())
-      println(f"""{"scale":$k,"embed_dedup_sec":$dd%.2f,"top_pairs_sec":$tp%.2f,"ann_probe_sec":$ann%.2f,"pq_probe_sec":$pq%.2f}""")
+      val bprobe = batchProbe(embDirs(k), k)
+      val bat = minOf2(bprobe())
+      println(f"""{"scale":$k,"embed_dedup_sec":$dd%.2f,"top_pairs_sec":$tp%.2f,"ann_probe_sec":$ann%.2f,"pq_probe_sec":$pq%.2f,"batch100_probe_sec":$bat%.2f}""")
       k -> (dd, tp, ann, pq)
     }.toMap
     def expo3(k0: Int, k1: Int, f: ((Double, Double, Double, Double)) => Double): Double =
