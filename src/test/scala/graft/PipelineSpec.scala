@@ -691,6 +691,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("splitLabel matches an exact local md5 model for random weight vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val keys = (0L until 500L)
+    val keysDf = keys.toDF("id")
+    def localUniform(key: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    }
+    for (trial <- 0 until 5) {
+      val n = 2 + rnd.nextInt(4)
+      val splits = Seq.tabulate(n)(i => s"s$i" -> (0.05 + rnd.nextDouble()))
+      // the same fold arithmetic the Column builds: cumulative w/total sums
+      val total = splits.map(_._2).sum
+      val cum = splits.scanLeft(0.0)(_ + _._2 / total).tail
+      def localLabel(u: Double): String =
+        splits.init.zip(cum.init).find { case (_, upper) => u < upper }
+          .map(_._1._1).getOrElse(splits.last._1)
+      val got = keysDf
+        .select(col("id"), Sampling.splitLabel(col("id"), splits).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (k <- keys)
+        assert(got(k) === localLabel(localUniform(k)),
+          s"[trial $trial] key $k splits=$splits")
+    }
+  }
+
   test("token-budget rates downsample only over-budget strata") {
     import spark.implicits._
     // stratum "big" holds 1000 tokens, "small" 60: budget 100 should cut
