@@ -167,6 +167,18 @@ final class GraftDB(
           c != "ts" && !measureNames.contains(c) && !whitelistedDims.contains(c))
         batch0.drop(drop: _*)
       }
+    // vtime: the logical clock reaches the batch's max ts BEFORE the merge,
+    // so this batch's own retention/backfill decisions see the new time —
+    // the reference advances virtual time as points arrive (zenodb's vtime
+    // clock), then truncates against it
+    now match {
+      case vc: GraftDB.VirtualClock if batch.columns.contains("ts") =>
+        val m = batch.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col("ts"))).collect()(0)
+        if (!m.isNullAt(0))
+          vc.advanceTo(m.getTimestamp(0).getTime)
+      case _ =>
+    }
     targets.foreach(_.mergeBatch(batch))
     if (journalOn) appendJournal(stream.toLowerCase, batch)
   }
@@ -516,6 +528,26 @@ final class GraftDB(
 }
 
 object GraftDB {
+  /** The reference's `-vtime` mode (server/server.go:632, zenodb.go
+    * virtual time): a logical clock advanced by the timestamps of inserted
+    * points instead of the wall. Pass one as the `now` constructor argument
+    * and [[GraftDB.insert]] moves it to the max `ts` of every batch BEFORE
+    * merging, so retention truncation, backfill horizons and relative
+    * ASOF/UNTIL all resolve against DATA time — replaying a historical
+    * stream behaves exactly as it did live, and tests/backfills need no
+    * clock stubbing. Monotonic: late batches never move it backwards.
+    */
+  final class VirtualClock extends (() => Long) {
+    private val cur = new java.util.concurrent.atomic.AtomicLong(0L)
+    def apply(): Long = cur.get()
+    private[graft] def advanceTo(ts: Long): Unit = {
+      var prev = cur.get()
+      while (ts > prev && !cur.compareAndSet(prev, ts)) prev = cur.get()
+    }
+  }
+
+  def virtualClock(): VirtualClock = new VirtualClock
+
   /** Follow-journal replay horizon: max entries / bytes kept per stream
     * (`-Dgraft.followJournalMaxEntries=` / `-Dgraft.followJournalMaxBytes=`
     * override).

@@ -33,10 +33,11 @@ object Server {
 
   def start(spark: SparkSession, schemaPath: String, dataDir: String,
             httpPort: Int = 0, rpcPort: Int = 0,
-            watchSchema: Boolean = true): Running = {
+            watchSchema: Boolean = true,
+            now: () => Long = () => System.currentTimeMillis()): Running = {
     val db = new GraftDB(spark,
       java.nio.file.Files.readString(java.nio.file.Paths.get(schemaPath)),
-      dataDir)
+      dataDir, now)
     val watcher = if (watchSchema) Some(db.watchSchemaFile(schemaPath)) else None
     // any half-start below must unwind whatever already came up — a daemon
     // the caller can't stop would squat on ports / leak the watcher thread
@@ -66,9 +67,13 @@ object Server {
     Running(db, http, rpc, boundHttp, boundRpc, watcher)
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // --vtime: the reference's virtual-time flag (server/server.go:632) —
+    // the db clock advances with inserted timestamps instead of the wall
+    val vtime = args0.contains("--vtime")
+    val args = args0.filterNot(_ == "--vtime")
     require(args.length >= 2,
-      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props]")
+      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props] [--vtime]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -81,7 +86,9 @@ object Server {
       java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
     val r = start(spark, args(0), args(1),
       args.lift(2).map(_.toInt).getOrElse(0),
-      args.lift(3).map(_.toInt).getOrElse(0))
+      args.lift(3).map(_.toInt).getOrElse(0),
+      now = if (vtime) GraftDB.virtualClock()
+            else () => System.currentTimeMillis())
     println(s"graft server up: http=${r.httpPort} rpc=${r.rpcPort}")
     // serve until killed (the reference's HandleShutdownSignal + run loop)
     Thread.currentThread().join()

@@ -54,7 +54,16 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       case TimeAbs(ms) => ms
       case TimeRel(off) => nowMs + off // offsets are negative-in-SQL
     }
-    val loMs = q.asOf.map(pointMs)
+    // The reference floors EVERY query's asOf at now − RetentionPeriod
+    // (query.go:63 getQueryable): rows past retention are invisible the
+    // moment the clock passes them, even while they physically sit in a
+    // boundary day no flush has rewritten yet. Exposed by the vtime test:
+    // advancing data time 2h past a 1h retention left the stale rows
+    // readable until the next merge touched their day.
+    val loMs = (q.asOf.map(pointMs), src.retentionMillis) match {
+      case (lo, Some(r)) => Some(math.max(lo.getOrElse(Long.MinValue), nowMs - r))
+      case (lo, None)    => lo
+    }
     val hiMs = q.until.map(pointMs)
 
     // partitionby routing at the STORAGE layer (README.md:522-529): when the

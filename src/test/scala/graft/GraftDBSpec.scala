@@ -920,4 +920,30 @@ class GraftDBSpec extends AnyFunSuite {
       System.clearProperty("graft.compact.maxDaysPerPass")
     }
   }
+
+  test("vtime: the clock follows inserted timestamps and drives retention") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis, unix_millis}
+    val dir = Files.createTempDirectory("graftdb-vtime").toString
+    val vc = GraftDB.virtualClock()
+    val db = new GraftDB(spark, schemaYaml, dir, vc)
+    // the clock reaches the batch's max ts — data time, not the wall
+    db.insert("inbound", points())
+    assert(vc() === T0 + 7000)
+    val q = "SELECT requests FROM combined GROUP BY server, period(5m)"
+    assert(db.sql(q).collect().nonEmpty)
+    // two hours of DATA time later the first batch ages past the 1h
+    // retention, even though zero wall time passed
+    val shifted = points().withColumn("ts",
+      timestamp_millis(unix_millis(col("ts")) + lit(7200000L)))
+    db.insert("inbound", shifted)
+    assert(vc() === T0 + 7200000L + 7000)
+    val times = db.sql(q).collect()
+      .map(_.getAs[java.sql.Timestamp]("_time").getTime)
+    assert(times.nonEmpty, "the fresh batch must survive")
+    assert(times.forall(_ >= vc() - 3600000L),
+      s"rows older than retention-vs-data-time survived: ${times.toSeq}")
+    // monotonic: replaying an old batch never moves the clock backwards
+    db.insert("inbound", points())
+    assert(vc() === T0 + 7200000L + 7000)
+  }
 }
