@@ -100,12 +100,20 @@ object Dedup {
     // (a path-based read would be recomputed against the mutated index by
     // Spark's recache-on-write, turning the admitted batch into 0 rows).
     // The listing is one driver-side array of paths, same as any scan plans.
-    val preFiles = spark.read.parquet(indexPath).inputFiles.toIndexedSeq
-    val index = spark.read.parquet(preFiles: _*).select(col("__h"))
+    val preFiles =
+      try spark.read.parquet(indexPath).inputFiles.toIndexedSeq
+      catch {
+        // an index built from an EMPTY corpus has no parquet footers to
+        // infer a schema from — semantically it holds no hashes
+        case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
+      }
     // map-only pass over the index with the batch hashes broadcast into it;
     // hits are bounded by batch size
-    val hits = index.join(broadcast(bh.select(col("__h"))), Seq("__h"),
-      "left_semi").distinct()
+    val hits =
+      if (preFiles.isEmpty) bh.select(col("__h")).limit(0)
+      else spark.read.parquet(preFiles: _*).select(col("__h"))
+        .join(broadcast(bh.select(col("__h"))), Seq("__h"), "left_semi")
+        .distinct()
     val fresh = bh.join(broadcast(hits), Seq("__h"), "left_anti")
     if (admit)
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))

@@ -772,6 +772,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(s4.toSeq === Seq(21L), "admit=false must not mutate the index")
   }
 
+  test("incremental dedup against an empty-corpus index admits everything") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup-empty").toString + "/i"
+    Dedup.buildExactIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text"), idx)
+    val out = Dedup.exactIncremental(
+      Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L))
+    // and the admissions became history
+    val replay = Dedup.exactIncremental(
+      Seq((3L, "aa")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx).collect()
+    assert(replay.isEmpty)
+  }
+
   test("buildExactIndexIfMissing: fingerprint-guarded reuse and rebuild") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup-guard").toString + "/i"
