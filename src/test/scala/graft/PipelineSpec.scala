@@ -772,6 +772,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(s4.toSeq === Seq(21L), "admit=false must not mutate the index")
   }
 
+  test("incremental dedup fuzz: random batch schedules match a local set model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90301L)
+    val words = (0 until 40).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val idx = java.nio.file.Files.createTempDirectory(s"dedup-fuzz$trial")
+        .toString + "/i"
+      val corpusTexts = Seq.fill(10)(words(rnd.nextInt(words.size))).distinct
+      Dedup.buildExactIndex(
+        corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        col("text"), idx)
+      var model = corpusTexts.toSet
+      var nextId = 1000L
+      for (step <- 0 until 6) {
+        val batch = Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+          .zipWithIndex.map { case (t, i) => (nextId + i, t) }
+        nextId += 100
+        val admitted = Dedup.exactIncremental(
+          batch.toDF("doc_id", "text"), col("text"), col("doc_id"), idx)
+          .collect().map(_.getLong(0)).toSet
+        val expected = batch.groupBy(_._2).collect {
+          case (t, rows) if !model(t) => rows.map(_._1).min
+        }.toSet
+        assert(admitted === expected,
+          s"[trial $trial step $step] batch=$batch model=$model")
+        model ++= batch.map(_._2)
+      }
+    }
+  }
+
   test("incremental dedup against an empty-corpus index admits everything") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup-empty").toString + "/i"
