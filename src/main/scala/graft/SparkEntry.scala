@@ -457,12 +457,16 @@ object SparkEntry {
       val hist = docs.filter(col("source") =!= "src0")
       val b0 = docs.filter(col("source") === "src0")
         .select(col("doc_id"), col("text"), col("n_chars"))
+      // planted dup ids live on the negative axis with disjoint parities
+      // (-2id-1 odd, -2id-2 even): provably collision-free against real
+      // doc_ids (≥ 0) AND against each other at EVERY scale factor — a
+      // fixed "+1000000" offset collides once the corpus passes 1M docs
       val batch = b0
         .unionByName(hist.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          .select((-col("doc_id") * 2 - 1).as("doc_id"), col("text"),
             col("n_chars")))
         .unionByName(b0.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          .select((-col("doc_id") * 2 - 2).as("doc_id"), col("text"),
             col("n_chars")))
       val idx = s"target/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Dedup.buildExactIndexIfMissing(hist, col("text"), col("doc_id"), idx)
@@ -1079,9 +1083,9 @@ object SparkEntry {
         |b0 AS (SELECT doc_id, text, n_chars FROM documents WHERE source = 'src0'),
         |batch AS (
         |  SELECT * FROM b0
-        |  UNION ALL SELECT doc_id + 1000000, text, n_chars FROM hist
+        |  UNION ALL SELECT -doc_id * 2 - 1, text, n_chars FROM hist
         |    WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id + 2000000, text, n_chars FROM b0
+        |  UNION ALL SELECT -doc_id * 2 - 2, text, n_chars FROM b0
         |    WHERE doc_id % 7 = 0)
         |SELECT doc_id, n_chars FROM batch d
         |WHERE doc_id = (SELECT min(doc_id) FROM batch d2 WHERE d2.text = d.text)

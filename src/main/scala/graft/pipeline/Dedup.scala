@@ -60,9 +60,38 @@ object Dedup {
   private val exactIndexValidated =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  /** `_index.txt` as (seed-corpus fingerprint line, incremental-append count).
+    * The append counter is the rebuild tripwire: a fingerprint describes only
+    * the SEED corpus, so once [[exactIncremental]] has admitted batches the
+    * index holds history no corpus fingerprint can account for.
+    */
+  private def readIndexMeta(metaPath: java.nio.file.Path): Option[(String, Long)] =
+    if (!java.nio.file.Files.exists(metaPath)) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(metaPath)
+      val fp = if (lines.isEmpty) "" else lines.get(0).trim
+      val appends = (1 until lines.size()).map(lines.get(_).trim)
+        .collectFirst { case s if s.startsWith("appends=") =>
+          s.stripPrefix("appends=").toLong }
+        .getOrElse(0L)
+      Some((fp, appends))
+    }
+
+  private def writeIndexMeta(metaPath: java.nio.file.Path, fpLine: String,
+                             appends: Long): Unit =
+    java.nio.file.Files.writeString(metaPath,
+      s"$fpLine\nappends=$appends\n")
+
   /** [[buildExactIndex]] only if the index at `indexPath` is absent or was
     * built from a different corpus (dataset-fingerprint keyed, like the
     * ANN index builds). Returns quickly on a warm path.
+    *
+    * An index that has accumulated incremental admissions
+    * ([[exactIncremental]] `admit = true`) REFUSES a corpus-change rebuild:
+    * the fingerprint only describes the seed corpus, so "different
+    * fingerprint" no longer implies "stale" — rebuilding would silently
+    * discard the entire admitted history. Delete the index directory (an
+    * explicit, auditable act) to start over.
     */
   def buildExactIndexIfMissing(df: DataFrame, keyCol: Column, idCol: Column,
                                indexPath: String): Unit = {
@@ -70,13 +99,19 @@ object Dedup {
     if (exactIndexValidated.containsKey(memoKey)) return
     val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
     val header = s"fp=${Similarity.datasetFingerprint(df, idCol)}"
-    if (java.nio.file.Files.exists(metaPath) &&
-        java.nio.file.Files.readString(metaPath).trim == header) {
-      exactIndexValidated.put(memoKey, header)
-      return
+    readIndexMeta(metaPath) match {
+      case Some((fp, _)) if fp == header =>
+        exactIndexValidated.put(memoKey, header)
+        return
+      case Some((_, appends)) if appends > 0 =>
+        throw new IllegalStateException(
+          s"exact-dedup index at $indexPath holds $appends incremental " +
+            "append(s) that a corpus-change rebuild would silently discard; " +
+            "delete the index directory explicitly to rebuild from scratch")
+      case _ => // absent or stale seed-only index: rebuild below
     }
     buildExactIndex(df, keyCol, indexPath)
-    java.nio.file.Files.writeString(metaPath, header + "\n")
+    writeIndexMeta(metaPath, header, appends = 0L)
     exactIndexValidated.put(memoKey, header)
   }
 
@@ -90,11 +125,24 @@ object Dedup {
     * index rows this call added.
     */
   def exactIncremental(batch: DataFrame, keyCol: Column, idCol: Column,
-                       indexPath: String, admit: Boolean = true): DataFrame = {
+                       indexPath: String, admit: Boolean = true,
+                       maxBroadcastHashes: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
-    // intra-batch winners: one shuffle on the compact 32-hex hash
+    // intra-batch winners: one shuffle on the compact 32-hex hash. Persisted
+    // because three consumers reuse it (index probe, anti-join, final
+    // join-back) AND its count decides broadcast vs shuffle below; the
+    // persisted rows are (hash, id) only — bounded by the batch's distinct
+    // count, never document payloads.
     val bh = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
       .groupBy(col("__h")).agg(min(col("__id")).as("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Broadcast only batches whose distinct-hash count fits executor memory
+    // comfortably; a giant backfill batch (e.g. 10^7+ hashes ≈ 500 MB of
+    // strings) would OOM every executor as a broadcast, so it falls back to
+    // shuffle joins on __h — the index then shuffles ONCE, amortized over
+    // the whole batch, instead of never (the map-only small-batch shape).
+    val small = bh.count() <= maxBroadcastHashes
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // pin the index SNAPSHOT by explicit file list: the survivor plan below
     // stays deterministic even after this call's own append lands new files
     // (a path-based read would be recomputed against the mutated index by
@@ -107,21 +155,42 @@ object Dedup {
         // infer a schema from — semantically it holds no hashes
         case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
       }
-    // map-only pass over the index with the batch hashes broadcast into it;
-    // hits are bounded by batch size
+    // pass over the index with the batch hashes joined into it (broadcast →
+    // map-only; shuffle fallback → one index shuffle); hits are bounded by
+    // batch size
     val hits =
       if (preFiles.isEmpty) bh.select(col("__h")).limit(0)
       else spark.read.parquet(preFiles: _*).select(col("__h"))
-        .join(broadcast(bh.select(col("__h"))), Seq("__h"), "left_semi")
+        .join(maybeB(bh.select(col("__h"))), Seq("__h"), "left_semi")
         .distinct()
-    val fresh = bh.join(broadcast(hits), Seq("__h"), "left_anti")
-    if (admit)
+    val fresh = bh.join(maybeB(hits), Seq("__h"), "left_anti")
+    if (admit) {
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
         .repartition(col("__hp")) // cluster: ~one appended file per prefix
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("__hp").parquet(indexPath)
-    batch.join(broadcast(fresh.select(col("__id"))), idCol === col("__id"),
-      "left_semi")
+      // count the admission in `_index.txt` so a later corpus-keyed rebuild
+      // knows it would be discarding admitted history (see
+      // [[buildExactIndexIfMissing]])
+      val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+      val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
+      writeIndexMeta(metaPath, fpLine, appends + 1L)
+    }
+    // join back on (hash, id), not id alone: a row survives iff its
+    // (text-hash, id) pair IS the winning pair, so batches with non-unique
+    // or colliding ids (two sources sharing an id space) stay correct
+    val survivors = fresh.select(col("__h"), col("__id"))
+    val out = batch.withColumn("__bh0", md5(keyCol.cast("binary")))
+      .join(maybeB(survivors),
+        col("__bh0") === col("__h") && idCol === col("__id"), "left_semi")
+      .drop("__bh0")
+    // release the winners cache before returning: it already served the
+    // path-choice count (and the admit append); holding it would grow
+    // session storage by one entry per batch forever. The caller's
+    // evaluation recomputes the compact hash frame from lineage — one
+    // batch-hash scan, which correctness never depended on the cache for.
+    bh.unpersist(blocking = false)
+    out
   }
 
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).

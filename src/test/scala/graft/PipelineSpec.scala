@@ -820,6 +820,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(replay.isEmpty)
   }
 
+  test("incremental dedup shuffle fallback: giant-batch path matches broadcast path") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup-fb").toString
+    val corpus = (0 until 50).map(i => (i.toLong, s"hist$i")).toDF("doc_id", "text")
+    val batch = ((100 until 160).map(i => (i.toLong, s"new${i % 40}")) ++
+      (0 until 10).map(i => (1000L + i, s"hist${i * 3}"))).toDF("doc_id", "text")
+    def run(threshold: Long, sub: String): Seq[Long] = {
+      val idx = s"$base/$sub"
+      Dedup.buildExactIndex(corpus, col("text"), idx)
+      Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx,
+          admit = false, maxBroadcastHashes = threshold)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val viaBroadcast = run(4000000L, "b")
+    val viaShuffle = run(0L, "s") // threshold 0 forces the shuffle-join path
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast.nonEmpty && viaBroadcast.forall(_ < 1000L),
+      s"history dups must drop, intra-batch winners survive: $viaBroadcast")
+  }
+
+  test("incremental dedup survives colliding/non-unique batch ids") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup-ids").toString + "/i"
+    Dedup.buildExactIndex(
+      Seq((7L, "known")).toDF("doc_id", "text"), col("text"), idx)
+    // id 1 appears under TWO texts (two sources sharing an id space); an
+    // id-only join-back would admit the losing "bb" row via its twin's id
+    val batch = Seq((1L, "aa"), (1L, "bb"), (2L, "bb"), (3L, "known"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx,
+        admit = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.toSeq === Seq((1L, "aa"), (1L, "bb")),
+      s"only the winning (hash, id) pairs survive: ${out.toSeq}")
+  }
+
+  test("corpus-change rebuild is refused once the index holds admissions") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup-refuse").toString + "/i"
+    val c1 = Seq((1L, "aa")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(c1, col("text"), col("doc_id"), idx)
+    // admit a batch: the index now holds history beyond the seed corpus
+    Dedup.exactIncremental(Seq((5L, "bb")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx).collect()
+    // same-corpus revalidation stays a cheap no-op
+    Dedup.buildExactIndexIfMissing(
+      c1.filter(col("doc_id") > 0), col("text"), col("doc_id"), idx)
+    // a DIFFERENT corpus at the same path must refuse to nuke the history
+    val c2 = Seq((1L, "aa"), (2L, "cc")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.buildExactIndexIfMissing(c2, col("text"), col("doc_id"), idx)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
+    // and the admitted history is still intact
+    val replay = Dedup.exactIncremental(Seq((9L, "bb")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, admit = false).collect()
+    assert(replay.isEmpty, "admitted history must survive the refused rebuild")
+  }
+
   test("buildExactIndexIfMissing: fingerprint-guarded reuse and rebuild") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup-guard").toString + "/i"
