@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * rather than throwing inside generated code; the builder never emits
   * them. Null codes row → null score.
   */
-case class PqAdc(child: Expression, lut: Array[Double], k: Int)
+case class PqAdc(child: Expression, lut: Array[Double], k: Int, offset: Int)
     extends UnaryExpression {
 
   require(k > 0 && lut.length % k == 0, "malformed ADC lookup table")
@@ -48,13 +48,13 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
     var s = 0.0
     var i = 0
     while (i < m) {
-      val c: Int = et match {
+      val c: Int = offset + (et match {
         case ByteType    => codes.getByte(i).toInt
         case ShortType   => codes.getShort(i).toInt
         case IntegerType => codes.getInt(i)
         case LongType    => codes.getLong(i).toInt
         case other       => throw new IllegalStateException(s"pq_adc: $other")
-      }
+      })
       if (c >= 0 && c < k) s += lut(i * k + c)
       i += 1
     }
@@ -79,7 +79,7 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
          |final int $m = java.lang.Math.min($a.numElements(), ${lut.length / k});
          |double $s = 0.0d;
          |for (int $i = 0; $i < $m; $i++) {
-         |  final int $c = (int)$a.$reader($i);
+         |  final int $c = (int)$a.$reader($i) + $offset;
          |  if ($c >= 0 && $c < $k) { $s += $lutRef[$i * $k + $c]; }
          |}
          |${ev.value} = $s;
@@ -91,12 +91,16 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
 }
 
 object PqAdc {
-  /** Column-level entry: `lut` laid out as `lut(m)(j) = dot(q_m, cb_m(j))`. */
-  def apply(codes: Column, lut: Seq[Seq[Double]]): Column = {
+  /** Column-level entry: `lut` laid out as `lut(m)(j) = dot(q_m, cb_m(j))`.
+    * `offset` is added to each stored code before the lookup — PQ indexes
+    * store codes offset-encoded as `(code - 128).toByte` so a full unsigned
+    * 256-codeword book fits a signed byte (pass offset = 128 for those).
+    */
+  def apply(codes: Column, lut: Seq[Seq[Double]], offset: Int = 0): Column = {
     require(lut.nonEmpty && lut.head.nonEmpty, "pq_adc needs a non-empty LUT")
     val k = lut.head.length
     require(lut.forall(_.length == k), "ragged ADC lookup table")
     ColumnBridge.column(
-      PqAdc(ColumnBridge.expression(codes), lut.flatten.toArray, k))
+      PqAdc(ColumnBridge.expression(codes), lut.flatten.toArray, k, offset))
   }
 }

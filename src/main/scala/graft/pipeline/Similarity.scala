@@ -233,10 +233,17 @@ object Similarity {
                       iters: Int): Seq[(Int, Seq[Float])] = {
     var cur = centroids
     for (_ <- 0 until iters) {
+      // sum as exact decimals, divide on the driver: double partial sums
+      // would make the mean depend on Spark's partial-aggregate merge order,
+      // and a last-ulp wobble breaks the "cached index reuse is exact"
+      // contract (_centroids.txt reload compares bit-for-bit)
       val means = ivfAssign(df.select(vecCol.as("__v")), col("__v"), cur)
         .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
-        .groupBy("__c", "__p").agg(avg(col("__x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy("__c", "__p")
+        .agg(sum(col("__x").cast("decimal(38,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue() / r.getLong(3)))
       val byCell = means.groupBy(_._1).map { case (c, rows) =>
         c -> rows.sortBy(_._2).map(_._3.toFloat).toSeq
       }
@@ -311,22 +318,29 @@ object Similarity {
     val hit = ivfValidated.get(memoKey)
     if (hit != null) return hit
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
-    // the header keys the cache by dataset AND build recipe — a recipe
-    // change (refinement rounds) must not silently reuse old cells
-    val header = s"fp=${datasetFingerprint(df, idCol)};lloyd=$refineIters"
+    // the header keys the cache by dataset AND build recipe (v2: exact
+    // decimal Lloyd means) — a recipe change must not silently reuse old
+    // cells. The ACTUAL centroid count is persisted too: a corpus smaller
+    // than nCentroids yields fewer cells, and parsing against the REQUESTED
+    // count would reject the valid meta forever (one silent rebuild per JVM).
+    val recipe = s"fp=${datasetFingerprint(df, idCol)};lloyd=$refineIters;v=2"
     if (java.nio.file.Files.exists(metaPath)) {
       val lines = java.nio.file.Files.readAllLines(metaPath)
-      if (lines.size() == nCentroids + 1 && lines.get(0) == header) {
-        val centroids = (0 until nCentroids).map { i =>
-          i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+      val h0 = if (lines.isEmpty) "" else lines.get(0)
+      if (h0.startsWith(recipe + ";n=")) {
+        val nAct = h0.stripPrefix(recipe + ";n=").toInt
+        if (lines.size() == nAct + 1) {
+          val centroids = (0 until nAct).map { i =>
+            i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+          }
+          ivfValidated.put(memoKey, centroids)
+          return centroids
         }
-        ivfValidated.put(memoKey, centroids)
-        return centroids
       }
     }
     val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath, refineIters)
-    val body = (header +: centroids.map(_._2.map(f => f.toString).mkString(",")))
-      .mkString("\n")
+    val body = (s"$recipe;n=${centroids.length}" +:
+      centroids.map(_._2.map(f => f.toString).mkString(","))).mkString("\n")
     java.nio.file.Files.writeString(metaPath, body)
     ivfValidated.put(memoKey, centroids)
     centroids
@@ -440,7 +454,11 @@ object Similarity {
   def pqTrain(df: DataFrame, vecCol: Column, idCol: Column, dim: Int,
               m: Int, k: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
-    require(k > 1 && k <= 128, "codebook size must fit a signed byte")
+    // full unsigned-byte range: codes are stored offset-encoded as
+    // (code - 128).toByte, so k = 256 (the standard PQ codebook size —
+    // double the recall-per-byte of a signed-byte-only k = 128) still
+    // costs one byte per subspace
+    require(k > 1 && k <= 256, "codebook size must fit one byte")
     val dsub = dim / m
     val seeds = df.select(idCol.as("id"), normalize(vecCol).as("nv"))
       .orderBy(xxhash64(col("id")), col("id")).limit(k)
@@ -459,12 +477,18 @@ object Similarity {
           graft.functions.ArgMinL2(col("__nv"), books(s), s * dsub).as("c"),
           pqSlice(col("__nv"), s, dsub).as("sv"))
       }
+      // exact decimal sums + driver division, same merge-order-insensitivity
+      // argument as refineCentroids: the codebooks are persisted in _pq.txt
+      // and reloaded with an exact compare
       val means = nvDf.select(explode(array(parts: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.c").as("c"),
           posexplode(col("e.sv")).as(Seq("p", "x")))
-        .groupBy("s", "c", "p").agg(avg(col("x")).as("mean"))
+        .groupBy("s", "c", "p")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sm"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getInt(2), r.getDecimal(3).doubleValue() / r.getLong(4))))
         .groupBy(_._1).map { case (sc, rows) =>
           sc -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
         }
@@ -475,15 +499,23 @@ object Similarity {
     books
   }
 
+  /** Byte-offset used to pack an unsigned code `[0, 256)` into a signed
+    * byte: stored = code - 128, decoded back inside [[graft.functions.PqAdc]].
+    */
+  val PqCodeOffset = 128
+
   /** Encode the unit-normalized vector as `m` one-byte codewords — m
     * O(1)-code-size native argmin loops over one shared normalized array.
+    * Codes are offset-encoded (`code - 128`) so the full unsigned range
+    * fits parquet's signed byte type.
     */
   def pqEncode(vecCol: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val m = books.length
     val dsub = books.head.head.length
     val nv = normalize(vecCol)
     array((0 until m).map { s =>
-      graft.functions.ArgMinL2(nv, books(s), s * dsub).cast("byte")
+      (graft.functions.ArgMinL2(nv, books(s), s * dsub) - PqCodeOffset)
+        .cast("byte")
     }: _*)
   }
 
@@ -525,28 +557,37 @@ object Similarity {
     val hit = ivfPqValidated.get(memoKey)
     if (hit != null) return hit
     val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
-    val header = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
-      s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids"
+    // v2: exact decimal means + offset-encoded codes — a v1 index's stored
+    // bytes decode differently, so the version tag forces its rebuild. The
+    // actual coarse-cell count is persisted (a corpus smaller than
+    // nCentroids yields fewer cells; see ivfBuildIfMissing). Codebooks are
+    // always exactly m×k lines — pqTrain recycles seed rows to fill k.
+    val recipe = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
+      s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids;v=2"
     if (java.nio.file.Files.exists(metaPath)) {
       val lines = java.nio.file.Files.readAllLines(metaPath)
-      if (lines.size() == 1 + nCentroids + m * k && lines.get(0) == header) {
-        val coarse = (0 until nCentroids).map { i =>
-          i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
-        }
-        val books = (0 until m).map { s =>
-          (0 until k).map { j =>
-            lines.get(1 + nCentroids + s * k + j)
-              .split(",").toSeq.map(_.toDouble)
+      val h0 = if (lines.isEmpty) "" else lines.get(0)
+      if (h0.startsWith(recipe + ";n=")) {
+        val nAct = h0.stripPrefix(recipe + ";n=").toInt
+        if (lines.size() == 1 + nAct + m * k) {
+          val coarse = (0 until nAct).map { i =>
+            i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
           }
+          val books = (0 until m).map { s =>
+            (0 until k).map { j =>
+              lines.get(1 + nAct + s * k + j)
+                .split(",").toSeq.map(_.toDouble)
+            }
+          }
+          val loaded = (coarse, books)
+          ivfPqValidated.put(memoKey, loaded)
+          return loaded
         }
-        val loaded = (coarse, books)
-        ivfPqValidated.put(memoKey, loaded)
-        return loaded
       }
     }
     val built = ivfPqBuild(df, vecCol, idCol, nCentroids, m, k, indexPath,
       refineIters, pqIters)
-    val body = (header +:
+    val body = (s"$recipe;n=${built._1.length}" +:
       (built._1.map(_._2.map(_.toString).mkString(",")) ++
         built._2.flatten.map(_.map(_.toString).mkString(",")))).mkString("\n")
     java.nio.file.Files.writeString(metaPath, body)
@@ -581,7 +622,7 @@ object Similarity {
     val adc = spark.read.parquet(indexPath)
       .filter(col("__c").isin(probes: _*))
       .select(col("__id"),
-        graft.functions.PqAdc(col("__codes"), lut).as("__adc"))
+        graft.functions.PqAdc(col("__codes"), lut, PqCodeOffset).as("__adc"))
     if (refineK <= 0)
       adc.select(col("__id").as("id"), col("__adc"))
         .orderBy(col("__adc").desc, col("id")).limit(k)

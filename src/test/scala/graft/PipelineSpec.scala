@@ -993,19 +993,74 @@ class PipelineSpec extends AnyFunSuite {
       val qs = q.map(_.toDouble / qn).slice(s * 4, s * 4 + 4)
       book.map(cw => cw.zip(qs).map { case (a, b) => a * b }.sum)
     }
+    val off = Similarity.PqCodeOffset
     val rows = vecs
       .select(col("id"), Similarity.pqEncode(col("v"), books).as("codes"))
       .select(col("id"), col("codes"),
-        graft.functions.PqAdc(col("codes"), lut).as("adc"))
+        graft.functions.PqAdc(col("codes"), lut, off).as("adc"))
       .collect()
     for (r <- rows) {
       val codes = r.getSeq[Byte](1)
       assert(codes.length === 4)
-      assert(codes.forall(c => c >= 0 && c < 8), s"code out of range: $codes")
-      val local = codes.zipWithIndex.map { case (c, s) => lut(s)(c.toInt) }.sum
+      // stored bytes are offset-encoded: code - 128
+      assert(codes.forall(c => c + off >= 0 && c + off < 8),
+        s"code out of range: $codes")
+      val local = codes.zipWithIndex.map { case (c, s) => lut(s)(c + off) }.sum
       assert(math.abs(r.getDouble(2) - local) < 1e-12,
         s"ADC mismatch for id ${r.getLong(0)}")
     }
+  }
+
+  test("PQ k=256 codebooks encode and keep at least k=128 recall") {
+    val vecs = pqCorpus(n = 500, dim = 16, nClusters = 25)
+    val exact = Similarity.topK(vecs, col("v"), col("id"),
+        query = vecs.filter(col("id") === 3).select(col("v"))
+          .collect()(0).getSeq[Float](0), k = 10, quantized = true)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(k: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pq-k$k").toString
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(vecs, col("v"),
+        col("id"), nCentroids = 5, m = 2, k = k, indexPath = dir)
+      val q = vecs.filter(col("id") === 3).select(col("v"))
+        .collect()(0).getSeq[Float](0)
+      // raw ADC ranking (refineK = 0): recall here isolates codebook quality
+      val got = Similarity.ivfPqTopK(spark, dir, coarse, books, vecs,
+          col("v"), col("id"), q, k = 10, nProbe = 5, refineK = 0)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val r256 = recallAt(256)
+    val r128 = recallAt(128)
+    assert(r256 >= r128,
+      s"k=256 recall $r256 must not trail k=128 recall $r128")
+    assert(r256 >= 0.5, s"k=256 ADC recall implausibly low: $r256")
+  }
+
+  test("IVF(-PQ) meta survives a corpus smaller than the requested cells") {
+    import spark.implicits._
+    val tiny = (0 until 3).map(i =>
+      (i.toLong, Array.fill(8)(i * 1.0f + 0.5f))).toDF("id", "v")
+    val d1 = java.nio.file.Files.createTempDirectory("ivf-small").toString
+    val c1 = Similarity.ivfBuildIfMissing(tiny, col("v"), col("id"),
+      nCentroids = 16, indexPath = d1)
+    assert(c1.size === 3, s"3-row corpus can seed at most 3 cells: ${c1.size}")
+    // a fresh plan (new memo key) must RELOAD the meta, not silently rebuild
+    val files0 = new java.io.File(d1).listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    val c1b = Similarity.ivfBuildIfMissing(tiny.filter(col("id") >= 0),
+      col("v"), col("id"), nCentroids = 16, indexPath = d1)
+    assert(c1b === c1)
+    val files1 = new java.io.File(d1).listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    assert(files1 === files0, "valid small-corpus meta must not rebuild")
+    // same contract for IVF-PQ
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq-small").toString
+    val b1 = Similarity.ivfPqBuildIfMissing(tiny, col("v"), col("id"),
+      nCentroids = 16, m = 2, k = 4, indexPath = d2)
+    assert(b1._1.size === 3)
+    val b2 = Similarity.ivfPqBuildIfMissing(tiny.filter(col("id") >= 0),
+      col("v"), col("id"), nCentroids = 16, m = 2, k = 4, indexPath = d2)
+    assert(b2 === b1, "small-corpus PQ meta must reload, not rebuild")
   }
 
   test("vocab: tf counts every occurrence, df counts each doc once") {
