@@ -455,8 +455,9 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     // column order (the reference buffers rows and sorts values too,
     // core/group.go:190-246) behind a fail-fast cardinality guard — an
     // unbounded high-cardinality pivot would OOM the driver AND emit an
-    // unusably wide row. The collect runs against an already-AGGREGATED
-    // frame, never the raw source.
+    // unusably wide row. The collect is a distributed partial-distinct
+    // (only the ≤ guard+1 distinct values reach the driver); over a raw
+    // parquet source it column-prunes to the crosstab dim alone.
     def collectPivotVals(agged: DataFrame): Seq[String] = {
       val vs = agged.select(col("__ct")).where(col("__ct").isNotNull)
         .distinct().limit(Planner.MaxPivotValues + 1)
@@ -476,26 +477,35 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     val outFieldNames = scala.collection.mutable.ArrayBuffer.empty[String]
     var totals0: Option[DataFrame] = None
     if (compiled.shifts.isEmpty) {
-      explicitVals match {
-        case Some(vs) if !needTotals =>
-          // fastest shape: explicit values, no totals — the partial agg and
-          // the pivot share ONE shuffle over the raw scan. Spark names pivot
-          // outputs "<val>_<aggAlias>" for multi-agg, "<val>" for single-agg.
-          pivotVals = vs
-          df = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
-            .agg(compiled.aggs.head, compiled.aggs.tail: _*)
-        case _ =>
-          // ONE scan of the source: aggregate accumulators onto
-          // (keys, __ct) and cache that frame — it is group-cardinality
-          // sized, not corpus sized. The pivot-value collect, the pivot
-          // itself, and the totals/HAVING series all derive from it; the
-          // previous formulation re-scanned the raw source for each (2 scans
-          // for CROSSTAB, 3 for CROSSTABT — at 100 TB, 2-3 corpus reads).
-          // Blocks evicted under memory pressure recompute from lineage —
-          // correctness never depends on the cache.
+      if (!needTotals) {
+        // no totals / HAVING: the pivot is ONE full-width scan + one
+        // shuffle (partial agg and pivot fused). Data-dependent values cost
+        // one extra scan of the crosstab dim ALONE — on columnar storage
+        // that column-pruned distinct reads a sliver of the bytes, which
+        // measures CHEAPER at every tested scale than persisting a pre-agg
+        // (tools/CrosstabStress at 60M rows: persist shape 1.39× slower —
+        // caching breaks whole-stage pipelining and buys nothing a pruned
+        // scan doesn't). Spark names pivot outputs "<val>_<aggAlias>" for
+        // multi-agg, "<val>" for single-agg.
+        pivotVals = explicitVals.getOrElse(collectPivotVals(base))
+        df = base.groupBy(keyCols: _*).pivot("__ct", pivotVals)
+          .agg(compiled.aggs.head, compiled.aggs.tail: _*)
+      } else {
+          // totals/HAVING: aggregate accumulators onto (keys, __ct) ONCE
+          // and cache that frame — it is group-cardinality sized, not
+          // corpus sized. The pivot-value collect, the pivot itself, and
+          // the totals/HAVING series all derive from it; without it the
+          // totals re-merge is a SECOND full-width aggregation of the
+          // source (at 100 TB, a second corpus read of all selected
+          // columns — unlike the values scan above, not column-prunable
+          // to one dim). Blocks evicted under memory pressure recompute
+          // from lineage — correctness never depends on the cache; the
+          // session-wide FIFO (registerCrosstabCache) bounds how many
+          // such caches stay live.
           val pre = base.groupBy((keyCols :+ col("__ct")): _*)
             .agg(compiled.aggs.head, compiled.aggs.tail: _*)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Planner.registerCrosstabCache(pre)
           pivotVals = explicitVals.getOrElse(collectPivotVals(pre))
           // each (keys, __ct) cell is exactly one pre-agg row, so first() is
           // an exact (and merge-free) pivot of the accumulators
@@ -503,20 +513,18 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           val firsts = aliases.map(a => first(col(a)).as(a))
           df = pre.groupBy(keyNames.map(col): _*).pivot("__ct", pivotVals)
             .agg(firsts.head, firsts.tail: _*)
-          if (needTotals) {
-            // totals re-merge the cached accumulators across pivot values —
-            // exact for every accumulator kind (sum/min/max/avg-parts/
-            // sketch) except the raw exact-percentile value, which is not
-            // re-mergeable: that rare shape re-aggregates the source.
-            totals0 = Some(
-              if (compiled.aggSpecs.forall(_.merge != Builders.MergeOp.Opaque)) {
-                val mergeCols = compiled.aggSpecs.map(s =>
-                  Builders.MergeOp(s.merge, col(s.alias)).as(s.alias))
-                pre.groupBy(keyNames.map(col): _*)
-                  .agg(mergeCols.head, mergeCols.tail: _*)
-              } else base.groupBy(keyCols: _*)
-                .agg(compiled.aggs.head, compiled.aggs.tail: _*))
-          }
+          // totals re-merge the cached accumulators across pivot values —
+          // exact for every accumulator kind (sum/min/max/avg-parts/
+          // sketch) except the raw exact-percentile value, which is not
+          // re-mergeable: that rare shape re-aggregates the source.
+          totals0 = Some(
+            if (compiled.aggSpecs.forall(_.merge != Builders.MergeOp.Opaque)) {
+              val mergeCols = compiled.aggSpecs.map(s =>
+                Builders.MergeOp(s.merge, col(s.alias)).as(s.alias))
+              pre.groupBy(keyNames.map(col): _*)
+                .agg(mergeCols.head, mergeCols.tail: _*)
+            } else base.groupBy(keyCols: _*)
+              .agg(compiled.aggs.head, compiled.aggs.tail: _*))
       }
       def pivotResolver(v: String): String => Column =
         if (compiled.aggs.size == 1) _ => bq(v)
@@ -536,6 +544,7 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       val flat0 = aggregateWithShifts(base, compiled, keyCols :+ col("__ct"),
         keyNames :+ "__ct", hasTime, bucketMs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Planner.registerCrosstabCache(flat0)
       pivotVals = explicitVals.getOrElse(collectPivotVals(flat0))
       var flat = flat0
       compiled.fieldCols.foreach { case (n, c) => flat = flat.withColumn(n, c) }
@@ -777,4 +786,25 @@ object Planner {
     * just runs unpruned.
     */
   val MaxBucketCombos: Int = 256
+
+  /** How many CROSSTAB pre-agg caches stay persisted at once. */
+  val MaxCrosstabCaches: Int = 8
+
+  // FIFO of persisted CROSSTAB pre-aggs. Each crosstab query persists its
+  // (keys × __ct) aggregate so the pivot-value collect, the pivot, and the
+  // totals all read ONE source scan — but the persist outlives the query
+  // (nothing marks "this query's execution is over"), and a session running
+  // many distinct CROSSTABs would accrete one storage entry each, forever.
+  // The FIFO caps that: beyond MaxCrosstabCaches entries the oldest is
+  // unpersisted; a straggler still executing against an evicted cache just
+  // recomputes it from lineage (the documented eviction contract — the
+  // cache is a scan-saver, never a correctness dependency).
+  private val crosstabCaches = new java.util.ArrayDeque[DataFrame]()
+
+  private[graft] def registerCrosstabCache(df: DataFrame): Unit =
+    crosstabCaches.synchronized {
+      crosstabCaches.addLast(df)
+      while (crosstabCaches.size > MaxCrosstabCaches)
+        crosstabCaches.removeFirst().unpersist(blocking = false)
+    }
 }

@@ -205,6 +205,22 @@ class EngineSpec extends AnyFunSuite {
     assert(approx(d(rows(1).getAs[Any]("/login_requests")), 439.0))
   }
 
+  test("many distinct CROSSTABs keep session storage bounded (FIFO cache cap)") {
+    // each data-dependent CROSSTAB persists its pre-agg; without the FIFO
+    // cap in Planner.registerCrosstabCache a long session accretes one
+    // storage entry per distinct query forever
+    def cachedCrosstabs(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCrosstabs()
+    for (i <- 0 until (graft.planner.Planner.MaxCrosstabCaches * 3)) {
+      sql(s"""SELECT requests, $i AS tag FROM inbound
+             |WHERE path IS NOT NULL GROUP BY server, CROSSTAB(path)
+             |ORDER BY server""".stripMargin).collect()
+    }
+    val after = cachedCrosstabs()
+    assert(after - before <= graft.planner.Planner.MaxCrosstabCaches,
+      s"crosstab caches grew unboundedly: $before -> $after")
+  }
+
   test("CROSSTAB past the pivot-width guard fails fast with guidance") {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val big = spark.range(graft.planner.Planner.MaxPivotValues + 1).select(

@@ -69,20 +69,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("data-dependent CROSSTAB(T) scans the source once (pivot + totals read the cached pre-agg)") {
-    // the pivot-value collect, the pivot, and the CROSSTABT totals must all
-    // derive from the cached (keys × __ct) aggregate — a second parquet leaf
-    // would mean the raw corpus is re-read per stage (2-3 scans at 100 TB)
-    for (name <- Seq("q_crosstab", "q_crosstabt")) {
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+  test("CROSSTAB pivots in one full-width scan; CROSSTABT totals read the cached pre-agg") {
+    // plain CROSSTAB: partial agg + pivot fuse around ONE shuffle over ONE
+    // source scan (the data-dependent value collect already ran at plan
+    // time as a column-pruned distinct — tools/CrosstabStress shows a
+    // persist here is a net loss at every tested scale)
+    locally {
+      val plan = SparkEntry.queries("q_crosstab")(spark, dir)
+        .queryExecution.optimizedPlan
+      val leaves = plan.collectLeaves()
+      assert(leaves.size == 1 && !leaves.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"q_crosstab must be a single direct source scan:\n$plan")
+    }
+    // CROSSTABT: the pivot AND the totals re-merge must both derive from
+    // the cached (keys × __ct) aggregate — a parquet leaf here would mean
+    // a second full-width corpus aggregation at 100 TB
+    locally {
+      val plan = SparkEntry.queries("q_crosstabt")(spark, dir)
+        .queryExecution.optimizedPlan
       val leaves = plan.collectLeaves()
       val cached = leaves.count(
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
-      assert(cached >= 1, s"$name: expected a cached pre-agg leaf:\n$plan")
+      assert(cached >= 1, s"q_crosstabt: expected a cached pre-agg leaf:\n$plan")
       val fileScans = leaves.count(l =>
         l.nodeName.contains("LogicalRelation") || l.nodeName.contains("DataSourceV2"))
       assert(fileScans == 0,
-        s"$name: pivot/totals must not re-scan the source:\n$plan")
+        s"q_crosstabt: pivot/totals must not re-scan the source:\n$plan")
     }
   }
 
