@@ -54,17 +54,32 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       case TimeAbs(ms) => ms
       case TimeRel(off) => nowMs + off // offsets are negative-in-SQL
     }
+    // Every time bound rounds UP to the table resolution, exactly as the
+    // reference does (planner/local.go:119-120, encoding/time.go:39
+    // RoundTimeUp). Bucket starts are resolution multiples, so the rounding
+    // never changes WHICH buckets a bound admits — what it fixes is the
+    // window arithmetic: until − asOf stays a whole number of buckets, so
+    // the period-cap below never produces a non-multiple resolution.
+    val resMsOpt = src.resolution.map(_.toMillis).filter(_ > 0)
+    def roundUpRes(t: Long): Long = resMsOpt match {
+      case Some(res) => Math.floorDiv(t + res - 1, res) * res
+      case None      => t
+    }
     // The reference floors EVERY query's asOf at now − RetentionPeriod
     // (query.go:63 getQueryable): rows past retention are invisible the
     // moment the clock passes them, even while they physically sit in a
     // boundary day no flush has rewritten yet. Exposed by the vtime test:
     // advancing data time 2h past a 1h retention left the stale rows
-    // readable until the next merge touched their day.
-    val loMs = (q.asOf.map(pointMs), src.retentionMillis) match {
-      case (lo, Some(r)) => Some(math.max(lo.getOrElse(Long.MinValue), nowMs - r))
-      case (lo, None)    => lo
+    // readable until the next merge touched their day. The floor is
+    // roundUp(roundUp(now) − retention) per query.go:62-63, so visibility
+    // flips at resolution boundaries, never mid-bucket.
+    val loMs = (q.asOf.map(p => roundUpRes(pointMs(p))), src.retentionMillis) match {
+      case (lo, Some(r)) =>
+        val floor = roundUpRes(roundUpRes(nowMs) - r)
+        Some(math.max(lo.getOrElse(Long.MinValue), floor))
+      case (lo, None) => lo
     }
-    val hiMs = q.until.map(pointMs)
+    val hiMs = q.until.map(p => roundUpRes(pointMs(p)))
 
     // partitionby routing at the STORAGE layer (README.md:522-529): when the
     // WHERE pins every bucket dim, compute the bucket ids driver-side and

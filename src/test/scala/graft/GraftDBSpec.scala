@@ -921,6 +921,42 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("retention floor rounds up to the table resolution (query.go:63)") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    // resolution 7m, retention 1h — NOT an integer number of buckets, so
+    // the raw now−retention instant falls mid-bucket; the reference rounds
+    // both ends up to the resolution (encoding/time.go:39 RoundTimeUp), so
+    // visibility flips at the bucket boundary: the bucket starting at
+    // roundUp(roundUp(now) − retention) is the oldest visible one
+    val yaml =
+      """r7:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY server, period(7m)
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graftdb-floor").toString
+    val now = T0 + 10000
+    val db = new GraftDB(spark, yaml, dir, () => now)
+    val res = 420000L
+    def up(t: Long): Long = Math.floorDiv(t + res - 1, res) * res
+    val floor = up(up(now) - 3600000L)
+    assert(floor % res == 0 && floor > now - 3600000L,
+      s"fixture must straddle: floor=$floor rawFloor=${now - 3600000L}")
+    val sch = points().schema
+    def pt(ts: Long, v: Double) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(new java.sql.Timestamp(ts),
+        "s1", "/p", Integer.valueOf(200), Double.box(v), null)), 1), sch)
+    // both points are inside raw retention at ingest; they land in adjacent
+    // buckets around the rounded floor
+    db.insert("inbound", pt(floor + 1000, 5.0))       // oldest visible bucket
+    db.insert("inbound", pt(floor - 1000, 7.0))       // straddling bucket: hidden
+    val times = db.sql("SELECT requests FROM r7 GROUP BY server, period(7m)")
+      .collect().map(_.getAs[java.sql.Timestamp]("_time").getTime).sorted
+    assert(times.contains(floor), s"bucket AT the rounded floor must be visible: ${times.toSeq}")
+    assert(!times.contains(floor - res),
+      s"bucket below the rounded floor leaked past retention: ${times.toSeq}")
+  }
+
   test("vtime: the clock follows inserted timestamps and drives retention") {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis, unix_millis}
     val dir = Files.createTempDirectory("graftdb-vtime").toString
