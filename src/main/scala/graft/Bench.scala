@@ -11,13 +11,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,4096] runs the identical suite
+    // against REAL separate executor JVMs (real serialization, real
+    // broadcasts, real shuffle transport) — the multi-process validation
+    // local[n] can't give. SPARK_GRAFT_JARS must then point at the packaged
+    // application jar (sbt package) so executors can load graft classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
@@ -146,8 +153,7 @@ object Bench {
       val histDocs = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("source") =!= "src0")
       graft.pipeline.Dedup.buildExactIndexIfMissing(histDocs, col("text"),
-        col("doc_id"),
-        s"target/gate-dedup/idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+        col("doc_id"), SparkEntry.gateDedupPath(sfDir))
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

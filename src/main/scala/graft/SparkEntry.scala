@@ -64,6 +64,14 @@ object SparkEntry {
 
   private val MaxD = "1.7976931348623157e308"
 
+  /** Gate artifacts (indexes, materialized stores) live under an ABSOLUTE
+    * target/ path: executor JVMs in local-cluster mode each have their own
+    * working directory, so a relative parquet path would scatter task
+    * output across Spark work dirs instead of the driver's repo checkout.
+    */
+  private[graft] val gateBase: String =
+    new java.io.File("target").getAbsolutePath
+
   /** Cached on-disk IVF index for the q_ann_ivf gate (also pre-built by
     * Bench's warmup so the measured query is probe latency, not the one-time
     * build). The "ivf" prefix keeps the dir name from starting with "_" (the
@@ -71,17 +79,21 @@ object SparkEntry {
     * user-supplied root paths that look like hidden files.
     */
   private[graft] def gateIvfPath(dir: String): String =
-    s"target/gate-ivf/ivf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$gateBase/gate-ivf/ivf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Cached on-disk IVF-PQ index for the q_ann_pq gate (same lifecycle as
     * [[gateIvfPath]]).
     */
   private[graft] def gatePqPath(dir: String): String =
-    s"target/gate-ivf/pq${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$gateBase/gate-ivf/pq${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Cached IVF index over the batch-ANN gate's corpus (vec_id >= 20). */
   private[graft] def gateBatchPath(dir: String): String =
-    s"target/gate-ivf/batch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$gateBase/gate-ivf/batch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Persistent exact-dedup history index for the q_dedup_incremental gate. */
+  private[graft] def gateDedupPath(dir: String): String =
+    s"$gateBase/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
@@ -109,7 +121,7 @@ object SparkEntry {
       |""".stripMargin
 
   private[graft] def gateStorePath(dir: String): String =
-    s"target/gate-pb/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$gateBase/gate-pb/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   private val gateStoreLock = new Object
   private[graft] def gateStore(s: SparkSession, dir: String): GraftDB =
@@ -144,7 +156,7 @@ object SparkEntry {
     */
   private[graft] def gateCompactStore(s: SparkSession, dir: String): GraftDB =
     gateStoreLock.synchronized {
-      val store = s"target/gate-compact/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val store = s"$gateBase/gate-compact/pb${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val src = java.nio.file.Paths.get(dir, "events.parquet")
       val fp = s"fp=${java.nio.file.Files.size(src)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
@@ -468,7 +480,7 @@ object SparkEntry {
         .unionByName(b0.filter(col("doc_id") % 7 === 0)
           .select((-col("doc_id") * 2 - 2).as("doc_id"), col("text"),
             col("n_chars")))
-      val idx = s"target/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val idx = gateDedupPath(dir)
       Dedup.buildExactIndexIfMissing(hist, col("text"), col("doc_id"), idx)
       Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx,
           admit = false)

@@ -120,6 +120,30 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // after restoring one built elsewhere). Runs on the handler thread —
     // it is a Spark job; the JDK server's default executor serializes
     // handlers, which is the right pressure valve for a control plane.
+    // the query console (web/index.go:10-33 serves an embedded index.html
+    // that posts the textarea's SQL to /run and renders rows +
+    // cardinalities; ours is self-contained vanilla HTML/JS — the
+    // reference pulls Bootstrap/dygraphs from CDNs, useless in the
+    // airgapped deployments this daemon targets). "/" is the JDK server's
+    // longest-prefix fallback, so unmatched paths land here too: serve the
+    // page only at the root and 404 the rest.
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (path == "/" || path == "/index.html") {
+        val bytes = HttpServer.IndexHtml.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } else {
+        val bytes = s"""{"error":"not found: ${path.replace('"', ' ')}"}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(404, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
     server.createContext("/compact/", (ex: HttpExchange) => handle(ex) {
       require(ex.getRequestMethod == "POST", "POST required")
       val table = ex.getRequestURI.getPath.stripPrefix("/compact/")
@@ -363,6 +387,74 @@ object HttpServer {
 
   /** Hard cap on live async cache entries (oldest evicted first). */
   val MaxCacheEntries: Int = 1024
+
+  /** The embedded query console (the reference's web/index.go page shape:
+    * SQL textarea → POST /run → rows table + per-column cardinalities +
+    * stats line). Self-contained — no external assets.
+    */
+  val IndexHtml: String =
+    """<!DOCTYPE html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8">
+      |<meta name="viewport" content="width=device-width, initial-scale=1">
+      |<title>graft</title>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; margin: 2em; color: #222; }
+      |  textarea { width: 100%; height: 10em; font-family: monospace;
+      |             font-size: 14px; box-sizing: border-box; }
+      |  button { margin: 0.5em 0; padding: 0.4em 1.2em; font-size: 14px; }
+      |  table { border-collapse: collapse; margin-top: 1em; }
+      |  th, td { border: 1px solid #ccc; padding: 0.25em 0.6em;
+      |           font-size: 13px; text-align: left; }
+      |  th { background: #f0f0f0; }
+      |  th .card { font-weight: normal; color: #777; font-size: 11px; }
+      |  .error { color: #b00; font-weight: bold; }
+      |  .stats { color: #555; font-size: 12px; margin-top: 0.5em; }
+      |</style>
+      |</head>
+      |<body>
+      |<h2>graft query console</h2>
+      |<textarea id="sql" placeholder="SELECT ...">SELECT _points FROM </textarea>
+      |<br><button id="runBtn">Run</button>
+      |<div id="out"></div>
+      |<script>
+      |function esc(s) { var d = document.createElement('div');
+      |  d.appendChild(document.createTextNode(String(s))); return d.innerHTML; }
+      |function render(r) {
+      |  var out = document.getElementById('out');
+      |  if (r.error) { out.innerHTML = '<p class="error">' + esc(r.error) + '</p>'; return; }
+      |  var cols = {};
+      |  r.rows.forEach(function(row) { Object.keys(row).forEach(function(k) { cols[k] = 1; }); });
+      |  var names = Object.keys(cols);
+      |  var h = '<table><tr>' + names.map(function(n) {
+      |    var c = r.cardinalities && r.cardinalities[n];
+      |    return '<th>' + esc(n) + (c !== undefined ?
+      |      ' <span class="card">~' + esc(c) + ' distinct</span>' : '') + '</th>';
+      |  }).join('') + '</tr>';
+      |  r.rows.forEach(function(row) {
+      |    h += '<tr>' + names.map(function(n) {
+      |      var v = row[n]; return '<td>' + (v === undefined || v === null ? '' : esc(v)) + '</td>';
+      |    }).join('') + '</tr>';
+      |  });
+      |  h += '</table>';
+      |  h += '<p class="stats">' + r.stats.rows + ' rows in ' + r.stats.elapsedMs + ' ms' +
+      |    (r.truncated ? ' (truncated)' : '') +
+      |    (r.stats.completed ? '' : ' (deadline hit, partial)') + '</p>';
+      |  out.innerHTML = h;
+      |}
+      |document.getElementById('runBtn').onclick = function() {
+      |  var out = document.getElementById('out');
+      |  out.innerHTML = '<p class="stats">running...</p>';
+      |  fetch('/run', { method: 'POST', body: document.getElementById('sql').value })
+      |    .then(function(resp) { return resp.json(); })
+      |    .then(render)
+      |    .catch(function(e) { out.innerHTML = '<p class="error">' + esc(e) + '</p>'; });
+      |};
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
 
   /** Responses below this size skip gzip (envelope outweighs savings). */
   val GzipMinBytes: Int = 860

@@ -149,6 +149,32 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("the root serves the embedded query console; unknown paths 404") {
+    val dir = Files.createTempDirectory("graft-web").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(5m)\n"
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      val idx = get("/")
+      assert(idx.statusCode() == 200, idx.body())
+      assert(idx.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      // the page is the /run console: textarea + fetch('/run') wiring, and
+      // it renders rows, cardinalities and the stats line
+      for (marker <- Seq("<textarea", "fetch('/run'", "cardinalities", "stats"))
+        assert(idx.body().contains(marker), s"console page lost '$marker'")
+      assert(get("/index.html").statusCode() == 200)
+      val miss = get("/no/such/path")
+      assert(miss.statusCode() == 404, miss.body())
+      assert(miss.body().contains("not found"))
+    } finally srv.stop()
+  }
+
   test("async cache evicts expired entries (no permalink leak)") {
     val dir = Files.createTempDirectory("graft-http-ttl").toString
     val yaml =
