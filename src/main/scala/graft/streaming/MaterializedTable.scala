@@ -117,6 +117,24 @@ final class MaterializedTable(
   private val DayMs = 86400000L
   private val manifestPath = Paths.get(storePath, "MANIFEST")
 
+  // A MANIFEST.tmp* present at open is dead by definition — only the atomic
+  // rename commits, so a tmp left behind marks a writer that crashed between
+  // write and rename. Sweep on open so crashed stores don't accrete them.
+  // (Single-writer stores: nothing else can be mid-commit while we open.)
+  locally {
+    val d = Paths.get(storePath)
+    if (Files.isDirectory(d)) {
+      val it = Files.list(d)
+      try {
+        it.filter(p => p.getFileName.toString.startsWith("MANIFEST.tmp"))
+          .forEach { p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          }
+      } finally it.close()
+    }
+  }
+
   /** (version, last-applied batch id per sink, day -> store-relative dir,
     * committed union schema).
     * The per-sink batch ids are the replay-dedup ledger: Structured
@@ -167,6 +185,7 @@ final class MaterializedTable(
                             days: Map[Long, String],
                             schema: org.apache.spark.sql.types.StructType,
                             buckets: Option[(Seq[String], Int)]): Unit = {
+    MaterializedTable.crashHook("manifest.pre-write")
     Files.createDirectories(Paths.get(storePath))
     val tmp = Paths.get(storePath, s"MANIFEST.tmp$v")
     val body = (Seq(s"v=$v", s"s=${schema.json}") ++
@@ -174,9 +193,11 @@ final class MaterializedTable(
       (sinkBatches.toSeq.sorted.map { case (s, b) => s"b=$s\t$b" } ++
         days.toSeq.sortBy(_._1).map { case (d, p) => s"$d\t$p" })).mkString("\n")
     Files.writeString(tmp, body)
+    MaterializedTable.crashHook("manifest.tmp-written")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MaterializedTable.crashHook("manifest.moved")
   }
 
   /** Open a set of day dirs. With the manifest's committed schema, no
@@ -836,6 +857,16 @@ final class MaterializedTable(
 }
 
 object MaterializedTable {
+  /** Test-only fault injection for the commit path: invoked at the named
+    * points inside [[MaterializedTable.writeManifest]] ("manifest.pre-write",
+    * "manifest.tmp-written", "manifest.moved"). A crash fuzz installs a
+    * throwing hook to simulate the process dying on either side of the
+    * atomic rename; production leaves the no-op. The invariant under test:
+    * a store reopened after a crash at ANY point answers exactly like the
+    * last committed state — the rename IS the transaction boundary.
+    */
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
+
   /** Default grace before a superseded commit generation is deleted —
     * readers that loaded the previous manifest get this long to finish
     * scanning it (`-Dgraft.commitGcGraceMillis=` overrides).
