@@ -125,10 +125,13 @@ object ArgMinL2 {
     val normSq = new Array[Double](codebook.length)
     codebook.zipWithIndex.foreach { case (v, c) =>
       require(v.length == dim, "codeword dimensions must agree")
+      // toArray first: a List's positional apply is O(i), making indexed
+      // copy O(dim²) per codeword (same trap as ArgMinCosine.apply)
+      val a = v.toArray
       var ss = 0.0
       var i = 0
       while (i < dim) {
-        val x = v(i)
+        val x = a(i)
         flat(c * dim + i) = x
         ss += x * x
         i += 1
