@@ -514,6 +514,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrub (the C4/Dolma pipeline stage): the corpus text is salted
+    // with deterministic synthetic PII (per-doc email, dotted IP, account
+    // number) so the gate is non-vacuous at every scale factor, then
+    // redacted; the oracle replays the identical regex chain in DuckDB —
+    // the patterns live in the Java-regex ∩ RE2 common subset on purpose.
+    // Map-only, zero shuffles.
+    "q_pii_redact" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10.7."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".9, acct 9001234567"))
+      docs.filter(col("doc_id") < 2000)
+        .select(col("doc_id"), TextAnalysis.redactPii(salted).as("red"))
+        .orderBy(col("doc_id"))
+    },
+
     // end-to-end curation composition — the actual user workflow the
     // pipeline operators exist for: quality-score gate -> exact dedup ->
     // deterministic per-language sample. Every stage is map-only or
@@ -1111,6 +1129,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
         |  CAST(count(*) AS DOUBLE) AS docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' reach user' || doc_id || '@mail.example.org or 10.7.'
+        |      || (doc_id % 256) || '.9, acct 9001234567',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\d{8,}', '[NUM]', 'g') AS red
+        |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH t AS (

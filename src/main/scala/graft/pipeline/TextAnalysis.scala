@@ -32,6 +32,30 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text)
 
+  /** PII redaction (the C4/Dolma-style scrub stage): emails → `[EMAIL]`,
+    * dotted IPv4 → `[IP]`, 8+-digit runs (phone/account-shaped) → `[NUM]`.
+    * Order matters — emails first (their local parts may contain digits),
+    * dotted IPs before bare digit runs. Patterns stay inside the
+    * Java-regex ∩ RE2 common subset (no lookaround), so the exact same
+    * expressions run in the DuckDB oracle; map-only, codegen'd
+    * regexp_replace chain.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+        """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"),
+      """\d{8,}""", "[NUM]")
+
+  /** Count of PII matches scrubbed by [[redactPii]] — the audit metric a
+    * pipeline reports per shard.
+    */
+  def piiMatchCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\d{8,}"""),
+      lit(0)))
+
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -77,6 +77,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(7L) == "und")
   }
 
+  test("PII redaction scrubs emails, IPs and long digit runs; count agrees") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "mail bob.smith+x@example.co.uk now", "mail [EMAIL] now", 1),
+      (2L, "from 192.168.1.254 port 443", "from [IP] port 443", 1),
+      (3L, "acct 12345678 and card 4111111111111111", "acct [NUM] and card [NUM]", 2),
+      (4L, "a@b.io at 10.0.0.1 ref 987654321", "[EMAIL] at [IP] ref [NUM]", 3),
+      (5L, "v1.2.3 costs 12.99 on day 1234567", "v1.2.3 costs 12.99 on day 1234567", 0),
+      (6L, "", "", 0))
+    val out = cases.toDF("id", "t", "want", "wantN")
+      .select(col("id"), col("want"), col("wantN"),
+        TextAnalysis.redactPii(col("t")).as("got"),
+        TextAnalysis.piiMatchCount(col("t")).as("gotN"))
+      .collect()
+    for (r <- out) {
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"id ${r.getAs[Long]("id")}")
+      assert(r.getAs[Int]("gotN") == r.getAs[Int]("wantN"),
+        s"count for id ${r.getAs[Long]("id")}")
+    }
+  }
+
   test("quality score and token counts behave") {
     val r = docs.select(
         TextAnalysis.tokenCount(col("text")).as("tc"),
