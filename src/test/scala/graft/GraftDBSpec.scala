@@ -940,10 +940,14 @@ class GraftDBSpec extends AnyFunSuite {
       false
     }
     val points = Seq("manifest.pre-write", "manifest.tmp-written", "manifest.moved")
-    val yaml = "t:\n  sql: >\n    SELECT requests FROM s GROUP BY *, period(5m)\n"
     val rnd = new scala.util.Random(90412L)
     var totalCrashes = 0
-    def runTrial(trial: Int): Unit = {
+    def runTrial(trial: Int, bucketed: Boolean): Unit = {
+      // the bucketed variant exercises the `p=` manifest line + __bucket
+      // dir layout through the same crash points
+      val yaml =
+        (if (bucketed) "t:\n  partitionby: [server]\n" else "t:\n") +
+          "  sql: >\n    SELECT requests FROM s GROUP BY *, period(5m)\n"
       val dir = Files.createTempDirectory(s"graft-crash$trial").toString
       val twinDir = Files.createTempDirectory(s"graft-crash$trial-twin").toString
       val clock: () => Long = () => T0 + 50 * 86400000L
@@ -991,18 +995,24 @@ class GraftDBSpec extends AnyFunSuite {
       def dump(g: GraftDB, sql: String): Seq[String] =
         g.sql(sql).collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
       val q1 = "SELECT requests, _points FROM t GROUP BY server, period(5m)"
-      val q2 = "SELECT requests FROM t GROUP BY _, period('90d')"
+      val q2 =
+        if (bucketed) // exercise the bucket-pruned read path post-crash
+          "SELECT requests FROM t WHERE server = 'srv2' GROUP BY server, period('90d')"
+        else "SELECT requests FROM t GROUP BY _, period('90d')"
       assert(dump(db, q1) == dump(twin, q1),
-        s"trial $trial ($crashes crashes): crashed store diverged from twin on q1")
+        s"trial $trial bucketed=$bucketed ($crashes crashes): diverged on q1")
       assert(dump(db, q2) == dump(twin, q2),
-        s"trial $trial ($crashes crashes): crashed store diverged from twin on q2")
+        s"trial $trial bucketed=$bucketed ($crashes crashes): diverged on q2")
       // no uncommitted manifest temp survives the reopens (swept on open)
       val leftovers = Option(new java.io.File(dir, "t").list()).getOrElse(Array.empty)
         .filter(_.startsWith("MANIFEST.tmp"))
       assert(leftovers.isEmpty, s"stale manifest temps: ${leftovers.toSeq}")
     }
-    try (0 until 3).foreach(runTrial)
-    finally { MaterializedTable.crashHook = _ => () }
+    try {
+      runTrial(0, bucketed = false)
+      runTrial(1, bucketed = true)
+      runTrial(2, bucketed = true)
+    } finally { MaterializedTable.crashHook = _ => () }
     // the fuzz is vacuous if the seed never actually killed a commit
     assert(totalCrashes >= 3, s"too few injected crashes fired: $totalCrashes")
   }
