@@ -148,6 +148,10 @@ object Bench {
         .filter(col("vec_id") >= 20)
       graft.pipeline.Similarity.ivfBuildIfMissing(embBatch, col("embedding"),
         col("vec_id"), nCentroids = 16, SparkEntry.gateBatchPath(sfDir))
+      // and the batched-PQ twin (codes-only index, same corpus slice)
+      graft.pipeline.Similarity.ivfPqBuildIfMissing(embBatch, col("embedding"),
+        col("vec_id"), nCentroids = 16, m = 8, k = 16,
+        SparkEntry.gatePqBatchPath(sfDir))
       // and the incremental-dedup history index (fingerprint-guarded): the
       // gate measures the batch-vs-history probe, not the one-time build
       val histDocs = spark.read.parquet(s"$sfDir/documents.parquet")

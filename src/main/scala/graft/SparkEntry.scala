@@ -91,6 +91,10 @@ object SparkEntry {
   private[graft] def gateBatchPath(dir: String): String =
     s"$gateBase/gate-ivf/batch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Cached IVF-PQ index over the batched-PQ gate's corpus (vec_id >= 20). */
+  private[graft] def gatePqBatchPath(dir: String): String =
+    s"$gateBase/gate-ivf/pqbatch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Persistent exact-dedup history index for the q_dedup_incremental gate. */
   private[graft] def gateDedupPath(dir: String): String =
     s"$gateBase/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -717,6 +721,26 @@ object SparkEntry {
       Similarity.ivfTopKBatch(s, idx, centroids, queries, col("vec_id"),
           col("embedding"), col("vec_id"), col("embedding"), k = 3,
           nProbe = 16, quantized = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // batched IVF-PQ retrieval join: the q_ann_batch shape at PQ scan
+    // width — codes-only index scan, per-pair fused ADC (PqAdcVec: the
+    // per-query-LUT trick doesn't compose with a batch join), per-query
+    // candidate window, exact re-rank of the broadcast candidate set.
+    // Full probe + full refine ≡ exact, so the oracle is the same windowed
+    // exact top-k join as q_ann_batch.
+    "q_ann_pq_batch" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gatePqBatchPath(dir)
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
+        col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16, idx)
+      Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
+          col("embedding"), col("vec_id"), queries, col("vec_id"),
+          col("embedding"), k = 3, nProbe = 16, refineK = 1000000,
+          quantized = true)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1454,6 +1478,27 @@ object SparkEntry {
 
     // full-probe batched ANN == the exact windowed top-k join
     "q_ann_batch" ->
+      """WITH qe AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_dot_product(c.e, q.e)
+        |      / (sqrt(list_dot_product(c.e, c.e)) *
+        |         sqrt(list_dot_product(q.e, q.e))) AS cs
+        |  FROM qe q, qe c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (
+        |  SELECT qid, id, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank, round(cs, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // full-probe + full-refine batched IVF-PQ == the same exact windowed
+    // top-k join (the ADC stage only selects candidates; the re-rank is
+    // the exact quantized cosine)
+    "q_ann_pq_batch" ->
       """WITH qe AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e

@@ -128,20 +128,33 @@ object Dedup {
                        indexPath: String, admit: Boolean = true,
                        maxBroadcastHashes: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
-    // intra-batch winners: one shuffle on the compact 32-hex hash. Persisted
-    // because three consumers reuse it (index probe, anti-join, final
-    // join-back) AND its count decides broadcast vs shuffle below; the
-    // persisted rows are (hash, id) only — bounded by the batch's distinct
-    // count, never document payloads.
-    val bh = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
+    // intra-batch winners: one shuffle on the compact 32-hex hash
+    val bh0 = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
       .groupBy(col("__h")).agg(min(col("__id")).as("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Broadcast only batches whose distinct-hash count fits executor memory
     // comfortably; a giant backfill batch (e.g. 10^7+ hashes ≈ 500 MB of
     // strings) would OOM every executor as a broadcast, so it falls back to
     // shuffle joins on __h — the index then shuffles ONCE, amortized over
     // the whole batch, instead of never (the map-only small-batch shape).
-    val small = bh.count() <= maxBroadcastHashes
+    //
+    // Sizing is two-tier to keep the daily path job-free: when the
+    // optimizer's size estimate already proves the batch small (≤128 MB of
+    // input bytes can't hold enough distinct texts to threaten the
+    // broadcast bound), skip the counting job entirely; only ambiguous or
+    // large batches pay one persisted count of the compact hash frame.
+    // maxBroadcastHashes <= 0 is an explicit "always shuffle" override.
+    val estBytes =
+      try BigInt(batch.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Exception => BigInt(-1) }
+    val smallByStats = maxBroadcastHashes > 0 &&
+      estBytes >= 0 && estBytes <= BigInt(128L << 20)
+    val (bh, small) =
+      if (smallByStats) (bh0, true)
+      else if (maxBroadcastHashes <= 0) (bh0, false)
+      else {
+        val p = bh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.count() <= maxBroadcastHashes)
+      }
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // pin the index SNAPSHOT by explicit file list: the survivor plan below
     // stays deterministic even after this call's own append lands new files
@@ -184,12 +197,13 @@ object Dedup {
       .join(maybeB(survivors),
         col("__bh0") === col("__h") && idCol === col("__id"), "left_semi")
       .drop("__bh0")
-    // release the winners cache before returning: it already served the
-    // path-choice count (and the admit append); holding it would grow
-    // session storage by one entry per batch forever. The caller's
-    // evaluation recomputes the compact hash frame from lineage — one
-    // batch-hash scan, which correctness never depended on the cache for.
-    bh.unpersist(blocking = false)
+    // release the winners cache (counted path only) before returning: it
+    // already served the path-choice count (and the admit append); holding
+    // it would grow session storage by one entry per batch forever. The
+    // caller's evaluation recomputes the compact hash frame from lineage —
+    // one batch-hash scan, which correctness never depended on the cache
+    // for.
+    if (!smallByStats && maxBroadcastHashes > 0) bh.unpersist(blocking = false)
     out
   }
 

@@ -595,6 +595,76 @@ object Similarity {
     built
   }
 
+  /** Batched ANN over an IVF-PQ index: top-k corpus neighbors for EVERY
+    * query row in one pass over the CODES — [[ivfTopKBatch]]'s retrieval
+    * join at [[ivfPqTopK]]'s scan width (8 B/row of codes instead of full
+    * vectors).
+    *
+    * The single-query ADC trick (a driver-built per-query LUT) doesn't
+    * compose with a batch join, so scoring uses [[graft.functions.PqAdcVec]]:
+    * the fused `dot(reconstruct(codes), q̂)` loop over the shared codebook
+    * reference, with each pair's normalized query read straight from the
+    * joined row. Per-query ADC candidates (`refineK` by keyed window) then
+    * re-rank exactly against the base table — the candidate set is
+    * queries×refineK ids, a broadcast at any real batch size, so the exact
+    * pass is a point-lookup-shaped read, never a second corpus scan.
+    * Full probe + refineK ≥ corpus degrades to exact (the oracle
+    * configuration); `refineK <= 0` returns raw ADC rankings.
+    */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, coarse: Seq[(Int, Seq[Float])],
+                     books: Seq[Seq[Seq[Double]]], base: DataFrame,
+                     vecCol: Column, idCol: Column, queries: DataFrame,
+                     qIdCol: Column, qVecCol: Column, k: Int, nProbe: Int,
+                     refineK: Int, quantized: Boolean = true,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = {
+      import spark.implicits._
+      coarse.map { case (i, c) => (i, c.toArray) }.toDF("__cc", "__cv")
+    }
+    val cellRank = Window.partitionBy(col("__qid"))
+      .orderBy(col("__cs").desc, col("__cc"))
+    val assigned = queries
+      .select(qIdCol.as("__qid"), qVecCol.as("__qv"),
+        normalize(qVecCol).as("__qhat"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(cellRank))
+      .filter(col("__r") <= nProbe)
+      .select(col("__qid"), col("__qv"), col("__qhat"), col("__cc"))
+    val probed = assigned.select(col("__cc")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+    val asn = if (broadcastQueries) broadcast(assigned) else assigned
+    val adc = idx.join(asn, idx("__c") === asn("__cc"))
+      .select(col("__qid"), col("__qv"), col("__id"),
+        graft.functions.PqAdcVec(col("__codes"), col("__qhat"), books,
+          PqCodeOffset).as("__adc"))
+    val adcRank = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").desc, col("__id"))
+    if (refineK <= 0)
+      adc.withColumn("rank", row_number().over(adcRank).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("__qid").as("qid"), col("__id").as("id"), col("rank"),
+          round(col("__adc"), 6).as("score"))
+    else {
+      val cand = adc.withColumn("__cr", row_number().over(adcRank))
+        .filter(col("__cr") <= refineK)
+        .select(col("__qid"), col("__qv"), col("__id"))
+      val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
+                  else cosine(vecCol, col("__qv"))
+      base.join(broadcast(cand), idCol === col("__id"))
+        .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id")))
+          .cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("id"), col("rank"),
+          round(col("__s"), 6).as("score"))
+    }
+  }
+
   /** ANN top-k over an IVF-PQ index: prune to the `nProbe` nearest cells,
     * ADC-score the code rows (O(M) lookups/row over an 8-byte column — the
     * scan reads no vectors), keep the top `refineK` candidates, then

@@ -1004,6 +1004,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batched IVF-PQ: full refine equals exact; ADC stage agrees with PqAdcVec math") {
+    val vecs = pqCorpus(n = 300, dim = 32, nClusters = 6)
+    val dir = java.nio.file.Files.createTempDirectory("pqbatch-idx").toString
+    val corpus = vecs.filter(col("id") >= 10)
+    val queries = vecs.filter(col("id") < 10)
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus, col("v"),
+      col("id"), nCentroids = 6, m = 4, k = 16, indexPath = dir)
+    // full probe + full refine: every query's result must equal the exact
+    // quantized top-k
+    val batch = Similarity.ivfPqTopKBatch(spark, dir, coarse, books, corpus,
+        col("v"), col("id"), queries, col("id"), col("v"), k = 5,
+        nProbe = 6, refineK = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+      .groupBy(_._1)
+    for (qr <- queries.select(col("id"), col("v")).collect()) {
+      val qid = qr.getLong(0)
+      val exact = Similarity.topK(corpus, col("v"), col("id"),
+          qr.getSeq[Float](1), k = 5, quantized = true)
+        .collect().map(_.getLong(0)).toSeq
+      val got = batch(qid).sortBy(_._2).map(_._3).toSeq
+      assert(got === exact, s"query $qid: batched PQ != exact top-k")
+    }
+    // raw ADC mode (refineK = 0): scores must equal the driver-side fused
+    // sum over the codebooks for the same (codes, q̂) pairs
+    val adc = Similarity.ivfPqTopKBatch(spark, dir, coarse, books, corpus,
+        col("v"), col("id"), queries.filter(col("id") === 0), col("id"),
+        col("v"), k = 3, nProbe = 6, refineK = 0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val q0 = queries.filter(col("id") === 0).select(col("v"))
+      .collect()(0).getSeq[Float](0)
+    val qn = math.sqrt(q0.map(x => x.toDouble * x.toDouble).sum)
+    val qhat = q0.map(_.toDouble / qn)
+    val dsub = books.head.head.length
+    val codeRows = spark.read.parquet(dir)
+      .filter(col("__id").isin(adc.keys.toSeq: _*))
+      .select(col("__id"), col("__codes")).collect()
+    for (r <- codeRows) {
+      val local = r.getSeq[Byte](1).zipWithIndex.map { case (cb, s) =>
+        val c = cb + Similarity.PqCodeOffset
+        books(s)(c).zipWithIndex.map { case (w, t) => w * qhat(s * dsub + t) }.sum
+      }.sum
+      assert(math.abs(adc(r.getLong(0)) - local) < 1e-6,
+        s"ADC mismatch for id ${r.getLong(0)}")
+    }
+  }
+
   test("pqEncode codes are in range; PqAdc matches driver-side LUT math") {
     val vecs = pqCorpus(n = 50, dim = 16, nClusters = 4)
     val books = Similarity.pqTrain(vecs, col("v"), col("id"), dim = 16,
