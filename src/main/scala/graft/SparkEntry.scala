@@ -732,7 +732,10 @@ object SparkEntry {
     // exact top-k join as q_ann_batch.
     "q_ann_pq_batch" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val queries = e.filter(col("vec_id") < 20)
+      // 10 queries (vs q_ann_batch's 20): the exact-equivalence oracle
+      // config re-ranks the whole corpus per query, so the gate's cost is
+      // oracle-exhaustiveness, not ANN-path cost — halve it
+      val queries = e.filter(col("vec_id") < 10)
       val corpus = e.filter(col("vec_id") >= 20)
       val idx = gatePqBatchPath(dir)
       val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
@@ -1508,7 +1511,7 @@ object SparkEntry {
         |    list_dot_product(c.e, q.e)
         |      / (sqrt(list_dot_product(c.e, c.e)) *
         |         sqrt(list_dot_product(q.e, q.e))) AS cs
-        |  FROM qe q, qe c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        |  FROM qe q, qe c WHERE q.vec_id < 10 AND c.vec_id >= 20),
         |r AS (
         |  SELECT qid, id, cs, row_number() OVER (
         |    PARTITION BY qid ORDER BY cs DESC, id) AS rank

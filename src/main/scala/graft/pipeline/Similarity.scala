@@ -625,20 +625,24 @@ object Similarity {
     }
     val cellRank = Window.partitionBy(col("__qid"))
       .orderBy(col("__cs").desc, col("__cc"))
+    // the nProbe-expanded assignment frame carries ONLY (__qid, q̂, cell):
+    // cell ranking on q̂ equals ranking on q (cosine is scale-invariant),
+    // and the raw vector joins back from the compact one-row-per-query
+    // table at refine time — at production batch sizes the expanded frame
+    // would otherwise broadcast nProbe redundant dim-vectors per query
     val assigned = queries
-      .select(qIdCol.as("__qid"), qVecCol.as("__qv"),
-        normalize(qVecCol).as("__qhat"))
+      .select(qIdCol.as("__qid"), normalize(qVecCol).as("__qhat"))
       .crossJoin(broadcast(cdf))
-      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cs", cosine(col("__qhat"), col("__cv")))
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
-      .select(col("__qid"), col("__qv"), col("__qhat"), col("__cc"))
+      .select(col("__qid"), col("__qhat"), col("__cc"))
     val probed = assigned.select(col("__cc")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
     val asn = if (broadcastQueries) broadcast(assigned) else assigned
     val adc = idx.join(asn, idx("__c") === asn("__cc"))
-      .select(col("__qid"), col("__qv"), col("__id"),
+      .select(col("__qid"), col("__id"),
         graft.functions.PqAdcVec(col("__codes"), col("__qhat"), books,
           PqCodeOffset).as("__adc"))
     val adcRank = Window.partitionBy(col("__qid"))
@@ -651,10 +655,14 @@ object Similarity {
     else {
       val cand = adc.withColumn("__cr", row_number().over(adcRank))
         .filter(col("__cr") <= refineK)
-        .select(col("__qid"), col("__qv"), col("__id"))
+        .select(col("__qid"), col("__id"))
+      // raw query vectors re-enter here, one row per query (ids must be
+      // unique per query row, as in any retrieval join)
+      val qtab = queries.select(qIdCol.as("__qid2"), qVecCol.as("__qv"))
       val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
                   else cosine(vecCol, col("__qv"))
       base.join(broadcast(cand), idCol === col("__id"))
+        .join(broadcast(qtab), col("__qid") === col("__qid2"))
         .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id")))

@@ -1050,6 +1050,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAdc (per-query LUT) and PqAdcVec (batched) score identically") {
+    // the two ADC formulations must agree exactly: lut[s][j] = dot(q̂_s,
+    // book_s_j), so Σ lut[s][code_s] == Σ Σ book[s][code_s][t]·q̂[s·d+t]
+    // up to float association — both sum in the same subspace-major order,
+    // so the agreement is bitwise
+    val vecs = pqCorpus(n = 120, dim = 16, nClusters = 4)
+    val books = Similarity.pqTrain(vecs, col("v"), col("id"), dim = 16,
+      m = 4, k = 8)
+    val rnd = new scala.util.Random(23)
+    val q = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val qhat = q.map(_.toDouble / qn)
+    val lut = books.zipWithIndex.map { case (book, s) =>
+      val qs = qhat.slice(s * 4, s * 4 + 4)
+      book.map(cw => cw.zip(qs).map { case (a, b) => a * b }.sum)
+    }
+    val off = Similarity.PqCodeOffset
+    val rows = vecs
+      .select(col("id"), Similarity.pqEncode(col("v"), books).as("codes"))
+      .select(col("id"),
+        graft.functions.PqAdc(col("codes"), lut, off).as("viaLut"),
+        graft.functions.PqAdcVec(col("codes"),
+          lit(qhat.toArray), books, off).as("viaVec"))
+      .collect()
+    for (r <- rows)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"ADC paths disagree for id ${r.getLong(0)}")
+  }
+
   test("pqEncode codes are in range; PqAdc matches driver-side LUT math") {
     val vecs = pqCorpus(n = 50, dim = 16, nClusters = 4)
     val books = Similarity.pqTrain(vecs, col("v"), col("id"), dim = 16,
