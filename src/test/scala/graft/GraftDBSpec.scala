@@ -940,7 +940,11 @@ class GraftDBSpec extends AnyFunSuite {
       false
     }
     val points = Seq("manifest.pre-write", "manifest.tmp-written", "manifest.moved")
-    val rnd = new scala.util.Random(90412L)
+    // default seed is pinned for CI; GRAFT_CRASH_FUZZ_SEED=N runs fresh
+    // schedules (env, not a sysprop — the forked test JVM inherits the
+    // environment but not sbt's command-line -D flags)
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_CRASH_FUZZ_SEED").map(_.toLong).getOrElse(90412L))
     var totalCrashes = 0
     def runTrial(trial: Int, bucketed: Boolean): Unit = {
       // the bucketed variant exercises the `p=` manifest line + __bucket
