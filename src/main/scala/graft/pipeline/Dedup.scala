@@ -64,6 +64,12 @@ object Dedup {
     * The append counter is the rebuild tripwire: a fingerprint describes only
     * the SEED corpus, so once [[exactIncremental]] has admitted batches the
     * index holds history no corpus fingerprint can account for.
+    *
+    * An UNPARSEABLE appends value (corrupt/truncated file) reads as
+    * Long.MaxValue, not 0: the tripwire's failure modes are asymmetric — a
+    * spurious refusal costs an explicit directory delete, a missed one
+    * silently discards admitted history — so corruption must land on the
+    * refusing side.
     */
   private def readIndexMeta(metaPath: java.nio.file.Path): Option[(String, Long)] =
     if (!java.nio.file.Files.exists(metaPath)) None
@@ -72,15 +78,41 @@ object Dedup {
       val fp = if (lines.isEmpty) "" else lines.get(0).trim
       val appends = (1 until lines.size()).map(lines.get(_).trim)
         .collectFirst { case s if s.startsWith("appends=") =>
-          s.stripPrefix("appends=").toLong }
+          scala.util.Try(s.stripPrefix("appends=").toLong)
+            .getOrElse(Long.MaxValue) }
         .getOrElse(0L)
       Some((fp, appends))
     }
 
+  /** Crash-atomic meta commit: tmp + ATOMIC_MOVE (the MANIFEST discipline,
+    * MaterializedTable.writeManifest) — a reader never observes a torn
+    * `_index.txt`, and a death before the move leaves the previous meta
+    * intact. The `_`-prefixed tmp name keeps parquet readers from ever
+    * seeing it as data; a stale tmp from a crashed writer is simply
+    * overwritten by the next commit.
+    */
   private def writeIndexMeta(metaPath: java.nio.file.Path, fpLine: String,
-                             appends: Long): Unit =
-    java.nio.file.Files.writeString(metaPath,
-      s"$fpLine\nappends=$appends\n")
+                             appends: Long): Unit = {
+    crashHook("dedup.meta-pre")
+    val tmp = metaPath.resolveSibling(metaPath.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$fpLine\nappends=$appends\n")
+    crashHook("dedup.meta-tmp")
+    java.nio.file.Files.move(tmp, metaPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashHook("dedup.meta-moved")
+  }
+
+  /** Test-only fault injection for the incremental-admit commit path (same
+    * contract as [[graft.streaming.MaterializedTable.crashHook]]): invoked at
+    * "dedup.meta-pre" / "dedup.meta-tmp" / "dedup.meta-moved" (inside
+    * [[writeIndexMeta]]) and "dedup.appended" (after the survivors' parquet
+    * append in [[exactIncremental]]). The invariant a crash fuzz checks: a
+    * death at ANY point can never leave admitted hashes in the index with
+    * `appends=0` — the state that would let a later corpus-change rebuild
+    * silently discard them.
+    */
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
 
   /** [[buildExactIndex]] only if the index at `indexPath` is absent or was
     * built from a different corpus (dataset-fingerprint keyed, like the
@@ -143,11 +175,26 @@ object Dedup {
     // broadcast bound), skip the counting job entirely; only ambiguous or
     // large batches pay one persisted count of the compact hash frame.
     // maxBroadcastHashes <= 0 is an explicit "always shuffle" override.
-    val estBytes =
-      try BigInt(batch.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-      catch { case _: Exception => BigInt(-1) }
+    // The stats shortcut must bound ROWS, not bytes: sizeInBytes for a
+    // parquet scan is COMPRESSED file bytes, and highly compressible
+    // short-text batches pack far more distinct texts per byte than the
+    // 128 MB-input intuition allows — the exact batch shape that would ship
+    // a multi-hundred-MB hash set to every executor through the broadcast
+    // path the fallback exists to protect. Use the optimizer's row count
+    // when it has one; otherwise bound rows by bytes with conservative
+    // constants (up to 10× parquet text compression, ≥ 8 bytes per distinct
+    // stored text). When in doubt, fall through to the counted path.
+    val stats =
+      try Some(batch.queryExecution.optimizedPlan.stats)
+      catch { case _: Exception => None }
+    val estRows: BigInt = stats.flatMap(_.rowCount).getOrElse {
+      val estBytes = stats.map(s => BigInt(s.sizeInBytes.toString))
+        .getOrElse(BigInt(-1))
+      if (estBytes < 0) BigInt(-1)
+      else estBytes * 10 / 8 // decompressed upper bound / min row bytes
+    }
     val smallByStats = maxBroadcastHashes > 0 &&
-      estBytes >= 0 && estBytes <= BigInt(128L << 20)
+      estRows >= 0 && estRows <= BigInt(maxBroadcastHashes)
     val (bh, small) =
       if (smallByStats) (bh0, true)
       else if (maxBroadcastHashes <= 0) (bh0, false)
@@ -178,16 +225,22 @@ object Dedup {
         .distinct()
     val fresh = bh.join(maybeB(hits), Seq("__h"), "left_anti")
     if (admit) {
+      // Bump the append counter in `_index.txt` BEFORE the parquet append:
+      // the counter is what stops a later corpus-keyed rebuild from
+      // discarding admitted history (see [[buildExactIndexIfMissing]]), and
+      // its failure modes are asymmetric. Counter-first, a death between the
+      // two commits leaves appends=1 over an unchanged index — a spurious
+      // refusal, resolved by an explicit delete. Append-first (the r12
+      // ordering) the same death left admitted hashes under appends=0, and
+      // the next fingerprint mismatch silently rebuilt over them.
+      val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+      val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
+      writeIndexMeta(metaPath, fpLine, appends + 1L)
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
         .repartition(col("__hp")) // cluster: ~one appended file per prefix
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("__hp").parquet(indexPath)
-      // count the admission in `_index.txt` so a later corpus-keyed rebuild
-      // knows it would be discarding admitted history (see
-      // [[buildExactIndexIfMissing]])
-      val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
-      val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
-      writeIndexMeta(metaPath, fpLine, appends + 1L)
+      crashHook("dedup.appended")
     }
     // join back on (hash, id), not id alone: a row survives iff its
     // (text-hash, id) pair IS the winning pair, so batches with non-unique

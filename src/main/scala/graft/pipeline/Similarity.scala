@@ -324,26 +324,48 @@ object Similarity {
     // than nCentroids yields fewer cells, and parsing against the REQUESTED
     // count would reject the valid meta forever (one silent rebuild per JVM).
     val recipe = s"fp=${datasetFingerprint(df, idCol)};lloyd=$refineIters;v=2"
-    if (java.nio.file.Files.exists(metaPath)) {
-      val lines = java.nio.file.Files.readAllLines(metaPath)
-      val h0 = if (lines.isEmpty) "" else lines.get(0)
-      if (h0.startsWith(recipe + ";n=")) {
-        val nAct = h0.stripPrefix(recipe + ";n=").toInt
-        if (lines.size() == nAct + 1) {
-          val centroids = (0 until nAct).map { i =>
+    // any unparseable header/body (crash-truncated, hand-mangled) reads as
+    // STALE — rebuild — instead of throwing and bricking the index path
+    // until someone deletes the file by hand
+    val reused = scala.util.Try {
+      if (!java.nio.file.Files.exists(metaPath)) None
+      else {
+        val lines = java.nio.file.Files.readAllLines(metaPath)
+        val h0 = if (lines.isEmpty) "" else lines.get(0)
+        if (!h0.startsWith(recipe + ";n=")) None
+        else {
+          val nAct = h0.stripPrefix(recipe + ";n=").toInt
+          if (lines.size() != nAct + 1) None
+          else Some((0 until nAct).map { i =>
             i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
-          }
-          ivfValidated.put(memoKey, centroids)
-          return centroids
+          })
         }
       }
+    }.toOption.flatten
+    reused match {
+      case Some(centroids) =>
+        ivfValidated.put(memoKey, centroids)
+        return centroids
+      case None =>
     }
     val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath, refineIters)
     val body = (s"$recipe;n=${centroids.length}" +:
       centroids.map(_._2.map(f => f.toString).mkString(","))).mkString("\n")
-    java.nio.file.Files.writeString(metaPath, body)
+    writeMetaAtomic(metaPath, body)
     ivfValidated.put(memoKey, centroids)
     centroids
+  }
+
+  /** Crash-atomic index-meta commit (tmp + ATOMIC_MOVE, the MANIFEST
+    * discipline): a reader never observes a torn `_centroids.txt`/`_pq.txt`,
+    * and a death before the move leaves the previous meta intact.
+    */
+  private def writeMetaAtomic(metaPath: java.nio.file.Path, body: String): Unit = {
+    val tmp = metaPath.resolveSibling(metaPath.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, metaPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -564,33 +586,44 @@ object Similarity {
     // always exactly m×k lines — pqTrain recycles seed rows to fill k.
     val recipe = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
       s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids;v=2"
-    if (java.nio.file.Files.exists(metaPath)) {
-      val lines = java.nio.file.Files.readAllLines(metaPath)
-      val h0 = if (lines.isEmpty) "" else lines.get(0)
-      if (h0.startsWith(recipe + ";n=")) {
-        val nAct = h0.stripPrefix(recipe + ";n=").toInt
-        if (lines.size() == 1 + nAct + m * k) {
-          val coarse = (0 until nAct).map { i =>
-            i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
-          }
-          val books = (0 until m).map { s =>
-            (0 until k).map { j =>
-              lines.get(1 + nAct + s * k + j)
-                .split(",").toSeq.map(_.toDouble)
+    // unparseable meta reads as STALE (rebuild), never as an exception —
+    // same contract as ivfBuildIfMissing
+    val reused = scala.util.Try {
+      if (!java.nio.file.Files.exists(metaPath)) None
+      else {
+        val lines = java.nio.file.Files.readAllLines(metaPath)
+        val h0 = if (lines.isEmpty) "" else lines.get(0)
+        if (!h0.startsWith(recipe + ";n=")) None
+        else {
+          val nAct = h0.stripPrefix(recipe + ";n=").toInt
+          if (lines.size() != 1 + nAct + m * k) None
+          else {
+            val coarse = (0 until nAct).map { i =>
+              i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
             }
+            val books = (0 until m).map { s =>
+              (0 until k).map { j =>
+                lines.get(1 + nAct + s * k + j)
+                  .split(",").toSeq.map(_.toDouble)
+              }
+            }
+            Some((coarse, books))
           }
-          val loaded = (coarse, books)
-          ivfPqValidated.put(memoKey, loaded)
-          return loaded
         }
       }
+    }.toOption.flatten
+    reused match {
+      case Some(loaded) =>
+        ivfPqValidated.put(memoKey, loaded)
+        return loaded
+      case None =>
     }
     val built = ivfPqBuild(df, vecCol, idCol, nCentroids, m, k, indexPath,
       refineIters, pqIters)
     val body = (s"$recipe;n=${built._1.length}" +:
       (built._1.map(_._2.map(_.toString).mkString(",")) ++
         built._2.flatten.map(_.map(_.toString).mkString(",")))).mkString("\n")
-    java.nio.file.Files.writeString(metaPath, body)
+    writeMetaAtomic(metaPath, body)
     ivfPqValidated.put(memoKey, built)
     built
   }

@@ -183,6 +183,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 != c1 || ids.contains(59L))
   }
 
+  test("corrupt/truncated index meta reads as stale: rebuild, never a bricked path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val d = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // IVF: a crash-truncated header (garbage count) must rebuild cleanly
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf-torn").toString
+    Similarity.ivfBuildIfMissing(d, col("embedding"), col("vec_id"), 4, ivfDir)
+    val cMeta = java.nio.file.Paths.get(ivfDir, "_centroids.txt")
+    val header = java.nio.file.Files.readAllLines(cMeta).get(0)
+    java.nio.file.Files.writeString(cMeta,
+      header.replaceAll(";n=\\d+$", ";n=4x") + "\n0.1,garbage")
+    val c = Similarity.ivfBuildIfMissing(
+      d.filter(col("vec_id") >= 0), col("embedding"), col("vec_id"), 4, ivfDir)
+    assert(c.nonEmpty, "torn IVF meta must rebuild, not throw")
+    // IVF-PQ: same contract for _pq.txt
+    val pqDir = java.nio.file.Files.createTempDirectory("pq-torn").toString
+    Similarity.ivfPqBuildIfMissing(d, col("embedding"), col("vec_id"),
+      nCentroids = 4, m = 4, k = 8, pqDir)
+    val pMeta = java.nio.file.Paths.get(pqDir, "_pq.txt")
+    val pLines = java.nio.file.Files.readAllLines(pMeta)
+    // corrupt ONE codeword line in place (line count still matches, so the
+    // failure is a parse error mid-body, not a cheap length mismatch)
+    pLines.set(pLines.size() - 1, "not,a,number")
+    java.nio.file.Files.writeString(pMeta,
+      String.join("\n", pLines))
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(
+      d.filter(col("vec_id") >= 0), col("embedding"), col("vec_id"),
+      nCentroids = 4, m = 4, k = 8, pqDir)
+    assert(coarse.nonEmpty && books.nonEmpty,
+      "torn PQ meta must rebuild, not throw")
+  }
+
   test("cosine dedup: twins drop, LSH-bucketed mode equals exact mode") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -899,6 +933,91 @@ class PipelineSpec extends AnyFunSuite {
     val replay = Dedup.exactIncremental(Seq((9L, "bb")).toDF("doc_id", "text"),
       col("text"), col("doc_id"), idx, admit = false).collect()
     assert(replay.isEmpty, "admitted history must survive the refused rebuild")
+  }
+
+  test("admit crash fuzz: dying anywhere in the append lifecycle never strands admitted hashes under appends=0") {
+    import spark.implicits._
+    final class InjectedCrash extends RuntimeException("injected dedup crash")
+    // every commit point of the admit lifecycle (meta is committed BEFORE
+    // the parquet append — the asymmetry the ordering exists for)
+    val points = Seq("dedup.meta-pre", "dedup.meta-tmp", "dedup.meta-moved",
+      "dedup.appended")
+    def seed = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    def batch = Seq((1L, "alpha"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    def probe = Seq((50L, "gamma"), (51L, "omega")).toDF("doc_id", "text")
+    def changed = Seq((100L, "alpha"), (101L, "beta"), (102L, "cc"))
+      .toDF("doc_id", "text")
+    def readMeta(idx: String): (String, Long) = {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(idx, "_index.txt"))
+      val appends = (1 until lines.size()).map(lines.get(_).trim)
+        .collectFirst { case s if s.startsWith("appends=") =>
+          s.stripPrefix("appends=").toLong }.getOrElse(0L)
+      (lines.get(0).trim, appends)
+    }
+    // the never-crashed twin: seed, admit, then a pure-read probe
+    val twinIdx =
+      java.nio.file.Files.createTempDirectory("dedup-crash-twin").toString + "/i"
+    Dedup.buildExactIndexIfMissing(seed, col("text"), col("doc_id"), twinIdx)
+    Dedup.exactIncremental(batch, col("text"), col("doc_id"), twinIdx).collect()
+    val twinProbe = Dedup.exactIncremental(probe, col("text"), col("doc_id"),
+      twinIdx, admit = false).collect().map(_.getLong(0)).sorted.toSeq
+    val twinHashes = spark.read.parquet(twinIdx).select(col("__h"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    try {
+      for (p <- points) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"dedup-crash-$p").toString + "/i"
+        Dedup.buildExactIndexIfMissing(seed, col("text"), col("doc_id"), idx)
+        val seedHashes = spark.read.parquet(idx).count()
+        Dedup.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] {
+          Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx)
+        }
+        Dedup.crashHook = _ => ()
+        // invariant A: admitted hashes are NEVER stranded under appends=0 —
+        // the state where a later corpus-change rebuild would discard them
+        val hashesNow = spark.read.parquet(idx).count()
+        val (_, appends) = readMeta(idx)
+        assert(!(hashesNow > seedHashes && appends == 0L),
+          s"$p: ${hashesNow - seedHashes} admitted hashes under appends=0")
+        // invariant B: whatever state the crash left, a corpus-change
+        // rebuild either runs on a provably-seed-only index or refuses
+        if (appends > 0L)
+          intercept[IllegalStateException] {
+            Dedup.buildExactIndexIfMissing(changed, col("text"), col("doc_id"),
+              idx)
+          }
+        // recovery: a clean re-run of the same batch converges the index to
+        // the never-crashed twin's state (same distinct hash set, same
+        // dedup decisions for a later probe)
+        Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx).collect()
+        val hashes = spark.read.parquet(idx).select(col("__h"))
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
+        assert(hashes === twinHashes, s"$p: index diverged from twin")
+        val probed = Dedup.exactIncremental(probe, col("text"), col("doc_id"),
+          idx, admit = false).collect().map(_.getLong(0)).sorted.toSeq
+        assert(probed === twinProbe, s"$p: probe decisions diverged from twin")
+      }
+    } finally { Dedup.crashHook = _ => () }
+  }
+
+  test("corrupt _index.txt appends counter lands on the refusing side") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("dedup-corrupt").toString + "/i"
+    val c1 = Seq((1L, "aa")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(c1, col("text"), col("doc_id"), idx)
+    // truncated/corrupt counter: must read as "has admissions", not 0 — a
+    // spurious refusal is an explicit delete away; a missed one is data loss
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx, "_index.txt"), "fp=torn\nappends=1#)x\n")
+    val c2 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.buildExactIndexIfMissing(c2, col("text"), col("doc_id"), idx)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
   }
 
   test("buildExactIndexIfMissing: fingerprint-guarded reuse and rebuild") {
