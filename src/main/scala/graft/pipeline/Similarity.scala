@@ -673,7 +673,16 @@ object Similarity {
     val probed = assigned.select(col("__cc")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
-    val asn = if (broadcastQueries) broadcast(assigned) else assigned
+    // one flag governs EVERY query-derived broadcast in this plan: the
+    // assignment frame here, and the candidate/query tables in the refine
+    // joins below — they all scale with batch size, so a batch too big to
+    // broadcast into the ADC join is too big for the refine joins too
+    // (queries x refineK candidate rows). broadcastQueries = false keeps
+    // them as shuffle joins: the candidate-keyed base-table join shuffles
+    // once on id, amortized over the whole batch.
+    def maybeB(d: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(d) else d
+    val asn = maybeB(assigned)
     val adc = idx.join(asn, idx("__c") === asn("__cc"))
       .select(col("__qid"), col("__id"),
         graft.functions.PqAdcVec(col("__codes"), col("__qhat"), books,
@@ -694,8 +703,8 @@ object Similarity {
       val qtab = queries.select(qIdCol.as("__qid2"), qVecCol.as("__qv"))
       val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
                   else cosine(vecCol, col("__qv"))
-      base.join(broadcast(cand), idCol === col("__id"))
-        .join(broadcast(qtab), col("__qid") === col("__qid2"))
+      base.join(maybeB(cand), idCol === col("__id"))
+        .join(maybeB(qtab), col("__qid") === col("__qid2"))
         .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id")))

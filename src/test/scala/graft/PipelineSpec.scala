@@ -1123,6 +1123,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batched IVF-PQ shuffle fallback: broadcastQueries=false matches and drops every query-derived broadcast") {
+    val vecs = pqCorpus(n = 300, dim = 32, nClusters = 6)
+    val dir = java.nio.file.Files.createTempDirectory("pqbatch-nb").toString
+    val corpus = vecs.filter(col("id") >= 10)
+    val queries = vecs.filter(col("id") < 10)
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus, col("v"),
+      col("id"), nCentroids = 6, m = 4, k = 16, indexPath = dir)
+    def run(b: Boolean) = Similarity.ivfPqTopKBatch(spark, dir, coarse, books,
+      corpus, col("v"), col("id"), queries, col("id"), col("v"), k = 5,
+      nProbe = 3, refineK = 20, broadcastQueries = b)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val withB = run(true)
+    val noB = run(false)
+    assert(rows(noB) === rows(withB),
+      "shuffle-fallback results must equal the broadcast path")
+    // the huge-batch contract: with the flag off, the ONLY broadcast hint
+    // left is the bounded centroid table's cross join — the assignment,
+    // candidate and query-table joins (all O(batch)) must carry none, so
+    // they plan as shuffle joins for batches past executor memory
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hintCount(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined => j
+      }.size
+    assert(hintCount(noB) === 1, "only the centroid cross-join may broadcast")
+    assert(hintCount(withB) >= 3, "small-batch path should hint all query joins")
+  }
+
   test("batched IVF-PQ: full refine equals exact; ADC stage agrees with PqAdcVec math") {
     val vecs = pqCorpus(n = 300, dim = 32, nClusters = 6)
     val dir = java.nio.file.Files.createTempDirectory("pqbatch-idx").toString

@@ -99,6 +99,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("batched PQ retrieval (small batch) broadcasts the query-derived joins") {
+    // the gate's batch fits executor memory, so the assignment, candidate
+    // and query-table joins must all plan as broadcast hash joins — a
+    // sort-merge here would shuffle the (partition-pruned) codes scan per
+    // stage. The huge-batch shuffle fallback is pinned in PipelineSpec.
+    val p = planOf("q_ann_pq_batch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "small-batch PQ retrieval must not sort-merge:\n" + p)
+  }
+
   test("stored-table re-aggregation is a single merge shuffle") {
     val yaml =
       """t:
