@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-wide FIFO of persisted scan-saver DataFrames.
+  *
+  * Several operators persist an intermediate so multiple consumers of one
+  * query read a single source scan — the CROSSTAB (keys × __ct) pre-agg,
+  * tf-idf's (doc, token) term-frequency relation. The persist outlives the
+  * query (nothing marks "this query's execution is over"), so a session
+  * running many distinct such queries would accrete one storage entry each,
+  * forever. This FIFO caps that: beyond [[maxEntries]] the oldest entry is
+  * unpersisted; a straggler still executing against an evicted cache just
+  * recomputes it from lineage — the cache is a scan-saver, never a
+  * correctness dependency (the documented eviction contract).
+  */
+private[graft] object PersistCache {
+
+  /** How many scan-saver caches stay persisted at once
+    * (`-Dgraft.maxPersistedCaches=` overrides — a knob, like
+    * `spark.sql.pivotMaxValues`, for drivers with more memory).
+    */
+  def maxEntries: Int =
+    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(8)
+
+  private val fifo = new java.util.ArrayDeque[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) and enroll it in the FIFO; returns the
+    * same DataFrame for chaining.
+    */
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(p)
+    p
+  }
+
+  /** Enroll an already-persisted DataFrame in the eviction FIFO. */
+  def register(df: DataFrame): Unit = fifo.synchronized {
+    fifo.addLast(df)
+    while (fifo.size > maxEntries)
+      fifo.removeFirst().unpersist(blocking = false)
+  }
+}

@@ -283,13 +283,19 @@ object TextAnalysis {
     * the vocabulary is small — it is NOT forced broadcast, web-scale token
     * sets can exceed executor memory); the corpus size N rides as a
     * broadcast 1-row aggregate; the final ranking is a per-document keyed
-    * window, never a global sort. A production pipeline would persist
-    * `docTermFreq` once instead of recomputing it for the df/N branches —
-    * that is a caching decision, not a plan-shape one.
+    * window, never a global sort.
+    *
+    * The (doc, token) relation is PERSISTED (FIFO-capped, see
+    * [[graft.PersistCache]]): three consumers read it — the per-doc tf
+    * side, the document-frequency aggregate, and the corpus-size count —
+    * and at 100 TB tokenization is the dominant per-row cost, so
+    * recomputing it per consumer would triple the whole job. The cache is
+    * a scan-saver, never a correctness dependency: an evicted entry just
+    * recomputes from lineage.
     */
   def tfidfKeywords(df: DataFrame, textCol: Column, idCol: Column,
                     k: Int): DataFrame = {
-    val perDoc = docTermFreq(df, textCol, idCol)
+    val perDoc = graft.PersistCache.persist(docTermFreq(df, textCol, idCol))
     val dfs = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDf = perDoc.agg(
       countDistinct(col("doc_id")).cast("double").as("__n"))

@@ -802,24 +802,10 @@ object Planner {
     */
   val MaxBucketCombos: Int = 256
 
-  /** How many CROSSTAB pre-agg caches stay persisted at once. */
-  val MaxCrosstabCaches: Int = 8
-
-  // FIFO of persisted CROSSTAB pre-aggs. Each crosstab query persists its
-  // (keys × __ct) aggregate so the pivot-value collect, the pivot, and the
-  // totals all read ONE source scan — but the persist outlives the query
-  // (nothing marks "this query's execution is over"), and a session running
-  // many distinct CROSSTABs would accrete one storage entry each, forever.
-  // The FIFO caps that: beyond MaxCrosstabCaches entries the oldest is
-  // unpersisted; a straggler still executing against an evicted cache just
-  // recomputes it from lineage (the documented eviction contract — the
-  // cache is a scan-saver, never a correctness dependency).
-  private val crosstabCaches = new java.util.ArrayDeque[DataFrame]()
-
+  // Each crosstab query persists its (keys × __ct) aggregate so the
+  // pivot-value collect, the pivot, and the totals all read ONE source
+  // scan; graft.PersistCache bounds how many such scan-savers a session
+  // accretes (shared with tf-idf's term-frequency cache).
   private[graft] def registerCrosstabCache(df: DataFrame): Unit =
-    crosstabCaches.synchronized {
-      crosstabCaches.addLast(df)
-      while (crosstabCaches.size > MaxCrosstabCaches)
-        crosstabCaches.removeFirst().unpersist(blocking = false)
-    }
+    graft.PersistCache.register(df)
 }

@@ -207,17 +207,17 @@ class EngineSpec extends AnyFunSuite {
 
   test("many distinct CROSSTABs keep session storage bounded (FIFO cache cap)") {
     // each data-dependent CROSSTAB persists its pre-agg; without the FIFO
-    // cap in Planner.registerCrosstabCache a long session accretes one
-    // storage entry per distinct query forever
+    // cap in graft.PersistCache a long session accretes one storage entry
+    // per distinct query forever
     def cachedCrosstabs(): Int = spark.sparkContext.getPersistentRDDs.size
     val before = cachedCrosstabs()
-    for (i <- 0 until (graft.planner.Planner.MaxCrosstabCaches * 3)) {
+    for (i <- 0 until (graft.PersistCache.maxEntries * 3)) {
       sql(s"""SELECT requests, $i AS tag FROM inbound
              |WHERE path IS NOT NULL GROUP BY server, CROSSTAB(path)
              |ORDER BY server""".stripMargin).collect()
     }
     val after = cachedCrosstabs()
-    assert(after - before <= graft.planner.Planner.MaxCrosstabCaches,
+    assert(after - before <= graft.PersistCache.maxEntries,
       s"crosstab caches grew unboundedly: $before -> $after")
   }
 
