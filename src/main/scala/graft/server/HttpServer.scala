@@ -136,7 +136,9 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
         ex.getResponseBody.write(bytes)
         ex.close()
       } else {
-        val bytes = s"""{"error":"not found: ${path.replace('"', ' ')}"}"""
+        // full JSON escaping: a %5C- or control-character path would
+        // otherwise produce an invalid JSON body
+        val bytes = s"""{"error":${jsonStr("not found: " + path)}}"""
           .getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(404, bytes.length)

@@ -172,6 +172,12 @@ class ServerSpec extends AnyFunSuite {
       val miss = get("/no/such/path")
       assert(miss.statusCode() == 404, miss.body())
       assert(miss.body().contains("not found"))
+      // a %5C-encoded backslash (or control chars) must still yield VALID
+      // JSON — the error body is parsed by clients
+      val esc = get("/a%5Cb%22c")
+      assert(esc.statusCode() == 404, esc.body())
+      assert(esc.body().contains("\\\\") && esc.body().contains("\\\""),
+        s"404 body must JSON-escape the path: ${esc.body()}")
     } finally srv.stop()
   }
 
