@@ -191,8 +191,37 @@ object Bench {
       (SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))) :+
         ("ingest_events" -> runIngest())
 
+    // Fixed-cost calibration probe, run at the start and end of each pass:
+    // a constant 3-row pivot + join + window job whose true cost is pure
+    // framework overhead and never changes with the repo's code. Its wall
+    // time is a load meter — the r12 round recorded an official capture
+    // 1.57x the same-HEAD truth from ambient machine load alone, and
+    // nothing in the JSON could prove it. A capture whose calibration
+    // values sit well above the historical ~0.1 s band is self-identifying
+    // as load-poisoned; cross-round comparisons should normalize by the
+    // calibration ratio before reading per-query deltas.
+    def calibration(): Double = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val t = Seq(("a", "x", 1.0), ("b", "y", 2.0), ("a", "y", 3.0))
+        .toDF("k", "p", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"))
+      t.groupBy("k").pivot("p", Seq("x", "y")).agg(sum("v"))
+        .join(t.select(col("k"), col("v").as("v2")), Seq("k"))
+        .withColumn("rn", row_number().over(w))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibration() // warm the probe's own plan family out of the first sample
+
+    val calA0 = calibration()
     val passA = suitePass()
+    val calA1 = calibration()
+    val calB0 = calibration()
     val passB = suitePass()
+    val calB1 = calibration()
     val results = passA.zip(passB).map { case ((k, a), (_, b)) =>
       k -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
@@ -206,8 +235,10 @@ object Bench {
     // line: emit the cold-read first-pass series on its own line first, then
     // the compact primary object alone on the final line so the headline
     // total can never be truncated off the front again (r6 verdict item #1).
+    val calibrationJson =
+      s"""{"a_start":${num(calA0)},"a_end":${num(calA1)},"b_start":${num(calB0)},"b_end":${num(calB1)}}"""
     val primary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","passes":2,"first_pass_total":${num(totalA)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","passes":2,"first_pass_total":${num(totalA)},"calibration":$calibrationJson}"""
     println(
       s"""{"metric":"first_pass_total","value":${num(totalA)},"unit":"sec","queries_first_pass":${fmt(passA)}}""")
     println(primary)

@@ -724,6 +724,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // bench-only twin of q_ann_batch at a REALISTIC probe depth (nProbe 4
+    // of 16 cells): the exhaustive gate above proves correctness against
+    // the exact oracle, but its full-probe config prices the oracle, not
+    // the path users run — this twin is what the bench tracks. No oracleSql
+    // entry (pruned ANN output is approximate by design); the driver
+    // records a rows-only check.
+    "q_ann_batch_fast" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gateBatchPath(dir)
+      val centroids = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, idx)
+      Similarity.ivfTopKBatch(s, idx, centroids, queries, col("vec_id"),
+          col("embedding"), col("vec_id"), col("embedding"), k = 3,
+          nProbe = 4, quantized = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // batched IVF-PQ retrieval join: the q_ann_batch shape at PQ scan
     // width — codes-only index scan, per-pair fused ADC (PqAdcVec: the
     // per-query-LUT trick doesn't compose with a batch join), per-query
@@ -743,6 +762,24 @@ object SparkEntry {
       Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
           col("embedding"), col("vec_id"), queries, col("vec_id"),
           col("embedding"), k = 3, nProbe = 16, refineK = 1000000,
+          quantized = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // bench-only twin of q_ann_pq_batch at realistic ANN settings (nProbe
+    // 4, refineK 50 instead of the full-probe corpus-wide re-rank the
+    // exact-equivalence oracle forces) — the production retrieval-join
+    // cost the bench should track. Rows-only check, like q_ann_batch_fast.
+    "q_ann_pq_batch_fast" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 10)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gatePqBatchPath(dir)
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
+        col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16, idx)
+      Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
+          col("embedding"), col("vec_id"), queries, col("vec_id"),
+          col("embedding"), k = 3, nProbe = 4, refineK = 50,
           quantized = true)
         .orderBy(col("qid"), col("rank"))
     },

@@ -99,6 +99,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf consumers share ONE cached tokenize pass") {
+    // tokenization dominates per-row cost at corpus scale; the tf, df and
+    // corpus-size consumers must all read the persisted (doc, token)
+    // relation — a parquet leaf here would mean the corpus is tokenized
+    // (up to) three times per query
+    val plan = SparkEntry.queries("q_tfidf_keywords")(spark, dir)
+      .queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val cached = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    assert(cached >= 2, s"expected cached term-freq leaves:\n$plan")
+    val fileScans = leaves.count(l =>
+      l.nodeName.contains("LogicalRelation") || l.nodeName.contains("DataSourceV2"))
+    assert(fileScans == 0,
+      s"tf-idf consumers must not re-tokenize the source:\n$plan")
+  }
+
   test("batched PQ retrieval (small batch) broadcasts the query-derived joins") {
     // the gate's batch fits executor memory, so the assignment, candidate
     // and query-table joins must all plan as broadcast hash joins — a
@@ -198,7 +215,7 @@ class PlanSpec extends AnyFunSuite {
     // per-group ranking in exactly these three gates:
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
       "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
-      "q_ann_pq_batch")
+      "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val issues = Seq(
