@@ -1,0 +1,35 @@
+#!/bin/bash
+# Per-round close-out under REAL multi-process executors: runs the
+# correctness dump (graft.Verify) and the benchmark (graft.Bench) on
+# local-cluster[4,8,4096] — 4 worker JVMs x 8 cores x 4 GiB, real
+# serialization / broadcast / shuffle transport — so executor-real
+# regressions can't reappear unnoticed between rounds.
+#
+# Usage: scripts/closeout.sh [verify-sf-dir] [out-dir]
+#   verify-sf-dir  parquet tables for the correctness dump
+#                  (default /root/testdata/sf0.001; compare the dump
+#                  against DuckDB exactly like the driver does)
+#   out-dir        where vcluster/ + bench-cluster.json land
+#                  (default /tmp/closeout)
+# Env: BENCH_SF overrides the bench scale dir (default sf0.1).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.001}
+OUT=${2:-/tmp/closeout}
+mkdir -p "$OUT"
+
+sbt -batch package
+JAR=$(ls "$PWD"/target/scala-2.13/zenodbspark_2.13-*.jar | head -1)
+
+# SPARK_SCALA_VERSION is REQUIRED: the release Spark distro's executor
+# command builder throws "Cannot find any build directories" without it.
+export SPARK_SCALA_VERSION=2.13
+export SPARK_GRAFT_MASTER='local-cluster[4,8,4096]'
+export SPARK_GRAFT_JARS="$JAR"
+export SPARK_GRAFT_CPUS=32
+
+sbt -batch "runMain graft.Verify $SF $OUT/vcluster"
+SPARK_GRAFT_SF_DIR="${BENCH_SF:-/root/testdata/sf0.1}" \
+  sbt -batch "runMain graft.Bench" | tee "$OUT/bench-cluster.log"
+cp target/bench.json "$OUT/bench-cluster.json"
+echo "close-out artifacts in $OUT (vcluster/ + bench-cluster.json)"

@@ -207,7 +207,7 @@ object Bench {
       val t = Seq(("a", "x", 1.0), ("b", "y", 2.0), ("a", "y", 3.0))
         .toDF("k", "p", "v")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k")).orderBy(col("v"))
+        .partitionBy(col("k")).orderBy(col("v2"))
       t.groupBy("k").pivot("p", Seq("x", "y")).agg(sum("v"))
         .join(t.select(col("k"), col("v").as("v2")), Seq("k"))
         .withColumn("rn", row_number().over(w))

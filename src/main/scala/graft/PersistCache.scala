@@ -26,13 +26,18 @@ private[graft] object PersistCache {
   private val fifo = new java.util.ArrayDeque[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) and enroll it in the FIFO; returns the
-    * same DataFrame for chaining.
+    * same DataFrame for chaining. Idempotent on plan identity: a plan the
+    * CacheManager already holds (the same query re-run) is returned as-is —
+    * re-registering it would push a duplicate FIFO entry and evict a live
+    * cache early for nothing.
     */
-  def persist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    register(p)
-    p
-  }
+  def persist(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      register(p)
+      p
+    }
 
   /** Enroll an already-persisted DataFrame in the eviction FIFO. */
   def register(df: DataFrame): Unit = fifo.synchronized {
