@@ -462,6 +462,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     },
 
+    // corpus-wide paragraph/line dedup (Dolma dedupe.paragraphs): the
+    // fixture text is single-line, so the gate synthesizes paragraph units
+    // as 5-token chunks (deterministic, replayed identically in the
+    // oracle), then keeps only each unit's first (doc, pos) occurrence and
+    // reassembles the survivors per doc
+    "q_line_dedup" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(length(trim(col("text"))) > 0)
+      val toks = TextAnalysis.tokensSimple(col("text"))
+      val chunked = array_join(
+        transform(
+          sequence(lit(0), floor((size(toks) - 1) / 5).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5)))), "\n")
+      Dedup.lineDedup(docs.select(col("doc_id"), chunked.as("__t")),
+          col("__t"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // sequence packing (pretraining concat-and-chunk): per-shard token
+    // cumsum maps every doc to its training blocks — a keyed window, never
+    // a corpus-global order
+    "q_pack_sequences" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(length(trim(col("text"))) > 0)
+      Sampling.packSequences(docs,
+          size(TextAnalysis.tokensSimple(col("text"))), col("doc_id"),
+          col("source"), seqLen = 512)
+        .orderBy(col("shard"), col("doc_id"))
+    },
+
     // incremental exact dedup: a "today's crawl" batch against the admitted
     // history via the persistent hash-only index (the index never shuffles;
     // the batch's hashes broadcast into one map-only index scan). The batch
@@ -1171,6 +1201,43 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), units AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[(i*5+1):(i*5+5)], ' ') AS unit
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((len(tk)-1)/5) AS INT))) AS i) g
+        |), winners AS (
+        |  SELECT doc_id, pos, unit,
+        |         row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+        |  FROM units
+        |)
+        |SELECT doc_id,
+        |       string_agg(unit, chr(10) ORDER BY pos) AS text_dedup,
+        |       count(*) AS units_kept
+        |FROM winners WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS shard,
+        |         len(string_split(trim(text), ' ')) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS block_start,
+        |       CAST(floor((cum - 1) / 512.0) AS BIGINT) AS block_end,
+        |       CAST(cum - n_tok - 512 * floor((cum - n_tok) / 512.0) AS BIGINT)
+        |         AS offset_start
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH hist AS (SELECT * FROM documents WHERE source <> 'src0'),

@@ -260,6 +260,39 @@ object Dedup {
     out
   }
 
+  /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /
+    * C4 span-dedup stage): split every document on `sep`, keep only the
+    * FIRST occurrence of each distinct unit corpus-wide (earliest
+    * (doc, position) wins), and reassemble each document from its surviving
+    * units in original order. Documents whose every unit was seen earlier
+    * disappear (like a fully-deduplicated doc in exact dedup).
+    *
+    * Output: (doc_id, text_dedup, units_kept).
+    *
+    * Scale shape: ONE shuffle keyed on (xxhash64(unit), unit) for the
+    * winner window — the compact hash leads the key so the sort comparator
+    * rarely touches the unit text — and one partial-aggregated shuffle on
+    * doc_id for the reassembly; per-group state is bounded by document
+    * size on both. Nothing is quadratic and no global order exists
+    * anywhere, so the operator is corpus-size-linear at any cluster width.
+    */
+  def lineDedup(df: DataFrame, textCol: Column, idCol: Column,
+                sep: String = "\n"): DataFrame = {
+    val units = df.select(idCol.as("doc_id"),
+      posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "unit")))
+    val w = Window.partitionBy(xxhash64(col("unit")), col("unit"))
+      .orderBy(col("doc_id"), col("pos"))
+    units.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+            s => s.getField("unit")), sep).as("text_dedup"),
+        count(lit(1)).as("units_kept"))
+  }
+
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
     * Docs with fewer than n tokens have no n-gram. Compiled by the native
     * [[graft.functions.WordNGrams]] expression — one tokenize+join+dedup

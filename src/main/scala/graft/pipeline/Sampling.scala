@@ -82,4 +82,38 @@ object Sampling {
         math.min(1.0, budgetPerStratum / math.max(1.0, r.getDouble(1))))
       .toMap
   }
+
+  /** Sequence packing — the concat-and-chunk layout of a pretraining run:
+    * documents are concatenated in (shard, id) order and the token stream
+    * is cut into fixed `seqLen` blocks, documents splitting across block
+    * boundaries (the GPT-style packing that wastes zero pad tokens).
+    * For each document the plan emits which training blocks it lands in and
+    * its offset inside the first one:
+    * (id, shard, n_tok, block_start, block_end, offset_start).
+    *
+    * Packing runs WITHIN shards on purpose: a corpus-global document order
+    * would need a global cumulative sum (one giant partition at 100 TB),
+    * while per-shard order is a keyed window — one shuffle on shard, block
+    * ids local to the shard, exactly how production packers shard the
+    * stream. Shards with heavy skew should be pre-split upstream (the
+    * shard column is the parallelism unit here by definition of the
+    * output's block numbering).
+    */
+  def packSequences(df: DataFrame, nTokCol: Column, idCol: Column,
+                    shardCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = lit(seqLen.toLong)
+    df.select(idCol.as("doc_id"), shardCol.as("shard"),
+        nTokCol.cast("long").as("n_tok"))
+      .withColumn("__cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("__cum") - col("n_tok")) / L).cast("long").as("block_start"),
+        floor((col("__cum") - 1) / L).cast("long").as("block_end"),
+        (col("__cum") - col("n_tok") -
+          L * floor((col("__cum") - col("n_tok")) / L)).cast("long")
+          .as("offset_start"))
+  }
 }

@@ -34,6 +34,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L)) // 2 deduped into 0
   }
 
+  test("line dedup: first (doc,pos) occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta seen in doc 1 → only delta survives
+      (3L, "gamma\nalpha"),       // both seen → doc vanishes entirely
+      (4L, "epsilon\nepsilon"),   // intra-doc dup: first pos wins
+      (5L, "zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "alpha\nbeta\ngamma", 3L),
+      (2L, "delta", 1L),
+      (4L, "epsilon", 1L),
+      (5L, "zeta", 1L)))
+  }
+
+  test("sequence packing: per-shard cumsum maps docs onto fixed blocks") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 3L), (2L, "a", 4L), (3L, "a", 6L), // cum 3,7,13 at L=5
+      (1L, "b", 5L), (2L, "b", 1L)                 // shard-local numbering
+    ).toDF("doc_id", "shard", "n")
+    val out = Sampling.packSequences(d, col("n"), col("doc_id"),
+        col("shard"), seqLen = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      // (shard, doc, n_tok, block_start, block_end, offset_start)
+      ("a", 1L, 3L, 0L, 0L, 0L),   // tokens [0,3)
+      ("a", 2L, 4L, 0L, 1L, 3L),   // [3,7) — straddles the block boundary
+      ("a", 3L, 6L, 1L, 2L, 2L),   // [7,13)
+      ("b", 1L, 5L, 0L, 0L, 0L),   // [0,5) — exactly one full block
+      ("b", 2L, 1L, 1L, 1L, 0L)))  // [5,6)
+  }
+
   test("jaccard pairs find near and exact dups") {
     val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1,
       threshold = 0.7).collect()

@@ -215,7 +215,8 @@ class PlanSpec extends AnyFunSuite {
     // per-group ranking in exactly these three gates:
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
       "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
-      "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast")
+      "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
+      "q_line_dedup", "q_pack_sequences")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val issues = Seq(
