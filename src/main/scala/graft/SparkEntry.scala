@@ -492,6 +492,25 @@ object SparkEntry {
         .orderBy(col("shard"), col("doc_id"))
     },
 
+    // RAG/embedding chunking: fixed 40-token windows, 10-token overlap —
+    // map-only explode, zero shuffles
+    "q_chunk_text" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.chunkText(docs, col("text"), col("doc_id"),
+          chunkTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // perplexity-proxy quality filter: per-doc bigram cross-entropy under
+    // the corpus's own add-one bigram LM (CCNet-style self-scoring); log
+    // terms integer-quantized before the per-doc sum so no float summation
+    // order can leak into the gate
+    "q_bigram_xent" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.bigramCrossEntropy(docs, col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // incremental exact dedup: a "today's crawl" batch against the admitted
     // history via the persistent hash-only index (the index never shuffles;
     // the batch's hashes broadcast into one map-only index scan). The batch
@@ -1238,6 +1257,41 @@ object SparkEntry {
         |       CAST(cum - n_tok - 512 * floor((cum - n_tok) / 512.0) AS BIGINT)
         |         AS offset_start
         |FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), chunks AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |         array_to_string(tk[(i*30+1):(i*30+40)], ' ') AS chunk_text
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(greatest(len(tk)-10, 1)/30.0) AS INT) - 1)) AS i) g
+        |)
+        |SELECT doc_id, chunk_id, chunk_text,
+        |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_bigram_xent" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), toks AS (SELECT * FROM toks0 WHERE len(tk) >= 2
+        |), bi AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+        |), bc AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cbi) AS cw1 FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |         CAST(round(ln((bc.cbi + 1) / CAST(cc.cw1 + v.v AS DOUBLE))
+        |           * 1000000) AS BIGINT) AS lq
+        |  FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(-CAST(sum(lq) AS DOUBLE) / (count(*) * 1000000.0), 6) AS xent
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH hist AS (SELECT * FROM documents WHERE source <> 'src0'),

@@ -247,6 +247,99 @@ object TextAnalysis {
         lit(1000000007L)))
   }
 
+  /** Fixed-size token chunks with overlap — the document-splitting stage in
+    * front of an embedding/RAG pipeline (long docs exceed embedder context;
+    * overlapping windows keep boundary sentences retrievable). Chunk `i`
+    * covers tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens - overlap`; chunk count is
+    * `ceil(max(1, nTok - overlap) / stride)`, so every token is covered and
+    * the last chunk is the only short one. Output one row per chunk:
+    * (doc_id, chunk_id, chunk_text, n_tok).
+    *
+    * Map-only (an explode of a per-row computed array): zero shuffles at
+    * any corpus size; downstream embedding batches repartition as needed.
+    */
+  def chunkText(df: DataFrame, textCol: Column, idCol: Column,
+                chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens: $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokensSimple(textCol)
+    val nChunks = ceil(
+      greatest(size(toks) - overlap, lit(1)).cast("double") / stride)
+      .cast("int")
+    df.filter(length(trim(textCol)) > 0)
+      .select(idCol.as("doc_id"), toks.as("__tk"), nChunks.as("__n"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__n") - 1), i =>
+          concat_ws(" ", slice(col("__tk"), i * stride + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_tok"))
+  }
+
+  /** Per-document bigram cross-entropy under an add-one-smoothed bigram LM
+    * trained on `lmCorpus` (pass the scored corpus itself for the
+    * CCNet-style self-scoring filter): documents whose token transitions
+    * are improbable under the corpus LM (gibberish, boilerplate soup,
+    * wrong-language text) score HIGH and get filtered. The perplexity
+    * proxy used by CCNet / Gopher / RefinedWeb quality filtering, with a
+    * bigram LM standing in for KenLM's 5-gram (no external model files).
+    *
+    * `xent = -avg_i ln P(w_{i+1} | w_i)`,
+    * `P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)` — c(w1·) is w1's count as
+    * a bigram CONTEXT (= Σ_w2 c(w1,w2)), V the number of distinct bigram
+    * target tokens.
+    *
+    * Engine-portable by construction: each bigram's log term is quantized
+    * to an exact integer (`round(ln(p)·10^6)`) BEFORE the per-doc sum, so
+    * the aggregate is exact integer arithmetic and the result cannot
+    * depend on Spark's (or the oracle's) float summation order — the same
+    * discipline as [[Similarity.cosineQuantized]]. Output:
+    * (doc_id, n_bigrams, xent) with xent rounded to 6 decimals.
+    *
+    * Scale shape: two partial-aggregated shuffles build the LM ((w1,w2)
+    * then w1), each output far smaller than the corpus; scoring joins the
+    * doc-bigram relation to the LM on (w1,w2) and w1 — AQE broadcasts the
+    * LM when the vocabulary is small, falls back to shuffle joins at
+    * web-scale vocabularies (not forced broadcast on purpose); the per-doc
+    * reduce is one partial-aggregated shuffle on doc_id. Nothing global.
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: Column, idCol: Column,
+                         lmCorpus: Option[DataFrame] = None): DataFrame = {
+    def bigramsOf(d: DataFrame): DataFrame = {
+      val tk = tokensSimple(textCol)
+      d.filter(size(tk) >= 2)
+        .select(idCol.as("doc_id"), tk.as("__tk"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("__tk")) - 1), i =>
+            struct(element_at(col("__tk"), i).as("w1"),
+              element_at(col("__tk"), i + 1).as("w2")))).as("__b"))
+        .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    }
+    val trainBi = bigramsOf(lmCorpus.getOrElse(df))
+    val biCounts = trainBi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cbi"))
+    val ctxCounts = biCounts.groupBy(col("w1"))
+      .agg(sum(col("__cbi")).as("__cw1"))
+    val vocab = biCounts.select(countDistinct(col("w2")).as("__v"))
+    // unseen (w1,w2) under a foreign lmCorpus: count 0 (add-one smoothing
+    // still yields a finite probability); unseen CONTEXT w1: c(w1)=0
+    val scored = bigramsOf(df)
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("__cbi"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__cw1"), lit(0L)) + col("__v")).cast("double"))
+          * 1000000.0).cast("long").as("__lq"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("__lq")).cast("double") /
+          (count(lit(1)).cast("double") * 1000000.0), 6).as("xent"))
+  }
+
   /** Per-(doc, token) term frequency — the shared first stage of [[vocab]]
     * and [[tfidfKeywords]]. Explode + one partial-aggregated shuffle on
     * (doc, token); empty texts drop out before the explode.

@@ -73,6 +73,50 @@ class PipelineSpec extends AnyFunSuite {
       ("b", 2L, 1L, 1L, 1L, 0L)))  // [5,6)
   }
 
+  test("chunkText: overlapping windows cover every token; short docs get one chunk") {
+    import spark.implicits._
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(d, col("text"), col("doc_id"),
+        chunkTokens = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (1L, 0L, "t1 t2 t3 t4 t5", 5L),
+      (1L, 1L, "t4 t5 t6 t7 t8", 5L),  // stride 3, 2-token overlap
+      (1L, 2L, "t7 t8 t9 t10", 4L),    // last chunk short, still covers t10
+      (2L, 0L, "a b", 2L)))            // doc shorter than a chunk → one chunk
+  }
+
+  test("bigramCrossEntropy matches a local model; foreign LM smooths unseen bigrams") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // local model of the same add-one bigram LM with integer-quantized logs
+    val docs = Map(1L -> Seq("a", "b", "a", "b"), 2L -> Seq("a", "b", "c"))
+    val bi = docs.toSeq.flatMap { case (id, tk) =>
+      tk.zip(tk.tail).map(p => (id, p)) }
+    val bc = bi.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val cc = bc.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.values.sum }
+    val v = bc.keys.map(_._2).toSet.size
+    def xent(id: Long): Double = {
+      val terms = bi.filter(_._1 == id).map { case (_, p) =>
+        math.round(math.log((bc(p) + 1).toDouble / (cc(p._1) + v)) * 1e6) }
+      BigDecimal(-terms.sum.toDouble / (terms.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = TextAnalysis.bigramCrossEntropy(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, xent(1L)), (2L, 2L, xent(2L))))
+    // a FOREIGN LM: bigrams unseen in it smooth to P = 1/(0+V), never NaN
+    val lm = Seq((10L, "a b")).toDF("doc_id", "text")
+    val foreign = TextAnalysis.bigramCrossEntropy(
+        Seq((3L, "x y")).toDF("doc_id", "text"), col("text"), col("doc_id"),
+        lmCorpus = Some(lm))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // V=1, c=0 → P=(0+1)/(0+1)=1 → xent 0
+    assert(foreign.toSeq === Seq((3L, 1L, 0.0)))
+  }
+
   test("jaccard pairs find near and exact dups") {
     val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1,
       threshold = 0.7).collect()
