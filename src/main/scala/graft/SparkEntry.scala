@@ -736,6 +736,24 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
     },
 
+    // filtered vector search (pre-filter mode): metadata predicate + top-k
+    // over the SAME IVF index — the index stores every source column, so
+    // the label predicate composes with the cell partition filter and
+    // pushes into the pruned scan; candidates filter BEFORE ranking. Full
+    // probe ≡ exact filtered top-k (the oracle).
+    "q_ann_filtered" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val idx = gateIvfPath(dir)
+      val centroids = Similarity.ivfBuildIfMissing(e.filter(col("vec_id") =!= 0),
+        col("embedding"), col("vec_id"), nCentroids = 16, idx)
+      Similarity.ivfTopK(s, idx, centroids, col("embedding"), col("vec_id"),
+          q, k = 10, nProbe = 16, quantized = true,
+          extraFilter = Some(col("label") % 3 === 0))
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
     // IVF-PQ ANN: codes-only probe (8 B/row instead of 256 B of vector) +
     // ADC candidate scoring + exact re-rank of the broadcast candidate set.
     // Oracle configuration: full probe + refineK >= corpus, so the re-ranked
@@ -1635,6 +1653,17 @@ object SparkEntry {
         |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0 AND label % 3 = 0)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
 
     // full-probe batched ANN == the exact windowed top-k join

@@ -378,17 +378,28 @@ object Similarity {
   /** ANN top-k over a built index: read only the nProbe nearest centroid
     * cells (partition-pruned scan), score, TakeOrdered. nProbe = nCentroids
     * degrades to exact top-k (the oracle configuration).
+    *
+    * `extraFilter` is the PRE-FILTER mode of filtered vector search
+    * (metadata predicate + top-k): the index stores every source column, so
+    * the predicate composes with the cell partition filter and pushes into
+    * the pruned parquet scan — candidates are filtered BEFORE ranking, so
+    * the result always holds k matching rows when they exist, unlike a
+    * post-filter over an unfiltered top-k. (Selective filters reduce each
+    * probed cell's yield, so callers should raise nProbe with filter
+    * selectivity — the standard filtered-ANN recall trade.)
     */
   def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
               centroids: Seq[(Int, Seq[Float])],
               vecCol: Column, idCol: Column, query: Seq[Float], k: Int,
-              nProbe: Int, quantized: Boolean = false): DataFrame = {
+              nProbe: Int, quantized: Boolean = false,
+              extraFilter: Option[Column] = None): DataFrame = {
     val probes = centroids.sortBy { case (i, c) => (-cosLocal(c, query), i) }
       .take(nProbe).map(_._1)
     val q = lit(query.toArray)
     val score = if (quantized) cosineQuantized(vecCol, q) else cosine(vecCol, q)
     spark.read.parquet(indexPath)
       .filter(col("__c").isin(probes: _*))
+      .filter(extraFilter.getOrElse(lit(true)))
       .select(idCol.as("id"), score.as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

@@ -246,6 +246,36 @@ class PipelineSpec extends AnyFunSuite {
       "IVF probe did not prune cell partitions")
   }
 
+  test("filtered ANN: predicate applies before ranking; full probe equals exact filtered top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq, (i % 5).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-filt").toString
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val cents = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val pred = col("label") === 2
+    val exact = Similarity.topK(corpus.filter(pred), col("embedding"),
+        col("vec_id"), q, k = 7, quantized = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filtered = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, k = 7, nProbe = 4, quantized = true,
+        extraFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(filtered === exact, "full-probe filtered ANN must equal exact")
+    // pruned probe: recall may drop, but the predicate NEVER leaks — every
+    // returned id satisfies it (pre-filter, not post-filter semantics)
+    val prunedIds = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, k = 7, nProbe = 1, quantized = true,
+        extraFilter = Some(pred))
+      .collect().map(_.getLong(0)).toSet
+    assert(prunedIds.forall(_ % 5 == 2), s"predicate leaked: $prunedIds")
+  }
+
   test("IVF cached index rebuilds when the dataset changes (fingerprint)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
