@@ -319,8 +319,13 @@ object TextAnalysis {
         .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     }
     val trainBi = bigramsOf(lmCorpus.getOrElse(df))
-    val biCounts = trainBi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__cbi"))
+    // biCounts has THREE consumers (context counts, vocab size, the scoring
+    // join); uncached, each would recompute the corpus tokenize+explode.
+    // The persist is the LM table — vocab²-bounded, safe at any corpus
+    // size — never the corpus-sized bigram relation itself. FIFO-capped
+    // like the tf-idf and CROSSTAB scan-savers.
+    val biCounts = graft.PersistCache.persist(
+      trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cbi")))
     val ctxCounts = biCounts.groupBy(col("w1"))
       .agg(sum(col("__cbi")).as("__cw1"))
     val vocab = biCounts.select(countDistinct(col("w2")).as("__v"))
