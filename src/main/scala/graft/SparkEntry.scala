@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cluster, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlOps}
 import graft.functions.{GeoIp, Redis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -490,6 +490,33 @@ object SparkEntry {
           size(TextAnalysis.tokensSimple(col("text"))), col("doc_id"),
           col("source"), seqLen = 512)
         .orderBy(col("shard"), col("doc_id"))
+    },
+
+    // URL curation (the C4/RefinedWeb URL-filter stage): host + eTLD+1
+    // extraction, tracking-param-stripping normalization, domain
+    // blocklist. The fixture has no URL column, so the gate synthesizes a
+    // deterministic URL per doc (mixed case, ccTLD registries, tracking
+    // params, fragment — every code path non-vacuous); the oracle replays
+    // the identical regex/list logic. Map-only, zero shuffles.
+    "q_url_ops" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tld = (col("doc_id") % 5).cast("int")
+      val url = concat(lit("HTTPS://www.Site"), (col("doc_id") % 37).cast("string"),
+        lit("."),
+        when(tld === 0, "com").when(tld === 1, "org").when(tld === 2, "co.uk")
+          .when(tld === 3, "net").otherwise("io"),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit("?id="), col("doc_id").cast("string"),
+        lit("&utm_source=x&gclid=g"), col("doc_id").cast("string"),
+        lit("&keep=1#frag"))
+      val withUrl = docs.select(col("doc_id"), url.as("__url"))
+      val host = UrlOps.urlHost(col("__url"))
+      UrlOps.domainFilter(withUrl, col("__url"),
+          blocked = Seq("site0.com", "site1.org"))
+        .select(col("doc_id"), host.as("host"),
+          UrlOps.registeredDomain(host).as("domain"),
+          UrlOps.normalizeUrl(col("__url")).as("url_norm"))
+        .orderBy(col("doc_id"))
     },
 
     // RAG/embedding chunking: fixed 40-token windows, 10-token overlap —
@@ -1275,6 +1302,56 @@ object SparkEntry {
         |       CAST(cum - n_tok - 512 * floor((cum - n_tok) / 512.0) AS BIGINT)
         |         AS offset_start
         |FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    "q_url_ops" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://www.Site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+        |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net' ELSE 'io' END ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) ||
+        |    '&utm_source=x&gclid=g' || CAST(doc_id AS VARCHAR) || '&keep=1#frag' AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u
+        |), d AS (
+        |  SELECT doc_id, url, host, string_split(host, '.') AS hl FROM h
+        |), rd AS (
+        |  SELECT doc_id, url, host,
+        |    CASE WHEN len(hl) <= 2 THEN host
+        |         WHEN array_to_string(hl[-2:], '.') IN
+        |           ('ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',
+        |            'com.au','com.br','com.cn','com.mx','com.tr','gov.uk',
+        |            'ne.jp','net.au','or.jp','org.au','org.uk')
+        |           THEN array_to_string(hl[-3:], '.')
+        |         ELSE array_to_string(hl[-2:], '.') END AS domain
+        |  FROM d
+        |), norm AS (
+        |  SELECT doc_id, url, host, domain,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1) AS path,
+        |    regexp_extract(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^[^?]*\?(.*)$', 1) AS query
+        |  FROM rd
+        |), kept AS (
+        |  SELECT doc_id, url, host, domain, scheme, path,
+        |    array_to_string(list_filter(string_split(query, '&'),
+        |      p -> NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)=')
+        |        AND p != ''), '&') AS q2
+        |  FROM norm
+        |)
+        |SELECT doc_id, host, domain,
+        |  CASE WHEN host = '' THEN url
+        |       ELSE scheme || '://' || host || path ||
+        |            CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END END AS url_norm
+        |FROM kept
+        |WHERE domain NOT IN ('site0.com', 'site1.org')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chunk_text" ->
       """WITH toks AS (

@@ -34,6 +34,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L)) // 2 deduped into 0
   }
 
+  test("UrlOps: host, eTLD+1 and normalization across the edge cases") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "HTTPS://User:pw@WWW.Example.CO.UK:8080/a/b?utm_source=x&id=1&ref=z#f"),
+      (2L, "http://a.b.site.com/x"),
+      (3L, "https://short.io?utm_a=1&gclid=2"), // every param is tracking
+      (4L, "not a url at all"),                 // unparseable: pass through
+      (5L, "http://localhost/x")                // single-label host
+    ).toDF("id", "url")
+    val out = d.select(col("id"), UrlOps.urlHost(col("url")).as("h"),
+        UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("rd"),
+        UrlOps.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(out === Seq(
+      // userinfo + port stripped, case folded, tracking params dropped,
+      // fragment dropped, non-tracking params kept in order
+      (1L, "www.example.co.uk", "example.co.uk",
+        "https://www.example.co.uk/a/b?id=1"),
+      (2L, "a.b.site.com", "site.com", "http://a.b.site.com/x"),
+      (3L, "short.io", "short.io", "https://short.io"),
+      (4L, "", "", "not a url at all"),
+      (5L, "localhost", "localhost", "http://localhost/x")))
+    // blocklist filters on the registered domain, not the raw host
+    val kept = UrlOps.domainFilter(d, col("url"), Seq("site.com"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L, 5L))
+  }
+
   test("line dedup: first (doc,pos) occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val d = Seq(
