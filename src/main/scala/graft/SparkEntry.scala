@@ -587,6 +587,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // shingle-set containment pairs: the sub-document-duplication detector
+    // (|A∩B| / min|A|,|B| — a quoted short doc scores ~1 where Jaccard
+    // stays low); same bounded-block inverted-index join as jaccard
+    "q_containment_pairs" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" && col("doc_id") < 1000)
+      Dedup.containmentPairs(docs, col("text"), col("doc_id"), n = 1,
+          threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // canonical pre-dedup normalization: the corpus text is salted with
+    // deterministic case/punctuation noise (non-vacuous at every SF), then
+    // normalized — lowercase, punctuation stripped, whitespace collapsed
+    "q_normalize_text" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(lit("THE Doc! #"), col("doc_id").cast("string"),
+        lit(":  "), col("text"), lit("   (End.)"))
+      docs.select(col("doc_id"),
+          TextAnalysis.normalizeText(salted).as("norm"),
+          length(TextAnalysis.normalizeText(salted)).cast("long").as("n_norm"))
+        .orderBy(col("doc_id"))
+    },
+
     // position-weighted document fingerprint (rolling-hash analogue)
     "q_fingerprint" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1430,6 +1454,31 @@ object SparkEntry {
         |  count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
         |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING jaccard >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "q_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source = 'src0' AND doc_id < 1000 AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*)::DOUBLE / least(any_value(a.sz), any_value(b.sz)) AS containment
+        |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING containment >= 0.95 ORDER BY 1, 2""".stripMargin,
+
+    "q_normalize_text" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'THE Doc! #' || CAST(doc_id AS VARCHAR) || ':  ' || text ||
+        |    '   (End.)' AS salted
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(salted), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(salted),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -346,6 +346,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** All pairs (idA < idB) with shingle-set CONTAINMENT ≥ threshold —
+    * `|A∩B| / min(|A|,|B|)`, the asymmetric cousin of Jaccard that catches
+    * SUB-document duplication: a short doc quoted wholesale inside a longer
+    * one scores near 1 here while its Jaccard stays low (the union is
+    * dominated by the longer doc). The boilerplate/quotation detector of a
+    * curation pipeline. Same inverted-index join shape (and stripes
+    * escape hatch) as [[jaccardPairs]]: exact but quadratic within a
+    * shingle's posting list — candidate-generate with MinHash-LSH beyond
+    * bounded blocks.
+    */
+  def containmentPairs(df: DataFrame, textCol: Column, idCol: Column, n: Int,
+                       threshold: Double, stripes: Int = 1): DataFrame = {
+    val t = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val e = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    Similarity.selfPairs(e, Seq("tok"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        least(col("a.sz"), col("b.sz")).as("szmin"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("szmin")).as("szmin"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("szmin"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash signature: k independent minimums over shingle hashes. The
     * string shingles are hashed ONCE; the k seeded variants re-hash the
     * resulting 8-byte longs, which is much cheaper than k passes over the

@@ -247,6 +247,19 @@ object TextAnalysis {
         lit(1000000007L)))
   }
 
+  /** Canonical text normalization — the pre-dedup normalizer every
+    * curation pipeline runs so that trivial variants (case, punctuation,
+    * whitespace runs) hash identically: lowercase, punctuation stripped
+    * (everything outside [a-z0-9] and whitespace), whitespace runs
+    * collapsed to single spaces, trimmed. Pure regexp_replace chain in
+    * whole-stage codegen (Java ∩ RE2 subset) — map-only, zero shuffles —
+    * and exactly replayable in a SQL oracle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   /** Fixed-size token chunks with overlap — the document-splitting stage in
     * front of an embedding/RAG pipeline (long docs exceed embedder context;
     * overlapping windows keep boundary sentences retrievable). Chunk `i`

@@ -146,6 +146,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(foreign.toSeq === Seq((3L, 1L, 0.0)))
   }
 
+  test("containment pairs: a quoted short doc scores 1 where jaccard stays low") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c d e f g h"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, col("text"), col("doc_id"), n = 1,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont === Seq((1L, 2L, 1.0)))
+    // the same pair under Jaccard is 3/8 — the asymmetric metric is the
+    // only one that sees the sub-document duplication
+    val jac = Dedup.jaccardPairs(d, col("text"), col("doc_id"), n = 1,
+        threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("normalizeText: case folded, punctuation stripped, whitespace collapsed") {
+    import spark.implicits._
+    val out = Seq("  Hello, WORLD!!  42\t(ok) ", "", "??!")
+      .toDF("t").select(TextAnalysis.normalizeText(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("hello world 42 ok", "", ""))
+  }
+
   test("jaccard pairs find near and exact dups") {
     val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), n = 1,
       threshold = 0.7).collect()
