@@ -63,6 +63,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === Seq(1L, 3L, 4L, 5L))
   }
 
+  test("urlHost agrees with java.net.URI over structured random URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val urls = (0 until 200).map { i =>
+      val scheme = Seq("http", "https", "ftp")(rnd.nextInt(3))
+      val user = if (rnd.nextBoolean()) s"u$i" +
+        (if (rnd.nextBoolean()) ":pw" else "") + "@" else ""
+      val host = (0 to rnd.nextInt(3))
+        .map(j => s"H${(i + j) % 40}").mkString(".") + ".ExAmple.com"
+      val port = if (rnd.nextBoolean()) s":${1024 + rnd.nextInt(40000)}" else ""
+      val path = if (rnd.nextBoolean()) s"/a$i/b" else ""
+      val q = if (rnd.nextBoolean()) s"?x=$i&utm_source=t" else ""
+      val f = if (rnd.nextBoolean()) "#frag" else ""
+      s"$scheme://$user$host$port$path$q$f"
+    }
+    val got = urls.toDF("url").select(UrlOps.urlHost(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    val expected = urls.map(u => new java.net.URI(u).getHost.toLowerCase)
+    assert(got === expected)
+  }
+
+  test("packSequences matches the local cumulative model on random shards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = for (s <- Seq("a", "b", "c"); i <- 0 until 50)
+      yield (i.toLong, s, 1L + rnd.nextInt(700))
+    val L = 512
+    val out = Sampling.packSequences(rows.toDF("doc_id", "shard", "n"),
+        col("n"), col("doc_id"), col("shard"), L)
+      .collect().map(r => ((r.getString(1), r.getLong(0)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (s <- Seq("a", "b", "c")) {
+      var start = 0L // the concatenated token stream position, per shard
+      for (i <- 0L until 50L) {
+        val n = rows.find(r => r._1 == i && r._2 == s).get._3
+        val (nTok, bs, be, off) = out((s, i))
+        assert(nTok == n)
+        assert(bs == start / L && be == (start + n - 1) / L && off == start % L,
+          s"shard $s doc $i: got ($bs,$be,$off), stream start $start len $n")
+        start += n
+      }
+    }
+  }
+
   test("line dedup: first (doc,pos) occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val d = Seq(
