@@ -337,6 +337,16 @@ object SparkEntry {
         |  CONCAT('-', c_mktsegment, 'X') AS seg
         |ORDER BY lastd, seg""".stripMargin),
 
+    // pipeline primitives as dialect dim functions (NORMTEXT / TOKCOUNT /
+    // FINGERPRINT / URLDOMAIN derive curation dims inside a query)
+    "q_dim_fns3" -> gq(
+      """SELECT SUM(n_chars * 1) AS chars, _points FROM documents
+        |GROUP BY URLDOMAIN(CONCAT('', 'https://www.s', lang, '.co.uk/p')) AS dom,
+        |  NORMTEXT(CONCAT('', 'X! ', lang, '?')) AS nrm,
+        |  FINGERPRINT(lang) AS fp,
+        |  TOKCOUNT(CONCAT(' ', lang, source)) AS toks
+        |ORDER BY dom, nrm, fp, toks""".stripMargin),
+
     // §2.3 PERCENTILE (bounded, interpolated)
     "q_percentile" -> gq(
       """SELECT PERCENTILE(l_quantity, 50, 0, 100, 2) AS p50,
@@ -1193,6 +1203,16 @@ object SparkEntry {
         |  sum(c_acctbal * 100) / 100 AS bal,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dim_fns3" ->
+      """SELECT lower('s' || lang || '.co.uk') AS dom,
+        |  'x ' || lang AS nrm,
+        |  CAST((ascii(lang) + length(lang)) % 1000000007 AS BIGINT) AS fp,
+        |  CAST(len(string_split(lang || ' ' || source, ' ')) AS INT) AS toks,
+        |  SUM(n_chars * 1.0) AS chars,
+        |  CAST(count(*) AS DOUBLE) AS "_points"
+        |FROM documents
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -115,6 +115,18 @@ object Builders {
           when(subject === pair(0), pair(1)).otherwise(acc)
         }
       case "RAND" => rand()
+      // text/URL pipeline primitives surfaced into the dialect (beyond the
+      // reference's function set — its users curate with external tools;
+      // ours can derive curation dims inside a query): all map-only Column
+      // compositions, so they group/filter like any built-in dim fn
+      case "NORMTEXT" => graft.pipeline.TextAnalysis.normalizeText(cols.head)
+      case "TOKCOUNT" => graft.pipeline.TextAnalysis.tokenCount(cols.head)
+      case "SIMHASH" => graft.pipeline.Dedup.simHash(cols.head)
+      case "FINGERPRINT" => graft.pipeline.TextAnalysis.fingerprint(cols.head)
+      case "URLHOST" => graft.pipeline.UrlOps.urlHost(cols.head)
+      case "URLDOMAIN" =>
+        graft.pipeline.UrlOps.registeredDomain(
+          graft.pipeline.UrlOps.urlHost(cols.head))
       case other =>
         val pr = dimFnProvidersRaw.get(other)
         if (pr != null) pr(cols, raw)
