@@ -54,6 +54,27 @@ class EngineSpec extends AnyFunSuite {
   private def approx(a: Double, b: Double): Boolean =
     (a.isNaN && b.isNaN) || math.abs(a - b) <= EPS * math.max(1.0, math.abs(b))
 
+  test("pipeline dim fns in the dialect: SIMHASH/URLHOST/NORMTEXT group keys") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = sql(
+      """SELECT requests FROM inbound WHERE path IS NOT NULL
+        |GROUP BY SIMHASH(path) AS sh,
+        |  URLHOST(CONCAT('', 'http://Host-', SUBSTR(path, 2, 5), '.com/x')) AS h,
+        |  NORMTEXT(CONCAT('', 'A! ', path)) AS n
+        |ORDER BY h""".stripMargin).collect()
+    assert(rows.length == 2) // /index.html and /login
+    // the dialect values equal the pipeline operators applied directly
+    val expectSh = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("/login"))),
+        StructType(Seq(StructField("p", StringType))))
+      .select(graft.pipeline.Dedup.simHash(col("p"))).collect()(0).getLong(0)
+    val login = rows.find(_.getAs[String]("h").startsWith("host-login")).get
+    assert(login.getAs[Long]("sh") == expectSh)
+    assert(login.getAs[String]("h") == "host-login.com")
+    assert(login.getAs[String]("n") == "a login")
+    assert(d(login.getAs[Any]("requests")) == 34.0 + 12.0 + 411.0 + 28.0)
+  }
+
   test("README: group by server with _points, SUM default and AVG") {
     val rows = sql(
       """SELECT _points, requests, AVG(load_avg) AS load_avg
