@@ -29,18 +29,25 @@ private[graft] object PersistCache {
     * same DataFrame for chaining. Idempotent on plan identity: a plan the
     * CacheManager already holds (the same query re-run) is returned as-is —
     * re-registering it would push a duplicate FIFO entry and evict a live
-    * cache early for nothing.
+    * cache early for nothing. The storage-level check and the enrollment
+    * happen under ONE lock: check-then-act outside it let two concurrent
+    * queries persisting the same plan both pass the NONE check and push
+    * duplicate FIFO entries, prematurely evicting other live caches.
     */
-  def persist(df: DataFrame): DataFrame =
+  def persist(df: DataFrame): DataFrame = fifo.synchronized {
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      register(p)
+      enroll(p)
       p
     }
+  }
 
   /** Enroll an already-persisted DataFrame in the eviction FIFO. */
-  def register(df: DataFrame): Unit = fifo.synchronized {
+  def register(df: DataFrame): Unit = fifo.synchronized { enroll(df) }
+
+  // callers hold fifo's monitor
+  private def enroll(df: DataFrame): Unit = {
     fifo.addLast(df)
     while (fifo.size > maxEntries)
       fifo.removeFirst().unpersist(blocking = false)

@@ -235,7 +235,14 @@ object Dedup {
       // the next fingerprint mismatch silently rebuilt over them.
       val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
       val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
-      writeIndexMeta(metaPath, fpLine, appends + 1L)
+      // SATURATING increment: a corrupt counter reads as Long.MaxValue (the
+      // refusing side), and `MaxValue + 1` would wrap to MinValue — the next
+      // staleness check would then see appends <= 0 and silently rebuild
+      // over admitted history, exactly the state the tripwire exists to
+      // prevent. Once saturated the counter stays pinned at the refusal.
+      val bumped =
+        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      writeIndexMeta(metaPath, fpLine, bumped)
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
         .repartition(col("__hp")) // cluster: ~one appended file per prefix
         .write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -104,8 +104,15 @@ object Sampling {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     import org.apache.spark.sql.expressions.Window
     val L = lit(seqLen.toLong)
+    // zero-token documents occupy no stream positions, so they have no
+    // block range — emitting them would produce inverted (block_end <
+    // block_start) rows that break downstream block expansion. Dropping
+    // them here (instead of requiring callers to pre-filter) also keeps
+    // the cumulative stream identical either way: a 0-length doc never
+    // advances __cum.
     df.select(idCol.as("doc_id"), shardCol.as("shard"),
         nTokCol.cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
       .withColumn("__cum", sum(col("n_tok")).over(
         Window.partitionBy(col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

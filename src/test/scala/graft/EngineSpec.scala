@@ -242,6 +242,31 @@ class EngineSpec extends AnyFunSuite {
       s"crosstab caches grew unboundedly: $before -> $after")
   }
 
+  test("PersistCache: racing persists of one plan enroll a single FIFO entry") {
+    import org.apache.spark.sql.functions.col
+    // fill the FIFO, remember the oldest entry, then hammer ONE new plan
+    // from many threads: with the check-then-act race each racer would push
+    // its own FIFO entry and the duplicates would evict the live caches
+    // below; under the lock they collapse to one entry, so at most one
+    // eviction can follow
+    val sentinels = (0 until graft.PersistCache.maxEntries).map { i =>
+      graft.PersistCache.persist(
+        spark.range(5).select((col("id") + (7000 + i)).as("v")).toDF())
+    }
+    val hot = spark.range(5).select((col("id") + 9999).as("v")).toDF()
+    val threads = (0 until 8).map(_ => new Thread(() => {
+      graft.PersistCache.persist(hot).collect()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // only the FIFO head may have been evicted to admit `hot`; duplicate
+    // enrollment would have unpersisted more of the sentinels
+    val stillCached = sentinels.count(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(stillCached >= graft.PersistCache.maxEntries - 1,
+      s"racing persists evicted ${sentinels.size - stillCached} sentinels")
+    (sentinels :+ hot).foreach(_.unpersist(blocking = false))
+  }
+
   test("CROSSTAB past the pivot-width guard fails fast with guidance") {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val big = spark.range(graft.planner.Planner.MaxPivotValues + 1).select(

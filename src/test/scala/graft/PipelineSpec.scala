@@ -1229,6 +1229,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append"), e.getMessage)
   }
 
+  test("admitting over a corrupt appends counter keeps the refusal (no overflow)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("dedup-corrupt-admit").toString + "/i"
+    val c1 = Seq((1L, "aa")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(c1, col("text"), col("doc_id"), idx)
+    // corrupt counter reads as Long.MaxValue (refusing side); an admit then
+    // bumps it — a naive +1 would wrap to MinValue, and the next staleness
+    // check would see appends <= 0 and silently rebuild over the admitted
+    // history. The increment must saturate instead.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx, "_index.txt"), "fp=torn\nappends=999x9\n")
+    Dedup.exactIncremental(Seq((5L, "new text")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx).collect()
+    val c2 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.buildExactIndexIfMissing(c2, col("text"), col("doc_id"), idx)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
+  }
+
+  test("packSequences drops zero-token docs instead of emitting inverted ranges") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 3L), (2L, "a", 0L), (3L, "a", 4L) // doc 2 is empty
+    ).toDF("doc_id", "shard", "n")
+    val out = Sampling.packSequences(d, col("n"), col("doc_id"),
+        col("shard"), seqLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // the empty doc is absent AND does not shift later docs' stream offsets
+    assert(out === Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (3L, 4L, 0L, 1L, 3L)))
+    assert(out.forall { case (_, _, bs, be, _) => be >= bs })
+  }
+
   test("buildExactIndexIfMissing: fingerprint-guarded reuse and rebuild") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup-guard").toString + "/i"
