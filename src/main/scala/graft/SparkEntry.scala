@@ -344,8 +344,9 @@ object SparkEntry {
         |GROUP BY URLDOMAIN(CONCAT('', 'https://www.s', lang, '.co.uk/p')) AS dom,
         |  NORMTEXT(CONCAT('', 'X! ', lang, '?')) AS nrm,
         |  FINGERPRINT(lang) AS fp,
-        |  TOKCOUNT(CONCAT(' ', lang, source)) AS toks
-        |ORDER BY dom, nrm, fp, toks""".stripMargin),
+        |  TOKCOUNT(CONCAT(' ', lang, source)) AS toks,
+        |  URLNORM(CONCAT('', 'https://S', lang, '.com:8080/p?utm_source=x&q=', source, '#f')) AS un
+        |ORDER BY dom, nrm, fp, toks, un""".stripMargin),
 
     // §2.3 PERCENTILE (bounded, interpolated)
     "q_percentile" -> gq(
@@ -510,11 +511,21 @@ object SparkEntry {
     // the identical regex/list logic. Map-only, zero shuffles.
     "q_url_ops" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val tld = (col("doc_id") % 5).cast("int")
+      val tld = (col("doc_id") % 7).cast("int")
+      // suffix mix exercises every resolver path: plain gTLDs, a two-label
+      // registry, a PRIVATE-section suffix (github.io — the heuristic
+      // misgroups it, the PSL keeps each subdomain its own registrant), a
+      // wildcard registry (*.ck) and its exception rule (!www.ck)
+      val suffix = when(tld === 0, "com").when(tld === 1, "org")
+        .when(tld === 2, "co.uk").when(tld === 3, "net")
+        .when(tld === 4, "github.io").when(tld === 5, "ck")
+        .otherwise("www.ck")
+      // explicit ports: :8080 must SURVIVE normalization (distinct origin),
+      // :443 must drop (the https default — same origin as portless)
+      val port = when(col("doc_id") % 11 === 0, ":8080")
+        .when(col("doc_id") % 11 === 1, ":443").otherwise("")
       val url = concat(lit("HTTPS://www.Site"), (col("doc_id") % 37).cast("string"),
-        lit("."),
-        when(tld === 0, "com").when(tld === 1, "org").when(tld === 2, "co.uk")
-          .when(tld === 3, "net").otherwise("io"),
+        lit("."), suffix, port,
         lit("/p/"), col("doc_id").cast("string"),
         lit("?id="), col("doc_id").cast("string"),
         lit("&utm_source=x&gclid=g"), col("doc_id").cast("string"),
@@ -525,6 +536,7 @@ object SparkEntry {
           blocked = Seq("site0.com", "site1.org"))
         .select(col("doc_id"), host.as("host"),
           UrlOps.registeredDomain(host).as("domain"),
+          UrlOps.registeredDomainPsl(host).as("domain_psl"),
           UrlOps.normalizeUrl(col("__url")).as("url_norm"))
         .orderBy(col("doc_id"))
     },
@@ -1209,10 +1221,11 @@ object SparkEntry {
         |  'x ' || lang AS nrm,
         |  CAST((ascii(lang) + length(lang)) % 1000000007 AS BIGINT) AS fp,
         |  CAST(len(string_split(lang || ' ' || source, ' ')) AS INT) AS toks,
+        |  'https://s' || lang || '.com:8080/p?q=' || source AS un,
         |  SUM(n_chars * 1.0) AS chars,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM documents
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
@@ -1351,30 +1364,43 @@ object SparkEntry {
       """WITH u AS (
         |  SELECT doc_id,
         |    'HTTPS://www.Site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
-        |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net' ELSE 'io' END ||
+        |    CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net' WHEN 4 THEN 'github.io'
+        |      WHEN 5 THEN 'ck' ELSE 'www.ck' END ||
+        |    CASE CAST(doc_id % 11 AS INT) WHEN 0 THEN ':8080'
+        |      WHEN 1 THEN ':443' ELSE '' END ||
         |    '/p/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) ||
         |    '&utm_source=x&gclid=g' || CAST(doc_id AS VARCHAR) || '&keep=1#frag' AS url
         |  FROM documents
         |), h AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(\[[^\]]*\]|[^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(?:\[[^\]]*\]|[^/:?#]+):([0-9]+)(?:[/?#].*)?$', 1) AS port
         |  FROM u
         |), d AS (
-        |  SELECT doc_id, url, host, string_split(host, '.') AS hl FROM h
+        |  SELECT doc_id, url, host, port, string_split(host, '.') AS hl FROM h
         |), rd AS (
-        |  SELECT doc_id, url, host,
+        |  SELECT doc_id, url, host, port,
         |    CASE WHEN len(hl) <= 2 THEN host
         |         WHEN array_to_string(hl[-2:], '.') IN
         |           ('ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',
         |            'com.au','com.br','com.cn','com.mx','com.tr','gov.uk',
         |            'ne.jp','net.au','or.jp','org.au','org.uk')
         |           THEN array_to_string(hl[-3:], '.')
-        |         ELSE array_to_string(hl[-2:], '.') END AS domain
+        |         ELSE array_to_string(hl[-2:], '.') END AS domain,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com'
+        |      WHEN 1 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.org'
+        |      WHEN 2 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.co.uk'
+        |      WHEN 3 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.net'
+        |      WHEN 4 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.github.io'
+        |      WHEN 5 THEN 'www.site' || CAST(doc_id % 37 AS VARCHAR) || '.ck'
+        |      ELSE 'www.ck' END AS domain_psl
         |  FROM d
         |), norm AS (
-        |  SELECT doc_id, url, host, domain,
+        |  SELECT doc_id, url, host, port, domain, domain_psl,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    regexp_extract(regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1) AS path,
@@ -1382,16 +1408,19 @@ object SparkEntry {
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^[^?]*\?(.*)$', 1) AS query
         |  FROM rd
         |), kept AS (
-        |  SELECT doc_id, url, host, domain, scheme, path,
+        |  SELECT doc_id, url, host, domain, domain_psl, scheme, path,
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443')
+        |         THEN '' ELSE ':' || port END AS portpart,
         |    array_to_string(list_filter(string_split(query, '&'),
         |      p -> NOT regexp_matches(p,
         |        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)=')
         |        AND p != ''), '&') AS q2
         |  FROM norm
         |)
-        |SELECT doc_id, host, domain,
+        |SELECT doc_id, host, domain, domain_psl,
         |  CASE WHEN host = '' THEN url
-        |       ELSE scheme || '://' || host || path ||
+        |       ELSE scheme || '://' || host || portpart || path ||
         |            CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END END AS url_norm
         |FROM kept
         |WHERE domain NOT IN ('site0.com', 'site1.org')

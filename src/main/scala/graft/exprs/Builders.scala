@@ -127,6 +127,7 @@ object Builders {
       case "URLDOMAIN" =>
         graft.pipeline.UrlOps.registeredDomain(
           graft.pipeline.UrlOps.urlHost(cols.head))
+      case "URLNORM" => graft.pipeline.UrlOps.normalizeUrl(cols.head)
       case other =>
         val pr = dimFnProvidersRaw.get(other)
         if (pr != null) pr(cols, raw)

@@ -16,10 +16,25 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Lowercased host of a URL (authority minus userinfo/port); empty
-    * string when the input doesn't parse as scheme://...
+    * string when the input doesn't parse as scheme://... A bracketed IPv6
+    * authority (`http://[::1]:8080/x`) yields the bracketed literal
+    * (`[::1]`, like `java.net.URI.getHost`) — the leading `\[...\]`
+    * alternative must come before the label branch, whose `[^/:?#]+` would
+    * otherwise stop at the first `:` inside the address and mis-parse the
+    * host as `[`.
     */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(\\[[^\\]]*\\]|[^/:?#]+)", 1))
+
+  /** Explicit port of a URL as a string ("" when absent). Anchored through
+    * end-of-authority so a malformed `host:80x` yields no port rather than
+    * a truncated one.
+    */
+  def urlPort(url: Column): Column =
+    regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(?:\\[[^\\]]*\\]|[^/:?#]+)" +
+        ":([0-9]+)(?:[/?#].*)?$", 1)
 
   /** Two-label public suffixes for the eTLD+1 heuristic. A full public
     * suffix list is a data file a deployment can swap in; this default
@@ -43,10 +58,57 @@ object UrlOps {
     val n = size(labels)
     val lastTwo = concat_ws(".", slice(labels, -2, 2))
     val lastThree = concat_ws(".", slice(labels, -3, 3))
-    when(n <= 2, host)
+    when(substring(host, 1, 1) === "[", host) // IPv6 literal: no labels
+      .when(n <= 2, host)
       .when(lastTwo.isin(twoLabelSuffixes: _*), lastThree)
       .otherwise(lastTwo)
   }
+
+  // ---- Public Suffix List resolution -----------------------------------
+  //
+  // The two-label heuristic above is the no-file default; real curation
+  // runs load a PSL snapshot (a data file, not a code list — the same
+  // pluggable pattern as the geo/ISP lookup providers) and resolve eTLD+1
+  // with the full algorithm: longest-suffix match, `*.` wildcard rules,
+  // `!` exception rules. `blog.github.io` then correctly stays its own
+  // registered domain (github.io is a public suffix), where the heuristic
+  // collapses it to github.io and misgroups URL-level dedup.
+
+  /** Parse PSL-format lines (publicsuffix.org/list) into a resolver rule
+    * set — `//` comments and blanks skipped, `*.`/`!` rules honored.
+    */
+  def parsePsl(lines: IterableOnce[String]): graft.functions.PslRules =
+    graft.functions.PslResolver.parse(lines)
+
+  /** Load a PSL snapshot file from disk (swap in a full
+    * public_suffix_list.dat for production runs).
+    */
+  def loadPsl(path: String): graft.functions.PslRules = {
+    import scala.jdk.CollectionConverters._
+    parsePsl(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala)
+  }
+
+  /** Bundled snapshot subset (`graft/psl-snapshot.dat` on the classpath):
+    * the common ccTLD registries, the highest-traffic private platform
+    * suffixes, and the wildcard/exception registries.
+    */
+  lazy val defaultPsl: graft.functions.PslRules = {
+    val in = getClass.getResourceAsStream("/graft/psl-snapshot.dat")
+    require(in != null, "bundled PSL snapshot missing from classpath")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Registered domain (eTLD+1) of an extracted host under a Public Suffix
+    * List — one broadcast of the rule set (memoized per session), one
+    * hash-probe walk per row inside codegen
+    * ([[graft.functions.RegisteredDomainPsl]]).
+    */
+  def registeredDomainPsl(host: Column,
+                          rules: graft.functions.PslRules = defaultPsl)
+      : Column =
+    graft.functions.RegisteredDomainPsl(host, rules)
 
   /** Tracking query parameters stripped by [[normalizeUrl]]: the
     * cross-site-analytics keys every curation pipeline drops (two URLs
@@ -56,12 +118,22 @@ object UrlOps {
   val TrackingParamPattern: String =
     "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
 
-  /** Normalized URL: lowercase scheme+host, fragment dropped, tracking
-    * params removed (other params kept in order), trailing `?` dropped.
+  /** Normalized URL: lowercase scheme+host, userinfo dropped, fragment
+    * dropped, tracking params removed (other params kept in order),
+    * trailing `?` dropped. NON-default ports survive — `http://h:8080/x`
+    * and `http://h/x` are distinct origins and must not conflate in
+    * URL-level dedup; only the scheme-default port (http:80 / https:443)
+    * is dropped, since it IS the same origin as the portless URL.
     */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = urlHost(url)
+    val port = urlPort(url)
+    val defaultPort =
+      when(scheme === "http", "80").when(scheme === "https", "443")
+        .otherwise("")
+    val portPart = when(port === "" || port === defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
     val pathQ = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val path = regexp_extract(pathQ, "^([^?]*)", 1)
     val query = regexp_extract(pathQ, "^[^?]*\\?(.*)$", 1)
@@ -69,7 +141,7 @@ object UrlOps {
       p => !(p.rlike(TrackingParamPattern)) && p =!= "")
     val q2 = concat_ws("&", kept)
     when(host === "", url) // unparseable: pass through untouched
-      .otherwise(concat(scheme, lit("://"), host, path,
+      .otherwise(concat(scheme, lit("://"), host, portPart, path,
         when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
   }
 

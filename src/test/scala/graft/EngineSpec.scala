@@ -54,13 +54,15 @@ class EngineSpec extends AnyFunSuite {
   private def approx(a: Double, b: Double): Boolean =
     (a.isNaN && b.isNaN) || math.abs(a - b) <= EPS * math.max(1.0, math.abs(b))
 
-  test("pipeline dim fns in the dialect: SIMHASH/URLHOST/NORMTEXT group keys") {
+  test("pipeline dim fns in the dialect: SIMHASH/URLHOST/NORMTEXT/URLNORM group keys") {
     import org.apache.spark.sql.functions.{col, lit}
     val rows = sql(
       """SELECT requests FROM inbound WHERE path IS NOT NULL
         |GROUP BY SIMHASH(path) AS sh,
         |  URLHOST(CONCAT('', 'http://Host-', SUBSTR(path, 2, 5), '.com/x')) AS h,
-        |  NORMTEXT(CONCAT('', 'A! ', path)) AS n
+        |  NORMTEXT(CONCAT('', 'A! ', path)) AS n,
+        |  URLNORM(CONCAT('', 'HTTP://Host-', SUBSTR(path, 2, 5),
+        |    '.com:8080/x?utm_source=a&q=1#frag')) AS un
         |ORDER BY h""".stripMargin).collect()
     assert(rows.length == 2) // /index.html and /login
     // the dialect values equal the pipeline operators applied directly
@@ -72,6 +74,8 @@ class EngineSpec extends AnyFunSuite {
     assert(login.getAs[Long]("sh") == expectSh)
     assert(login.getAs[String]("h") == "host-login.com")
     assert(login.getAs[String]("n") == "a login")
+    // non-default port survives, tracking param + fragment drop, case folds
+    assert(login.getAs[String]("un") == "http://host-login.com:8080/x?q=1")
     assert(d(login.getAs[Any]("requests")) == 34.0 + 12.0 + 411.0 + 28.0)
   }
 

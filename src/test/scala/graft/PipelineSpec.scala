@@ -41,7 +41,10 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "http://a.b.site.com/x"),
       (3L, "https://short.io?utm_a=1&gclid=2"), // every param is tracking
       (4L, "not a url at all"),                 // unparseable: pass through
-      (5L, "http://localhost/x")                // single-label host
+      (5L, "http://localhost/x"),               // single-label host
+      (6L, "https://Site.Com:443/x"),           // default port: dropped
+      (7L, "http://site.com:80/x?a=1"),         // default port: dropped
+      (8L, "HTTP://[2001:DB8::1]:8080/x#f")     // bracketed IPv6 authority
     ).toDF("id", "url")
     val out = d.select(col("id"), UrlOps.urlHost(col("url")).as("h"),
         UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("rd"),
@@ -49,18 +52,71 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3))).sortBy(_._1).toSeq
     assert(out === Seq(
-      // userinfo + port stripped, case folded, tracking params dropped,
-      // fragment dropped, non-tracking params kept in order
+      // userinfo stripped, case folded, tracking params dropped, fragment
+      // dropped, non-tracking params kept in order; NON-default ports
+      // survive (distinct origin), scheme-default ports drop
       (1L, "www.example.co.uk", "example.co.uk",
-        "https://www.example.co.uk/a/b?id=1"),
+        "https://www.example.co.uk:8080/a/b?id=1"),
       (2L, "a.b.site.com", "site.com", "http://a.b.site.com/x"),
       (3L, "short.io", "short.io", "https://short.io"),
       (4L, "", "", "not a url at all"),
-      (5L, "localhost", "localhost", "http://localhost/x")))
+      (5L, "localhost", "localhost", "http://localhost/x"),
+      (6L, "site.com", "site.com", "https://site.com/x"),
+      (7L, "site.com", "site.com", "http://site.com/x?a=1"),
+      (8L, "[2001:db8::1]", "[2001:db8::1]",
+        "http://[2001:db8::1]:8080/x")))
     // blocklist filters on the registered domain, not the raw host
     val kept = UrlOps.domainFilter(d, col("url"), Seq("site.com"))
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept === Seq(1L, 3L, 4L, 5L))
+    assert(kept === Seq(1L, 3L, 4L, 5L, 8L))
+  }
+
+  test("registeredDomainPsl: private suffixes, wildcards, exceptions, default rule") {
+    import spark.implicits._
+    val hosts = Seq(
+      (1L, "blog.github.io"),      // github.io is a PRIVATE public suffix
+      (2L, "a.blog.github.io"),    //   → each subdomain its own registrant
+      (3L, "github.io"),           // host IS a public suffix: passthrough
+      (4L, "shop.blogspot.com"),   // private suffix under .com
+      (5L, "www.example.co.uk"),   // two-label ccTLD registry
+      (6L, "x.com.sg"),            // registry the heuristic list lacks
+      (7L, "a.b.ck"),              // *.ck wildcard: b.ck is a public suffix
+      (8L, "x.www.ck"),            // !www.ck exception beats the wildcard
+      (9L, "www.ck"),              // the exception rule itself
+      (10L, "deep.sub.example.org"), // plain gTLD
+      (11L, "unlisted.tld.zz"),    // default rule *: last label
+      (12L, "localhost"),          // single label: passthrough
+      (13L, "[2001:db8::1]")       // IPv6 literal: passthrough
+    ).toDF("id", "host")
+    val got = hosts.select(col("id"),
+        UrlOps.registeredDomainPsl(col("host")).as("rd"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "blog.github.io"),
+      (2L, "blog.github.io"),
+      (3L, "github.io"),
+      (4L, "shop.blogspot.com"),
+      (5L, "example.co.uk"),
+      (6L, "x.com.sg"),
+      (7L, "a.b.ck"),
+      (8L, "www.ck"),
+      (9L, "www.ck"),
+      (10L, "example.org"),
+      (11L, "tld.zz"),
+      (12L, "localhost"),
+      (13L, "[2001:db8::1]")))
+    // the heuristic misgroups exactly the blog.github.io class — the
+    // documented reason the PSL resolver exists
+    val heur = hosts.filter(col("id") === 1)
+      .select(UrlOps.registeredDomain(col("host")))
+      .collect()(0).getString(0)
+    assert(heur === "github.io")
+    // a swapped-in rules file takes effect (the data-file contract)
+    val custom = UrlOps.parsePsl(Seq("// custom", "my.suffix"))
+    val c = Seq((1L, "deep.site.my.suffix")).toDF("id", "host")
+      .select(UrlOps.registeredDomainPsl(col("host"), custom))
+      .collect()(0).getString(0)
+    assert(c === "site.my.suffix")
   }
 
   test("urlHost agrees with java.net.URI over structured random URLs") {
@@ -70,8 +126,10 @@ class PipelineSpec extends AnyFunSuite {
       val scheme = Seq("http", "https", "ftp")(rnd.nextInt(3))
       val user = if (rnd.nextBoolean()) s"u$i" +
         (if (rnd.nextBoolean()) ":pw" else "") + "@" else ""
-      val host = (0 to rnd.nextInt(3))
-        .map(j => s"H${(i + j) % 40}").mkString(".") + ".ExAmple.com"
+      val host =
+        if (i % 11 == 0) s"[2001:DB8::${i % 9}]" // bracketed IPv6 literal
+        else (0 to rnd.nextInt(3))
+          .map(j => s"H${(i + j) % 40}").mkString(".") + ".ExAmple.com"
       val port = if (rnd.nextBoolean()) s":${1024 + rnd.nextInt(40000)}" else ""
       val path = if (rnd.nextBoolean()) s"/a$i/b" else ""
       val q = if (rnd.nextBoolean()) s"?x=$i&utm_source=t" else ""
