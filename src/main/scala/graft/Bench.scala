@@ -152,6 +152,29 @@ object Bench {
       graft.pipeline.Similarity.ivfPqBuildIfMissing(embBatch, col("embedding"),
         col("vec_id"), nCentroids = 16, m = 8, k = 16,
         SparkEntry.gatePqBatchPath(sfDir))
+      // incrementally-maintained gate indexes: the one-time seed build and
+      // the frozen-centroid append are index MAINTENANCE (idempotent on
+      // re-run), so the measured queries price probe latency over the
+      // combined index, not the mutation
+      val embSeed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") >= 20 && col("vec_id") % 2 === 0)
+      val embDelta = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+      SparkEntry.rebuildingOnRefusal(SparkEntry.gateIncPath(sfDir)) {
+        graft.pipeline.Similarity.ivfBuildIfMissing(embSeed, col("embedding"),
+          col("vec_id"), nCentroids = 16, SparkEntry.gateIncPath(sfDir))
+        graft.pipeline.Similarity.ivfAppend(spark,
+          SparkEntry.gateIncPath(sfDir), embDelta, col("embedding"),
+          col("vec_id"))
+      }
+      SparkEntry.rebuildingOnRefusal(SparkEntry.gatePqIncPath(sfDir)) {
+        graft.pipeline.Similarity.ivfPqBuildIfMissing(embSeed,
+          col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16,
+          SparkEntry.gatePqIncPath(sfDir))
+        graft.pipeline.Similarity.ivfPqAppend(spark,
+          SparkEntry.gatePqIncPath(sfDir), embDelta, col("embedding"),
+          col("vec_id"))
+      }
       // and the incremental-dedup history index (fingerprint-guarded): the
       // gate measures the batch-vs-history probe, not the one-time build
       val histDocs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -326,27 +326,45 @@ object Similarity {
     val recipe = s"fp=${datasetFingerprint(df, idCol)};lloyd=$refineIters;v=2"
     // any unparseable header/body (crash-truncated, hand-mangled) reads as
     // STALE — rebuild — instead of throwing and bricking the index path
-    // until someone deletes the file by hand
-    val reused = scala.util.Try {
+    // until someone deletes the file by hand... UNLESS an `appends=` marker
+    // shows the index holds incremental history (see the refusal below).
+    val metaLines =
       if (!java.nio.file.Files.exists(metaPath)) None
-      else {
-        val lines = java.nio.file.Files.readAllLines(metaPath)
+      else scala.util.Try(java.nio.file.Files.readAllLines(metaPath)).toOption
+    val reused = metaLines.flatMap { lines =>
+      scala.util.Try {
         val h0 = if (lines.isEmpty) "" else lines.get(0)
         if (!h0.startsWith(recipe + ";n=")) None
         else {
           val nAct = h0.stripPrefix(recipe + ";n=").toInt
-          if (lines.size() != nAct + 1) None
+          // body = exactly nAct centroid lines; an [[ivfAppend]]ed index
+          // carries `appends=` trailer lines after them
+          if (lines.size() < nAct + 1 ||
+              (nAct + 1 until lines.size())
+                .exists(i => !lines.get(i).trim.startsWith("appends="))) None
           else Some((0 until nAct).map { i =>
             i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
           })
         }
-      }
-    }.toOption.flatten
+      }.toOption.flatten
+    }
     reused match {
       case Some(centroids) =>
         ivfValidated.put(memoKey, centroids)
         return centroids
       case None =>
+        // an index that has accumulated incremental appends REFUSES a
+        // corpus-change rebuild: the fingerprint describes only the SEED
+        // corpus, so "different fingerprint" no longer implies "stale" —
+        // rebuilding would silently discard the appended history. Delete
+        // the index directory (an explicit, auditable act) to start over.
+        // Same contract as Dedup.buildExactIndexIfMissing.
+        val appends = metaLines.map(parseAppends).getOrElse(0L)
+        if (appends > 0)
+          throw new IllegalStateException(
+            s"IVF index at $indexPath holds $appends incremental append(s) " +
+              "that a corpus-change rebuild would silently discard; delete " +
+              "the index directory explicitly to rebuild from scratch")
     }
     val centroids = ivfBuild(df, vecCol, idCol, nCentroids, indexPath, refineIters)
     val body = (s"$recipe;n=${centroids.length}" +:
@@ -361,11 +379,169 @@ object Similarity {
     * and a death before the move leaves the previous meta intact.
     */
   private def writeMetaAtomic(metaPath: java.nio.file.Path, body: String): Unit = {
+    crashHook("ann.meta-pre")
     val tmp = metaPath.resolveSibling(metaPath.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp, body)
+    crashHook("ann.meta-tmp")
     java.nio.file.Files.move(tmp, metaPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashHook("ann.meta-moved")
+  }
+
+  /** Test-only fault injection for the incremental-append commit path (same
+    * contract as [[Dedup.crashHook]]): fired at "ann.meta-pre" /
+    * "ann.meta-tmp" / "ann.meta-moved" (inside [[writeMetaAtomic]]) and
+    * "ann.appended" (after the parquet append in [[ivfAppend]] /
+    * [[ivfPqAppend]]). The fuzzed invariant: a death at ANY point can never
+    * leave appended index rows under `appends=0` — the state where a later
+    * corpus-change staleness check would silently rebuild over them.
+    */
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
+
+  /** Count of incremental appends recorded in an index meta's trailer
+    * lines; 0 when absent. An UNPARSEABLE value reads as Long.MaxValue, not
+    * 0 — the tripwire's failure modes are asymmetric (a spurious refusal
+    * costs an explicit directory delete; a missed one silently rebuilds
+    * over appended history), so corruption must land on the refusing side.
+    * Scanned over ALL lines so even a mangled meta still trips the refusal
+    * as long as the marker survives.
+    */
+  private def parseAppends(lines: java.util.List[String]): Long =
+    (0 until lines.size()).map(lines.get(_).trim)
+      .collectFirst { case s if s.startsWith("appends=") =>
+        scala.util.Try(s.stripPrefix("appends=").toLong)
+          .getOrElse(Long.MaxValue) }
+      .getOrElse(0L)
+
+  private def saturatedBump(appends: Long): Long =
+    if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+
+  /** One `key=value` field of a meta header line ("fp=...;lloyd=2;v=2;n=16"). */
+  private def headerField(h0: String, name: String): Option[String] =
+    h0.split(';').collectFirst {
+      case f if f.startsWith(name + "=") => f.stripPrefix(name + "=")
+    }
+
+  // ---- incremental index maintenance -----------------------------------
+  //
+  // At 100 TB with daily appends, "any corpus change forces a full index
+  // rebuild" is the scale-killer of the ANN story — re-clustering reads the
+  // whole corpus. These append paths port exactIncremental's contract to
+  // ANN: assign only NEW rows against the FROZEN centroids/codebooks,
+  // append into the existing `__c=` partition layout, and record the
+  // mutation in an `appends=` meta trailer with the counter-BEFORE-append
+  // crash discipline, so the fingerprint-keyed staleness check can never
+  // silently rebuild over appended history. Frozen cells only grow as the
+  // data distribution drifts, so a deployment rebuilds from scratch
+  // periodically (explicit delete) — the compaction policy of an index.
+
+  /** Shared append machinery: dedup the batch by id against ONE
+    * column-pruned id scan of the index (batch ids broadcast into it — the
+    * index never shuffles and its vectors/codes are never read), bump the
+    * `appends=` counter crash-atomically BEFORE the parquet append, then
+    * append `encode(fresh)` into the `__c=` layout. The fresh frame is
+    * persisted across the decision and the write so the index id scan runs
+    * once. Re-running the same batch is a no-op, which is also the crash
+    * recovery: counter-first ordering means a death between the two
+    * commits leaves a spurious extra count over an unchanged index (an
+    * explicit delete away), never appended rows under `appends=0`.
+    */
+  private def appendIndexed(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, metaPath: java.nio.file.Path,
+                            lines: java.util.List[String], bodyLen: Int,
+                            batch: DataFrame, idCol: Column,
+                            indexIdCol: Column)
+                           (encode: DataFrame => DataFrame): Long = {
+    // pin the index SNAPSHOT by explicit file list: Spark's
+    // recache-on-write would otherwise re-plan the scan against the
+    // mutated index (same hazard as Dedup.exactIncremental)
+    val preFiles =
+      try spark.read.parquet(indexPath).inputFiles.toIndexedSeq
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
+      }
+    val batchIds = batch.select(idCol.as("__bid")).distinct()
+    val hits =
+      if (preFiles.isEmpty) batchIds.select(col("__bid").as("__iid")).limit(0)
+      else spark.read.parquet(preFiles: _*).select(indexIdCol.as("__iid"))
+        .join(broadcast(batchIds), col("__iid") === col("__bid"), "left_semi")
+        .distinct()
+    val fresh = batch.join(broadcast(hits), idCol === col("__iid"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n == 0L) return 0L
+      val body = (0 until bodyLen).map(lines.get(_))
+      writeMetaAtomic(metaPath,
+        (body :+ s"appends=${saturatedBump(parseAppends(lines))}")
+          .mkString("\n"))
+      encode(fresh)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__c").parquet(indexPath)
+      crashHook("ann.appended")
+      n
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /** Append NEW rows (by id) of `batch` — same schema as the seed corpus —
+    * to the IVF index at `indexPath`, assigning them against the index's
+    * FROZEN centroids. Returns the number of rows appended (0 for a replay
+    * of an already-admitted batch). See the crash/staleness contract on
+    * [[appendIndexed]]; [[ivfBuildIfMissing]] refuses a corpus-change
+    * rebuild once appends are recorded.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                batch: DataFrame, vecCol: Column, idCol: Column): Long = {
+    val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
+    val parsed = scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(metaPath)
+      val nAct = headerField(lines.get(0), "n").get.toInt
+      val centroids = (0 until nAct).map { i =>
+        i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+      }
+      (lines, nAct, centroids)
+    }.getOrElse(throw new IllegalStateException(
+      s"no parseable IVF index meta at $indexPath to append to — " +
+        "build the index first (ivfBuildIfMissing)"))
+    val (lines, nAct, centroids) = parsed
+    appendIndexed(spark, indexPath, metaPath, lines, nAct + 1, batch,
+      idCol, idCol)(fresh => ivfAssign(fresh, vecCol, centroids))
+  }
+
+  /** [[ivfAppend]] for an IVF-PQ index: fresh rows are encoded with the
+    * index's FROZEN codebooks and assigned to its frozen coarse cells, then
+    * appended as (id, codes, cell) rows.
+    */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  batch: DataFrame, vecCol: Column, idCol: Column): Long = {
+    val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
+    val parsed = scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(metaPath)
+      val h0 = lines.get(0)
+      val nAct = headerField(h0, "n").get.toInt
+      val m = headerField(h0, "m").get.toInt
+      val k = headerField(h0, "k").get.toInt
+      val coarse = (0 until nAct).map { i =>
+        i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+      }
+      val books = (0 until m).map { s =>
+        (0 until k).map { j =>
+          lines.get(1 + nAct + s * k + j).split(",").toSeq.map(_.toDouble)
+        }
+      }
+      (lines, 1 + nAct + m * k, coarse, books)
+    }.getOrElse(throw new IllegalStateException(
+      s"no parseable IVF-PQ index meta at $indexPath to append to — " +
+        "build the index first (ivfPqBuildIfMissing)"))
+    val (lines, bodyLen, coarse, books) = parsed
+    appendIndexed(spark, indexPath, metaPath, lines, bodyLen, batch,
+      idCol, col("__id")) { fresh =>
+      ivfAssign(fresh.select(idCol.as("__id"), vecCol.as("__v")),
+          col("__v"), coarse)
+        .select(col("__id"), pqEncode(col("__v"), books).as("__codes"),
+          col("__c"))
+    }
   }
 
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -598,16 +774,23 @@ object Similarity {
     val recipe = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
       s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids;v=2"
     // unparseable meta reads as STALE (rebuild), never as an exception —
-    // same contract as ivfBuildIfMissing
-    val reused = scala.util.Try {
+    // same contract as ivfBuildIfMissing, including its appended-history
+    // refusal below
+    val metaLines =
       if (!java.nio.file.Files.exists(metaPath)) None
-      else {
-        val lines = java.nio.file.Files.readAllLines(metaPath)
+      else scala.util.Try(java.nio.file.Files.readAllLines(metaPath)).toOption
+    val reused = metaLines.flatMap { lines =>
+      scala.util.Try {
         val h0 = if (lines.isEmpty) "" else lines.get(0)
         if (!h0.startsWith(recipe + ";n=")) None
         else {
           val nAct = h0.stripPrefix(recipe + ";n=").toInt
-          if (lines.size() != 1 + nAct + m * k) None
+          // body = coarse + codebook lines; `appends=` trailer lines may
+          // follow after an [[ivfPqAppend]]
+          val body = 1 + nAct + m * k
+          if (lines.size() < body ||
+              (body until lines.size())
+                .exists(i => !lines.get(i).trim.startsWith("appends="))) None
           else {
             val coarse = (0 until nAct).map { i =>
               i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
@@ -621,13 +804,20 @@ object Similarity {
             Some((coarse, books))
           }
         }
-      }
-    }.toOption.flatten
+      }.toOption.flatten
+    }
     reused match {
       case Some(loaded) =>
         ivfPqValidated.put(memoKey, loaded)
         return loaded
       case None =>
+        val appends = metaLines.map(parseAppends).getOrElse(0L)
+        if (appends > 0)
+          throw new IllegalStateException(
+            s"IVF-PQ index at $indexPath holds $appends incremental " +
+              "append(s) that a corpus-change rebuild would silently " +
+              "discard; delete the index directory explicitly to rebuild " +
+              "from scratch")
     }
     val built = ivfPqBuild(df, vecCol, idCol, nCentroids, m, k, indexPath,
       refineIters, pqIters)

@@ -1642,4 +1642,187 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1), r.getDouble(3)))
     assert(kw.sortBy(t => (t._1, t._2)) === again.sortBy(t => (t._1, t._2)))
   }
+
+  // ---- incremental ANN index maintenance -------------------------------
+
+  private def incCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(6)(Array.fill(12)(rnd.nextGaussian() * 5))
+    (0L until n.toLong).map { i =>
+      val c = centers((i % 6).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivfAppend: frozen-centroid append == full-probe exact over the combined corpus") {
+    import spark.implicits._
+    val all = incCorpus(120)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" % 2 === 1)
+    val q = all.filter($"vec_id" === 1).collect()(0).getSeq[Float](1)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-inc").toString + "/i"
+    val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), 6, idx)
+    val n1 = Similarity.ivfAppend(spark, idx, delta, col("embedding"),
+      col("vec_id"))
+    assert(n1 === 60L)
+    // full probe over the appended index == exact top-k over seed+delta
+    val got = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 6, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topK(all, col("embedding"), col("vec_id"), q, 10,
+      quantized = true).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+    // re-running the SAME batch is a no-op (id anti-join): no new rows, no
+    // duplicate ids in the index, identical probe results
+    assert(Similarity.ivfAppend(spark, idx, delta, col("embedding"),
+      col("vec_id")) === 0L)
+    val scan = spark.read.parquet(idx)
+    assert(scan.count() === 120L)
+    assert(scan.select(col("vec_id")).distinct().count() === 120L)
+    val again = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 6, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === exact)
+    // partial overlap: only the genuinely new ids land
+    val more = all.filter($"vec_id" < 10) // all already present
+      .unionByName(incCorpus(130).filter($"vec_id" >= 120))
+    assert(Similarity.ivfAppend(spark, idx, more, col("embedding"),
+      col("vec_id")) === 10L)
+    assert(spark.read.parquet(idx).count() === 130L)
+  }
+
+  test("ivfPqAppend: frozen-codebook append == exact over the combined corpus") {
+    import spark.implicits._
+    val all = incCorpus(120)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" % 2 === 1)
+    val q = all.filter($"vec_id" === 3).collect()(0).getSeq[Float](1)
+    val idx = java.nio.file.Files
+      .createTempDirectory("pq-inc").toString + "/i"
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(seed,
+      col("embedding"), col("vec_id"), 6, m = 4, k = 16, idx)
+    assert(Similarity.ivfPqAppend(spark, idx, delta, col("embedding"),
+      col("vec_id")) === 60L)
+    // full probe + corpus-wide refine == exact quantized top-k (the ADC
+    // stage, frozen codebooks included, only selects candidates)
+    val got = Similarity.ivfPqTopK(spark, idx, coarse, books, all,
+        col("embedding"), col("vec_id"), q, 10, nProbe = 6,
+        refineK = 1000000, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topK(all, col("embedding"), col("vec_id"), q, 10,
+      quantized = true).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+    // idempotent replay
+    assert(Similarity.ivfPqAppend(spark, idx, delta, col("embedding"),
+      col("vec_id")) === 0L)
+    assert(spark.read.parquet(idx).count() === 120L)
+  }
+
+  test("appended ANN history refuses a corpus-change rebuild; seed reuse still works") {
+    import spark.implicits._
+    val all = incCorpus(80)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" % 2 === 1)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-refuse").toString + "/i"
+    Similarity.ivfBuildIfMissing(seed, col("embedding"), col("vec_id"), 4, idx)
+    Similarity.ivfAppend(spark, idx, delta, col("embedding"), col("vec_id"))
+    // the SEED corpus still validates (fingerprint matches the header) —
+    // the warm path every later session takes
+    Similarity.ivfBuildIfMissing(seed, col("embedding"), col("vec_id"), 4, idx)
+    // a DIFFERENT corpus must refuse: its fingerprint mismatch no longer
+    // implies staleness — rebuilding would discard the appended history
+    val changed = incCorpus(90).filter($"vec_id" % 2 === 0)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfBuildIfMissing(changed, col("embedding"), col("vec_id"),
+        4, idx)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
+    // same contract on the PQ side
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("pq-refuse").toString + "/i"
+    Similarity.ivfPqBuildIfMissing(seed, col("embedding"), col("vec_id"), 4,
+      m = 4, k = 8, pqIdx)
+    Similarity.ivfPqAppend(spark, pqIdx, delta, col("embedding"), col("vec_id"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.ivfPqBuildIfMissing(changed, col("embedding"), col("vec_id"),
+        4, m = 4, k = 8, pqIdx)
+    }
+    assert(e2.getMessage.contains("append"), e2.getMessage)
+    // appending to a never-built path fails fast with guidance
+    val e3 = intercept[IllegalStateException] {
+      Similarity.ivfAppend(spark, idx + "-nothere", delta, col("embedding"),
+        col("vec_id"))
+    }
+    assert(e3.getMessage.contains("build the index first"), e3.getMessage)
+  }
+
+  test("ANN append crash fuzz: no death point strands appended rows under appends=0") {
+    import spark.implicits._
+    class InjectedCrash extends RuntimeException("injected")
+    val all = incCorpus(60)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" % 2 === 1)
+    val changed = incCorpus(70).filter($"vec_id" % 2 === 0)
+    val q = all.filter($"vec_id" === 1).collect()(0).getSeq[Float](1)
+    def appendsOf(idx: String): Long = {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(idx, "_centroids.txt"))
+      (0 until lines.size()).map(lines.get(_).trim)
+        .collectFirst { case s if s.startsWith("appends=") =>
+          s.stripPrefix("appends=").toLong }.getOrElse(0L)
+    }
+    // never-crashed twin for convergence checks
+    val twinIdx = java.nio.file.Files
+      .createTempDirectory("ivf-crash-twin").toString + "/i"
+    val twinCents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), 4, twinIdx)
+    Similarity.ivfAppend(spark, twinIdx, delta, col("embedding"), col("vec_id"))
+    val twinProbe = Similarity.ivfTopK(spark, twinIdx, twinCents,
+        col("embedding"), col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val points = Seq("ann.meta-pre", "ann.meta-tmp", "ann.meta-moved",
+      "ann.appended")
+    try {
+      for (p <- points) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"ivf-crash-$p").toString + "/i"
+        val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+          col("vec_id"), 4, idx)
+        val seedRows = spark.read.parquet(idx).count()
+        Similarity.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] {
+          Similarity.ivfAppend(spark, idx, delta, col("embedding"),
+            col("vec_id"))
+        }
+        Similarity.crashHook = _ => ()
+        // invariant A: appended rows are NEVER stranded under appends=0 —
+        // the state where a corpus-change staleness check would silently
+        // rebuild over them (counter-BEFORE-append ordering)
+        val rowsNow = spark.read.parquet(idx).count()
+        val appends = appendsOf(idx)
+        assert(!(rowsNow > seedRows && appends == 0L),
+          s"$p: ${rowsNow - seedRows} appended rows under appends=0")
+        // invariant B: whatever state the crash left, a corpus-change
+        // rebuild either runs on a provably-seed-only index or refuses
+        if (appends > 0L)
+          intercept[IllegalStateException] {
+            Similarity.ivfBuildIfMissing(changed, col("embedding"),
+              col("vec_id"), 4, idx)
+          }
+        // recovery: re-running the same append converges to the twin
+        Similarity.ivfAppend(spark, idx, delta, col("embedding"), col("vec_id"))
+        assert(spark.read.parquet(idx).count() === 60L, s"$p: row count")
+        assert(spark.read.parquet(idx).select(col("vec_id")).distinct()
+          .count() === 60L, s"$p: duplicate ids after recovery")
+        val probe = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+            col("vec_id"), q, 10, nProbe = 4, quantized = true)
+          .collect().map(_.getLong(0)).toSeq
+        assert(probe === twinProbe, s"$p: probe diverged from twin")
+      }
+    } finally { Similarity.crashHook = _ => () }
+  }
 }
