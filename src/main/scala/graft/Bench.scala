@@ -167,6 +167,9 @@ object Bench {
           SparkEntry.gateIncPath(sfDir), embDelta, col("embedding"),
           col("vec_id"))
       }
+      // exact-truth table for the _fast twins' recall gates (one-time,
+      // fingerprint-guarded): the measured twin pays only a 60-row read
+      SparkEntry.gateAnnTruth(spark, sfDir)
       SparkEntry.rebuildingOnRefusal(SparkEntry.gatePqIncPath(sfDir)) {
         graft.pipeline.Similarity.ivfPqBuildIfMissing(embSeed,
           col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16,

@@ -105,6 +105,70 @@ object SparkEntry {
   private[graft] def gatePqIncPath(dir: String): String =
     s"$gateBase/gate-ivf/pqinc${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Cached exact-neighbor ground truth for the `_fast` ANN twins'
+    * recall gates: (qid, id, rank) of the exact quantized-cosine top-3
+    * over the batch-gate corpus (vec_id >= 20) for every query row
+    * (vec_id < 20). Built ONCE per fixture (fingerprint-guarded, like the
+    * gate indexes) so the recall check adds only a 60-row parquet read +
+    * join to the measured fast path — at production scale the truth table
+    * is the exhaustive twin's persisted output, amortized the same way.
+    */
+  private[graft] def gateTruthPath(dir: String): String =
+    s"$gateBase/gate-ivf/truth${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  private val gateTruthLock = new Object
+  private[graft] def gateAnnTruth(s: SparkSession, dir: String): DataFrame =
+    gateTruthLock.synchronized {
+      val path = gateTruthPath(dir)
+      val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val fp = s"fp=${java.nio.file.Files.size(src)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val fpPath = java.nio.file.Paths.get(path, "_fingerprint.txt")
+      val fresh = java.nio.file.Files.exists(fpPath) &&
+        java.nio.file.Files.readString(fpPath).trim == fp
+      if (!fresh) {
+        import org.apache.spark.sql.expressions.Window
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("id"), col("embedding").as("cv"))
+        corpus.crossJoin(broadcast(queries))
+          .select(col("qid"), col("id"),
+            Similarity.cosineQuantized(col("cv"), col("qv")).as("__s"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id"))))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("id"), col("rank"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        java.nio.file.Files.writeString(fpPath, fp)
+      }
+      s.read.parquet(path)
+    }
+
+  /** Recall\@3 of a pruned-ANN result against the cached exact truth,
+    * folded to a constant-checkable row: the oracle pins `(n_queries,
+    * recall_ok)`, so a recall collapse at realistic probe depths flips the
+    * boolean and FAILS the gate — the quality signal the rows-only `_fast`
+    * twins lacked. Floor calibration (tools.RecallProbe, every fixture
+    * scale): the synthetic embeddings are near-UNIFORM — the worst case
+    * for cell pruning, where recall ≈ the fraction of the corpus probed —
+    * so correct nProbe-4-of-16 probing measures 0.55–0.65 (IVF) and
+    * 0.37–0.67 (IVF-PQ with refineK 50) while BROKEN probing (wrong
+    * cells) collapses to ≈0.25 and a broken ADC to ≈0. The floors sit
+    * between the two regimes; production clustered corpora sit far above
+    * both.
+    */
+  private[graft] def recallRow(fast: DataFrame, truth: DataFrame,
+                               floor: Double): DataFrame =
+    truth.join(fast.select(col("qid"), col("id"), lit(1).as("__hit"))
+        .distinct(), Seq("qid", "id"), "left")
+      .agg(
+        countDistinct(col("qid")).as("n_queries"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1))).as("__recall"))
+      .select(col("n_queries"), (col("__recall") >= floor).as("recall_ok"))
+
   /** Gate-owned incremental-index lifecycle: when the FIXTURE under a
     * cached incremental index changes (a different seed corpus at the same
     * path), the library's staleness check must refuse to rebuild — that
@@ -888,12 +952,12 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // bench-only twin of q_ann_batch at a REALISTIC probe depth (nProbe 4
-    // of 16 cells): the exhaustive gate above proves correctness against
-    // the exact oracle, but its full-probe config prices the oracle, not
-    // the path users run — this twin is what the bench tracks. No oracleSql
-    // entry (pruned ANN output is approximate by design); the driver
-    // records a rows-only check.
+    // realistic-probe-depth twin of q_ann_batch (nProbe 4 of 16 cells):
+    // the exhaustive gate above proves correctness against the exact
+    // oracle; this twin prices the path users run AND carries a QUALITY
+    // gate — its recall@3 against the cached exact truth is folded to a
+    // constant-checkable row, so a recall collapse at realistic settings
+    // now FAILS CORRECTNESS instead of sailing through rows-only.
     "q_ann_batch_fast" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 20)
@@ -901,10 +965,10 @@ object SparkEntry {
       val idx = gateBatchPath(dir)
       val centroids = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
         col("vec_id"), nCentroids = 16, idx)
-      Similarity.ivfTopKBatch(s, idx, centroids, queries, col("vec_id"),
-          col("embedding"), col("vec_id"), col("embedding"), k = 3,
-          nProbe = 4, quantized = true)
-        .orderBy(col("qid"), col("rank"))
+      val fast = Similarity.ivfTopKBatch(s, idx, centroids, queries,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nProbe = 4, quantized = true)
+      recallRow(fast, gateAnnTruth(s, dir), floor = 0.45)
     },
 
     // batched IVF-PQ retrieval join: the q_ann_batch shape at PQ scan
@@ -930,10 +994,10 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // bench-only twin of q_ann_pq_batch at realistic ANN settings (nProbe
-    // 4, refineK 50 instead of the full-probe corpus-wide re-rank the
-    // exact-equivalence oracle forces) — the production retrieval-join
-    // cost the bench should track. Rows-only check, like q_ann_batch_fast.
+    // realistic-settings twin of q_ann_pq_batch (nProbe 4, refineK 50
+    // instead of the full-probe corpus-wide re-rank the exact-equivalence
+    // oracle forces) — the production retrieval-join cost, now with the
+    // same folded recall@3 quality gate as q_ann_batch_fast.
     "q_ann_pq_batch_fast" -> { (s, dir) =>
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 10)
@@ -941,11 +1005,12 @@ object SparkEntry {
       val idx = gatePqBatchPath(dir)
       val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
         col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16, idx)
-      Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
-          col("embedding"), col("vec_id"), queries, col("vec_id"),
-          col("embedding"), k = 3, nProbe = 4, refineK = 50,
-          quantized = true)
-        .orderBy(col("qid"), col("rank"))
+      val fast = Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
+        col("embedding"), col("vec_id"), queries, col("vec_id"),
+        col("embedding"), k = 3, nProbe = 4, refineK = 50,
+        quantized = true)
+      recallRow(fast, gateAnnTruth(s, dir).filter(col("qid") < 10),
+        floor = 0.30)
     },
 
     // incrementally-MAINTAINED IVF index (the 100 TB daily-append shape):
@@ -1932,6 +1997,17 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, id, rank, round(cs, 6) AS score FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the _fast twins' oracle pins the FOLDED recall row: n queries and
+    // recall@3 >= the floor, stated as constants the DuckDB side can
+    // assert — pruned-ANN QUALITY becomes oracle-gated without demanding
+    // the approximate rows themselves be exact (a recall collapse flips
+    // recall_ok and hash-mismatches)
+    "q_ann_batch_fast" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+
+    "q_ann_pq_batch_fast" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
 
     // full-probe + full-refine batched IVF-PQ == the same exact windowed
     // top-k join (the ADC stage only selects candidates; the re-rank is
