@@ -971,6 +971,27 @@ object SparkEntry {
       recallRow(fast, gateAnnTruth(s, dir), floor = 0.45)
     },
 
+    // FILTERED batched retrieval (the RAG production shape): a metadata
+    // predicate composes into the partition-pruned index scan BEFORE
+    // ranking, for every query of the batch at once — so each query gets
+    // its k best MATCHING rows, which a post-filtered top-k cannot
+    // guarantee. Full probe ≡ exact filtered windowed top-k (the oracle);
+    // the predicate-never-leaks property at low nProbe is PipelineSpec-
+    // pinned.
+    "q_ann_filtered_batch" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gateBatchPath(dir)
+      val centroids = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, idx)
+      Similarity.ivfTopKBatch(s, idx, centroids, queries, col("vec_id"),
+          col("embedding"), col("vec_id"), col("embedding"), k = 3,
+          nProbe = 16, quantized = true,
+          extraFilter = Some(col("label") % 3 === 0))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // batched IVF-PQ retrieval join: the q_ann_batch shape at PQ scan
     // width — codes-only index scan, per-pair fused ADC (PqAdcVec: the
     // per-query-LUT trick doesn't compose with a batch join), per-query
@@ -1991,6 +2012,27 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(c.e, c.e)) *
         |         sqrt(list_dot_product(q.e, q.e))) AS cs
         |  FROM qe q, qe c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (
+        |  SELECT qid, id, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank, round(cs, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // full-probe filtered batch == exact filtered windowed top-k: the
+    // predicate restricts the corpus BEFORE ranking on both sides
+    "q_ann_filtered_batch" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_dot_product(c.e, q.e)
+        |      / (sqrt(list_dot_product(c.e, c.e)) *
+        |         sqrt(list_dot_product(q.e, q.e))) AS cs
+        |  FROM qe q, qe c
+        |  WHERE q.vec_id < 20 AND c.vec_id >= 20 AND c.label % 3 = 0),
         |r AS (
         |  SELECT qid, id, cs, row_number() OVER (
         |    PARTITION BY qid ORDER BY cs DESC, id) AS rank

@@ -535,12 +535,16 @@ object Similarity {
       s"no parseable IVF-PQ index meta at $indexPath to append to — " +
         "build the index first (ivfPqBuildIfMissing)"))
     val (lines, bodyLen, coarse, books) = parsed
+    // kept metadata columns (filtered-search attributes) ride along with
+    // the appended rows exactly as at build time
+    val keep = headerField(parsed._1.get(0), "keep")
+      .map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     appendIndexed(spark, indexPath, metaPath, lines, bodyLen, batch,
       idCol, col("__id")) { fresh =>
-      ivfAssign(fresh.select(idCol.as("__id"), vecCol.as("__v")),
-          col("__v"), coarse)
-        .select(col("__id"), pqEncode(col("__v"), books).as("__codes"),
-          col("__c"))
+      ivfAssign(fresh.select(idCol.as("__id") +: vecCol.as("__v") +:
+          keep.map(col): _*), col("__v"), coarse)
+        .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
+          (keep.map(col) :+ col("__c")): _*)
     }
   }
 
@@ -601,7 +605,8 @@ object Similarity {
                    queries: DataFrame, qIdCol: Column, qVecCol: Column,
                    idCol: Column, vecCol: Column, k: Int, nProbe: Int,
                    quantized: Boolean = true,
-                   broadcastQueries: Boolean = true): DataFrame = {
+                   broadcastQueries: Boolean = true,
+                   extraFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cdf = {
       import spark.implicits._
@@ -618,7 +623,12 @@ object Similarity {
     // ≤ nCentroids ints — prunes the scan to the union of probed cells
     val probed = assigned.select(col("__cc")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // the PRE-FILTER mode of filtered retrieval, same contract as
+    // ivfTopK's: the metadata predicate composes with the cell partition
+    // filter and pushes into the pruned parquet scan, so candidates are
+    // filtered BEFORE ranking for EVERY query of the batch
     val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+      .filter(extraFilter.getOrElse(lit(true)))
     val asn = if (broadcastQueries) broadcast(assigned) else assigned
     val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
                 else cosine(vecCol, col("__qv"))
@@ -732,24 +742,34 @@ object Similarity {
     * partitions (same pruning as [[ivfBuild]]), but each row stores only
     * (id, m-byte code array). Codebooks and coarse centroids persist next
     * to the data keyed by (recipe, dataset fingerprint).
+    *
+    * `keep` names source columns persisted ALONGSIDE the codes — the
+    * filterable-attribute store of filtered vector search (the FAISS/
+    * Vespa metadata-field pattern): a metadata predicate over them pushes
+    * into the pruned codes scan, filtering candidates BEFORE the ADC
+    * ranking. Each kept column widens the scan, so keep only what
+    * predicates actually reference.
     */
   def ivfPqBuild(df: DataFrame, vecCol: Column, idCol: Column,
                  nCentroids: Int, m: Int, k: Int, indexPath: String,
-                 refineIters: Int = 2, pqIters: Int = 2)
+                 refineIters: Int = 2, pqIters: Int = 2,
+                 keep: Seq[String] = Nil)
       : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) = {
     val dim = df.select(size(vecCol)).first().getInt(0)
     val coarse = refineCentroids(df, vecCol,
       sampleCentroids(df, vecCol, idCol, nCentroids), refineIters)
     val books = pqTrain(df, vecCol, idCol, dim, m, k, pqIters)
-    ivfAssign(df.select(idCol.as("__id"), vecCol.as("__v")), col("__v"), coarse)
-      .select(col("__id"), pqEncode(col("__v"), books).as("__codes"), col("__c"))
+    ivfAssign(df.select(idCol.as("__id") +: vecCol.as("__v") +:
+        keep.map(col): _*), col("__v"), coarse)
+      .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
+        (keep.map(col) :+ col("__c")): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
     (coarse, books)
   }
 
   private val ivfPqValidated = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Int),
+    (String, Int, String),
     (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]])]()
 
   /** Fingerprint-guarded [[ivfPqBuild]] — same contract as
@@ -758,11 +778,12 @@ object Similarity {
     */
   def ivfPqBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
                           nCentroids: Int, m: Int, k: Int, indexPath: String,
-                          refineIters: Int = 2, pqIters: Int = 2)
+                          refineIters: Int = 2, pqIters: Int = 2,
+                          keep: Seq[String] = Nil)
       : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) = {
     val planHash = df.queryExecution.analyzed.semanticHash()
-    val memoKey = (indexPath, planHash, nCentroids, m * 1000 + k,
-      refineIters * 1000 + pqIters)
+    val memoKey = (indexPath, planHash,
+      s"$nCentroids;$m;$k;$refineIters;$pqIters;${keep.mkString("|")}")
     val hit = ivfPqValidated.get(memoKey)
     if (hit != null) return hit
     val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
@@ -771,8 +792,12 @@ object Similarity {
     // actual coarse-cell count is persisted (a corpus smaller than
     // nCentroids yields fewer cells; see ivfBuildIfMissing). Codebooks are
     // always exactly m×k lines — pqTrain recycles seed rows to fill k.
+    // A changed `keep` column set changes the stored schema, so it is part
+    // of the recipe (absent entirely when empty, keeping pre-keep indexes
+    // valid).
+    val keepTag = if (keep.isEmpty) "" else s"keep=${keep.mkString("|")};"
     val recipe = s"fp=${datasetFingerprint(df, idCol)};m=$m;k=$k;" +
-      s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids;v=2"
+      s"lloyd=$refineIters;pq=$pqIters;c=$nCentroids;${keepTag}v=2"
     // unparseable meta reads as STALE (rebuild), never as an exception —
     // same contract as ivfBuildIfMissing, including its appended-history
     // refusal below
@@ -820,7 +845,7 @@ object Similarity {
               "from scratch")
     }
     val built = ivfPqBuild(df, vecCol, idCol, nCentroids, m, k, indexPath,
-      refineIters, pqIters)
+      refineIters, pqIters, keep)
     val body = (s"$recipe;n=${built._1.length}" +:
       (built._1.map(_._2.map(_.toString).mkString(",")) ++
         built._2.flatten.map(_.map(_.toString).mkString(",")))).mkString("\n")
@@ -851,7 +876,8 @@ object Similarity {
                      vecCol: Column, idCol: Column, queries: DataFrame,
                      qIdCol: Column, qVecCol: Column, k: Int, nProbe: Int,
                      refineK: Int, quantized: Boolean = true,
-                     broadcastQueries: Boolean = true): DataFrame = {
+                     broadcastQueries: Boolean = true,
+                     extraFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cdf = {
       import spark.implicits._
@@ -873,7 +899,12 @@ object Similarity {
       .select(col("__qid"), col("__qhat"), col("__cc"))
     val probed = assigned.select(col("__cc")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // pre-filter mode over the KEPT metadata columns (ivfPqBuild `keep`):
+    // the predicate composes with the cell partition filter into the
+    // pruned codes scan, so candidates are filtered BEFORE the ADC
+    // ranking — and therefore before the refine re-rank too
     val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+      .filter(extraFilter.getOrElse(lit(true)))
     // one flag governs EVERY query-derived broadcast in this plan: the
     // assignment frame here, and the candidate/query tables in the refine
     // joins below — they all scale with batch size, so a batch too big to
@@ -929,7 +960,8 @@ object Similarity {
                 coarse: Seq[(Int, Seq[Float])], books: Seq[Seq[Seq[Double]]],
                 base: DataFrame, vecCol: Column, idCol: Column,
                 query: Seq[Float], k: Int, nProbe: Int, refineK: Int,
-                quantized: Boolean = true): DataFrame = {
+                quantized: Boolean = true,
+                extraFilter: Option[Column] = None): DataFrame = {
     val probes = coarse.sortBy { case (i, c) => (-cosLocal(c, query), i) }
       .take(nProbe).map(_._1)
     val dsub = books.head.head.length
@@ -942,6 +974,7 @@ object Similarity {
     }
     val adc = spark.read.parquet(indexPath)
       .filter(col("__c").isin(probes: _*))
+      .filter(extraFilter.getOrElse(lit(true))) // pre-filter on kept cols
       .select(col("__id"),
         graft.functions.PqAdc(col("__codes"), lut, PqCodeOffset).as("__adc"))
     if (refineK <= 0)

@@ -1760,6 +1760,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("build the index first"), e3.getMessage)
   }
 
+  test("filtered batched ANN: pre-filter composes per query; no leak at nProbe 1") {
+    import spark.implicits._
+    val all = incCorpus(120).withColumn("label", (col("vec_id") % 5).cast("int"))
+    val queries = all.filter($"vec_id" < 8)
+    val corpus = all.filter($"vec_id" >= 8)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-fbatch").toString + "/i"
+    val cents = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+      col("vec_id"), 6, idx)
+    val pred = col("label") % 2 === 0
+    // full probe == exact filtered top-k, query by query
+    val got = Similarity.ivfTopKBatch(spark, idx, cents, queries,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nProbe = 6, quantized = true, extraFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (qr <- queries.collect()) {
+      val q = qr.getSeq[Float](1)
+      val exact = Similarity.topK(corpus.filter(pred), col("embedding"),
+          col("vec_id"), q, 3, quantized = true)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got(qr.getLong(0)) === exact, s"query ${qr.getLong(0)}")
+    }
+    // nProbe 1: heavily pruned — results may lose recall but may NEVER
+    // contain a row failing the predicate (pre-filter, not post-filter)
+    val labels = corpus.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val pruned = Similarity.ivfTopKBatch(spark, idx, cents, queries,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nProbe = 1, quantized = true, extraFilter = Some(pred))
+      .collect().map(_.getLong(1))
+    assert(pruned.nonEmpty && pruned.forall(id => labels(id) % 2 == 0),
+      "predicate leaked through the pruned batch scan")
+  }
+
+  test("filtered batched IVF-PQ over kept metadata columns; appends carry them") {
+    import spark.implicits._
+    val all = incCorpus(120).withColumn("label", (col("vec_id") % 5).cast("int"))
+    val queries = all.filter($"vec_id" < 6)
+    val seed = all.filter($"vec_id" >= 6 && $"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" >= 6 && $"vec_id" % 2 === 1)
+    val corpus = all.filter($"vec_id" >= 6)
+    val idx = java.nio.file.Files
+      .createTempDirectory("pq-fbatch").toString + "/i"
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(seed,
+      col("embedding"), col("vec_id"), 6, m = 4, k = 16, idx,
+      keep = Seq("label"))
+    // appended rows must carry the kept columns too
+    assert(Similarity.ivfPqAppend(spark, idx, delta, col("embedding"),
+      col("vec_id")) === delta.count())
+    assert(spark.read.parquet(idx).columns.toSet ===
+      Set("__id", "__codes", "label", "__c"))
+    val pred = col("label") % 2 === 0
+    // full probe + corpus-wide refine == exact filtered top-k per query
+    val got = Similarity.ivfPqTopKBatch(spark, idx, coarse, books, corpus,
+        col("embedding"), col("vec_id"), queries, col("vec_id"),
+        col("embedding"), k = 3, nProbe = 6, refineK = 1000000,
+        quantized = true, extraFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (qr <- queries.collect()) {
+      val q = qr.getSeq[Float](1)
+      val exact = Similarity.topK(corpus.filter(pred), col("embedding"),
+          col("vec_id"), q, 3, quantized = true)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got(qr.getLong(0)) === exact, s"query ${qr.getLong(0)}")
+    }
+    // no leak at nProbe 1 (single-query PQ path takes the same pre-filter)
+    val labels = corpus.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val pruned = Similarity.ivfPqTopKBatch(spark, idx, coarse, books, corpus,
+        col("embedding"), col("vec_id"), queries, col("vec_id"),
+        col("embedding"), k = 3, nProbe = 1, refineK = 10,
+        quantized = true, extraFilter = Some(pred))
+      .collect().map(_.getLong(1))
+    assert(pruned.nonEmpty && pruned.forall(id => labels(id) % 2 == 0),
+      "predicate leaked through the pruned PQ batch scan")
+    val q0 = queries.collect()(0).getSeq[Float](1)
+    val single = Similarity.ivfPqTopK(spark, idx, coarse, books, corpus,
+        col("embedding"), col("vec_id"), q0, 3, nProbe = 1, refineK = 10,
+        quantized = true, extraFilter = Some(pred))
+      .collect().map(_.getLong(0))
+    assert(single.nonEmpty && single.forall(id => labels(id) % 2 == 0),
+      "predicate leaked through the pruned single-query PQ scan")
+  }
+
   test("ANN append crash fuzz: no death point strands appended rows under appends=0") {
     import spark.implicits._
     class InjectedCrash extends RuntimeException("injected")
