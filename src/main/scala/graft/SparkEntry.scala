@@ -708,6 +708,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // containment at scale: min-hash probe candidate generation + exact
+    // verification — must equal the exact inverted-index join's pairs
+    // above the threshold on the gate corpus (the oracle is the same
+    // exact SQL as q_containment_pairs; a missed candidate would drop a
+    // row and fail the hash)
+    "q_containment_lsh" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" && col("doc_id") < 1000)
+      Dedup.containmentLsh(docs, col("text"), col("doc_id"), n = 1,
+          threshold = 0.95, numProbes = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // canonical pre-dedup normalization: the corpus text is salted with
     // deterministic case/punctuation noise (non-vacuous at every SF), then
     // normalized — lowercase, punctuation stripped, whitespace collapsed
@@ -1664,6 +1677,20 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING jaccard >= 0.9 ORDER BY 1, 2""".stripMargin,
 
     "q_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM documents
+        |  WHERE source = 'src0' AND doc_id < 1000 AND length(trim(text)) > 0),
+        |e AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*)::DOUBLE / least(any_value(a.sz), any_value(b.sz)) AS containment
+        |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING containment >= 0.95 ORDER BY 1, 2""".stripMargin,
+
+    // LSH candidates + exact verify ≡ the exact containment join on the
+    // gate corpus (the one-sided probe misses a ≥0.95 pair with
+    // probability (1-0.95)^16 ≈ 1e-21)
+    "q_containment_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
         |  FROM documents

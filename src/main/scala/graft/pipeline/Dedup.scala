@@ -381,6 +381,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Corpus-wide containment pairs via one-sided min-hash CANDIDATE
+    * GENERATION + exact verification — the scale path
+    * [[containmentPairs]]'s exact inverted-index join (quadratic within
+    * every shingle's posting list) cannot take.
+    *
+    * Each doc probes with `numProbes` min-hash members of its OWN shingle
+    * set (for seed i, the shingle minimizing the i-th seeded hash — an
+    * argmin, so the probe key is a real shingle hash that can match the
+    * other side); a pair becomes a candidate when any probe of one doc
+    * appears in the other's shingle set. For a pair with containment c
+    * (= |A∩B| / min(|A|,|B|)), each probe of the SHORTER doc lands inside
+    * the longer one with probability ≈ c, so a true pair above threshold t
+    * is missed with probability ≈ (1−t)^numProbes (≈1e-21 at t=0.95,
+    * k=16); candidates are then verified EXACTLY, so false candidates only
+    * cost work, never correctness. Standard MinHash-LSH cannot do this
+    * job: a short doc quoted inside a long one has high containment but
+    * LOW Jaccard, so its banded signatures never collide.
+    *
+    * Scale shape: the probe side carries `numProbes` rows per doc
+    * REGARDLESS of doc size, so the candidate join is O(k·N · posting)
+    * instead of the exact join's O(Σ|sh| · posting); shingle sets rejoin
+    * by id for candidates only, and the tokenization is computed once for
+    * its four consumers (PersistCache).
+    */
+  def containmentLsh(df: DataFrame, textCol: Column, idCol: Column, n: Int,
+                     threshold: Double, numProbes: Int = 16): DataFrame = {
+    require(numProbes >= 1)
+    val base = graft.PersistCache.persist(
+      df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val hashed = base.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+    // argmin over seeded variants via struct min (seeded key first, plain
+    // hash as payload); distinct: two seeds often pick the same shingle
+    val probes = hashed.select(col("id").as("pid"),
+        explode(array((0 until numProbes).map { i =>
+          array_min(transform(col("hs"),
+            h => struct(xxhash64(h, lit(i)).as("k"), h.as("v"))))
+            .getField("v")
+        }: _*)).as("ph"))
+      .distinct()
+    val index = hashed.select(col("id").as("iid"), explode(col("hs")).as("ph"))
+    val cand = probes.join(index, "ph")
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"))
+      .distinct()
+    val sa = base.select(col("id").as("id_a"), col("sh").as("sha"))
+    val sb = base.select(col("id").as("id_b"), col("sh").as("shb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          least(size(col("sha")), size(col("shb"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash signature: k independent minimums over shingle hashes. The
     * string shingles are hashed ONCE; the k seeded variants re-hash the
     * resulting 8-byte longs, which is much cheaper than k passes over the

@@ -263,6 +263,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("containmentLsh: candidates + exact verify equal the exact containment join") {
+    import spark.implicits._
+    // random corpus with planted sub-document duplication: quotes of a
+    // short doc inside longer ones, exact dups, plus unrelated noise
+    val rnd = new scala.util.Random(41)
+    val vocabW = (0 until 200).map(i => s"w$i")
+    def sent(k: Int) = Seq.fill(k)(vocabW(rnd.nextInt(vocabW.size))).mkString(" ")
+    val short = "alpha beta gamma delta"
+    val rows =
+      (0L until 40L).map(i => (i, sent(8 + rnd.nextInt(20)))) ++
+      Seq((100L, short),
+        (101L, short + " " + sent(25)),           // full quote
+        (102L, sent(10) + " " + short),           // quote at the end
+        (103L, "alpha beta gamma"),               // contained in 100
+        (104L, short))                            // exact dup of 100
+    val d = rows.toDF("doc_id", "text")
+    def norm(a: Array[org.apache.spark.sql.Row]) =
+      a.map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.8, 0.95, 1.0)) {
+      val exact = norm(Dedup.containmentPairs(d, col("text"), col("doc_id"),
+        n = 1, threshold = t).collect())
+      val lsh = norm(Dedup.containmentLsh(d, col("text"), col("doc_id"),
+        n = 1, threshold = t, numProbes = 16).collect())
+      assert(lsh === exact, s"threshold $t")
+      assert(t > 0.95 || exact.exists(p => p._1 == 100L && p._2 == 101L),
+        "planted quote pair missing from the exact baseline")
+    }
+    // n=2 shingles: the same equivalence holds on bigram containment
+    val exact2 = norm(Dedup.containmentPairs(d, col("text"), col("doc_id"),
+      n = 2, threshold = 0.9).collect())
+    val lsh2 = norm(Dedup.containmentLsh(d, col("text"), col("doc_id"),
+      n = 2, threshold = 0.9, numProbes = 16).collect())
+    assert(lsh2 === exact2)
+  }
+
   test("normalizeText: case folded, punctuation stripped, whitespace collapsed") {
     import spark.implicits._
     val out = Seq("  Hello, WORLD!!  42\t(ok) ", "", "??!")
