@@ -216,7 +216,7 @@ class PlanSpec extends AnyFunSuite {
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
       "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
       "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
-      "q_line_dedup", "q_pack_sequences")
+      "q_ann_filtered_batch", "q_line_dedup", "q_pack_sequences")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val issues = Seq(
@@ -236,8 +236,11 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("Window"), s"$name dropped its window — update the whitelist")
       // q_tfidf_keywords carries ONE legitimate SinglePartition: the 1-row
       // corpus-size (N) scalar aggregate that broadcasts into the idf term.
-      // Its ranking window must still be keyed, so any second one fails.
-      val allowed = if (name == "q_tfidf_keywords") 1 else 0
+      // The _fast ANN twins likewise fold recall@3 into a single summary
+      // row (a 1-row scalar aggregate over ≤60 joined truth rows). Their
+      // ranking windows must still be keyed, so any second one fails.
+      val allowed = if (Set("q_tfidf_keywords", "q_ann_batch_fast",
+        "q_ann_pq_batch_fast")(name)) 1 else 0
       assert("SinglePartition".r.findAllIn(p).size <= allowed,
         s"$name: a SinglePartition exchange appeared — its window may have gone global:\n$p")
     }
