@@ -32,4 +32,22 @@ sbt -batch "runMain graft.Verify $SF $OUT/vcluster"
 SPARK_GRAFT_SF_DIR="${BENCH_SF:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.Bench" | tee "$OUT/bench-cluster.log"
 cp target/bench.json "$OUT/bench-cluster.json"
+
+# Load-normalize the headline total by the calibration probe: the probe's
+# true cost is pure framework overhead (historical unloaded band ~0.12 s),
+# so total x (0.12 / median(calibration)) strips ambient machine load out
+# of cross-round comparisons (BENCH_LOCAL.md's round table carries BOTH
+# raw and normalized columns).
+python3 - "$OUT/bench-cluster.json" <<'EOF'
+import json, sys, statistics
+j = json.load(open(sys.argv[1]))
+cal = [v for v in j.get("calibration", {}).values()
+       if isinstance(v, (int, float)) and v > 0]
+med = statistics.median(cal) if cal else float("nan")
+FLOOR = 0.12  # unloaded calibration band, see BENCH_LOCAL.md
+norm = j["value"] * (FLOOR / med) if cal and med > 0 else float("nan")
+print(f"[closeout] total={j['value']:.2f}s"
+      f" calibration_median={med:.3f}s"
+      f" load_normalized_total={norm:.2f}s (floor {FLOOR})")
+EOF
 echo "close-out artifacts in $OUT (vcluster/ + bench-cluster.json)"

@@ -270,12 +270,20 @@ object Similarity {
     * the probe an index: `ivfTopK`'s cell filter becomes a partition filter,
     * so at 100 TB a probe reads nProbe/nCentroids of the files, not all of
     * them.
+    *
+    * Rows CLUSTER on the cell before the write (one shuffle): a dynamic-
+    * partition write otherwise sprays every cell across every task —
+    * (tasks × cells) tiny files, measured 0.6–0.8× of a full REBUILD per
+    * append on tools.AnnAppendStress before the fix — where clustering
+    * bounds it at one file per cell per write (the buildExactIndex
+    * discipline).
     */
   def ivfBuild(df: DataFrame, vecCol: Column, idCol: Column, nCentroids: Int,
                indexPath: String, refineIters: Int = 2): Seq[(Int, Seq[Float])] = {
     val centroids = refineCentroids(df, vecCol,
       sampleCentroids(df, vecCol, idCol, nCentroids), refineIters)
     ivfAssign(df, vecCol, centroids)
+      .repartition(col("__c"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
     centroids
@@ -451,7 +459,7 @@ object Similarity {
                             indexPath: String, metaPath: java.nio.file.Path,
                             lines: java.util.List[String], bodyLen: Int,
                             batch: DataFrame, idCol: Column,
-                            indexIdCol: Column)
+                            indexIdCol: Column, dedupAgainstIndex: Boolean)
                            (encode: DataFrame => DataFrame): Long = {
     // pin the index SNAPSHOT by explicit file list: Spark's
     // recache-on-write would otherwise re-plan the scan against the
@@ -463,7 +471,8 @@ object Similarity {
       }
     val batchIds = batch.select(idCol.as("__bid")).distinct()
     val hits =
-      if (preFiles.isEmpty) batchIds.select(col("__bid").as("__iid")).limit(0)
+      if (preFiles.isEmpty || !dedupAgainstIndex)
+        batchIds.select(col("__bid").as("__iid")).limit(0)
       else spark.read.parquet(preFiles: _*).select(indexIdCol.as("__iid"))
         .join(broadcast(batchIds), col("__iid") === col("__bid"), "left_semi")
         .distinct()
@@ -477,6 +486,7 @@ object Similarity {
         (body :+ s"appends=${saturatedBump(parseAppends(lines))}")
           .mkString("\n"))
       encode(fresh)
+        .repartition(col("__c")) // ≤ one appended file per touched cell
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("__c").parquet(indexPath)
       crashHook("ann.appended")
@@ -490,9 +500,18 @@ object Similarity {
     * of an already-admitted batch). See the crash/staleness contract on
     * [[appendIndexed]]; [[ivfBuildIfMissing]] refuses a corpus-change
     * rebuild once appends are recorded.
+    *
+    * `dedupAgainstIndex = false` skips the index id scan entirely, making
+    * the append O(batch) instead of O(index id column) — the right mode
+    * when the pipeline GUARANTEES globally-fresh ids (monotonic snowflake
+    * ids, date-prefixed crawl ids). The trade is explicit: without the
+    * anti-join, replaying a batch DUPLICATES its rows, so a crashed append
+    * must be retried with the default (self-deduplicating) mode, never
+    * blind-replayed in this one.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                batch: DataFrame, vecCol: Column, idCol: Column): Long = {
+                batch: DataFrame, vecCol: Column, idCol: Column,
+                dedupAgainstIndex: Boolean = true): Long = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
     val parsed = scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(metaPath)
@@ -506,15 +525,18 @@ object Similarity {
         "build the index first (ivfBuildIfMissing)"))
     val (lines, nAct, centroids) = parsed
     appendIndexed(spark, indexPath, metaPath, lines, nAct + 1, batch,
-      idCol, idCol)(fresh => ivfAssign(fresh, vecCol, centroids))
+      idCol, idCol, dedupAgainstIndex)(
+      fresh => ivfAssign(fresh, vecCol, centroids))
   }
 
   /** [[ivfAppend]] for an IVF-PQ index: fresh rows are encoded with the
     * index's FROZEN codebooks and assigned to its frozen coarse cells, then
-    * appended as (id, codes, cell) rows.
+    * appended as (id, codes, cell) rows. Same `dedupAgainstIndex` contract
+    * as [[ivfAppend]].
     */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                  batch: DataFrame, vecCol: Column, idCol: Column): Long = {
+                  batch: DataFrame, vecCol: Column, idCol: Column,
+                  dedupAgainstIndex: Boolean = true): Long = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
     val parsed = scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(metaPath)
@@ -540,7 +562,7 @@ object Similarity {
     val keep = headerField(parsed._1.get(0), "keep")
       .map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     appendIndexed(spark, indexPath, metaPath, lines, bodyLen, batch,
-      idCol, col("__id")) { fresh =>
+      idCol, col("__id"), dedupAgainstIndex) { fresh =>
       ivfAssign(fresh.select(idCol.as("__id") +: vecCol.as("__v") +:
           keep.map(col): _*), col("__v"), coarse)
         .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
@@ -763,6 +785,7 @@ object Similarity {
         keep.map(col): _*), col("__v"), coarse)
       .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
         (keep.map(col) :+ col("__c")): _*)
+      .repartition(col("__c")) // one file per cell, not one per (task, cell)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
     (coarse, books)

@@ -1728,6 +1728,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfAppend(spark, idx, more, col("embedding"),
       col("vec_id")) === 10L)
     assert(spark.read.parquet(idx).count() === 130L)
+    // the O(batch) fast path (caller guarantees fresh ids) skips the index
+    // id scan: fresh ids land identically...
+    val fresh2 = incCorpus(140).filter($"vec_id" >= 130)
+    assert(Similarity.ivfAppend(spark, idx, fresh2, col("embedding"),
+      col("vec_id"), dedupAgainstIndex = false) === 10L)
+    assert(spark.read.parquet(idx).count() === 140L)
+    assert(spark.read.parquet(idx).select(col("vec_id")).distinct()
+      .count() === 140L)
+    // ...and the documented trade is real: a blind replay in this mode
+    // DUPLICATES (which is why crashed appends retry in the default mode)
+    assert(Similarity.ivfAppend(spark, idx, fresh2, col("embedding"),
+      col("vec_id"), dedupAgainstIndex = false) === 10L)
+    assert(spark.read.parquet(idx).count() === 150L)
+    assert(spark.read.parquet(idx).select(col("vec_id")).distinct()
+      .count() === 140L)
   }
 
   test("ivfPqAppend: frozen-codebook append == exact over the combined corpus") {

@@ -197,6 +197,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q_ann_pq re-rank shuffled:\n$p")
   }
 
+  test("filtered batched ANN pushes the metadata predicate into the pruned scan") {
+    val p = planOf("q_ann_filtered_batch")
+    // pre-filter mode, physically: the cell filter prunes partitions AND
+    // the label predicate reaches the parquet reader as a pushed filter —
+    // candidates are filtered before ranking at the SCAN, not post-hoc
+    assert(p.contains("PartitionFilters: [__c"),
+      s"cell filter did not become a partition filter:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("label"),
+      s"label predicate did not push into the index scan:\n$p")
+  }
+
+  test("containment LSH probes compact hashes; text never rides the candidate join") {
+    val p = planOf("q_containment_lsh")
+    // the probe/index join carries only (id, 8-byte hash) rows; shingle
+    // arrays rejoin by id for the bounded candidate set afterwards. The
+    // 'text' column itself must not appear in any exchange (hashPartitioning
+    // columns or shuffle payload projections list it by name).
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchangeLines.mkString("\n")}")
+    // verification joins the persisted tokenize pass (InMemory relation),
+    // not a fourth re-tokenization of the source
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"shingle pass not cached for its consumers:\n$p")
+  }
+
+  test("incremental ANN probe reads the appended index partition-pruned") {
+    val p = planOf("q_ann_incremental")
+    assert(p.contains("PartitionFilters: [__c"),
+      s"incremental probe lost partition pruning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("incremental dedup never shuffles the history index through a join") {
     val p = planOf("q_dedup_incremental")
     // every join is broadcast (batch hashes INTO the index scan, candidate
