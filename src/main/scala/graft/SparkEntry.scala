@@ -433,8 +433,9 @@ object SparkEntry {
         |  NORMTEXT(CONCAT('', 'X! ', lang, '?')) AS nrm,
         |  FINGERPRINT(lang) AS fp,
         |  TOKCOUNT(CONCAT(' ', lang, source)) AS toks,
-        |  URLNORM(CONCAT('', 'https://S', lang, '.com:8080/p?utm_source=x&q=', source, '#f')) AS un
-        |ORDER BY dom, nrm, fp, toks, un""".stripMargin),
+        |  URLNORM(CONCAT('', 'https://S', lang, '.com:8080/p?utm_source=x&q=', source, '#f')) AS un,
+        |  URLDOMAINPSL(CONCAT('', 'https://b', lang, '.github.io/x')) AS dpsl
+        |ORDER BY dom, nrm, fp, toks, un, dpsl""".stripMargin),
 
     // §2.3 PERCENTILE (bounded, interpolated)
     "q_percentile" -> gq(
@@ -1394,10 +1395,11 @@ object SparkEntry {
         |  CAST((ascii(lang) + length(lang)) % 1000000007 AS BIGINT) AS fp,
         |  CAST(len(string_split(lang || ' ' || source, ' ')) AS INT) AS toks,
         |  'https://s' || lang || '.com:8080/p?q=' || source AS un,
+        |  'b' || lang || '.github.io' AS dpsl,
         |  SUM(n_chars * 1.0) AS chars,
         |  CAST(count(*) AS DOUBLE) AS "_points"
         |FROM documents
-        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -128,6 +128,9 @@ object Builders {
         graft.pipeline.UrlOps.registeredDomain(
           graft.pipeline.UrlOps.urlHost(cols.head))
       case "URLNORM" => graft.pipeline.UrlOps.normalizeUrl(cols.head)
+      case "URLDOMAINPSL" => // full Public Suffix List resolution
+        graft.pipeline.UrlOps.registeredDomainPsl(
+          graft.pipeline.UrlOps.urlHost(cols.head))
       case other =>
         val pr = dimFnProvidersRaw.get(other)
         if (pr != null) pr(cols, raw)

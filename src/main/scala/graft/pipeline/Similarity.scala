@@ -283,7 +283,12 @@ object Similarity {
     val centroids = refineCentroids(df, vecCol,
       sampleCentroids(df, vecCol, idCol, nCentroids), refineIters)
     ivfAssign(df, vecCol, centroids)
-      .repartition(col("__c"))
+      // ~one shuffle partition per CELL (not the session default): a task
+      // then writes ~one cell's worth of data, so file size tracks cell
+      // size at any corpus scale instead of (cells/defaultPartitions)
+      // cells piling into one task; AQE coalesces the empties at small
+      // scale
+      .repartition(centroids.length, col("__c"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
     centroids
@@ -785,7 +790,7 @@ object Similarity {
         keep.map(col): _*), col("__v"), coarse)
       .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
         (keep.map(col) :+ col("__c")): _*)
-      .repartition(col("__c")) // one file per cell, not one per (task, cell)
+      .repartition(coarse.length, col("__c")) // ~one task per cell (see ivfBuild)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(indexPath)
     (coarse, books)

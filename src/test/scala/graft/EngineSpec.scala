@@ -62,7 +62,9 @@ class EngineSpec extends AnyFunSuite {
         |  URLHOST(CONCAT('', 'http://Host-', SUBSTR(path, 2, 5), '.com/x')) AS h,
         |  NORMTEXT(CONCAT('', 'A! ', path)) AS n,
         |  URLNORM(CONCAT('', 'HTTP://Host-', SUBSTR(path, 2, 5),
-        |    '.com:8080/x?utm_source=a&q=1#frag')) AS un
+        |    '.com:8080/x?utm_source=a&q=1#frag')) AS un,
+        |  URLDOMAINPSL(CONCAT('', 'http://blog.Host-', SUBSTR(path, 2, 5),
+        |    '.github.io/x')) AS dp
         |ORDER BY h""".stripMargin).collect()
     assert(rows.length == 2) // /index.html and /login
     // the dialect values equal the pipeline operators applied directly
@@ -76,6 +78,9 @@ class EngineSpec extends AnyFunSuite {
     assert(login.getAs[String]("n") == "a login")
     // non-default port survives, tracking param + fragment drop, case folds
     assert(login.getAs[String]("un") == "http://host-login.com:8080/x?q=1")
+    // PSL resolution: github.io is a public suffix, so the registered
+    // domain keeps the site label (the heuristic would collapse it)
+    assert(login.getAs[String]("dp") == "host-login.github.io")
     assert(d(login.getAs[Any]("requests")) == 34.0 + 12.0 + 411.0 + 28.0)
   }
 
