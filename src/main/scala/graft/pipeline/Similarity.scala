@@ -575,6 +575,33 @@ object Similarity {
     }
   }
 
+  /** Blue/green compaction of an appended index: each [[ivfAppend]] adds
+    * up to one file per touched cell, so a long-lived index fragments
+    * exactly like a size-tiered store. This rewrites the index CLUSTERED
+    * (~one file per cell) into a NEW directory and carries the meta —
+    * centroids/codebooks AND the `appends=` counter — verbatim, so the
+    * compacted copy answers probes identically and keeps refusing
+    * corpus-change rebuilds. Blue/green is the crash-safe shape: build
+    * dest, flip readers, delete source; an incomplete dest is simply
+    * deleted, the source is never touched. (In-place rewrite is
+    * deliberately not offered — Spark cannot atomically overwrite a
+    * directory it is reading.)
+    */
+  def indexCompactTo(spark: org.apache.spark.sql.SparkSession,
+                     srcPath: String, destPath: String): Unit = {
+    val df = spark.read.parquet(srcPath)
+    val cells = df.select(col("__c")).distinct().count().toInt
+    df.repartition(math.max(cells, 1), col("__c"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__c").parquet(destPath)
+    for (m <- Seq("_centroids.txt", "_pq.txt")) {
+      val s = java.nio.file.Paths.get(srcPath, m)
+      if (java.nio.file.Files.exists(s))
+        java.nio.file.Files.copy(s, java.nio.file.Paths.get(destPath, m),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
     val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
     val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)

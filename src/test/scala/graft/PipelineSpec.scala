@@ -1772,6 +1772,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === 120L)
   }
 
+  test("index compaction: clustered copy answers identically, keeps meta + refusal") {
+    import spark.implicits._
+    val all = incCorpus(120)
+    val seed = all.filter($"vec_id" % 4 === 0)
+    val q = all.filter($"vec_id" === 1).collect()(0).getSeq[Float](1)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-compact").toString + "/i"
+    val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), 4, idx)
+    // three append batches fragment each touched cell
+    for (r <- 1 to 3)
+      Similarity.ivfAppend(spark, idx,
+        all.filter($"vec_id" % 4 === r), col("embedding"), col("vec_id"))
+    def filesPerCell(p: String): Map[String, Int] =
+      spark.read.parquet(p).inputFiles
+        .groupBy(f => f.split("/").takeRight(2).head).view.mapValues(_.length).toMap
+    assert(filesPerCell(idx).values.max > 1, "appends did not fragment")
+    val dest = java.nio.file.Files
+      .createTempDirectory("ivf-compact-d").toString + "/i"
+    Similarity.indexCompactTo(spark, idx, dest)
+    assert(filesPerCell(dest).values.max === 1, "compaction left fragments")
+    // identical probe results, identical meta (appends counter included)
+    val a = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.ivfTopK(spark, dest, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dest, "_centroids.txt")) ===
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(idx, "_centroids.txt")))
+    // the compacted copy still refuses a corpus-change rebuild
+    val changed = incCorpus(90).filter($"vec_id" % 4 === 0)
+    intercept[IllegalStateException] {
+      Similarity.ivfBuildIfMissing(changed, col("embedding"), col("vec_id"),
+        4, dest)
+    }
+  }
+
   test("appended ANN history refuses a corpus-change rebuild; seed reuse still works") {
     import spark.implicits._
     val all = incCorpus(80)
