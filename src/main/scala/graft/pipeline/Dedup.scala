@@ -267,6 +267,30 @@ object Dedup {
     out
   }
 
+  /** Blue/green compaction of the incremental-dedup index: every
+    * [[exactIncremental]] admit appends ~one file per touched hash
+    * prefix, so a year of daily batches leaves hundreds of files per
+    * prefix dir. This rewrites the index clustered (one file per prefix)
+    * into a NEW directory, carrying `_index.txt` — fingerprint AND
+    * appends counter — verbatim: identical dedup decisions, rebuild
+    * refusal intact. Blue/green (build dest, flip readers, delete
+    * source) is the crash-safe shape, mirroring
+    * [[Similarity.indexCompactTo]].
+    */
+  def indexCompactTo(spark: org.apache.spark.sql.SparkSession,
+                     srcPath: String, destPath: String): Unit = {
+    spark.read.parquet(srcPath)
+      .select(col("__h"), col("__hp"))
+      .repartition(col("__hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__hp").parquet(destPath)
+    val meta = java.nio.file.Paths.get(srcPath, "_index.txt")
+    if (java.nio.file.Files.exists(meta))
+      java.nio.file.Files.copy(meta,
+        java.nio.file.Paths.get(destPath, "_index.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /
     * C4 span-dedup stage): split every document on `sep`, keep only the
     * FIRST occurrence of each distinct unit corpus-wide (earliest

@@ -1306,6 +1306,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally { Dedup.crashHook = _ => () }
   }
 
+  test("dedup index compaction: one file per prefix, decisions + meta preserved") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("dedup-compact").toString + "/i"
+    val seed = (0L until 40L).map(i => (i, s"seed text $i")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(seed, col("text"), col("doc_id"), idx)
+    for (r <- 1 to 3) {
+      val batch = (0L until 20L)
+        .map(i => (1000L * r + i, s"batch $r text $i")).toDF("doc_id", "text")
+      Dedup.exactIncremental(batch, col("text"), col("doc_id"), idx).collect()
+    }
+    def filesPerPrefix(p: String): Map[String, Int] =
+      spark.read.parquet(p).inputFiles
+        .groupBy(f => f.split("/").takeRight(2).head).view.mapValues(_.length).toMap
+    assert(filesPerPrefix(idx).values.max > 1, "admits did not fragment")
+    val dest = java.nio.file.Files
+      .createTempDirectory("dedup-compact-d").toString + "/i"
+    Dedup.indexCompactTo(spark, idx, dest)
+    assert(filesPerPrefix(dest).values.max === 1, "compaction left fragments")
+    // identical dedup decisions: a probe mixing seen and fresh texts
+    val probe = Seq((1L, "seed text 3"), (2L, "batch 2 text 7"),
+      (3L, "never seen")).toDF("doc_id", "text")
+    def decide(p: String) = Dedup.exactIncremental(probe, col("text"),
+      col("doc_id"), p, admit = false).collect().map(_.getLong(0)).sorted.toSeq
+    assert(decide(dest) === Seq(3L))
+    assert(decide(dest) === decide(idx))
+    // meta verbatim → the corpus-change rebuild refusal survives the copy
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dest, "_index.txt")) ===
+      java.nio.file.Files.readString(java.nio.file.Paths.get(idx, "_index.txt")))
+    intercept[IllegalStateException] {
+      Dedup.buildExactIndexIfMissing(
+        seed.filter(col("doc_id") < 10), col("text"), col("doc_id"), dest)
+    }
+  }
+
   test("corrupt _index.txt appends counter lands on the refusing side") {
     import spark.implicits._
     val idx = java.nio.file.Files
