@@ -1808,6 +1808,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === 120L)
   }
 
+  test("streaming ANN maintenance: micro-batches append idempotently; probe == exact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = incCorpus(90)
+    val seed = all.filter($"vec_id" < 30)
+    val q = all.filter($"vec_id" === 1).collect()(0).getSeq[Float](1)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ann-stream").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ann-stream-ckpt").toString
+    val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), 4, idx)
+    val rows = all.filter($"vec_id" >= 30).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = graft.streaming.AnnIndexStream.attachIvf(stream,
+      col("embedding"), col("vec_id"), idx, ckpt)
+    try {
+      mem.addData(rows.take(30).toSeq)
+      query.processAllAvailable()
+      mem.addData(rows.drop(30).toSeq)
+      query.processAllAvailable()
+      // redelivery (at-least-once) is a no-op: same rows again
+      mem.addData(rows.drop(30).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val scan = spark.read.parquet(idx)
+    assert(scan.count() === 90L)
+    assert(scan.select(col("vec_id")).distinct().count() === 90L)
+    val got = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topK(all, col("embedding"), col("vec_id"), q, 10,
+      quantized = true).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+  }
+
   test("index compaction: clustered copy answers identically, keeps meta + refusal") {
     import spark.implicits._
     val all = incCorpus(120)
