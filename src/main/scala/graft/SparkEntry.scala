@@ -1174,6 +1174,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
+    // deterministic corpus shuffle: md5-keyed shard + in-shard position —
+    // the reproducible global permutation a pretraining run feeds into
+    // sequence packing (rand()/repartition order changes with file
+    // layout; this never does). Map-only assignment + per-shard window.
+    "q_shuffle_shards" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.shuffleShards(docs, col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // repetition quality signals: duplicate-token ratio + top-bigram share
     // via the one-pass native Repetition expression (the HOF formulation in
     // TextAnalysis is its executable spec, pinned in PipelineSpec).
@@ -2209,6 +2220,23 @@ object SparkEntry {
 
     // The md5-derived uniform: first 13 hex digits = 52 bits, exact in a
     // double; division by 2^52 is exact, so selection is engine-identical.
+    "q_shuffle_shards" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(least(floor(uv * 8), 7) AS INT) AS shard, uv
+        |  FROM u)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY uv, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
     "q_sample" ->
       """WITH u AS (
         |  SELECT doc_id, lang,

@@ -65,6 +65,37 @@ object Sampling {
     }
   }
 
+  /** Deterministic corpus shuffle — the "shuffle the training data" step
+    * of a pretraining run: every row gets a shard and an in-shard position
+    * from the md5-uniform of its KEY, so the global order (shard, pos) is
+    * a reproducible pseudo-random permutation — stable across re-runs,
+    * engines, and file layouts, unlike `rand()`/`repartition`, whose
+    * order silently changes with partitioning (and with it every training
+    * batch). Output: source columns + (shard, pos).
+    *
+    * Scale shape: the shard assignment is map-only; the position is a
+    * per-SHARD keyed window — shards are the parallelism unit (pass the
+    * `shard` column straight into [[packSequences]], whose per-shard
+    * cumsum then walks documents in exactly this shuffled order via
+    * doc_id = pos), so no corpus-global sort ever materializes. Ties in
+    * the 52-bit uniform are broken by the key itself, keeping the
+    * permutation total and deterministic.
+    */
+  def shuffleShards(df: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val u = hashUniform(keyCol)
+    // u < 1 so floor(u·n) ≤ n−1 mathematically; least() guards the one
+    // floating-point edge where u·n rounds up to exactly n
+    val shard = least(floor(u * nShards), lit(nShards - 1L)).cast("int")
+    df.withColumn("__u", u)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__u"), keyCol.cast("string"))).cast("long"))
+      .drop("__u")
+  }
+
   /** Per-stratum sample rates that hit a target token budget per stratum:
     * `rate(s) = min(1, budget / tokens(s))` from ONE aggregation over the
     * corpus (one row per stratum on the driver). Composing with

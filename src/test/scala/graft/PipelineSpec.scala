@@ -1079,6 +1079,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards: a stable permutation, dense per shard, feeds packSequences") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val out = Sampling.shuffleShards(d, col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // every row exactly once, shards in range, positions dense 1..|shard|
+    assert(out.length === 500 && out.map(_._1).distinct.length === 500)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    for ((s, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $s positions not dense")
+    // stable under a different physical layout (the property rand() lacks)
+    val again = Sampling.shuffleShards(d.repartition(13), col("doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // it actually shuffles: in-shard order differs from insertion order
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // and composes with packSequences: pos as the doc key packs each shard
+    // in shuffled order with a contiguous token stream
+    val packed = Sampling.packSequences(
+        Sampling.shuffleShards(d, col("doc_id"), 8)
+          .select(col("pos").as("k"), col("shard").cast("string").as("sh"),
+            col("n")),
+        col("n"), col("k"), col("sh"), seqLen = 16)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    for ((sh, rows) <- packed.groupBy(_._1)) {
+      var stream = 0L
+      for ((_, _, n, bs, off) <- rows.sortBy(_._2)) {
+        assert(bs === stream / 16 && off === stream % 16, s"shard $sh")
+        stream += n
+      }
+    }
+  }
+
   test("token-budget rates downsample only over-budget strata") {
     import spark.implicits._
     // stratum "big" holds 1000 tokens, "small" 60: budget 100 should cut
