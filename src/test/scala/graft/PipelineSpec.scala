@@ -1844,6 +1844,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === 120L)
   }
 
+  test("ANN append fuzz: random overlapping batch schedules match a local id-set model") {
+    import spark.implicits._
+    val pool = incCorpus(150)
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 3) {
+      val seedIds = (0L until 150L).filter(_ => rnd.nextBoolean()).take(40)
+      val seed = pool.filter(col("vec_id").isin(seedIds: _*))
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"ann-fuzz-$trial").toString + "/i"
+      val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+        col("vec_id"), 5, idx)
+      // local model: the set of indexed ids
+      var model = seedIds.toSet
+      for (_ <- 0 until 4) {
+        // random batch with arbitrary overlap against history and itself
+        val ids = Seq.fill(20)(rnd.nextInt(150).toLong)
+        val batch = pool.filter(col("vec_id").isin(ids.distinct: _*))
+        val appended = Similarity.ivfAppend(spark, idx, batch,
+          col("embedding"), col("vec_id"))
+        assert(appended === (ids.toSet -- model).size,
+          s"trial $trial: appended count diverged from the model")
+        model ++= ids
+        // full-probe top-k over the index == exact top-k over the model set
+        val q = pool.filter(col("vec_id") === rnd.nextInt(150).toLong)
+          .collect()(0).getSeq[Float](1)
+        val got = Similarity.ivfTopK(spark, idx, cents, col("embedding"),
+            col("vec_id"), q, 8, nProbe = 5, quantized = true)
+          .collect().map(_.getLong(0)).toSeq
+        val exact = Similarity.topK(
+            pool.filter(col("vec_id").isin(model.toSeq: _*)),
+            col("embedding"), col("vec_id"), q, 8, quantized = true)
+          .collect().map(_.getLong(0)).toSeq
+        assert(got === exact, s"trial $trial: probe diverged from model")
+      }
+      assert(spark.read.parquet(idx).select(col("vec_id")).distinct()
+        .count() === model.size.toLong)
+    }
+  }
+
   test("streaming ANN maintenance: micro-batches append idempotently; probe == exact") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
