@@ -575,6 +575,29 @@ object Similarity {
     }
   }
 
+  /** Cell-occupancy histogram of an IVF/IVF-PQ index — the RE-CLUSTER
+    * monitor for incrementally-appended indexes: appends against frozen
+    * centroids can only grow cells, and a drifted ingest crowds few of
+    * them until "pruned" probes read most of the corpus
+    * (tools.AnnDriftStress measured the probed fraction climbing
+    * 0.30 → 0.64 as a shared ingest shift passed the inter-cluster
+    * scale, while recall stayed ≥ 0.99 — the degradation is COST, not
+    * quality, so a recall floor would never fire). One column-pruned
+    * aggregate over the partition column; returns (cell, rows, share)
+    * ordered by share descending. Re-cluster blue/green when
+    * `sum(top nProbe shares)` crosses the probe's scan budget.
+    */
+  def cellHistogram(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): DataFrame = {
+    val counts = spark.read.parquet(indexPath)
+      .groupBy(col("__c")).agg(count(lit(1)).as("rows"))
+    // nCells-row frame: the 1-row total broadcasts into it
+    counts.crossJoin(broadcast(counts.agg(sum(col("rows")).as("__t"))))
+      .select(col("__c").as("cell"), col("rows"),
+        (col("rows").cast("double") / col("__t")).as("share"))
+      .orderBy(col("share").desc, col("cell"))
+  }
+
   /** Blue/green compaction of an appended index: each [[ivfAppend]] adds
     * up to one file per touched cell, so a long-lived index fragments
     * exactly like a size-tiered store. This rewrites the index CLUSTERED

@@ -1844,6 +1844,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === 120L)
   }
 
+  test("cellHistogram: shares sum to 1 and track appends (the re-cluster monitor)") {
+    import spark.implicits._
+    val all = incCorpus(80)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-hist").toString + "/i"
+    Similarity.ivfBuildIfMissing(seed, col("embedding"), col("vec_id"), 4, idx)
+    val h0 = Similarity.cellHistogram(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(math.abs(h0.map(_._3).sum - 1.0) < 1e-9)
+    assert(h0.map(_._2).sum === 40L)
+    // ordered by share descending
+    assert(h0.map(_._3).toSeq === h0.map(_._3).sortBy(-_).toSeq)
+    // appends grow cells; the histogram reflects the new totals
+    Similarity.ivfAppend(spark, idx, all.filter($"vec_id" % 2 === 1),
+      col("embedding"), col("vec_id"))
+    val h1 = Similarity.cellHistogram(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(h1.map(_._2).sum === 80L)
+    assert(math.abs(h1.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("ANN append fuzz: random overlapping batch schedules match a local id-set model") {
     import spark.implicits._
     val pool = incCorpus(150)
