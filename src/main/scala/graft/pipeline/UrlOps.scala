@@ -157,4 +157,17 @@ object UrlOps {
       : DataFrame =
     df.filter(!registeredDomain(urlHost(urlCol), twoLabelSuffixes)
       .isin(blocked: _*))
+
+  /** [[domainFilter]] resolving through the Public Suffix List: under the
+    * heuristic, a blocklist entry like `spam.github.io` can never match
+    * (every `*.github.io` host collapses to `github.io`), so blocked
+    * platform subdomains slip through — the PSL resolver keeps each
+    * subdomain its own registered domain and the entry fires. Same
+    * map-only shape.
+    */
+  def domainFilterPsl(df: DataFrame, urlCol: Column, blocked: Seq[String],
+                      rules: graft.functions.PslRules = defaultPsl)
+      : DataFrame =
+    df.filter(!registeredDomainPsl(urlHost(urlCol), rules)
+      .isin(blocked: _*))
 }

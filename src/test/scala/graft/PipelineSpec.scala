@@ -117,6 +117,20 @@ class PipelineSpec extends AnyFunSuite {
       .select(UrlOps.registeredDomainPsl(col("host"), custom))
       .collect()(0).getString(0)
     assert(c === "site.my.suffix")
+    // blocklisting a platform SUBDOMAIN only works through the PSL: the
+    // heuristic collapses every *.github.io to github.io so the entry
+    // can never fire (and blocking github.io would nuke the platform)
+    val urls = Seq(
+      (1L, "https://spam.github.io/x"),
+      (2L, "https://legit.github.io/x"),
+      (3L, "https://spam.github.io.evil.com/x") // lookalike: NOT blocked id
+    ).toDF("id", "url")
+    val keptPsl = UrlOps.domainFilterPsl(urls, col("url"),
+        Seq("spam.github.io")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptPsl === Seq(2L, 3L))
+    val keptHeur = UrlOps.domainFilter(urls, col("url"),
+        Seq("spam.github.io")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptHeur === Seq(1L, 2L, 3L), "heuristic can never match the entry")
   }
 
   test("urlHost agrees with java.net.URI over structured random URLs") {
