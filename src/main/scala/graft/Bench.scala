@@ -170,6 +170,10 @@ object Bench {
       // exact-truth table for the _fast twins' recall gates (one-time,
       // fingerprint-guarded): the measured twin pays only a 60-row read
       SparkEntry.gateAnnTruth(spark, sfDir)
+      // filtered-PQ gate index (kept label column rides with the codes)
+      graft.pipeline.Similarity.ivfPqBuildIfMissing(embBatch,
+        col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16,
+        SparkEntry.gatePqFiltPath(sfDir), keep = Seq("label"))
       SparkEntry.rebuildingOnRefusal(SparkEntry.gatePqIncPath(sfDir)) {
         graft.pipeline.Similarity.ivfPqBuildIfMissing(embSeed,
           col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16,

@@ -95,6 +95,12 @@ object SparkEntry {
   private[graft] def gatePqBatchPath(dir: String): String =
     s"$gateBase/gate-ivf/pqbatch${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** IVF-PQ index with a kept attribute column (label) for the filtered
+    * batched-PQ gate — the filterable-attribute store pattern.
+    */
+  private[graft] def gatePqFiltPath(dir: String): String =
+    s"$gateBase/gate-ivf/pqfilt${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Incrementally-maintained IVF index for the q_ann_incremental gate:
     * seed build over the even vec_ids, ivfAppend of the odd ones.
     */
@@ -1003,6 +1009,26 @@ object SparkEntry {
           col("embedding"), col("vec_id"), col("embedding"), k = 3,
           nProbe = 16, quantized = true,
           extraFilter = Some(col("label") % 3 === 0))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // filtered batched retrieval at PQ scan width: the codes index
+    // stores the label as a KEPT attribute column (ivfPqBuild keep=...),
+    // so the predicate pushes into the pruned codes scan before the ADC
+    // ranking — and therefore before the refine re-rank. Full probe +
+    // corpus-wide refine ≡ exact filtered windowed top-k.
+    "q_ann_pq_filtered_batch" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 10)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gatePqFiltPath(dir)
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
+        col("embedding"), col("vec_id"), nCentroids = 16, m = 8, k = 16,
+        idx, keep = Seq("label"))
+      Similarity.ivfPqTopKBatch(s, idx, coarse, books, corpus,
+          col("embedding"), col("vec_id"), queries, col("vec_id"),
+          col("embedding"), k = 3, nProbe = 16, refineK = 1000000,
+          quantized = true, extraFilter = Some(col("label") % 3 === 0))
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2073,6 +2099,25 @@ object SparkEntry {
         |         sqrt(list_dot_product(q.e, q.e))) AS cs
         |  FROM qe q, qe c
         |  WHERE q.vec_id < 20 AND c.vec_id >= 20 AND c.label % 3 = 0),
+        |r AS (
+        |  SELECT qid, id, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank, round(cs, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_pq_filtered_batch" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_dot_product(c.e, q.e)
+        |      / (sqrt(list_dot_product(c.e, c.e)) *
+        |         sqrt(list_dot_product(q.e, q.e))) AS cs
+        |  FROM qe q, qe c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 20 AND c.label % 3 = 0),
         |r AS (
         |  SELECT qid, id, cs, row_number() OVER (
         |    PARTITION BY qid ORDER BY cs DESC, id) AS rank

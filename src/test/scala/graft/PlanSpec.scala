@@ -250,8 +250,8 @@ class PlanSpec extends AnyFunSuite {
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
       "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
       "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
-      "q_ann_filtered_batch", "q_line_dedup", "q_pack_sequences",
-      "q_shuffle_shards")
+      "q_ann_filtered_batch", "q_ann_pq_filtered_batch", "q_line_dedup",
+      "q_pack_sequences", "q_shuffle_shards")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val issues = Seq(
