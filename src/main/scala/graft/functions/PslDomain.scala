@@ -18,7 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
 final class PslRules(val normal: java.util.HashSet[String],
                      val wildcard: java.util.HashSet[String],
                      val exception: java.util.HashSet[String],
-                     val maxLabels: Int) extends Serializable
+                     val maxLabels: Int) extends Serializable {
+  // VALUE equality (the sets compare by content): the broadcast memo keys
+  // on the rules, and per-query `loadPsl(path)` calls yield fresh
+  // instances — identity keying would accrete one broadcast per call for
+  // the JVM lifetime. Exact set comparison, not a content hash: a hash
+  // collision would silently alias two different rule sets to one
+  // broadcast and mis-resolve domains.
+  override def equals(o: Any): Boolean = o match {
+    case r: PslRules => maxLabels == r.maxLabels && normal == r.normal &&
+      wildcard == r.wildcard && exception == r.exception
+    case _ => false
+  }
+  override def hashCode: Int =
+    ((normal.hashCode * 31 + wildcard.hashCode) * 31 +
+      exception.hashCode) * 31 + maxLabels
+}
 
 /** Registered domain (eTLD+1) of an already-extracted lowercase host,
   * resolved against a broadcast Public Suffix List — the PSL algorithm
@@ -61,15 +76,22 @@ case class RegisteredDomainPsl(child: Expression, rules: Broadcast[PslRules])
 }
 
 object RegisteredDomainPsl {
-  // one broadcast per (application, rule-set instance): a session running
-  // many URL queries against the same PSL must not accrete one broadcast
-  // per query
+  // one broadcast per (application, rule-set CONTENT): PslRules has value
+  // equality, so a session re-parsing the same PSL file per query reuses
+  // one broadcast instead of accreting one per call. Entries of dead
+  // applications are evicted on the next apply — the memo is bounded by
+  // the live app's distinct rule-set contents.
   private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, PslRules), Broadcast[PslRules]]()
 
+  /** Visible for the broadcast-sharing test. */
+  private[graft] def memoSize: Int = bcMemo.size
+
   def apply(host: Column, rules: PslRules): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val bc = bcMemo.computeIfAbsent((sc.applicationId, rules),
+    val appId = sc.applicationId
+    bcMemo.keySet.removeIf(_._1 != appId)
+    val bc = bcMemo.computeIfAbsent((appId, rules),
       _ => sc.broadcast(rules))
     ColumnBridge.column(
       RegisteredDomainPsl(ColumnBridge.expression(host), bc))

@@ -276,19 +276,54 @@ object Dedup {
     * refusal intact. Blue/green (build dest, flip readers, delete
     * source) is the crash-safe shape, mirroring
     * [[Similarity.indexCompactTo]].
+    *
+    * COMPLETION SENTINEL: `_index.txt` is written LAST, crash-atomically,
+    * so "dest is valid iff its meta is present". This matters MORE here
+    * than for the ANN index: a meta-less dedup dir reads as `appends=0`,
+    * so flipping readers to a half-compacted dest would silently disarm
+    * the rebuild refusal and a later corpus-change rebuild would discard
+    * the admitted history the compactor was carrying. A src without meta
+    * (plain [[buildExactIndex]], never admitted) compacts to a dest with
+    * an explicit `fp=?;appends=0` meta, so the validity rule is uniform:
+    * check [[requireIndexComplete]] before every flip.
     */
   def indexCompactTo(spark: org.apache.spark.sql.SparkSession,
                      srcPath: String, destPath: String): Unit = {
+    // meta snapshot BEFORE the data rewrite (same pinning as the ANN twin)
+    val (fpLine, appends) = readIndexMeta(
+      java.nio.file.Paths.get(srcPath, "_index.txt")).getOrElse(("fp=?", 0L))
     spark.read.parquet(srcPath)
       .select(col("__h"), col("__hp"))
       .repartition(col("__hp"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__hp").parquet(destPath)
-    val meta = java.nio.file.Paths.get(srcPath, "_index.txt")
-    if (java.nio.file.Files.exists(meta))
-      java.nio.file.Files.copy(meta,
-        java.nio.file.Paths.get(destPath, "_index.txt"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashHook("dedup.compact-data")
+    writeIndexMeta(java.nio.file.Paths.get(destPath, "_index.txt"),
+      fpLine, appends)
+    crashHook("dedup.compact-done")
+  }
+
+  /** Refuse a directory that holds index data but no `_index.txt` — the
+    * state a death inside [[indexCompactTo]] leaves behind, and the one
+    * state that MUST NOT serve reads: it would answer dedup decisions
+    * correctly today while reporting `appends=0`, quietly disarming the
+    * corpus-change rebuild refusal. Check before flipping readers to a
+    * compacted dest; on failure delete the dest and re-compact from the
+    * intact source.
+    */
+  def requireIndexComplete(indexPath: String): Unit = {
+    val dir = java.nio.file.Paths.get(indexPath)
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    if (java.nio.file.Files.exists(dir.resolve("_index.txt"))) return
+    val hasData = {
+      val s = java.nio.file.Files.list(dir)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("__hp="))
+      finally s.close()
+    }
+    if (hasData) throw new IllegalStateException(
+      s"exact-dedup index at $indexPath holds data but no _index.txt — an " +
+        "incomplete compacted copy; flipping readers to it would disarm " +
+        "the appends-refusal. Delete it and re-compact from the source")
   }
 
   /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /
@@ -428,10 +463,21 @@ object Dedup {
     * instead of the exact join's O(Σ|sh| · posting); shingle sets rejoin
     * by id for candidates only, and the tokenization is computed once for
     * its four consumers (PersistCache).
+    *
+    * `stripes` splits a HOT posting hash across reducers, like every other
+    * pair join in this file: a hash that is both corpus-common and some
+    * docs' argmin probe otherwise lands its whole candidate set on ONE
+    * shuffle partition (a single join key is atomic — AQE cannot cut
+    * inside it). Probe rows salt on their doc id; the compact (iid, hash)
+    * index rows replicate to all `stripes` salts, so the result is
+    * IDENTICAL (each probe–index pair still meets exactly once) at the
+    * cost of a stripes× heavier shuffle of the index rows only.
     */
   def containmentLsh(df: DataFrame, textCol: Column, idCol: Column, n: Int,
-                     threshold: Double, numProbes: Int = 16): DataFrame = {
+                     threshold: Double, numProbes: Int = 16,
+                     stripes: Int = 1): DataFrame = {
     require(numProbes >= 1)
+    require(stripes >= 1, "stripes must be >= 1")
     val base = graft.PersistCache.persist(
       df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
         .filter(size(col("sh")) > 0))
@@ -446,7 +492,13 @@ object Dedup {
         }: _*)).as("ph"))
       .distinct()
     val index = hashed.select(col("id").as("iid"), explode(col("hs")).as("ph"))
-    val cand = probes.join(index, "ph")
+    val joined =
+      if (stripes == 1) probes.join(index, "ph")
+      else probes
+        .withColumn("__s", pmod(xxhash64(col("pid")), lit(stripes)).cast("int"))
+        .join(index.withColumn("__s",
+          explode(sequence(lit(0), lit(stripes - 1)))), Seq("ph", "__s"))
+    val cand = joined
       .filter(col("pid") =!= col("iid"))
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"))

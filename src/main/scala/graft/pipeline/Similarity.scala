@@ -412,6 +412,13 @@ object Similarity {
     */
   @volatile private[graft] var crashHook: String => Unit = _ => ()
 
+  /** Test-only capture of the append anti-join's physical plan (guarded —
+    * zero cost when off): lets the plan spec pin that a daily-size append
+    * stays all-broadcast while a giant batch takes the shuffle fallback.
+    */
+  @volatile private[graft] var capturePlans: Boolean = false
+  @volatile private[graft] var lastAppendPlan: String = ""
+
   /** Count of incremental appends recorded in an index meta's trailer
     * lines; 0 when absent. An UNPARSEABLE value reads as Long.MaxValue, not
     * 0 — the tripwire's failure modes are asymmetric (a spurious refusal
@@ -449,22 +456,44 @@ object Similarity {
   // data distribution drifts, so a deployment rebuilds from scratch
   // periodically (explicit delete) — the compaction policy of an index.
 
-  /** Shared append machinery: dedup the batch by id against ONE
-    * column-pruned id scan of the index (batch ids broadcast into it — the
-    * index never shuffles and its vectors/codes are never read), bump the
-    * `appends=` counter crash-atomically BEFORE the parquet append, then
-    * append `encode(fresh)` into the `__c=` layout. The fresh frame is
+  /** Shared append machinery: dedup the batch WITHIN itself (one row per
+    * id — a batch carrying an id twice must not store duplicate ids, the
+    * invariant every probe and the crash fuzz assume; mirrors
+    * exactIncremental's intra-batch winners step) and against ONE
+    * column-pruned id scan of the index, bump the `appends=` counter
+    * crash-atomically BEFORE the parquet append, then append
+    * `encode(fresh)` into the `__c=` layout. The fresh frame is
     * persisted across the decision and the write so the index id scan runs
     * once. Re-running the same batch is a no-op, which is also the crash
     * recovery: counter-first ordering means a death between the two
     * commits leaves a spurious extra count over an unchanged index (an
     * explicit delete away), never appended rows under `appends=0`.
+    *
+    * Broadcast sizing is two-tier, ported from [[Dedup.exactIncremental]]:
+    * a daily-size batch broadcasts its id set into the index id scan
+    * (map-only — the index never shuffles and its vectors/codes are never
+    * read), but a bootstrap-scale backfill batch (10^7+ ids ≈ hundreds of
+    * MB) would OOM every executor as a broadcast, so past
+    * `maxBroadcastIds` distinct ids the joins fall back to shuffles — the
+    * index id column then shuffles ONCE, amortized over the whole batch.
+    * When the optimizer's row estimate already proves the batch small the
+    * counting job is skipped; `maxBroadcastIds <= 0` is an explicit
+    * "always shuffle" override.
+    *
+    * SINGLE WRITER: one append at a time per index path. The meta
+    * read-modify-write and the pre-append file-list snapshot are not
+    * guarded against a concurrent second writer — two simultaneous appends
+    * (two streams, or a stream plus an ad-hoc ivfAppend) can both miss
+    * each other's in-flight rows (double-inserting shared ids) and lose a
+    * counter bump. Serialize all writers of one index; readers are
+    * unaffected.
     */
   private def appendIndexed(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, metaPath: java.nio.file.Path,
                             lines: java.util.List[String], bodyLen: Int,
                             batch: DataFrame, idCol: Column,
-                            indexIdCol: Column, dedupAgainstIndex: Boolean)
+                            indexIdCol: Column, dedupAgainstIndex: Boolean,
+                            maxBroadcastIds: Long = 4000000L)
                            (encode: DataFrame => DataFrame): Long = {
     // pin the index SNAPSHOT by explicit file list: Spark's
     // recache-on-write would otherwise re-plan the scan against the
@@ -474,15 +503,49 @@ object Similarity {
       catch {
         case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
       }
-    val batchIds = batch.select(idCol.as("__bid")).distinct()
+    // intra-batch dedup: exactly one row per id survives (arbitrary but
+    // single — ids are the identity; a duplicated id in one batch would
+    // otherwise store BOTH rows, and no later probe or append could ever
+    // distinguish them)
+    val b1 = batch.withColumn("__gbid", idCol).dropDuplicates("__gbid")
+      .drop("__gbid")
+    val batchIds = b1.select(idCol.as("__bid")).distinct()
+    // two-tier sizing (see scaladoc): optimizer-stats shortcut bounds ROWS
+    // (rowCount when present, else decompressed-bytes/min-row-bytes with
+    // the same conservative constants as exactIncremental); ambiguous or
+    // large batches pay one persisted count of the compact id frame
+    val stats =
+      try Some(b1.queryExecution.optimizedPlan.stats)
+      catch { case _: Exception => None }
+    val estRows: BigInt = stats.flatMap(_.rowCount).getOrElse {
+      val estBytes = stats.map(s => BigInt(s.sizeInBytes.toString))
+        .getOrElse(BigInt(-1))
+      if (estBytes < 0) BigInt(-1)
+      else estBytes * 10 / 8
+    }
+    val smallByStats = maxBroadcastIds > 0 &&
+      estRows >= 0 && estRows <= BigInt(maxBroadcastIds)
+    val (bIds, small) =
+      if (smallByStats) (batchIds, true)
+      else if (maxBroadcastIds <= 0) (batchIds, false)
+      else {
+        val p = batchIds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.count() <= maxBroadcastIds)
+      }
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val hits =
       if (preFiles.isEmpty || !dedupAgainstIndex)
-        batchIds.select(col("__bid").as("__iid")).limit(0)
+        bIds.select(col("__bid").as("__iid")).limit(0)
       else spark.read.parquet(preFiles: _*).select(indexIdCol.as("__iid"))
-        .join(broadcast(batchIds), col("__iid") === col("__bid"), "left_semi")
+        .join(maybeB(bIds), col("__iid") === col("__bid"), "left_semi")
         .distinct()
-    val fresh = batch.join(broadcast(hits), idCol === col("__iid"), "left_anti")
+    val fresh = b1.join(maybeB(hits), idCol === col("__iid"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // test-only plan pin (off in production): the two-tier sizing is a
+    // plan-shape decision, so the spec asserts the daily path keeps its
+    // broadcast joins and the giant-batch path actually shuffles
+    if (capturePlans)
+      lastAppendPlan = fresh.queryExecution.executedPlan.toString
     try {
       val n = fresh.count()
       if (n == 0L) return 0L
@@ -496,7 +559,12 @@ object Similarity {
         .partitionBy("__c").parquet(indexPath)
       crashHook("ann.appended")
       n
-    } finally fresh.unpersist(blocking = false)
+    } finally {
+      fresh.unpersist(blocking = false)
+      // release the counted-path id cache (it served the path choice and
+      // the joins); smallByStats never persisted it
+      if (!smallByStats && maxBroadcastIds > 0) bIds.unpersist(blocking = false)
+    }
   }
 
   /** Append NEW rows (by id) of `batch` — same schema as the seed corpus —
@@ -513,10 +581,17 @@ object Similarity {
     * anti-join, replaying a batch DUPLICATES its rows, so a crashed append
     * must be retried with the default (self-deduplicating) mode, never
     * blind-replayed in this one.
+    *
+    * SINGLE WRITER per index path (see [[appendIndexed]]): concurrent
+    * appends — two streams, or a stream plus an ad-hoc call — can
+    * double-insert shared ids and lose counter bumps. `maxBroadcastIds`
+    * bounds the batch-id broadcast; larger batches take the shuffle
+    * fallback (<= 0 forces it).
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                 batch: DataFrame, vecCol: Column, idCol: Column,
-                dedupAgainstIndex: Boolean = true): Long = {
+                dedupAgainstIndex: Boolean = true,
+                maxBroadcastIds: Long = 4000000L): Long = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
     val parsed = scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(metaPath)
@@ -530,18 +605,19 @@ object Similarity {
         "build the index first (ivfBuildIfMissing)"))
     val (lines, nAct, centroids) = parsed
     appendIndexed(spark, indexPath, metaPath, lines, nAct + 1, batch,
-      idCol, idCol, dedupAgainstIndex)(
+      idCol, idCol, dedupAgainstIndex, maxBroadcastIds)(
       fresh => ivfAssign(fresh, vecCol, centroids))
   }
 
   /** [[ivfAppend]] for an IVF-PQ index: fresh rows are encoded with the
     * index's FROZEN codebooks and assigned to its frozen coarse cells, then
-    * appended as (id, codes, cell) rows. Same `dedupAgainstIndex` contract
-    * as [[ivfAppend]].
+    * appended as (id, codes, cell) rows. Same `dedupAgainstIndex`,
+    * single-writer, and `maxBroadcastIds` contract as [[ivfAppend]].
     */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                   batch: DataFrame, vecCol: Column, idCol: Column,
-                  dedupAgainstIndex: Boolean = true): Long = {
+                  dedupAgainstIndex: Boolean = true,
+                  maxBroadcastIds: Long = 4000000L): Long = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
     val parsed = scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(metaPath)
@@ -567,7 +643,7 @@ object Similarity {
     val keep = headerField(parsed._1.get(0), "keep")
       .map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     appendIndexed(spark, indexPath, metaPath, lines, bodyLen, batch,
-      idCol, col("__id"), dedupAgainstIndex) { fresh =>
+      idCol, col("__id"), dedupAgainstIndex, maxBroadcastIds) { fresh =>
       ivfAssign(fresh.select(idCol.as("__id") +: vecCol.as("__v") +:
           keep.map(col): _*), col("__v"), coarse)
         .select(col("__id") +: pqEncode(col("__v"), books).as("__codes") +:
@@ -598,6 +674,89 @@ object Similarity {
       .orderBy(col("share").desc, col("cell"))
   }
 
+  /** The probed-fraction-at-nProbe statistic tools.AnnDriftStress
+    * validated as THE re-cluster trigger: the worst-case fraction of index
+    * rows an nProbe probe reads = the sum of the top-nProbe cell shares.
+    * Frozen-centroid drift does not hurt recall (measured ≥ 0.99 out to 5×
+    * the cluster radius) — it crowds few cells until "pruned" probes read
+    * most of the corpus, so the degradation is COST and this is the number
+    * to alarm on, not a recall floor. One column-pruned aggregate + a
+    * bounded (≤ nProbe rows) collect.
+    */
+  def probedFraction(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, nProbe: Int): Double = {
+    val r = cellHistogram(spark, indexPath).limit(nProbe)
+      .agg(sum(col("share"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Outcome of one [[maintainIndex]] pass: the measured statistic, whether
+    * a re-cluster ran, the path readers should use from now on, and the
+    * (possibly restarted) maintenance stream.
+    */
+  final case class MaintainResult(
+      probedFraction: Double, rebuilt: Boolean, activePath: String,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery])
+
+  /** Operational glue for the incremental-IVF lifecycle — the re-cluster
+    * policy tools.AnnDriftStress measured, as one entry point:
+    *
+    *   1. compute [[probedFraction]] at the caller's `nProbe`;
+    *   2. under `scanBudget` → no action (appends against frozen centroids
+    *      remain the right trade);
+    *   3. over budget → stop the attached [[graft.streaming.AnnIndexStream]]
+    *      (single-writer: the rebuild reads a quiesced index), re-cluster
+    *      blue/green into `destPath` with FRESH centroids over the index's
+    *      full current contents (the stored rows carry their original
+    *      columns, so no corpus re-read is needed), carry the `appends=`
+    *      counter verbatim (the refusal tripwire stays armed), verify the
+    *      dest via [[requireIndexComplete]], then restart the stream
+    *      against the dest via `restart`.
+    *
+    * The flip is the return value: readers (and the restarted stream)
+    * switch to `activePath`; the caller deletes the source after its own
+    * readers have drained, per the blue/green contract. IVF only — a PQ
+    * index stores codes, not vectors, so it cannot re-cluster from itself
+    * (rebuild from the original corpus instead).
+    */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, destPath: String,
+                    vecCol: Column, idCol: Column,
+                    nProbe: Int, scanBudget: Double,
+                    stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+                    restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
+                    refineIters: Int = 2): MaintainResult = {
+    val pf = probedFraction(spark, indexPath, nProbe)
+    if (pf <= scanBudget)
+      return MaintainResult(pf, rebuilt = false, indexPath, stream)
+    val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
+    if (!java.nio.file.Files.exists(metaPath))
+      throw new IllegalStateException(
+        s"maintainIndex requires an IVF index (_centroids.txt) at $indexPath" +
+          " — a PQ index cannot re-cluster from its own codes")
+    val lines = java.nio.file.Files.readAllLines(metaPath)
+    val h0 = lines.get(0)
+    val nCentroids = headerField(h0, "n").get.toInt
+    val lloyd = headerField(h0, "lloyd").map(_.toInt).getOrElse(refineIters)
+    val appends = parseAppends(lines)
+    // quiesce the single writer BEFORE reading the rebuild snapshot
+    stream.foreach { q => q.stop(); q.awaitTermination() }
+    val full = spark.read.parquet(indexPath).drop("__c")
+    val centroids = ivfBuild(full, vecCol, idCol, nCentroids, destPath, lloyd)
+    // self-describing dest, meta LAST (completion sentinel): fresh recipe
+    // header over the rebuilt corpus + the carried appends counter
+    val recipe =
+      s"fp=${datasetFingerprint(full, idCol)};lloyd=$lloyd;v=2;n=${centroids.length}"
+    val body = (recipe +:
+      centroids.map(_._2.map(_.toString).mkString(","))) ++
+      (if (appends > 0) Seq(s"appends=$appends") else Nil)
+    writeMetaAtomic(java.nio.file.Paths.get(destPath, "_centroids.txt"),
+      body.mkString("\n"))
+    requireIndexComplete(destPath)
+    val restarted = restart.map(f => f(destPath))
+    MaintainResult(pf, rebuilt = true, destPath, restarted)
+  }
+
   /** Blue/green compaction of an appended index: each [[ivfAppend]] adds
     * up to one file per touched cell, so a long-lived index fragments
     * exactly like a size-tiered store. This rewrites the index CLUSTERED
@@ -609,20 +768,64 @@ object Similarity {
     * deleted, the source is never touched. (In-place rewrite is
     * deliberately not offered — Spark cannot atomically overwrite a
     * directory it is reading.)
+    *
+    * COMPLETION SENTINEL: the meta file is written LAST, crash-atomically,
+    * so "dest is valid iff its meta file is present". A death mid-compact
+    * leaves data files without meta — [[requireIndexComplete]] refuses
+    * exactly that state, and every flip (manual or [[maintainIndex]])
+    * must check it before switching readers; without the check, a
+    * half-compacted dest would answer probes while silently missing the
+    * `appends=` history its meta was carrying. The source requires a meta
+    * to compact (IfMissing-built indexes always have one): there is
+    * nothing else that could make the dest self-describing.
     */
   def indexCompactTo(spark: org.apache.spark.sql.SparkSession,
                      srcPath: String, destPath: String): Unit = {
+    val srcMeta = Seq("_centroids.txt", "_pq.txt")
+      .map(m => java.nio.file.Paths.get(srcPath, m))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(throw new IllegalStateException(
+        s"ANN index at $srcPath has no meta (_centroids.txt/_pq.txt) — " +
+          "cannot produce a self-describing compacted copy"))
+    // read the meta BEFORE the (long) data rewrite: the verbatim carry must
+    // reflect the same snapshot the data read pinned
+    val metaBody = java.nio.file.Files.readString(srcMeta)
     val df = spark.read.parquet(srcPath)
     val cells = df.select(col("__c")).distinct().count().toInt
     df.repartition(math.max(cells, 1), col("__c"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__c").parquet(destPath)
-    for (m <- Seq("_centroids.txt", "_pq.txt")) {
-      val s = java.nio.file.Paths.get(srcPath, m)
-      if (java.nio.file.Files.exists(s))
-        java.nio.file.Files.copy(s, java.nio.file.Paths.get(destPath, m),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashHook("ann.compact-data")
+    // meta LAST (the completion sentinel), through the same crash-atomic
+    // tmp+move as every other meta commit — trailing newline trimmed like
+    // writeMetaAtomic's other callers produce, content otherwise verbatim
+    writeMetaAtomic(
+      java.nio.file.Paths.get(destPath, srcMeta.getFileName.toString),
+      metaBody.stripLineEnd)
+    crashHook("ann.compact-done")
+  }
+
+  /** Refuse a directory that holds index data but no meta — the state a
+    * death inside [[indexCompactTo]] leaves behind. Flip readers to a
+    * compacted dest only after this passes; a dest that fails it must be
+    * deleted and re-compacted (the source is still intact — that is the
+    * blue/green contract).
+    */
+  def requireIndexComplete(indexPath: String): Unit = {
+    val dir = java.nio.file.Paths.get(indexPath)
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val hasMeta = Seq("_centroids.txt", "_pq.txt")
+      .exists(m => java.nio.file.Files.exists(dir.resolve(m)))
+    if (hasMeta) return
+    val hasData = {
+      val s = java.nio.file.Files.list(dir)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("__c="))
+      finally s.close()
     }
+    if (hasData) throw new IllegalStateException(
+      s"ANN index at $indexPath holds data but no meta — an incomplete " +
+        "compacted copy (or a foreign directory); delete it and re-compact " +
+        "from the intact source instead of flipping readers to it")
   }
 
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {

@@ -129,6 +129,16 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = urlHost(url)
     val port = urlPort(url)
+    // raw text after the authority's port colon (empty when no colon, or a
+    // bare trailing colon — RFC 3986 treats `h:` as `h`, so that stays
+    // normalizable). A NON-empty tail that is not a pure number means the
+    // URL is malformed (`h:80x`): pass it through untouched like every
+    // other unparseable input instead of silently conflating it with the
+    // clean portless URL in URL-level dedup.
+    val rawPort = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(?:\\[[^\\]]*\\]|[^/:?#]+)" +
+        ":([^/?#]*)", 1)
+    val malformedPort = rawPort =!= "" && port === ""
     val defaultPort =
       when(scheme === "http", "80").when(scheme === "https", "443")
         .otherwise("")
@@ -140,7 +150,7 @@ object UrlOps {
     val kept = filter(split(query, "&"),
       p => !(p.rlike(TrackingParamPattern)) && p =!= "")
     val q2 = concat_ws("&", kept)
-    when(host === "", url) // unparseable: pass through untouched
+    when(host === "" || malformedPort, url) // unparseable: pass through untouched
       .otherwise(concat(scheme, lit("://"), host, portPart, path,
         when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
   }

@@ -23,7 +23,18 @@ import graft.pipeline.Similarity
   * build time, so a stream cannot bootstrap an empty index. Periodic
   * re-clustering (drifted centroids) and de-fragmentation stay
   * OFFLINE concerns: stop the stream, [[Similarity.indexCompactTo]] /
-  * rebuild blue-green, restart.
+  * rebuild blue-green, restart — or let [[Similarity.maintainIndex]]
+  * drive the stop → rebuild → flip → restart cycle off the measured
+  * probed-fraction statistic.
+  *
+  * SINGLE WRITER per index path: the append's meta read-modify-write and
+  * pre-append dedup snapshot are not safe against a CONCURRENT second
+  * writer — attach at most ONE stream to an index, and never run an
+  * ad-hoc ivfAppend/ivfPqAppend against it while the stream is active
+  * (concurrent writers can double-insert shared ids and lose counter
+  * bumps). The exactly-once claim is for sequential redelivery, which is
+  * what foreachBatch's recovery model produces; micro-batches of one
+  * stream never overlap.
   */
 object AnnIndexStream {
 

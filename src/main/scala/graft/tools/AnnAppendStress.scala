@@ -66,6 +66,28 @@ object AnnAppendStress {
       println(f"[annappend] n=$n%7d centroids=$nc%5d build=$tBuild%7.2fs " +
         f"append_safe=$tSafe%6.2fs append_fast=$tFast%6.2fs " +
         f"(batch $batch, rebuild/append ${tBuild / tSafe}%5.1fx)")
+
+      // GIANT-batch append through the shuffle fallback (the bootstrap
+      // backfill shape the unguarded broadcast would have OOM'd at real
+      // scale): a batch comparable to the whole index, forced down the
+      // always-shuffle path, overlapping history on the odd ids so the
+      // survivor count has an independent expectation.
+      val giant = corpus(n, n.toLong + 2L * batch) // all fresh
+        .unionByName(seedP.filter(col("vec_id") % 2 === 1)) // half the index
+      val preRows = spark.read.parquet(s"$dir/idx").count()
+      val (appended, tGiant) = time {
+        Similarity.ivfAppend(spark, s"$dir/idx", giant, col("embedding"),
+          col("vec_id"), maxBroadcastIds = 0L)
+      }
+      val postRows = spark.read.parquet(s"$dir/idx").count()
+      val distinctIds = spark.read.parquet(s"$dir/idx")
+        .select(col("vec_id")).distinct().count()
+      assert(appended == n.toLong,
+        s"giant fallback: expected $n fresh survivors, got $appended")
+      assert(postRows == preRows + n && distinctIds == postRows,
+        s"giant fallback: rows $preRows->$postRows distinct=$distinctIds")
+      println(f"[annappend] n=$n%7d GIANT fallback batch=${n + n / 2}%8d " +
+        f"append_shuffle=$tGiant%6.2fs survivors=$appended%8d (verified)")
     }
     spark.stop()
   }

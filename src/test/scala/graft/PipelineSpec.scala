@@ -2187,4 +2187,352 @@ class PipelineSpec extends AnyFunSuite {
       }
     } finally { Similarity.crashHook = _ => () }
   }
+
+  test("ivfAppend dedups ids WITHIN a batch: a duplicated id stores one row") {
+    import spark.implicits._
+    val all = incCorpus(60)
+    val seed = all.filter($"vec_id" < 30)
+    val delta = all.filter($"vec_id" >= 30)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-intra-dup").toString + "/i"
+    Similarity.ivfBuildIfMissing(seed, col("embedding"), col("vec_id"), 4, idx)
+    // the batch carries every id TWICE (self-union) plus a third copy of
+    // one id with a different payload — exactly one row per id may land
+    val tripled = delta.unionByName(delta)
+      .unionByName(incCorpus(61).filter($"vec_id" === 35))
+    assert(Similarity.ivfAppend(spark, idx, tripled, col("embedding"),
+      col("vec_id")) === 30L)
+    val scan = spark.read.parquet(idx)
+    assert(scan.count() === 60L)
+    assert(scan.select(col("vec_id")).distinct().count() === 60L)
+    // same invariant on the O(batch) fast path (no index scan, intra-batch
+    // dedup still applies)
+    val fresh = incCorpus(70).filter($"vec_id" >= 60)
+    assert(Similarity.ivfAppend(spark, idx, fresh.unionByName(fresh),
+      col("embedding"), col("vec_id"), dedupAgainstIndex = false) === 10L)
+    assert(spark.read.parquet(idx).count() === 70L)
+    assert(spark.read.parquet(idx).select(col("vec_id")).distinct()
+      .count() === 70L)
+  }
+
+  test("ivfAppend shuffle fallback (maxBroadcastIds) matches the broadcast path") {
+    import spark.implicits._
+    val all = incCorpus(100)
+    val seed = all.filter($"vec_id" < 40)
+    val delta = all.filter($"vec_id" >= 30) // overlaps 30..39 with the seed
+    val q = all.filter($"vec_id" === 2).collect()(0).getSeq[Float](1)
+    def build(tag: String): (String, Seq[(Int, Seq[Float])]) = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"ivf-fb-$tag").toString + "/i"
+      (idx, Similarity.ivfBuildIfMissing(seed, col("embedding"),
+        col("vec_id"), 4, idx))
+    }
+    val (bIdx, bCents) = build("bcast")
+    val (sIdx, _) = build("shuffle")
+    assert(Similarity.ivfAppend(spark, bIdx, delta, col("embedding"),
+      col("vec_id")) === 60L)
+    // maxBroadcastIds = 0: the explicit always-shuffle override — the
+    // giant-backfill path where broadcasting the id set would OOM executors
+    assert(Similarity.ivfAppend(spark, sIdx, delta, col("embedding"),
+      col("vec_id"), maxBroadcastIds = 0L) === 60L)
+    // identical index content and probe results on both paths
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("__c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(snap(sIdx) === snap(bIdx))
+    val pb = Similarity.ivfTopK(spark, bIdx, bCents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val ps = Similarity.ivfTopK(spark, sIdx, bCents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ps === pb)
+    // replay through the fallback is still a no-op
+    assert(Similarity.ivfAppend(spark, sIdx, delta, col("embedding"),
+      col("vec_id"), maxBroadcastIds = 0L) === 0L)
+    // a counted-path decision (tiny threshold) also lands identically: the
+    // two-tier sizing only picks the join strategy, never the result
+    val (cIdx, _) = build("counted")
+    assert(Similarity.ivfAppend(spark, cIdx, delta, col("embedding"),
+      col("vec_id"), maxBroadcastIds = 5L) === 60L)
+    assert(snap(cIdx) === snap(bIdx))
+    // PQ twin through the fallback
+    val pqB = java.nio.file.Files.createTempDirectory("pq-fb-b").toString + "/i"
+    val pqS = java.nio.file.Files.createTempDirectory("pq-fb-s").toString + "/i"
+    Similarity.ivfPqBuildIfMissing(seed, col("embedding"), col("vec_id"), 4,
+      m = 4, k = 8, pqB)
+    Similarity.ivfPqBuildIfMissing(seed, col("embedding"), col("vec_id"), 4,
+      m = 4, k = 8, pqS)
+    assert(Similarity.ivfPqAppend(spark, pqB, delta, col("embedding"),
+      col("vec_id")) === 60L)
+    assert(Similarity.ivfPqAppend(spark, pqS, delta, col("embedding"),
+      col("vec_id"), maxBroadcastIds = 0L) === 60L)
+    def pqSnap(p: String) = spark.read.parquet(p)
+      .select(col("__id"), col("__c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(pqSnap(pqS) === pqSnap(pqB))
+  }
+
+  test("index compaction crash fuzz: half-compacted dest refuses, recompaction converges") {
+    import spark.implicits._
+    class InjectedCrash extends RuntimeException("injected")
+    val all = incCorpus(80)
+    val seed = all.filter($"vec_id" % 2 === 0)
+    val delta = all.filter($"vec_id" % 2 === 1)
+    val q = all.filter($"vec_id" === 1).collect()(0).getSeq[Float](1)
+    val src = java.nio.file.Files
+      .createTempDirectory("ivf-cfuzz-src").toString + "/i"
+    val cents = Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), 4, src)
+    Similarity.ivfAppend(spark, src, delta, col("embedding"), col("vec_id"))
+    val srcProbe = Similarity.ivfTopK(spark, src, cents, col("embedding"),
+        col("vec_id"), q, 10, nProbe = 4, quantized = true)
+      .collect().map(_.getLong(0)).toSeq
+    val srcMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(src, "_centroids.txt"))
+    val points = Seq("ann.compact-data", "ann.meta-pre", "ann.meta-tmp",
+      "ann.meta-moved", "ann.compact-done")
+    try {
+      for (p <- points) {
+        val dest = java.nio.file.Files
+          .createTempDirectory(s"ivf-cfuzz-$p").toString + "/i"
+        Similarity.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] {
+          Similarity.indexCompactTo(spark, src, dest)
+        }
+        Similarity.crashHook = _ => ()
+        // THE invariant: the dest is valid iff its meta is present — a dest
+        // that would pass requireIndexComplete must already answer probes
+        // identically and carry the meta verbatim; one that fails it is the
+        // state an operator deletes and recompacts, never flips to
+        val metaThere = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dest, "_centroids.txt"))
+        if (!metaThere)
+          intercept[IllegalStateException] {
+            Similarity.requireIndexComplete(dest)
+          }
+        // recovery per the blue/green contract: delete the incomplete dest,
+        // recompact from the (untouched) source
+        GraftDB.deleteRecursively(java.nio.file.Paths.get(dest))
+        Similarity.indexCompactTo(spark, src, dest)
+        Similarity.requireIndexComplete(dest)
+        assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dest, "_centroids.txt")) === srcMeta,
+          s"$p: meta not carried verbatim after recovery")
+        val destProbe = Similarity.ivfTopK(spark, dest, cents,
+            col("embedding"), col("vec_id"), q, 10, nProbe = 4,
+            quantized = true)
+          .collect().map(_.getLong(0)).toSeq
+        assert(destProbe === srcProbe, s"$p: probe diverged after recovery")
+      }
+    } finally { Similarity.crashHook = _ => () }
+    // a src with no meta cannot produce a self-describing dest: refuse
+    val bare = java.nio.file.Files
+      .createTempDirectory("ivf-cfuzz-bare").toString + "/i"
+    seed.withColumn("__c", lit(0))
+      .write.partitionBy("__c").parquet(bare)
+    intercept[IllegalStateException] {
+      Similarity.indexCompactTo(spark, bare,
+        bare + "-d")
+    }
+  }
+
+  test("dedup index compaction: meta LAST, meta-less dest refuses (the disarm hazard)") {
+    import spark.implicits._
+    class InjectedCrash extends RuntimeException("injected")
+    val corpus = (0L until 40L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    val batch = (40L until 60L).map(i => (i, s"text-${i % 50}")).toDF("doc_id", "text")
+    val src = java.nio.file.Files
+      .createTempDirectory("dedup-cfuzz-src").toString + "/i"
+    Dedup.buildExactIndexIfMissing(corpus, col("text"), col("doc_id"), src)
+    Dedup.exactIncremental(batch, col("text"), col("doc_id"), src).collect()
+    val srcMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(src, "_index.txt"))
+    assert(srcMeta.contains("appends=1"))
+    val points = Seq("dedup.compact-data", "dedup.meta-pre", "dedup.meta-tmp",
+      "dedup.meta-moved", "dedup.compact-done")
+    try {
+      for (p <- points) {
+        val dest = java.nio.file.Files
+          .createTempDirectory(s"dedup-cfuzz-$p").toString + "/i"
+        Dedup.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] {
+          Dedup.indexCompactTo(spark, src, dest)
+        }
+        Dedup.crashHook = _ => ()
+        val metaThere = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dest, "_index.txt"))
+        if (!metaThere)
+          // the one state that MUST refuse: data without meta reads as
+          // appends=0 and would disarm the rebuild refusal if served
+          intercept[IllegalStateException] {
+            Dedup.requireIndexComplete(dest)
+          }
+        GraftDB.deleteRecursively(java.nio.file.Paths.get(dest))
+        Dedup.indexCompactTo(spark, src, dest)
+        Dedup.requireIndexComplete(dest)
+        assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dest, "_index.txt")) === srcMeta,
+          s"$p: meta not carried verbatim")
+        // identical dedup decisions + refusal still armed on the dest
+        val probe = (0L until 70L).map(i => (100L + i, s"text-$i"))
+          .toDF("doc_id", "text")
+        val sSrc = Dedup.exactIncremental(probe, col("text"), col("doc_id"),
+            src, admit = false).select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val sDest = Dedup.exactIncremental(probe, col("text"), col("doc_id"),
+            dest, admit = false).select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(sDest === sSrc, s"$p: dedup decisions diverged")
+      }
+    } finally { Dedup.crashHook = _ => () }
+    // a never-admitted, meta-less src compacts to an EXPLICIT
+    // fp=?;appends=0 dest — the validity rule stays uniform
+    val bareSrc = java.nio.file.Files
+      .createTempDirectory("dedup-cfuzz-bare").toString + "/i"
+    Dedup.buildExactIndex(corpus, col("text"), bareSrc)
+    val bareDest = bareSrc + "-d"
+    Dedup.indexCompactTo(spark, bareSrc, bareDest)
+    Dedup.requireIndexComplete(bareDest)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(bareDest, "_index.txt"))
+      .contains("appends=0"))
+  }
+
+  test("containmentLsh stripes > 1 returns the identical pair set") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docs = Seq(
+      (1L, base + " unique tail one"),
+      (2L, base),                        // contained in 1
+      (3L, "completely different text about something else entirely here"),
+      (4L, base + " unique tail one"),   // duplicate of 1
+      (5L, "the quick brown fox jumps")  // short quote of the shared prefix
+    ).toDF("doc_id", "text")
+    def run(s: Int) = Dedup.containmentLsh(docs, col("text"), col("doc_id"),
+        n = 3, threshold = 0.8, numProbes = 8, stripes = s)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s1 = run(1)
+    assert(s1.nonEmpty)
+    assert(run(3) === s1)
+    assert(run(4) === s1)
+  }
+
+  test("maintainIndex: drift past the scan budget triggers re-cluster; stream resumes at the dest") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // seed: 60 rows split over 4 orthogonal directions (balanced cells)
+    def axisRow(id: Long, axis: Int, jitter: Double): (Long, Seq[Float]) = {
+      val rnd = new scala.util.Random(id * 7 + axis)
+      (id, (0 until 12).map(d =>
+        ((if (d == axis) 10.0 else 0.0) + rnd.nextGaussian() * jitter)
+          .toFloat))
+    }
+    val seed = ((0L until 60L).map(i => axisRow(i, (i % 4).toInt, 0.2)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf-maintain").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf-maintain-ckpt").toString
+    Similarity.ivfBuildIfMissing(seed, col("embedding"), col("vec_id"), 4, idx)
+    // drifted ingest: three NEW directions (axis 0 + axis 4/5/6) — every
+    // drifted row's nearest FROZEN centroid is the axis-0 cell, so that
+    // cell crowds, but the drifted cloud is multi-modal and a fresh
+    // k-means can re-balance it (the AnnDriftStress scenario)
+    def driftRow(id: Long, mix: Int, jitter: Double): (Long, Array[Float]) = {
+      val rnd = new scala.util.Random(id * 13 + mix)
+      (id, (0 until 12).map(d =>
+        ((if (d == 0) 10.0 else 0.0) + (if (d == 4 + mix) 14.0 else 0.0) +
+          rnd.nextGaussian() * jitter).toFloat).toArray)
+    }
+    val drifted = (60L until 240L).map(i => driftRow(i, (i % 3).toInt, 0.2))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    def attach(p: String) = graft.streaming.AnnIndexStream.attachIvf(stream,
+      col("embedding"), col("vec_id"), p, ckpt)
+    val query = attach(idx)
+    var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      mem.addData(drifted)
+      query.processAllAvailable()
+      val pfBefore = Similarity.probedFraction(spark, idx, nProbe = 1)
+      assert(pfBefore > 0.6,
+        f"drift did not crowd a cell (pf=$pfBefore%.2f) — fixture broken")
+      // under budget: no action, stream untouched
+      val noop = Similarity.maintainIndex(spark, idx, idx + "-never",
+        col("embedding"), col("vec_id"), nProbe = 1, scanBudget = 0.95,
+        stream = Some(query), restart = Some(attach))
+      assert(!noop.rebuilt && noop.activePath === idx)
+      assert(query.isActive)
+      // over budget: stop -> re-cluster blue/green -> flip -> restart
+      val dest = idx + "-g"
+      val res = Similarity.maintainIndex(spark, idx, dest,
+        col("embedding"), col("vec_id"), nProbe = 1, scanBudget = 0.6,
+        stream = Some(query), restart = Some(attach))
+      active = res.stream
+      assert(res.rebuilt && res.activePath === dest)
+      assert(res.probedFraction === pfBefore)
+      assert(!query.isActive)
+      assert(active.exists(_.isActive))
+      // probe cost recovered: the crowded cell split under fresh centroids
+      val pfAfter = Similarity.probedFraction(spark, dest, nProbe = 1)
+      assert(pfAfter <= 0.6,
+        f"re-cluster did not recover probe cost (pf=$pfAfter%.2f)")
+      // no rows lost; appends counter carried (refusal stays armed)
+      val scan = spark.read.parquet(dest)
+      assert(scan.count() === 240L)
+      assert(scan.select(col("vec_id")).distinct().count() === 240L)
+      assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dest, "_centroids.txt"))
+        .contains("appends="))
+      // the restarted stream appends NEW rows to the DEST, not the source
+      mem.addData((240L until 250L).map(i => driftRow(i, 0, 0.2)))
+      active.get.processAllAvailable()
+      assert(spark.read.parquet(dest).count() === 250L)
+      assert(spark.read.parquet(idx).count() === 240L)
+    } finally {
+      query.stop(); active.foreach(_.stop())
+    }
+  }
+
+  test("normalizeUrl: a malformed port passes the URL through untouched") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://h:80x/p",          // malformed port -> untouched
+      "http://h:80/p",           // default port -> dropped
+      "http://h:8080/p",         // non-default -> kept
+      "http://h:/p",             // bare colon (RFC: same as portless) -> clean
+      "http://u@H.com:x80?utm_source=a&q=1#f", // malformed -> untouched
+      "not a url at all")
+      .toDF("u")
+    val got = urls.select(UrlOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "http://h:80x/p",
+      "http://h/p",
+      "http://h:8080/p",
+      "http://h/p",
+      "http://u@H.com:x80?utm_source=a&q=1#f",
+      "not a url at all"))
+  }
+
+  test("PSL broadcast memo keys on rule-set CONTENT, not instance") {
+    val lines = Seq("co.uk", "github.io", "*.ck", "!www.ck")
+    val r1 = UrlOps.parsePsl(lines)
+    val r2 = UrlOps.parsePsl(lines) // separately parsed, equal content
+    assert(r1 === r2 && r1.hashCode === r2.hashCode)
+    import spark.implicits._
+    val hosts = Seq("blog.github.io", "a.b.ck", "x.www.ck").toDF("h")
+    def resolve(r: graft.functions.PslRules) = hosts
+      .select(graft.functions.RegisteredDomainPsl(col("h"), r).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    val first = resolve(r1)
+    val sizeAfterFirst = graft.functions.RegisteredDomainPsl.memoSize
+    assert(resolve(r2) === first)
+    // the second, separately-parsed instance reused the first's broadcast
+    assert(graft.functions.RegisteredDomainPsl.memoSize === sizeAfterFirst)
+    assert(first === Seq("blog.github.io", "a.b.ck", "www.ck"))
+  }
 }

@@ -241,6 +241,51 @@ class PlanSpec extends AnyFunSuite {
       s"q_dedup_incremental shuffled the index:\n$p")
   }
 
+  test("ANN append two-tier sizing: daily batch stays broadcast, giant batch shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 80L).map(i =>
+      (i, Seq.fill(8)((rnd.nextGaussian() * 3).toFloat))).toDF("vec_id", "embedding")
+    def freshIdx(tag: String): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"plan-append-$tag").toString + "/i"
+      graft.pipeline.Similarity.ivfBuildIfMissing(
+        all.filter(col("vec_id") < 40), col("embedding"), col("vec_id"), 4, idx)
+      idx
+    }
+    val delta = all.filter(col("vec_id") >= 40)
+    graft.pipeline.Similarity.capturePlans = true
+    // kill the optimizer's SIZE-based auto-broadcast: at test scale it
+    // would broadcast everything and the pin would test Spark's threshold,
+    // not our two-tier decision — the explicit broadcast() hint on the
+    // daily path survives this, which is exactly the property under test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // daily-size path: batch ids broadcast into the index id scan and the
+      // anti-join — the index NEVER shuffles (the whole point of the append)
+      graft.pipeline.Similarity.ivfAppend(spark, freshIdx("daily"), delta,
+        col("embedding"), col("vec_id"))
+      val daily = graft.pipeline.Similarity.lastAppendPlan
+      assert(daily.contains("BroadcastHashJoin"), daily)
+      assert(!daily.contains("SortMergeJoin"),
+        s"daily-size append shuffled the index:\n$daily")
+      // giant-batch override: both joins fall back to shuffles so a
+      // bootstrap backfill never ships its id set to every executor
+      graft.pipeline.Similarity.ivfAppend(spark, freshIdx("giant"), delta,
+        col("embedding"), col("vec_id"), maxBroadcastIds = 0L)
+      val giant = graft.pipeline.Similarity.lastAppendPlan
+      assert(giant.contains("SortMergeJoin") ||
+        giant.contains("ShuffledHashJoin"),
+        s"always-shuffle override still broadcast:\n$giant")
+      assert(!giant.contains("BroadcastHashJoin"), giant)
+    } finally {
+      graft.pipeline.Similarity.capturePlans = false
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("plan hygiene sweep: every gate query stays free of scale-killer shapes") {
     // tools/PlanSweep promoted into CI (r5 verdict #3): the shapes that
     // silently serialize at 100 TB — a cartesian product, more than one
