@@ -283,5 +283,13 @@ object Bench {
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
     spark.stop()
+    // r14's capture lost the head of the primary line to the driver's
+    // fixed stdout tail window. Re-print it AFTER spark.stop() so the
+    // very last stdout line is the complete JSON with no Spark shutdown
+    // chatter after it — a tail window of any size that includes the end
+    // of output then includes this line whole (and target/bench.json
+    // still holds the authoritative copy either way).
+    println(primary)
+    System.out.flush()
   }
 }

@@ -57,18 +57,34 @@ final case class TableDef(
   lazy val df: DataFrame = dfFn()
 }
 
+/** An ANN index registered for the dialect's `SIMSEARCH` table function:
+  * where it lives plus the column names the index stores its ids and
+  * vectors under (the probe rebuilds the scoring expression from these).
+  */
+final case class AnnIndexDef(path: String, vecCol: String, idCol: String,
+                             quantized: Boolean = true)
+
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a
   * dimension, the first timestamp column is the time axis.
   */
-final class Catalog(private val tables: Map[String, TableDef]) {
+final class Catalog(private val tables: Map[String, TableDef],
+                    private val annIndexes: Map[String, AnnIndexDef] = Map.empty) {
   def get(name: String): TableDef =
     tables.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(
         s"Table or view '$name' not found (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
   def contains(name: String): Boolean = tables.contains(name.toLowerCase)
   def names: Seq[String] = tables.keys.toSeq.sorted
-  def add(t: TableDef): Catalog = new Catalog(tables + (t.name.toLowerCase -> t))
+  def add(t: TableDef): Catalog =
+    new Catalog(tables + (t.name.toLowerCase -> t), annIndexes)
+  def addAnn(name: String, d: AnnIndexDef): Catalog =
+    new Catalog(tables, annIndexes + (name.toLowerCase -> d))
+  def getAnn(name: String): AnnIndexDef =
+    annIndexes.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"ANN index '$name' not registered (known: " +
+          s"${annIndexes.keys.toSeq.sorted.mkString(", ")})"))
 }
 
 object Catalog {

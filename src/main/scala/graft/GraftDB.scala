@@ -492,8 +492,28 @@ final class GraftDB(
           })
       }
     }
-    new Catalog(defs.map(d => d.name -> d).toMap)
+    annIndexes.synchronized {
+      annIndexes.foldLeft(new Catalog(defs.map(d => d.name -> d).toMap)) {
+        case (c, (n, d)) => c.addAnn(n, d)
+      }
+    }
   }
+
+  // ANN indexes reachable from the dialect's SIMSEARCH table function —
+  // a curation analyst at the query console can then run
+  //   SELECT score FROM SIMSEARCH('idx', [..], 10, 4) WHERE label = 2
+  // without touching the Scala API. Registration is name -> (path,
+  // column names); the probe reloads the frozen centroids from the
+  // index's own meta per query (one tiny driver-side file read).
+  private val annIndexes =
+    scala.collection.mutable.Map.empty[String, AnnIndexDef]
+
+  def registerAnnIndex(name: String, path: String, vecCol: String,
+                       idCol: String, quantized: Boolean = true): Unit =
+    annIndexes.synchronized {
+      annIndexes(name.toLowerCase) =
+        AnnIndexDef(path, vecCol, idCol, quantized)
+    }
 
   def sql(query: String): DataFrame = {
     // `-- force_fresh` (sql/sql.go:279-283): drain attached streams so the

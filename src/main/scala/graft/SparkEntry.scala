@@ -122,10 +122,19 @@ object SparkEntry {
   private[graft] def gateTruthPath(dir: String): String =
     s"$gateBase/gate-ivf/truth${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Filtered-truth twin (corpus restricted to `label % 3 = 0`): filters ×
+    * pruning COMPOUND recall loss — a selective predicate can empty out
+    * probed cells — so the filtered fast path gates against its own exact
+    * filtered truth, not the unfiltered one.
+    */
+  private[graft] def gateTruthFiltPath(dir: String): String =
+    s"$gateBase/gate-ivf/truthf${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   private val gateTruthLock = new Object
-  private[graft] def gateAnnTruth(s: SparkSession, dir: String): DataFrame =
+  private[graft] def gateAnnTruth(s: SparkSession, dir: String,
+                                  filtered: Boolean = false): DataFrame =
     gateTruthLock.synchronized {
-      val path = gateTruthPath(dir)
+      val path = if (filtered) gateTruthFiltPath(dir) else gateTruthPath(dir)
       val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
       val fp = s"fp=${java.nio.file.Files.size(src)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
@@ -138,6 +147,7 @@ object SparkEntry {
         val queries = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val corpus = e.filter(col("vec_id") >= 20)
+          .filter(if (filtered) col("label") % 3 === 0 else lit(true))
           .select(col("vec_id").as("id"), col("embedding").as("cv"))
         corpus.crossJoin(broadcast(queries))
           .select(col("qid"), col("id"),
@@ -935,6 +945,32 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
     },
 
+    // the SAME filtered search reached from the DIALECT surface: a
+    // registered index + `SELECT score FROM SIMSEARCH('idx', [..], k, np)
+    // WHERE ...` — the console analyst's retrieval path. The WHERE rides
+    // into the probe as its PRE-filter (label IN (0,3,6,9) ≡ label%3=0 on
+    // this fixture), full probe ≡ the exact filtered top-k oracle.
+    "q_ann_dialect" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val idx = gateIvfPath(dir)
+      Similarity.ivfBuildIfMissing(e.filter(col("vec_id") =!= 0),
+        col("embedding"), col("vec_id"), nCentroids = 16, idx)
+      val cat = catalogFor(s, dir)
+        .addAnn("gate_ivf", AnnIndexDef(idx, "embedding", "vec_id"))
+      // plain decimal form: Float.toString may use scientific notation,
+      // which the dialect lexer does not accept; BigDecimal round-trips
+      // the shortest-decimal form exactly
+      val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      Engine.sql(cat,
+        s"""SELECT score FROM SIMSEARCH('gate_ivf', [$vecLit], 10, 16)
+           |WHERE label IN (0, 3, 6, 9) GROUP BY id ORDER BY id""".stripMargin,
+        () => FixedNow)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
     // IVF-PQ ANN: codes-only probe (8 B/row instead of 256 B of vector) +
     // ADC candidate scoring + exact re-rank of the broadcast candidate set.
     // Oracle configuration: full probe + refineK >= corpus, so the re-ranked
@@ -1010,6 +1046,29 @@ object SparkEntry {
           nProbe = 16, quantized = true,
           extraFilter = Some(col("label") % 3 === 0))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // realistic-probe-depth twin of q_ann_filtered_batch: filters ×
+    // pruning COMPOUND recall loss (a selective predicate empties probed
+    // cells), so the filtered fast path carries its own recall gate
+    // against the exact FILTERED truth. Floor calibrated with
+    // tools.RecallProbe on the near-uniform fixture: measured 0.43 /
+    // 0.62 / 0.55 at sf0.001/0.01/0.1 (tracking the unfiltered
+    // fraction-probed because the labels are direction-independent),
+    // while broken filtered probing collapses toward ~0.2 — 0.35 sits
+    // between the regimes with margin on both sides.
+    "q_ann_filtered_fast" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gateBatchPath(dir)
+      val centroids = Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, idx)
+      val fast = Similarity.ivfTopKBatch(s, idx, centroids, queries,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nProbe = 4, quantized = true,
+        extraFilter = Some(col("label") % 3 === 0))
+      recallRow(fast, gateAnnTruth(s, dir, filtered = true), floor = 0.35)
     },
 
     // filtered batched retrieval at PQ scan width: the codes index
@@ -2066,6 +2125,20 @@ object SparkEntry {
         |  FROM embeddings, q WHERE vec_id <> 0 AND label % 3 = 0)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
 
+    // the dialect gate re-ranks the same exact filtered top-10 by id (its
+    // GROUP BY id ORDER BY id output shape)
+    "q_ann_dialect" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0 AND label % 3 = 0),
+        |t AS (SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10)
+        |SELECT id, score FROM t ORDER BY id""".stripMargin,
+
     // full-probe batched ANN == the exact windowed top-k join
     "q_ann_batch" ->
       """WITH qe AS (
@@ -2131,6 +2204,9 @@ object SparkEntry {
     // the approximate rows themselves be exact (a recall collapse flips
     // recall_ok and hash-mismatches)
     "q_ann_batch_fast" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+
+    "q_ann_filtered_fast" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
 
     "q_ann_pq_batch_fast" ->

@@ -443,6 +443,24 @@ object Similarity {
       case f if f.startsWith(name + "=") => f.stripPrefix(name + "=")
     }
 
+  /** Reload an IVF index's frozen centroids from its persisted meta — the
+    * probe-side entry for sessions (or the SIMSEARCH dialect surface) that
+    * did not build the index and so hold no centroid handle. One tiny
+    * driver-side file read; throws with guidance when the index has no
+    * parseable meta (never built, or a half-compacted copy).
+    */
+  def loadIvfCentroids(indexPath: String): Seq[(Int, Seq[Float])] =
+    scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(indexPath, "_centroids.txt"))
+      val nAct = headerField(lines.get(0), "n").get.toInt
+      (0 until nAct).map { i =>
+        i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+      }
+    }.getOrElse(throw new IllegalStateException(
+      s"no parseable IVF index meta at $indexPath — build the index first " +
+        "(ivfBuildIfMissing)"))
+
   // ---- incremental index maintenance -----------------------------------
   //
   // At 100 TB with daily appends, "any corpus change forces a full index

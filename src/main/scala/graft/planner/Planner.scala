@@ -31,6 +31,11 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
       resolution: Option[scala.concurrent.duration.FiniteDuration])
 
   private def planQuery(q: Query): (DataFrame, PlanInfo) = {
+    // SIMSEARCH consumes the WHERE itself: the predicate must reach the
+    // probe as its PRE-filter (inside the partition-pruned index scan,
+    // before ranking) — applied after the top-k it would be a post-filter
+    // with different semantics (fewer than k matching rows)
+    var whereConsumed = false
     val src: TableDef = q.from match {
       case FromTable(n) => catalog.get(n)
       case FromSub(sub) =>
@@ -44,6 +49,25 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           fieldAgg = info.fieldAgg,
           hasPointsCol = info.vals.contains("_points"),
           resolution = info.resolution)
+      case fss: FromSimSearch =>
+        whereConsumed = true
+        val idx = catalog.getAnn(fss.index)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val centroids =
+          graft.pipeline.Similarity.loadIvfCentroids(idx.path)
+        // the WHERE compiles against the INDEX's stored columns (the
+        // filtered-ANN attribute set); unknown columns error at analysis,
+        // which is the right failure for a typo'd attribute
+        val extra = q.where.map(w => Builders.dim(w, col))
+        val df = graft.pipeline.Similarity.ivfTopK(spark, idx.path,
+          centroids, col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
+          fss.nProbe, idx.quantized, extraFilter = extra)
+        TableDef(
+          name = "__simsearch",
+          dfFn = () => df,
+          timeCol = None,
+          dims = Seq("id"),
+          vals = Seq("score"))
     }
 
     // ---- ASOF / UNTIL bounds — resolved BEFORE the scan so a time-bounded
@@ -104,7 +128,7 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
 
     // ---- WHERE (dims only — measures can't be filtered pre-aggregation,
     //      /root/reference/core/filter.go) + IN-subqueries as semi-joins ----
-    q.where.foreach { w =>
+    if (!whereConsumed) q.where.foreach { w =>
       val (plain, subqs) = splitInSubqueries(w)
       plain.map(rewriteInSubsToMembership).foreach { p =>
         base = base.filter(Builders.dim(p, dimResolve))

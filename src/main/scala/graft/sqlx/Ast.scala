@@ -113,6 +113,15 @@ final case class TimeAbs(epochMillis: Long) extends TimePoint
 sealed trait From
 final case class FromTable(name: String) extends From
 final case class FromSub(q: Query) extends From
+/** Dialect table function `SIMSEARCH('index', [v1, v2, ...], k, nProbe)`:
+  * ANN top-k over a registered IVF index, as a queryable table of
+  * (id, score). The outer WHERE becomes the search's PRE-filter — the
+  * predicate composes into the partition-pruned index scan before
+  * ranking, so the result is the k best MATCHING rows (filtered vector
+  * search), not a post-filtered top-k.
+  */
+final case class FromSimSearch(index: String, vec: Seq[Float], k: Int,
+                               nProbe: Int) extends From
 
 final case class Query(
     fields: Seq[FieldSel],

@@ -188,6 +188,27 @@ object Parser {
       expectIdent("from")
       val from: From =
         if (eatPunct("(")) { val q = parseQuery(top = false); expectPunct(")"); FromSub(q) }
+        else if (isIdent("simsearch") && toks(pos + 1) == TPunct("(")) {
+          // SIMSEARCH('index', [v1, v2, ...], k, nProbe) — the retrieval
+          // table function; the index name is a string literal so
+          // registered names can carry any characters
+          pos += 1; expectPunct("(")
+          val name = str()
+          expectPunct(","); expectPunct("[")
+          val vec = ArrayBuffer.empty[Float]
+          if (!isPunct("]")) {
+            var v1 = true
+            while (v1 || eatPunct(",")) { v1 = false; vec += num().toFloat }
+          }
+          expectPunct("]"); expectPunct(",")
+          val k = num().toInt
+          expectPunct(",")
+          val nProbe = num().toInt
+          expectPunct(")")
+          require(vec.nonEmpty, "SIMSEARCH needs a non-empty query vector")
+          require(k > 0 && nProbe > 0, "SIMSEARCH k and nProbe must be > 0")
+          FromSimSearch(name, vec.toSeq, k, nProbe)
+        }
         else FromTable(ident())
 
       var asOf: Option[TimePoint] = None

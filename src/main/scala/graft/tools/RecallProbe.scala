@@ -53,8 +53,17 @@ object RecallProbe {
         col("embedding"), col("vec_id"), e.filter(col("vec_id") < 10),
         col("vec_id"), col("embedding"), k = 3, nProbe = 4, refineK = 50,
         quantized = true)
+      // filtered fast path vs the exact FILTERED truth (its own compound
+      // recall regime — the q_ann_filtered_fast floor calibrates off this)
+      val truthF = SparkEntry.gateAnnTruth(spark, dir, filtered = true)
+      val ivfFilt = Similarity.ivfTopKBatch(spark, SparkEntry.gateBatchPath(dir),
+        centroids, e.filter(col("vec_id") < 20), col("vec_id"),
+        col("embedding"), col("vec_id"), col("embedding"), k = 3,
+        nProbe = 4, quantized = true,
+        extraFilter = Some(col("label") % 3 === 0))
       println(f"[recall] $dir ivf_fast=${recallOf(ivfFast, truth)}%.4f " +
-        f"pq_fast=${recallOf(pqFast, truth.filter(col("qid") < 10))}%.4f")
+        f"pq_fast=${recallOf(pqFast, truth.filter(col("qid") < 10))}%.4f " +
+        f"ivf_filtered_fast=${recallOf(ivfFilt, truthF)}%.4f")
       if (sys.env.contains("RECALL_SWEEP")) {
         for (np <- Seq(4, 6, 8)) {
           val iv = Similarity.ivfTopKBatch(spark, SparkEntry.gateBatchPath(dir),

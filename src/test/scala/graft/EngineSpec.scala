@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Similarity
 
 /** End-to-end dialect → DataFrame tests over the README quickstart fixture
   * (/root/reference/README.md:78-395, FIXTURES.md §1): 8 points on stream
@@ -82,6 +83,59 @@ class EngineSpec extends AnyFunSuite {
     // domain keeps the site label (the heuristic would collapse it)
     assert(login.getAs[String]("dp") == "host-login.github.io")
     assert(d(login.getAs[Any]("requests")) == 34.0 + 12.0 + 411.0 + 28.0)
+  }
+
+  test("SIMSEARCH dialect ≡ ivfTopK pipeline; WHERE is the PRE-filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextGaussian() * 2).toFloat), (i % 5).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("simsearch-dialect").toString + "/i"
+    Similarity.ivfBuildIfMissing(vecs, col("embedding"), col("vec_id"), 4, idx)
+    val cat = catalog.addAnn("vecs_idx",
+      AnnIndexDef(idx, "embedding", "vec_id"))
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    // filtered search from the dialect == the pipeline call with the same
+    // predicate as extraFilter — per-row equality on (id, score)
+    val dialect = Engine.sql(cat,
+      s"""SELECT score FROM SIMSEARCH('vecs_idx', [$vecLit], 5, 4)
+         |WHERE label IN (0, 2) GROUP BY id ORDER BY id""".stripMargin,
+      () => T0)
+      .collect().map(r => (r.getAs[Long]("id"), d(r.getAs[Any]("score"))))
+    val pipeline = Similarity.ivfTopK(spark, idx,
+        Similarity.loadIvfCentroids(idx), col("embedding"), col("vec_id"),
+        q, 5, nProbe = 4, quantized = true,
+        extraFilter = Some(col("label").isin(0, 2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(dialect.toSeq === pipeline.toSeq)
+    assert(dialect.nonEmpty)
+    // every hit satisfies the predicate — the WHERE reached the probe as a
+    // PRE-filter (a post-filter could return non-matching rows or < k
+    // matching ones); and at full probe the top-k is the exact filtered one
+    val labels = vecs.filter(col("vec_id").isin(dialect.map(_._1): _*))
+      .select(col("label")).collect().map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(0, 2)))
+    // the dialect result composes with the ordinary pipeline: ORDER BY
+    // score DESC + LIMIT ride the engine's sort/limit stages
+    val top = Engine.sql(cat,
+      s"""SELECT score FROM SIMSEARCH('vecs_idx', [$vecLit], 5, 4)
+         |GROUP BY id ORDER BY score DESC LIMIT 2""".stripMargin,
+      () => T0).collect()
+    assert(top.length == 2)
+    assert(d(top(0).getAs[Any]("score")) >= d(top(1).getAs[Any]("score")))
+    // unregistered index name fails with guidance
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(cat,
+        s"SELECT score FROM SIMSEARCH('nope', [$vecLit], 5, 4) GROUP BY id",
+        () => T0).collect()
+    }
+    assert(e.getMessage.contains("not registered"), e.getMessage)
   }
 
   test("README: group by server with _points, SUM default and AVG") {

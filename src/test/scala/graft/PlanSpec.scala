@@ -295,7 +295,8 @@ class PlanSpec extends AnyFunSuite {
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
       "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
       "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
-      "q_ann_filtered_batch", "q_ann_pq_filtered_batch", "q_line_dedup",
+      "q_ann_filtered_batch", "q_ann_pq_filtered_batch",
+      "q_ann_filtered_fast", "q_line_dedup",
       "q_pack_sequences", "q_shuffle_shards")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
@@ -320,7 +321,7 @@ class PlanSpec extends AnyFunSuite {
       // row (a 1-row scalar aggregate over ≤60 joined truth rows). Their
       // ranking windows must still be keyed, so any second one fails.
       val allowed = if (Set("q_tfidf_keywords", "q_ann_batch_fast",
-        "q_ann_pq_batch_fast")(name)) 1 else 0
+        "q_ann_pq_batch_fast", "q_ann_filtered_fast")(name)) 1 else 0
       assert("SinglePartition".r.findAllIn(p).size <= allowed,
         s"$name: a SinglePartition exchange appeared — its window may have gone global:\n$p")
     }
