@@ -706,6 +706,49 @@ object SparkEntry {
         .orderBy(col("lang"))
     },
 
+    // span-level exact-substring dedup signal (Lee et al. 2021 re-shaped
+    // for Spark: md5-keyed overlapping 5-grams instead of a corpus suffix
+    // array): per doc, how many token positions sit inside an n-gram that
+    // repeats anywhere in the corpus. Only fixed-width hashes shuffle.
+    "q_repeated_spans" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.repeatedSpanStats(docs, col("text"), col("doc_id"), n = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // the destructive half: drop every corpus-repeated 5-gram span and
+    // re-join the survivors — boilerplate/duplication scrubbing below the
+    // whole-document level
+    "q_strip_spans" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.stripRepeatedSpans(docs, col("text"), col("doc_id"), n = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // bucket counts → add-one-smoothed target-vs-raw log-ratio per bucket
+    // (integer micros; target = the English subset) → per-doc mean log
+    // importance + the md5-uniform resampling coin flip
+    "q_dsir" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.dsirWeights(docs, col("text"), col("doc_id"),
+          targetPred = col("lang") === "en", nBuckets = 4096)
+        .orderBy(col("doc_id"))
+    },
+
+    // fastText-style linear quality-classifier inference over hashed
+    // ngram buckets; the gate weight table is generated deterministically
+    // from the bucket id (integer milli-units) so the oracle can rebuild
+    // it bit-for-bit — real use broadcasts a trained table the same way
+    "q_classifier" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val wt = s.range(1024).select(col("id").as("bucket"),
+        ((col("id") * lit(2654435761L)) % 2001 - 1000).as("w_milli"))
+      TextAnalysis.classifierScore(docs, col("text"), col("doc_id"),
+          weights = wt, nBuckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram (token-set) Jaccard near-dup pairs, inverted-index join
     "q_jaccard_pairs" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1752,6 +1795,121 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
         |  CAST(count(*) AS DOUBLE) AS docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS st,
+        |    md5(array_to_string(tk[(CAST(i AS INT)+1):(CAST(i AS INT)+5)], ' ')) AS gh
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(tk)-5)) AS i) s
+        |), dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, st + CAST(j AS INT) AS pos
+        |  FROM g JOIN dup USING (gh),
+        |       LATERAL (SELECT unnest(generate_series(0, 4)) AS j) s2
+        |), c AS (SELECT doc_id, count(*) AS dup_pos FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(c.dup_pos, 0) AS BIGINT) AS dup_pos,
+        |  round(coalesce(c.dup_pos, 0) / CAST(len(tk) AS DOUBLE), 6) AS dup_ratio
+        |FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_strip_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS st,
+        |    md5(array_to_string(tk[(CAST(i AS INT)+1):(CAST(i AS INT)+5)], ' ')) AS gh
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(tk)-5)) AS i) s
+        |), dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, st + CAST(j AS INT) AS pos
+        |  FROM g JOIN dup USING (gh),
+        |       LATERAL (SELECT unnest(generate_series(0, 4)) AS j) s2
+        |), rm AS (SELECT doc_id, list(pos) AS rm FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list_filter(range(len(tk)),
+        |      p -> NOT list_contains(coalesce(rm.rm, CAST([] AS INT[])), p))),
+        |    p -> tk[CAST(p AS INT)+1]), ' '), '') AS text_clean,
+        |  CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(len(rm.rm), 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN rm USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), f AS (
+        |  SELECT doc_id, lang, f FROM t, LATERAL (SELECT unnest(tk) AS f) u
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] AS f
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+        |), b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(f), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+        |      << ((7 - CAST(i AS INT)) * 4))) AS BIGINT) % 4096 AS b
+        |  FROM f
+        |), c AS (
+        |  SELECT b, count(*) AS rc,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        |  FROM b GROUP BY b
+        |), tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM c),
+        |lam AS (
+        |  SELECT b, CAST(round((ln((tc + 1) / CAST(ttot + 4096 AS DOUBLE)) -
+        |    ln((rc + 1) / CAST(rtot + 4096 AS DOUBLE))) * 1000000) AS BIGINT) AS lam
+        |  FROM c CROSS JOIN tot
+        |), w AS (
+        |  SELECT doc_id, count(*) AS n_feat, sum(lam) AS sw
+        |  FROM b JOIN lam USING (b) GROUP BY doc_id
+        |), u AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM w)
+        |SELECT w.doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+        |  round(CAST(sw AS DOUBLE) / (n_feat * 1000000.0), 6) AS logw,
+        |  (uv < 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (n_feat * 1000000.0)))))
+        |    AS keep
+        |FROM w JOIN u USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), f AS (
+        |  SELECT doc_id, f FROM t, LATERAL (SELECT unnest(tk) AS f) u
+        |  UNION ALL
+        |  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] AS f
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(f), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+        |      << ((7 - CAST(i AS INT)) * 4))) AS BIGINT) % 1024 AS b
+        |  FROM f
+        |), wt AS (
+        |  SELECT CAST(range AS BIGINT) AS b,
+        |    (range * 2654435761) % 2001 - 1000 AS w
+        |  FROM range(1024)
+        |), w AS (
+        |  SELECT doc_id, count(*) AS n_feat, sum(coalesce(wt.w, 0)) AS sw
+        |  FROM b LEFT JOIN wt USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+        |  round(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (n_feat * 1000.0)))), 6)
+        |    AS score,
+        |  (1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (n_feat * 1000.0)))) >= 0.5)
+        |    AS label
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT doc_id,

@@ -359,6 +359,88 @@ object Dedup {
         count(lit(1)).as("units_kept"))
   }
 
+  /** Per-document stats of token positions covered by corpus-repeated
+    * n-gram spans — the span-level "exact substring" dedup signal of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed for Spark: instead of a corpus-global suffix array (one
+    * giant sorted structure), every overlapping token n-gram becomes an
+    * md5-keyed row, a gram is DUPLICATED when it occurs ≥ `minCount` times
+    * corpus-wide (across or within documents), and a doc's duplicated
+    * positions are the union of its duplicated grams' windows.
+    *
+    * Output: (doc_id, n_tok, dup_pos, dup_ratio) for every doc with
+    * non-empty text — `dup_ratio` is the fraction of the doc's tokens
+    * sitting inside some repeated span (1.0 = exact duplicate of other
+    * text, 0.0 = fully novel).
+    *
+    * Scale shape: gram emission is map-only off one tokenize; only the
+    * fixed-width (doc_id, start, md5) triple ever shuffles — never text.
+    * The gram-frequency pass is a partial-agg groupBy on the hash; the
+    * dup-set join is hash-partitioned on the same key (no broadcast — the
+    * dup set is corpus-sized in the worst case); position coverage is one
+    * distinct + per-doc count. Three shuffles total, all on narrow keys.
+    */
+  def repeatedSpanStats(df: DataFrame, textCol: Column, idCol: Column,
+                        n: Int, minCount: Int = 2): DataFrame = {
+    val (t, cov) = repeatedSpanCoverage(df, textCol, idCol, n, minCount)
+    t.join(cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_pos")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        coalesce(col("dup_pos"), lit(0L)).cast("long").as("dup_pos"),
+        round(coalesce(col("dup_pos"), lit(0L)).cast("double") /
+          col("n_tok").cast("double"), 6).as("dup_ratio"))
+  }
+
+  /** Remove the repeated spans [[repeatedSpanStats]] identifies: tokens
+    * covered by any corpus-duplicated n-gram are dropped and the document
+    * is re-joined from the survivors (Lee et al.'s dedup applied at the
+    * span level rather than whole-doc). Output: (doc_id, text_clean,
+    * n_tok, n_removed). The per-doc removal set rides a collect_set whose
+    * size is bounded by the doc's own token count — never corpus-sized.
+    */
+  def stripRepeatedSpans(df: DataFrame, textCol: Column, idCol: Column,
+                         n: Int, minCount: Int = 2): DataFrame = {
+    val (t, cov) = repeatedSpanCoverage(df, textCol, idCol, n, minCount)
+    val rm = cov.groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rm"))
+    t.join(rm, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("__keep",
+        array_sort(array_except(
+          sequence(lit(0), col("n_tok") - 1).cast("array<int>"), col("__rm"))))
+      .select(col("doc_id"),
+        array_join(transform(col("__keep"),
+          p => element_at(col("tk"), p + 1)), " ").as("text_clean"),
+        col("n_tok").cast("long").as("n_tok"),
+        size(col("__rm")).cast("long").as("n_removed"))
+  }
+
+  /** Shared plumbing: (docs with tokens, duplicated-position rows).
+    * `t` = (doc_id, tk, n_tok) over non-empty docs; `cov` = distinct
+    * (doc_id, pos) pairs covered by a gram occurring ≥ minCount times.
+    */
+  private def repeatedSpanCoverage(df: DataFrame, textCol: Column,
+      idCol: Column, n: Int, minCount: Int)
+      : (DataFrame, DataFrame) = {
+    require(n >= 1, s"span length must be positive: $n")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val t = df
+      .select(idCol.as("doc_id"), TextAnalysis.tokensSimple(textCol).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .filter(col("n_tok") > 0)
+    val g = t.filter(col("n_tok") >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("n_tok") - n),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))
+            .cast("binary")))).as(Seq("start", "gh")))
+    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("gh"))
+    val cov = g.join(dup, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + n - 1)).as("pos"))
+      .distinct()
+    (t, cov)
+  }
+
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
     * Docs with fewer than n tokens have no n-gram. Compiled by the native
     * [[graft.functions.WordNGrams]] expression — one tokenize+join+dedup

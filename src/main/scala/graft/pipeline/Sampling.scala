@@ -24,6 +24,69 @@ object Sampling {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
       .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
 
+  /** Deterministic bucket in [0, nBuckets): the first 8 hex digits of
+    * md5(key) = 32 bits (exact in a long) mod the bucket count. Same
+    * engine-portability argument as [[hashUniform]] — the bucket of a
+    * feature is identical in Spark and in any SQL oracle, so hashed-feature
+    * models (DSIR, fastText-style classifiers) score identically anywhere.
+    */
+  def hashBucket(key: Column, nBuckets: Int): Column = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * distribution (rows matching `targetPred` — the high-quality subset)
+    * than under the raw corpus distribution, then make the deterministic
+    * resampling decision.
+    *
+    * Per bucket b: λ(b) = ln p̂_target(b) − ln p̂_raw(b), add-one smoothed,
+    * quantized to integer micros so the per-doc sum is an exact BIGINT (no
+    * float summation order can leak into results across engines). Per doc:
+    * logw = Σ_features λ(bucket(f)) / n_features; keep ⇔
+    * hashUniform(id) < sigmoid(logw) — the importance-resampling coin flip
+    * with the md5-uniform standing in for the RNG, so the selected subset
+    * is reproducible across re-runs, partitionings, and engines.
+    *
+    * Output: (doc_id, n_feat, logw, keep) for docs with non-empty text.
+    *
+    * Scale shape: features come off one map-side tokenize (unigrams +
+    * bigrams hashed to `nBuckets` ints — text never shuffles); the two
+    * distributions come from ONE partial-agg pass (count + conditional
+    * count per bucket, collapsing to ≤ nBuckets rows per partition before
+    * the shuffle); the λ table is ≤ nBuckets rows and broadcasts; scoring
+    * is a broadcast join + one per-doc sum. Two shuffles, both narrow.
+    */
+  def dsirWeights(df: DataFrame, textCol: Column, idCol: Column,
+                  targetPred: Column, nBuckets: Int = 1 << 14): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val feats = df
+      .select(idCol.as("doc_id"), targetPred.as("__tgt"),
+        explode(TextAnalysis.hashedNgramBuckets(textCol, nBuckets)).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tc"))
+    val totals = counts.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tc") + 1).cast("double") /
+                   (col("ttot") + nBuckets).cast("double")) -
+               log((col("rc") + 1).cast("double") /
+                   (col("rtot") + nBuckets).cast("double"))) * 1e6)
+          .cast("long").as("lam"))
+    val w = feats.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lam")).as("__sw"))
+    val logw = col("__sw").cast("double") / (col("n_feat") * 1e6)
+    w.select(col("doc_id"), col("n_feat"),
+        round(logw, 6).as("logw"),
+        (hashUniform(col("doc_id")) <
+          lit(1.0) / (lit(1.0) + exp(-logw))).as("keep"))
+  }
+
   /** Keep ~rate of rows, deterministically in the key. */
   def hashSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")

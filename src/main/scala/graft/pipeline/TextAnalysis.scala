@@ -32,6 +32,55 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Hashed n-gram feature buckets of a document — the fastText/DSIR
+    * featurization: every unigram and every space-joined bigram of the
+    * whitespace tokens, hashed to [0, nBuckets) via the engine-portable
+    * [[Sampling.hashBucket]]. Map-only Column composition; the array is
+    * bounded by 2·n_tok−1 entries of 8 bytes, so downstream per-doc sums
+    * explode ints, never text.
+    */
+  def hashedNgramBuckets(text: Column, nBuckets: Int): Column = {
+    val t = tokensSimple(text)
+    val bi = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    transform(concat(t, bi), f => Sampling.hashBucket(f, nBuckets))
+  }
+
+  /** fastText-style linear quality classifier INFERENCE (the
+    * CCNet/GPT-3-lineage "does this look like reference text" filter):
+    * score = sigmoid(bias + mean of per-feature weights), features =
+    * hashed unigram+bigram buckets ([[hashedNgramBuckets]]), weights a
+    * (bucket, w_milli) table in integer MILLI-units so each doc's weight
+    * sum is an exact BIGINT — float summation order can't leak into the
+    * score on any engine. Buckets absent from the table score 0 (OOV).
+    *
+    * Output: (doc_id, n_feat, score, label) for docs with non-empty text;
+    * label ⇔ score ≥ 0.5.
+    *
+    * Scale shape: the weight table is ≤ nBuckets rows and broadcasts (a
+    * trained hashed-ngram model is a few MB — the whole point of the
+    * hashing trick); scoring is map-side explode + broadcast join + one
+    * per-doc sum: a single shuffle on doc_id.
+    */
+  def classifierScore(df: DataFrame, textCol: Column, idCol: Column,
+                      weights: DataFrame, nBuckets: Int,
+                      bias: Double = 0.0): DataFrame = {
+    val feats = df
+      .select(idCol.as("doc_id"),
+        explode(hashedNgramBuckets(textCol, nBuckets)).as("b"))
+    val w = feats
+      .join(broadcast(weights.select(col("bucket").as("b"),
+        col("w_milli").cast("long").as("__w"))), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(coalesce(col("__w"), lit(0L))).as("__sw"))
+    val mean = col("__sw").cast("double") / (col("n_feat") * 1e3) + lit(bias)
+    w.select(col("doc_id"), col("n_feat"),
+      round(lit(1.0) / (lit(1.0) + exp(-mean)), 6).as("score"),
+      (lit(1.0) / (lit(1.0) + exp(-mean)) >= 0.5).as("label"))
+  }
+
   /** PII redaction (the C4/Dolma-style scrub stage): emails → `[EMAIL]`,
     * dotted IPv4 → `[IP]`, 8+-digit runs (phone/account-shaped) → `[NUM]`.
     * Order matters — emails first (their local parts may contain digits),

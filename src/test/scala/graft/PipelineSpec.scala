@@ -2535,4 +2535,148 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.functions.RegisteredDomainPsl.memoSize === sizeAfterFirst)
     assert(first === Seq("blog.github.io", "a.b.ck", "www.ck"))
   }
+
+  // ---- repeated-span (exact-substring) dedup ----
+
+  private def spanDocs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d e f"),     // shares "a b c", "b c d" with doc 1
+      (1L, "x y a b c d z"),
+      (2L, "p q r s t"),       // fully novel
+      (3L, "m m m m m"),       // WITHIN-doc repeat: "m m m" occurs 3x
+      (4L, "u v"),             // shorter than n: no grams, zero coverage
+      (5L, "")                 // empty: excluded entirely
+    ).toDF("doc_id", "text")
+  }
+
+  test("repeatedSpanStats: cross-doc and within-doc repeats, short docs") {
+    val out = Dedup.repeatedSpanStats(spanDocs, col("text"), col("doc_id"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 6L, 4L, 0.666667),  // pos {0,1,2,3} under the two shared grams
+      (1L, 7L, 4L, 0.571429),  // pos {2,3,4,5}
+      (2L, 5L, 0L, 0.0),
+      (3L, 5L, 5L, 1.0),       // "m m m" at starts 0,1,2 covers everything
+      (4L, 2L, 0L, 0.0)))
+  }
+
+  test("stripRepeatedSpans: removes covered tokens, rejoins survivors") {
+    val out = Dedup.stripRepeatedSpans(spanDocs, col("text"), col("doc_id"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, "e f", 6L, 4L),
+      (1L, "x y z", 7L, 4L),
+      (2L, "p q r s t", 5L, 0L),
+      (3L, "", 5L, 5L),        // all tokens in a repeated span → empty doc
+      (4L, "u v", 2L, 0L)))
+    // idempotence-ish sanity: the stripped corpus has no repeated 3-gram left
+    import spark.implicits._
+    val again = Dedup.repeatedSpanStats(
+      out.toDF("doc_id", "text", "nt0", "rm0"), col("text"), col("doc_id"), 3)
+      .agg(sum(col("dup_pos"))).collect()(0).getLong(0)
+    assert(again === 0L)
+  }
+
+  // ---- hashed-ngram features: DSIR + classifier ----
+
+  private def localMd5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def localBucket(s: String, nBuckets: Int): Long =
+    java.lang.Long.parseLong(localMd5Hex(s).take(8), 16) % nBuckets
+
+  private def localUniform53(key: String): Double =
+    java.lang.Long.parseLong(localMd5Hex(key).take(13), 16).toDouble /
+      4503599627370496.0
+
+  private def localFeats(text: String): Seq[String] = {
+    val t = text.trim.split(" ", -1).toSeq
+    if (text.trim.isEmpty) Seq.empty
+    else t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  test("dsirWeights matches an exact local model (buckets, lambda, coin flip)") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "good clean prose with verbs and clauses here"),
+      (1L, "en", "another fine sentence of clean prose here"),
+      (2L, "xx", "spam spam click here buy now spam"),
+      (3L, "xx", "buy now click now spam now"),
+      (4L, "en", "clean prose and spam mixed in one doc"),
+      (5L, "xx", "")
+    ).toDF("doc_id", "lang", "text")
+    val B = 64
+    val out = Sampling.dsirWeights(d, col("text"), col("doc_id"),
+        col("lang") === "en", nBuckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    // exact local re-derivation
+    val rows = Seq(
+      (0L, true, "good clean prose with verbs and clauses here"),
+      (1L, true, "another fine sentence of clean prose here"),
+      (2L, false, "spam spam click here buy now spam"),
+      (3L, false, "buy now click now spam now"),
+      (4L, true, "clean prose and spam mixed in one doc"))
+    val perDoc = rows.map { case (id, tgt, tx) =>
+      (id, tgt, localFeats(tx).map(localBucket(_, B))) }
+    val rc = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val tc = perDoc.filter(_._2).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rtot = rc.values.sum.toDouble
+    val ttot = tc.values.sum.toDouble
+    val lam: Map[Long, Long] = rc.keys.map { b =>
+      b -> math.round((math.log((tc.getOrElse(b, 0) + 1) / (ttot + B)) -
+                       math.log((rc(b) + 1) / (rtot + B))) * 1e6)
+    }.toMap
+    val expected = perDoc.map { case (id, _, bs) =>
+      val sw = bs.map(lam).sum
+      val raw = sw.toDouble / (bs.size * 1e6)
+      (id, bs.size.toLong, round6(raw),
+        localUniform53(id.toString) < 1.0 / (1.0 + math.exp(-raw)))
+    }
+    assert(out === expected)
+    // partition-layout independence: the same rows from a 7-way shuffle
+    val out7 = Sampling.dsirWeights(d.repartition(7), col("text"),
+        col("doc_id"), col("lang") === "en", nBuckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(out7 === out)
+  }
+
+  test("classifierScore matches an exact local model; OOV buckets score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta iota kappa"),
+      (2L, "alpha alpha alpha"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val B = 32
+    // PARTIAL table (even buckets only) so the OOV → 0 path is exercised
+    val wt = spark.range(0, B, 2).select(col("id").as("bucket"),
+      ((col("id") * 37L) % 150 - 75).as("w_milli"))
+    val out = TextAnalysis.classifierScore(d, col("text"), col("doc_id"),
+        weights = wt, nBuckets = B, bias = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val w: Map[Long, Long] =
+      (0L until B by 2).map(b => b -> ((b * 37L) % 150 - 75)).toMap
+    val expected = Seq(0L -> "alpha beta gamma delta",
+        1L -> "epsilon zeta eta theta iota kappa", 2L -> "alpha alpha alpha")
+      .map { case (id, tx) =>
+        val bs = localFeats(tx).map(localBucket(_, B))
+        val mean = bs.map(b => w.getOrElse(b, 0L)).sum.toDouble /
+          (bs.size * 1e3) + 0.25
+        val sc = 1.0 / (1.0 + math.exp(-mean))
+        (id, bs.size.toLong, round6(sc), sc >= 0.5)
+      }
+    assert(out === expected)
+  }
 }

@@ -286,6 +286,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated-span stats shuffle md5 keys and ints, never text or tokens") {
+    val p = planOf("q_repeated_spans")
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange\\b.*"))
+    assert(exchangeBlocks.nonEmpty, p)
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("text#") && !b.contains("tk#"),
+        s"text/token payload in shuffle:\n$b")
+    }
+  }
+
+  test("DSIR scores through BROADCAST feature-table joins; text stays map-side") {
+    val p = planOf("q_dsir")
+    // both the 1-row totals table and the ≤nBuckets λ table must broadcast
+    // into their joins — a shuffle join on either would re-shuffle every
+    // doc's feature rows a second time
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange\\b.*"))
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text payload in shuffle:\n$b")
+    }
+  }
+
+  test("classifier inference: weight table broadcasts, one agg shuffle, no text in exchanges") {
+    val p = planOf("q_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange\\b.*"))
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text payload in shuffle:\n$b")
+    }
+    // per-doc sum + final orderBy: exactly the two narrow shuffles
+    assert(exchangeBlocks.size <= 2, s"unexpected exchanges:\n$p")
+  }
+
   test("plan hygiene sweep: every gate query stays free of scale-killer shapes") {
     // tools/PlanSweep promoted into CI (r5 verdict #3): the shapes that
     // silently serialize at 100 TB — a cartesian product, more than one
