@@ -75,6 +75,22 @@ object TextPipelineStress {
         col("source"), 512)
     }
 
+    def spans(dir: String): DataFrame = {
+      val docs = spark.read.parquet(dir)
+      Dedup.repeatedSpanStats(docs, col("text"), col("doc_id"), n = 5)
+    }
+    def dsir(dir: String): DataFrame = {
+      val docs = spark.read.parquet(dir)
+      Sampling.dsirWeights(docs, col("text"), col("doc_id"),
+        col("source").endsWith("_0"), nBuckets = 4096)
+    }
+    def classify(dir: String): DataFrame = {
+      val docs = spark.read.parquet(dir)
+      val wt = spark.range(1024).select(col("id").as("bucket"),
+        ((col("id") * lit(2654435761L)) % 2001 - 1000).as("w_milli"))
+      TextAnalysis.classifierScore(docs, col("text"), col("doc_id"), wt, 1024)
+    }
+
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -86,10 +102,12 @@ object TextPipelineStress {
     val dirs = scales.map(k => k -> blowUp(k)).toMap
     time(lineDedup(dirs(1))); time(bigramXent(dirs(1)))
     time(chunk(dirs(1))); time(pack(dirs(1)))
+    time(spans(dirs(1))); time(dsir(dirs(1))); time(classify(dirs(1)))
 
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "line_dedup" -> lineDedup, "bigram_xent" -> bigramXent,
-      "chunk_text" -> chunk, "pack_sequences" -> pack)
+      "chunk_text" -> chunk, "pack_sequences" -> pack,
+      "repeated_spans" -> spans, "dsir" -> dsir, "classifier" -> classify)
     val results = scales.map { k =>
       val row = ops.map { case (name, f) => name -> minOf2(f(dirs(k))) }
       println(s"""{"scale":$k,${row.map { case (n, t) =>
