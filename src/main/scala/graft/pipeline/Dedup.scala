@@ -417,6 +417,12 @@ object Dedup {
   /** Shared plumbing: (docs with tokens, duplicated-position rows).
     * `t` = (doc_id, tk, n_tok) over non-empty docs; `cov` = distinct
     * (doc_id, pos) pairs covered by a gram occurring ≥ minCount times.
+    * Gram keys come from the native [[graft.functions.NGramMd5]] — the
+    * full 128-bit md5 as two longs (16-byte shuffle keys, no gram
+    * strings); grouping on (h1, h2) is bit-identical in collision
+    * behavior to the hex-string formulation the oracle uses.
+    * [[repeatedSpanGramsColumnar]] is the executable hex spec it is
+    * pinned against in PipelineSpec.
     */
   private def repeatedSpanCoverage(df: DataFrame, textCol: Column,
       idCol: Column, n: Int, minCount: Int)
@@ -427,18 +433,31 @@ object Dedup {
       .select(idCol.as("doc_id"), TextAnalysis.tokensSimple(textCol).as("tk"))
       .withColumn("n_tok", size(col("tk")))
       .filter(col("n_tok") > 0)
-    val g = t.filter(col("n_tok") >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), col("n_tok") - n),
-          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))
-            .cast("binary")))).as(Seq("start", "gh")))
-    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select(col("gh"))
-    val cov = g.join(dup, Seq("gh"))
+    val g = df.select(idCol.as("doc_id"),
+        posexplode(graft.functions.NGramMd5(textCol, n))
+          .as(Seq("start", "gh")))
+      .select(col("doc_id"), col("start"),
+        col("gh.h1").as("h1"), col("gh.h2").as("h2"))
+    val dup = g.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("h1"), col("h2"))
+    val cov = g.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + n - 1)).as("pos"))
       .distinct()
     (t, cov)
+  }
+
+  /** Hex-string gram formulation — the executable spec the native
+    * [[graft.functions.NGramMd5]] is pinned against (same trim/split/
+    * join semantics; the native struct's `%016x%016x` rendering must
+    * equal this md5 hex, gram for gram, position for position).
+    */
+  private[graft] def repeatedSpanGramsColumnar(textCol: Column,
+                                               n: Int): Column = {
+    val tk = TextAnalysis.tokensSimple(textCol)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => md5(concat_ws(" ", slice(tk, i + 1, lit(n))).cast("binary"))))
   }
 
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).

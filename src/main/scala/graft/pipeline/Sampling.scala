@@ -59,13 +59,20 @@ object Sampling {
     * count per bucket, collapsing to ≤ nBuckets rows per partition before
     * the shuffle); the λ table is ≤ nBuckets rows and broadcasts; scoring
     * is a broadcast join + one per-doc sum. Two shuffles, both narrow.
+    * The distribution pass and the scoring pass both consume the hashed
+    * features, so the compact (doc_id, target, buckets) projection — ints,
+    * a few percent of the text's bytes — is persisted via the FIFO
+    * [[graft.PersistCache]]: ONE text scan + md5 featurization instead of
+    * two, and eviction only ever costs a recompute, never correctness.
     */
   def dsirWeights(df: DataFrame, textCol: Column, idCol: Column,
                   targetPred: Column, nBuckets: Int = 1 << 14): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    val feats = df
-      .select(idCol.as("doc_id"), targetPred.as("__tgt"),
-        explode(TextAnalysis.hashedNgramBuckets(textCol, nBuckets)).as("b"))
+    val docFeats = graft.PersistCache.persist(
+      df.select(idCol.as("doc_id"), targetPred.as("__tgt"),
+        TextAnalysis.hashedNgramBuckets(textCol, nBuckets).as("__bs")))
+    val feats = docFeats
+      .select(col("doc_id"), col("__tgt"), explode(col("__bs")).as("b"))
     val counts = feats.groupBy(col("b")).agg(
       count(lit(1)).as("rc"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("tc"))

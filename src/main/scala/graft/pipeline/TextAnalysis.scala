@@ -34,12 +34,24 @@ object TextAnalysis {
 
   /** Hashed n-gram feature buckets of a document — the fastText/DSIR
     * featurization: every unigram and every space-joined bigram of the
-    * whitespace tokens, hashed to [0, nBuckets) via the engine-portable
-    * [[Sampling.hashBucket]]. Map-only Column composition; the array is
-    * bounded by 2·n_tok−1 entries of 8 bytes, so downstream per-doc sums
-    * explode ints, never text.
+    * whitespace tokens, hashed to [0, nBuckets) with the engine-portable
+    * md5 bucket ([[Sampling.hashBucket]]'s math). Compiled by the native
+    * [[graft.functions.HashedNgramBuckets]] expression — one byte walk
+    * per row, bigrams digested as contiguous byte ranges with no feature
+    * strings materialized; [[hashedNgramBucketsColumnar]] is the
+    * Column/HOF executable spec it is pinned against in PipelineSpec.
+    * Map-only; the array is bounded by 2·n_tok−1 entries of 8 bytes, so
+    * downstream per-doc sums explode ints, never text.
     */
-  def hashedNgramBuckets(text: Column, nBuckets: Int): Column = {
+  def hashedNgramBuckets(text: Column, nBuckets: Int): Column =
+    graft.functions.HashedNgramBuckets(text, nBuckets)
+
+  /** HOF formulation of [[hashedNgramBuckets]] — kept as the executable
+    * spec for the native expression (same trim/split/concat_ws/md5-prefix
+    * semantics, feature for feature, in the same order).
+    */
+  private[graft] def hashedNgramBucketsColumnar(text: Column,
+                                                nBuckets: Int): Column = {
     val t = tokensSimple(text)
     val bi = when(size(t) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - 1),

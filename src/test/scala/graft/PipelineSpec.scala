@@ -1027,6 +1027,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native HashedNgramBuckets matches the Column/HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1515)
+    val vocab = Seq("alpha", "beta", "x", "café", "1", "", "long-token")
+    val rand = (0 until 60).map(i => (100L + i,
+      Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val edge = Seq((0L, "a b c d"), (1L, "a a a"), (2L, ""), (3L, "   "),
+      (4L, "one"), (5L, "x  y z"), (6L, "café té café"),
+      (7L, " padded  both  ends "))
+    val df = (edge ++ rand).toDF("id", "text")
+    for (b <- Seq(1, 7, 1024, 1 << 14)) {
+      val both = df.select(col("id"),
+          TextAnalysis.hashedNgramBuckets(col("text"), b).as("nat"),
+          TextAnalysis.hashedNgramBucketsColumnar(col("text"), b).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"B=$b id=${r.getLong(0)} text='${df.filter(col("id") === r.getLong(0)).collect()(0).getString(1)}'")
+      }
+    }
+  }
+
+  test("native NGramMd5 struct pairs render to the exact hex-spec md5s") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151)
+    val vocab = Seq("alpha", "beta", "x", "café", "1", "", "tok-en")
+    val rand = (0 until 60).map(i => (100L + i,
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val edge = Seq((0L, "a b c d e"), (1L, "a a a"), (2L, ""), (3L, "   "),
+      (4L, "one"), (5L, "x  y z"), (6L, "café té café té café"),
+      (7L, " padded  both  ends "))
+    val df = (edge ++ rand).toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = df.select(col("id"),
+          graft.functions.NGramMd5(col("text"), n).as("nat"),
+          Dedup.repeatedSpanGramsColumnar(col("text"), n).as("hex"))
+        .collect()
+      both.foreach { r =>
+        val nat = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => f"${p.getLong(0)}%016x${p.getLong(1)}%016x")
+        assert(nat == r.getSeq[String](2), s"n=$n id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("native WordNGrams matches the Column/HOF shingle formulation") {
     import spark.implicits._
     val df = Seq((0L, "a b c d"), (1L, "a a a"), (2L, ""), (3L, "   "),
@@ -1956,6 +2003,49 @@ class PipelineSpec extends AnyFunSuite {
     val exact = Similarity.topK(all, col("embedding"), col("vec_id"), q, 10,
       quantized = true).collect().map(_.getLong(0)).toSeq
     assert(got === exact)
+  }
+
+  test("streaming dedup maintenance: index exactly-once, survivors at-least-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("dedup-stream").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dedup-stream-ckpt").toString
+    val hist = Seq((100L, "seed text one"), (101L, "seed text two"),
+      (102L, "seed text three")).toDF("doc_id", "text")
+    Dedup.buildExactIndexIfMissing(hist, col("text"), col("doc_id"), idx)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val delivered = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val query = graft.streaming.DedupIndexStream.attach(stream, col("text"),
+      col("doc_id"), idx, ckpt, sink = Some(df =>
+        delivered += df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq))
+    try {
+      // two novel texts, one re-crawl of history, one intra-batch double
+      mem.addData(Seq((1L, "novel a"), (2L, "novel b"),
+        (3L, "seed text one"), (4L, "novel a")))
+      query.processAllAvailable()
+      // one novel, one duplicate of the previous batch's admission
+      mem.addData(Seq((5L, "novel c"), (6L, "novel b")))
+      query.processAllAvailable()
+      // replayed content (at-least-once delivery): nothing new admitted,
+      // and the replayed batch's survivor set is EMPTY (their hashes are
+      // in the index) — exactly the idempotence the scaladoc claims
+      mem.addData(Seq((5L, "novel c"), (6L, "novel b")))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(delivered.toSeq === Seq(Seq(1L, 2L), Seq(5L), Seq()))
+    // index content: 3 seed + 3 admitted hashes, exactly once each
+    val hashes = spark.read.parquet(idx).select("__h")
+    assert(hashes.count() === 6L && hashes.distinct().count() === 6L)
+    // a later ad-hoc pure read agrees with the stream's admitted state
+    val recheck = Dedup.exactIncremental(
+      Seq((9L, "novel c"), (10L, "novel d")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, admit = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(recheck === Seq(10L))
   }
 
   test("index compaction: clustered copy answers identically, keeps meta + refusal") {
