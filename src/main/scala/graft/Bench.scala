@@ -188,6 +188,12 @@ object Bench {
         .filter(col("source") =!= "src0")
       graft.pipeline.Dedup.buildExactIndexIfMissing(histDocs, col("text"),
         col("doc_id"), SparkEntry.gateDedupPath(sfDir))
+      // near-dup MinHash history index (fingerprint-guarded, same rationale)
+      graft.pipeline.Dedup.buildNearDupIndexIfMissing(
+        histDocs.filter(col("doc_id") < 800)
+          .select(col("doc_id"), col("text"), col("n_chars")),
+        col("text"), col("doc_id"), SparkEntry.gateNearDupPath(sfDir),
+        n = 1, numHashes = 64, bands = 32)
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

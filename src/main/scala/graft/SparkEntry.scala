@@ -203,6 +203,12 @@ object SparkEntry {
   private[graft] def gateDedupPath(dir: String): String =
     s"$gateBase/gate-dedup/idx${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Persistent near-dup MinHash history index for the
+    * q_neardup_incremental gate.
+    */
+  private[graft] def gateNearDupPath(dir: String): String =
+    s"$gateBase/gate-dedup/nd${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
@@ -781,6 +787,37 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // incremental NEAR-DUP dedup against the persistent MinHash index —
+    // the near-dup sibling of q_dedup_incremental: the batch carries the
+    // raw src0 docs, near-copies of HISTORY (negative odd ids, one novel
+    // token appended) and near-copies of ITSELF (negative even ids), and
+    // survivors must equal the exact-Jaccard oracle (no history near-dup,
+    // no smaller-id batch near-dup). A doc with d distinct tokens scores
+    // d/(d+1) against its one-token-appended copy, so only docs with
+    // d >= 9 near-dup their plant at threshold 0.9 — the boundary is
+    // exercised from BOTH sides at every SF. The id scheme reuses
+    // q_dedup_incremental's collision-free negative parities.
+    "q_neardup_incremental" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hist = docs.filter(col("source") =!= "src0" && col("doc_id") < 800)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val b0 = docs.filter(col("source") === "src0" && col("doc_id") < 800)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val batch = b0
+        .unionByName(hist.filter(col("doc_id") % 5 === 0)
+          .select((-col("doc_id") * 2 - 1).as("doc_id"),
+            concat(col("text"), lit(" nq17z")).as("text"), col("n_chars")))
+        .unionByName(b0.filter(col("doc_id") % 7 === 0)
+          .select((-col("doc_id") * 2 - 2).as("doc_id"),
+            concat(col("text"), lit(" vb42k")).as("text"), col("n_chars")))
+      val idx = gateNearDupPath(dir)
+      Dedup.buildNearDupIndexIfMissing(hist, col("text"), col("doc_id"),
+        idx, n = 1, numHashes = 64, bands = 32)
+      Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), idx,
+          n = 1, numHashes = 64, bands = 32, threshold = 0.9, admit = false)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    },
+
     // canonical pre-dedup normalization: the corpus text is salted with
     // deterministic case/punctuation noise (non-vacuous at every SF), then
     // normalized — lowercase, punctuation stripped, whitespace collapsed
@@ -1290,6 +1327,22 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") >= 50)
       Dedup.contaminationReport(corpus, col("text"), col("doc_id"),
           evalSet, col("text"), n = 3)
+        .orderBy(col("id"))
+    },
+
+    // FRACTIONAL decontamination (the PaLM-style thresholded rule): per
+    // contaminated doc, the share of its distinct 3-grams found in the
+    // eval set, plus the >= 0.3 drop decision — any-hit (q_decontaminate)
+    // is the frac > 0 special case
+    "q_decontaminate_frac" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = docs.filter(col("doc_id") < 50)
+      val corpus = docs.filter(col("doc_id") >= 50)
+      Dedup.contaminationFractionReport(corpus, col("text"), col("doc_id"),
+          evalSet, col("text"), n = 3)
+        .select(col("id"), col("n_grams"), col("hits"),
+          round(col("frac"), 6).as("frac"),
+          (col("frac") >= 0.3).as("dropped"))
         .orderBy(col("id"))
     },
 
@@ -1957,6 +2010,43 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING containment >= 0.95 ORDER BY 1, 2""".stripMargin,
 
+    // exact-Jaccard ground truth for the incremental near-dup gate: a
+    // batch row survives iff NO history doc and NO smaller-id batch doc
+    // reaches Jaccard 0.9 on distinct tokens (the engine's LSH candidates
+    // are exact-verified, so its result must equal this)
+    "q_neardup_incremental" ->
+      """WITH hist AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source <> 'src0' AND doc_id < 800),
+        |b0 AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source = 'src0' AND doc_id < 800),
+        |batch AS (
+        |  SELECT * FROM b0
+        |  UNION ALL SELECT -doc_id * 2 - 1, text || ' nq17z', n_chars
+        |    FROM hist WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT -doc_id * 2 - 2, text || ' vb42k', n_chars
+        |    FROM b0 WHERE doc_id % 7 = 0),
+        |bt AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM batch WHERE length(trim(text)) > 0),
+        |ht AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
+        |  FROM hist WHERE length(trim(text)) > 0),
+        |be AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM bt),
+        |he AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM ht),
+        |hd AS (SELECT DISTINCT bid FROM (
+        |  SELECT b.doc_id AS bid,
+        |    count(*)::DOUBLE / (any_value(b.sz) + any_value(h.sz) - count(*)) AS j
+        |  FROM be b JOIN he h USING (tok) GROUP BY b.doc_id, h.doc_id)
+        |  WHERE j >= 0.9),
+        |dom AS (SELECT DISTINCT ib FROM (
+        |  SELECT b2.doc_id AS ib,
+        |    count(*)::DOUBLE / (any_value(b1.sz) + any_value(b2.sz) - count(*)) AS j
+        |  FROM be b1 JOIN be b2 ON b1.tok = b2.tok AND b1.doc_id < b2.doc_id
+        |  GROUP BY b1.doc_id, b2.doc_id)
+        |  WHERE j >= 0.9)
+        |SELECT doc_id, n_chars FROM batch
+        |WHERE doc_id NOT IN (SELECT bid FROM hd)
+        |  AND doc_id NOT IN (SELECT ib FROM dom)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_normalize_text" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -2494,6 +2584,27 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
         |co AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50)
         |SELECT co.doc_id AS id, CAST(count(*) AS BIGINT) AS hits
+        |FROM co JOIN ev USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decontaminate_frac" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(trim(text), ' ') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+        |           || ' ' || toks[CAST(i AS INT)+3])) END AS grams
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+        |co AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        |  FROM g WHERE doc_id >= 50 AND len(grams) > 0)
+        |SELECT co.doc_id AS id, CAST(any_value(co.n_grams) AS INT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS hits,
+        |  round(count(*)::DOUBLE / any_value(co.n_grams), 6) AS frac,
+        |  (count(*)::DOUBLE / any_value(co.n_grams)) >= 0.3 AS dropped
         |FROM co JOIN ev USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

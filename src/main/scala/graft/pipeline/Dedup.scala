@@ -94,6 +94,9 @@ object Dedup {
   private def writeIndexMeta(metaPath: java.nio.file.Path, fpLine: String,
                              appends: Long): Unit = {
     crashHook("dedup.meta-pre")
+    // an admit into a not-yet-existing index path (first batch IS the seed)
+    // commits its counter before any parquet file has created the dir
+    java.nio.file.Files.createDirectories(metaPath.getParent)
     val tmp = metaPath.resolveSibling(metaPath.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp, s"$fpLine\nappends=$appends\n")
     crashHook("dedup.meta-tmp")
@@ -142,6 +145,10 @@ object Dedup {
             "delete the index directory explicitly to rebuild from scratch")
       case _ => // absent or stale seed-only index: rebuild below
     }
+    // a rebuild invalidates any OTHER corpus's cached validation for this
+    // path: without this, swap corpus A -> B -> A within one session and
+    // the stale A entry skips the fingerprint check against a B-built index
+    exactIndexValidated.keySet.removeIf(_._1 == indexPath)
     buildExactIndex(df, keyCol, indexPath)
     writeIndexMeta(metaPath, header, appends = 0L)
     exactIndexValidated.put(memoKey, header)
@@ -288,12 +295,20 @@ object Dedup {
     * check [[requireIndexComplete]] before every flip.
     */
   def indexCompactTo(spark: org.apache.spark.sql.SparkSession,
-                     srcPath: String, destPath: String): Unit = {
+                     srcPath: String, destPath: String): Unit =
+    compactClustered(spark, srcPath, destPath)
+
+  /** Shared blue/green compact body for every `__hp`-partitioned dedup
+    * index (exact hash index and near-dup MinHash index share the layout
+    * discipline; only their column sets differ, and a full-width read
+    * carries whichever set the source holds).
+    */
+  private def compactClustered(spark: org.apache.spark.sql.SparkSession,
+                               srcPath: String, destPath: String): Unit = {
     // meta snapshot BEFORE the data rewrite (same pinning as the ANN twin)
     val (fpLine, appends) = readIndexMeta(
       java.nio.file.Paths.get(srcPath, "_index.txt")).getOrElse(("fp=?", 0L))
     spark.read.parquet(srcPath)
-      .select(col("__h"), col("__hp"))
       .repartition(col("__hp"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__hp").parquet(destPath)
@@ -325,6 +340,248 @@ object Dedup {
         "incomplete compacted copy; flipping readers to it would disarm " +
         "the appends-refusal. Delete it and re-compact from the source")
   }
+
+  // ---- incremental NEAR-DUP dedup against a persistent MinHash index ----
+  //
+  // The near-duplicate sibling of [[exactIncremental]] — the production
+  // shape for an ongoing crawl: each batch is checked for Jaccard
+  // near-duplication against EVERYTHING ever admitted, without re-scanning
+  // history text. The index stores, per admitted doc, two compact columns:
+  //
+  //   hs  array<long>  xxhash64 per distinct shingle — the exact-verify
+  //                    payload (8 bytes per distinct shingle vs the raw
+  //                    text; Jaccard over the hash sets equals Jaccard over
+  //                    the shingle sets barring 64-bit collisions)
+  //   bnd array<long>  LSH band hashes of the MinHash signature — the
+  //                    candidate-generation key (bands × 8 bytes per doc,
+  //                    corpus-size-independent)
+  //
+  // Candidates come from an equi-join on (band, bandHash) — the batch's
+  // band rows broadcast into a column-pruned (id, bnd) index scan when the
+  // batch is small, so history never shuffles on the daily path — and are
+  // verified EXACTLY on the stored hash sets, so false candidates cost
+  // work, never correctness. A true pair at threshold t is missed with
+  // probability ≈ (1 − t^r)^bands (≈1e-23 at t=0.9, 64 hashes / 32 bands).
+  // Banding arithmetic is bit-identical to [[minHashLsh]]'s.
+
+  /** (id, hs, bnd) signature rows for every doc with ≥1 shingle, one row
+    * per id. Duplicate ids collapse deterministically to the minimum
+    * (hs, bnd) struct (the [[exactIncremental]] winners discipline — an
+    * index must never hold two signature rows for one id); the collapse
+    * shuffles only the hashed signature frame, never text.
+    */
+  private def nearDupSig(df: DataFrame, textCol: Column, idCol: Column,
+                         n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df
+      .select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .withColumn("__sig", array((0 until numHashes).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
+      }: _*))
+      .select(col("id"), col("hs"),
+        array((0 until bands).map { b =>
+          xxhash64(slice(col("__sig"), lit(b * r + 1), lit(r)), lit(b))
+        }: _*).as("bnd"))
+    sig.groupBy(col("id"))
+      .agg(min(struct(col("hs"), col("bnd"))).as("__w"))
+      .select(col("id"), col("__w.hs").as("hs"), col("__w.bnd").as("bnd"))
+  }
+
+  /** (Re)build the near-dup index at `indexPath` from an initial corpus:
+    * one signature row per doc, clustered on a 5-bit id-hash prefix before
+    * the partitioned write (the [[buildExactIndex]] layout discipline — one
+    * file per prefix per write, appends land beside their peers).
+    */
+  def buildNearDupIndex(df: DataFrame, textCol: Column, idCol: Column,
+                        indexPath: String, n: Int, numHashes: Int,
+                        bands: Int): Unit =
+    nearDupSig(df, textCol, idCol, n, numHashes, bands)
+      .withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
+      .repartition(col("__hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__hp").parquet(indexPath)
+
+  // keyed by (path, input-plan hash, shingle/banding recipe): a recipe
+  // change is a different index even over the same corpus, so it must not
+  // hit another recipe's validation
+  private val nearDupIndexValidated =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), String]()
+
+  /** [[buildNearDupIndex]] only if the index is absent or was built from a
+    * different (corpus, shingle/banding recipe); refuses a corpus-change
+    * rebuild once incremental admissions exist — the [[buildExactIndexIfMissing]]
+    * tripwire, word for word, because the failure it guards is identical:
+    * a rebuild keyed on the seed fingerprint would silently discard every
+    * admitted batch.
+    */
+  def buildNearDupIndexIfMissing(df: DataFrame, textCol: Column, idCol: Column,
+                                 indexPath: String, n: Int, numHashes: Int,
+                                 bands: Int): Unit = {
+    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash(),
+      n, numHashes, bands)
+    if (nearDupIndexValidated.containsKey(memoKey)) return
+    val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+    val header = s"fp=${Similarity.datasetFingerprint(df, idCol)};" +
+      s"n=$n;k=$numHashes;b=$bands"
+    readIndexMeta(metaPath) match {
+      case Some((fp, _)) if fp == header =>
+        nearDupIndexValidated.put(memoKey, header)
+        return
+      case Some((_, appends)) if appends > 0 =>
+        throw new IllegalStateException(
+          s"near-dup index at $indexPath holds $appends incremental " +
+            "append(s) that a corpus-change rebuild would silently discard; " +
+            "delete the index directory explicitly to rebuild from scratch")
+      case _ => // absent or stale seed-only index: rebuild below
+    }
+    // a rebuild invalidates every other (corpus, recipe) validation cached
+    // for this path — the mid-session swap hazard the ANN memo also guards
+    nearDupIndexValidated.keySet.removeIf(_._1 == indexPath)
+    buildNearDupIndex(df, textCol, idCol, indexPath, n, numHashes, bands)
+    writeIndexMeta(metaPath, header, appends = 0L)
+    nearDupIndexValidated.put(memoKey, header)
+  }
+
+  /** Batch rows that survive near-dup dedup against BOTH the persistent
+    * index at `indexPath` (any admitted doc with Jaccard ≥ `threshold`
+    * rejects the batch row) and the batch itself (a row is dominated by any
+    * SMALLER-id batch row with Jaccard ≥ `threshold` — the [[cosineDedup]]
+    * dominance rule, which an exact SQL oracle can state; greedy chaining
+    * cannot). Docs with zero shingles (< n tokens) carry no signature: they
+    * always pass and are never admitted — near-dup similarity is undefined
+    * on them, exactly as Jaccard is.
+    *
+    * With `admit = true` the survivors' signatures are appended first
+    * (counter-before-data, the [[exactIncremental]] crash discipline);
+    * `admit = false` is a pure read. SINGLE WRITER: like every index
+    * mutation in this file, concurrent admits to one index are undefined.
+    *
+    * Scale shape: the index is scanned twice, both column-pruned — (id,
+    * bnd) for candidate generation, (id, hs) for verification pruned to
+    * candidate ids — and never shuffles when the batch's band rows fit the
+    * broadcast bound (`maxBroadcastBandRows`, counted two-tier like
+    * [[exactIncremental]]: optimizer stats when provable, one persisted
+    * count otherwise, ≤ 0 forces the shuffle path). Candidate volume, not
+    * history size, pays the verification join; the batch's hash arrays ride
+    * plain joins sized by AQE at runtime.
+    */
+  def nearDupIncremental(batch: DataFrame, textCol: Column, idCol: Column,
+                         indexPath: String, n: Int, numHashes: Int,
+                         bands: Int, threshold: Double,
+                         admit: Boolean = true,
+                         maxBroadcastBandRows: Long = 4000000L,
+                         stripes: Int = 1): DataFrame = {
+    require(stripes >= 1, "stripes must be >= 1")
+    val spark = batch.sparkSession
+    val prep = graft.PersistCache.persist(
+      nearDupSig(batch, textCol, idCol, n, numHashes, bands))
+    // two-tier broadcast sizing on the batch's BAND-ROW count (docs × bands
+    // — the frame that actually ships): stats shortcut when the optimizer
+    // already proves the batch small, one count otherwise, <= 0 = always
+    // shuffle. Same rationale as exactIncremental's; the row bound uses the
+    // optimizer's row count when present, else conservative byte constants.
+    val stats =
+      try Some(batch.queryExecution.optimizedPlan.stats)
+      catch { case _: Exception => None }
+    val estDocs: BigInt = stats.flatMap(_.rowCount).getOrElse {
+      val estBytes = stats.map(s => BigInt(s.sizeInBytes.toString))
+        .getOrElse(BigInt(-1))
+      if (estBytes < 0) BigInt(-1) else estBytes * 10 / 8
+    }
+    val smallByStats = maxBroadcastBandRows > 0 && estDocs >= 0 &&
+      estDocs * bands <= BigInt(maxBroadcastBandRows)
+    val small =
+      if (smallByStats) true
+      else if (maxBroadcastBandRows <= 0) false
+      else prep.count() * bands <= maxBroadcastBandRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // pin the index SNAPSHOT by explicit file list (exactIncremental's
+    // recache-on-write defense: the survivor plan must not observe the
+    // rows this call's own admit appends)
+    val preFiles =
+      try spark.read.parquet(indexPath).inputFiles.toIndexedSeq
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
+      }
+    val bBand = prep.select(col("id").as("bid"),
+      posexplode(col("bnd")).as(Seq("band", "bh")))
+    val histDup =
+      if (preFiles.isEmpty) prep.select(col("id")).limit(0)
+      else {
+        val ix = spark.read.parquet(preFiles: _*)
+        val iBand = ix.select(col("id").as("hid"),
+          posexplode(col("bnd")).as(Seq("band", "bh")))
+        val cand = iBand.join(maybeB(bBand), Seq("band", "bh"))
+          .select(col("bid"), col("hid")).distinct()
+        // verify exactly on the stored hash sets. The candidate-hid prune
+        // broadcasts under the same `small` flag so the index hs scan stays
+        // map-only on the daily path (exactIncremental's `hits` discipline;
+        // the set is collision-bounded, and admitted docs are mutually
+        // non-near-dup, which keeps real match degrees small). Everything
+        // downstream joins candidate-bounded frames only.
+        val candIds = cand.select(col("hid")).distinct()
+        val histHs = ix.select(col("id").as("hid"), col("hs").as("hhs"))
+          .join(maybeB(candIds), Seq("hid"), "left_semi")
+        val bHs = prep.select(col("id").as("bid"), col("hs").as("bhs"))
+        // bHs is deliberately NOT hinted: it carries the batch's hash
+        // ARRAYS, far heavier per row than the 24-byte band rows the
+        // broadcast bound was sized for — AQE right-sizes this join at
+        // runtime from the candidate side instead
+        val inter = size(array_intersect(col("bhs"), col("hhs"))).cast("double")
+        cand.join(histHs, "hid").join(bHs, "bid")
+          .withColumn("__j",
+            inter / (size(col("bhs")) + size(col("hhs")) - inter))
+          .filter(col("__j") >= threshold)
+          .select(col("bid").as("id")).distinct()
+      }
+    // intra-batch domination: banded self-join over the batch's own rows
+    // (striped for hot band buckets like minHashLsh), exact-verified, then
+    // the GREATER id of every verified pair loses
+    val banded = prep.select(col("id"), posexplode(col("bnd")).as(Seq("band", "bh")))
+    val candIB = Similarity.selfPairs(banded, Seq("band", "bh"), "id", stripes)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sa = prep.select(col("id").as("id_a"), col("hs").as("sha"))
+    val sb = prep.select(col("id").as("id_b"), col("hs").as("shb"))
+    val interIB = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val dominated = candIB.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("__j",
+        interIB / (size(col("sha")) + size(col("shb")) - interIB))
+      .filter(col("__j") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    val losers = histDup.unionByName(dominated).distinct()
+    val survivors = prep.join(losers, Seq("id"), "left_anti")
+    if (admit) {
+      // counter bump BEFORE the parquet append (see exactIncremental: the
+      // asymmetric failure modes demand the refusing side)
+      val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+      val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
+      val bumped =
+        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      writeIndexMeta(metaPath, fpLine, bumped)
+      survivors
+        .withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
+        .repartition(col("__hp"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__hp").parquet(indexPath)
+      crashHook("dedup.nd-appended")
+    }
+    // zero-shingle batch rows are never in `losers`, so they pass through
+    batch.join(maybeB(losers.select(col("id").as("__lid"))),
+      idCol === col("__lid"), "left_anti")
+  }
+
+  /** Blue/green compact of the near-dup index — same layout, same meta
+    * sentinel, same "dest is valid iff `_index.txt` present" rule as
+    * [[indexCompactTo]]; check [[requireIndexComplete]] before flipping.
+    */
+  def nearDupIndexCompactTo(spark: org.apache.spark.sql.SparkSession,
+                            srcPath: String, destPath: String): Unit =
+    compactClustered(spark, srcPath, destPath)
 
   /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /
     * C4 span-dedup stage): split every document on `sep`, keep only the
@@ -743,6 +1000,44 @@ object Dedup {
                     n: Int): DataFrame = {
     val bad = contaminationReport(corpus, textCol, idCol, evalSet,
       evalTextCol, n).select(col("id").as("__contaminated"))
+    corpus.join(bad, idCol === col("__contaminated"), "left_anti")
+  }
+
+  /** Per-document FRACTIONAL contamination: for every corpus doc with ≥1
+    * n-gram, the share of its distinct n-grams that appear anywhere in the
+    * eval set — the PaLM/GPT-4-style thresholded decontamination signal,
+    * where [[contaminationReport]]'s any-hit rule is the special case
+    * "fraction > 0". Only contaminated docs appear (hits ≥ 1); `n_grams`
+    * rides the explode so the op stays one corpus scan + one broadcast
+    * join + one per-doc agg, like its any-hit sibling.
+    */
+  def contaminationFractionReport(corpus: DataFrame, textCol: Column,
+                                  idCol: Column, evalSet: DataFrame,
+                                  evalTextCol: Column, n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(evalTextCol, n)).as("g")).distinct()
+    corpus.select(idCol.as("id"), shingles(textCol, n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), size(col("__sh")).as("n_grams"),
+        explode(col("__sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("id"))
+      .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("hits"))
+      .withColumn("frac",
+        col("hits").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Drop corpus docs whose contaminated-gram fraction reaches
+    * `minFraction` (docs with < n tokens have no gram and always survive).
+    * `minFraction` ≤ 0 degenerates to [[decontaminate]]'s any-hit rule.
+    */
+  def decontaminateFraction(corpus: DataFrame, textCol: Column, idCol: Column,
+                            evalSet: DataFrame, evalTextCol: Column,
+                            n: Int, minFraction: Double): DataFrame = {
+    val bad = contaminationFractionReport(corpus, textCol, idCol, evalSet,
+        evalTextCol, n)
+      .filter(col("frac") >= minFraction)
+      .select(col("id").as("__contaminated"))
     corpus.join(bad, idCol === col("__contaminated"), "left_anti")
   }
 

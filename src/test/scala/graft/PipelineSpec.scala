@@ -2769,4 +2769,282 @@ class PipelineSpec extends AnyFunSuite {
       }
     assert(out === expected)
   }
+
+  // ---- incremental near-dup (MinHash index) ------------------------------
+
+  /** Local exact-Jaccard model over distinct whitespace tokens. */
+  private def localJac(a: String, b: String): Double = {
+    def toks(s: String): Set[String] =
+      if (s.trim.isEmpty) Set.empty else s.trim.split(" ").toSet
+    val (ta, tb) = (toks(a), toks(b))
+    if (ta.isEmpty || tb.isEmpty) 0.0
+    else (ta intersect tb).size.toDouble / (ta union tb).size
+  }
+
+  /** Local survivor model: a batch row lives iff no history text and no
+    * smaller-id batch text reaches the Jaccard threshold.
+    */
+  private def localNearDupSurvivors(hist: Seq[String],
+                                    batch: Seq[(Long, String)],
+                                    t: Double): Set[Long] =
+    batch.collect { case (id, tx)
+      if !hist.exists(h => localJac(tx, h) >= t) &&
+        !batch.exists { case (id2, tx2) =>
+          id2 < id && localJac(tx, tx2) >= t } => id
+    }.toSet
+
+  test("nearDupIncremental: history rejects, smaller id dominates, boundary holds both ways") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-idx").toString + "/i"
+    // 8 and 9 distinct tokens: one appended token scores 8/9 ≈ 0.889 < 0.9
+    // and 9/10 = 0.9 — the threshold boundary from both sides
+    val t8 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val t9 = (1 to 9).map(i => s"v$i").mkString(" ")
+    val hist = Seq((100L, t8), (101L, t9), (102L, "solo doc here"))
+      .toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(hist, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32)
+    val batch = Seq(
+      1L -> s"$t8 extra",      // j=8/9 < 0.9 vs hist → survives
+      2L -> s"$t9 extra",      // j=9/10 = 0.9 vs hist → rejected
+      3L -> t8,                // exact copy of history → rejected
+      4L -> "novel alpha beta gamma delta epsilon zeta eta theta iota",
+      5L -> "novel alpha beta gamma delta epsilon zeta eta theta iota x2",
+      //    ^ 4 dominates 5: 10 vs 11 distinct, inter 10 → j=10/11 ≥ 0.9
+      6L -> "",                // zero shingles → always survives
+      7L -> "   "              // whitespace-only → always survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupIncremental(batch, col("text"), col("doc_id"),
+        idx, n = 1, numHashes = 64, bands = 32, threshold = 0.9,
+        admit = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 4L, 6L, 7L))
+    // admit mode: survivors become history; a replay keeps only the
+    // shingle-less rows (near-dup similarity is undefined on them — the
+    // documented pass-through)
+    Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32, threshold = 0.9).collect()
+    val replay = Dedup.nearDupIncremental(batch, col("text"), col("doc_id"),
+        idx, n = 1, numHashes = 64, bands = 32, threshold = 0.9,
+        admit = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(replay === Seq(6L, 7L), s"replay must reject admitted texts: $replay")
+    // the admitted index holds ONE signature row per surviving id
+    val ids = spark.read.parquet(idx).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 4L, 100L, 101L, 102L))
+  }
+
+  test("nearDupIncremental fuzz: random batch schedules match the local exact-Jaccard model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(151501L)
+    val words = (0 until 12).map(i => s"t$i")
+    def randText() =
+      (0 until (3 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(words.size)))
+        .distinct.mkString(" ")
+    for (trial <- 0 until 2) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"nd-fuzz$trial").toString + "/i"
+      val histTexts = Seq.fill(6)(randText()).distinct
+      Dedup.buildNearDupIndexIfMissing(
+        histTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+      // 0.65: with a 12-word vocab and 3–8 token docs, random pairs land on
+      // BOTH sides of the threshold, so the model check is non-vacuous
+      var model = histTexts
+      var nextId = 1000L
+      for (step <- 0 until 4) {
+        val batch = Seq.fill(1 + rnd.nextInt(6))(randText())
+          .zipWithIndex.map { case (t, i) => (nextId + i, t) }
+        nextId += 100
+        val got = Dedup.nearDupIncremental(
+            batch.toDF("doc_id", "text"), col("text"), col("doc_id"), idx,
+            n = 1, numHashes = 64, bands = 32, threshold = 0.65)
+          .collect().map(_.getLong(0)).toSet
+        val expect = localNearDupSurvivors(model, batch, 0.65)
+        assert(got === expect,
+          s"[trial $trial step $step] batch=$batch model=$model")
+        model ++= batch.collect { case (id, tx) if expect(id) => tx }
+      }
+    }
+  }
+
+  test("nearDupIncremental: forced-shuffle path (maxBroadcastBandRows=0) decides identically") {
+    import spark.implicits._
+    val mk = () => java.nio.file.Files
+      .createTempDirectory("nd-bcast").toString + "/i"
+    val hist = (0L until 30L).map(i => (i, s"hist text number $i padding"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 40L)
+      .map(i => (500L + i, if (i % 3 == 0) s"hist text number ${i % 30} padding"
+                 else s"fresh text number $i body")).toDF("doc_id", "text")
+    val Seq(a, b) = Seq(4000000L, 0L).map { bound =>
+      val idx = mk()
+      Dedup.buildNearDupIndexIfMissing(hist, col("text"), col("doc_id"),
+        idx, n = 1, numHashes = 64, bands = 32)
+      Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), idx,
+          n = 1, numHashes = 64, bands = 32, threshold = 0.9,
+          admit = true, maxBroadcastBandRows = bound)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(a === b, "broadcast and shuffle paths must decide identically")
+    assert(a.nonEmpty)
+  }
+
+  test("nearDupIncremental: duplicate batch ids collapse to one deterministic signature row") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-dupid").toString + "/i"
+    val batch = Seq((1L, "zeta yota kappa"), (1L, "alpha beta gamma"),
+      (2L, "mu nu xi omicron")).toDF("doc_id", "text")
+    Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32, threshold = 0.9).collect()
+    val rows = spark.read.parquet(idx).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(1L, 2L), s"one signature row per id: $rows")
+  }
+
+  test("near-dup index: corpus-change rebuild refuses once admits exist; recipe change rebuilds a clean seed") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-refuse").toString + "/i"
+    val seed = Seq((0L, "aa bb cc"), (1L, "dd ee ff")).toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32)
+    // recipe change on a seed-only index: allowed, rebuilds
+    Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 32, bands = 16)
+    Dedup.nearDupIncremental(Seq((5L, "gg hh ii")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, n = 1, numHashes = 32, bands = 16,
+      threshold = 0.9).collect()
+    val changed = Seq((0L, "aa bb cc"), (2L, "zz yy xx")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      Dedup.buildNearDupIndexIfMissing(changed, col("text"), col("doc_id"),
+        idx, n = 1, numHashes = 32, bands = 16)
+    }
+  }
+
+  test("near-dup admit crash fuzz: no death point strands admitted signatures under appends=0") {
+    import spark.implicits._
+    final class InjectedCrash extends RuntimeException("injected nd crash")
+    val points = Seq("dedup.meta-pre", "dedup.meta-tmp", "dedup.meta-moved",
+      "dedup.nd-appended")
+    def seed = Seq((100L, "alpha beta gamma delta"), (101L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    def batch = Seq((1L, "alpha beta gamma delta"), (2L, "fresh text one"),
+      (3L, "fresh text two body")).toDF("doc_id", "text")
+    def probe = Seq((50L, "fresh text one"), (51L, "omega psi chi"))
+      .toDF("doc_id", "text")
+    def changed = Seq((100L, "alpha beta gamma delta"), (102L, "cc dd"))
+      .toDF("doc_id", "text")
+    def run(p: DataFrame, idx: String, admit: Boolean) =
+      Dedup.nearDupIncremental(p, col("text"), col("doc_id"), idx, n = 1,
+          numHashes = 64, bands = 32, threshold = 0.9, admit = admit)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def readAppends(idx: String): Long = {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(idx, "_index.txt"))
+      (1 until lines.size()).map(lines.get(_).trim)
+        .collectFirst { case s if s.startsWith("appends=") =>
+          s.stripPrefix("appends=").toLong }.getOrElse(0L)
+    }
+    val twinIdx = java.nio.file.Files
+      .createTempDirectory("nd-crash-twin").toString + "/i"
+    Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"),
+      twinIdx, n = 1, numHashes = 64, bands = 32)
+    run(batch, twinIdx, admit = true)
+    val twinProbe = run(probe, twinIdx, admit = false)
+    val twinIds = spark.read.parquet(twinIdx).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      for (p <- points) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"nd-crash-$p").toString + "/i"
+        Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"),
+          idx, n = 1, numHashes = 64, bands = 32)
+        val seedRows = spark.read.parquet(idx).count()
+        Dedup.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] { run(batch, idx, admit = true) }
+        Dedup.crashHook = _ => ()
+        val rowsNow = spark.read.parquet(idx).count()
+        val appends = readAppends(idx)
+        assert(!(rowsNow > seedRows && appends == 0L),
+          s"$p: ${rowsNow - seedRows} admitted signatures under appends=0")
+        if (appends > 0L)
+          intercept[IllegalStateException] {
+            Dedup.buildNearDupIndexIfMissing(changed, col("text"),
+              col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+          }
+        run(batch, idx, admit = true) // clean re-run converges to the twin
+        val ids = spark.read.parquet(idx).select(col("id"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids === twinIds, s"$p: index diverged from twin")
+        assert(run(probe, idx, admit = false) === twinProbe,
+          s"$p: probe decisions diverged from twin")
+      }
+    } finally { Dedup.crashHook = _ => () }
+  }
+
+  test("near-dup index compaction: decisions + meta verbatim, meta-less dest refuses") {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("nd-compact-src").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"seed text body $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"), src,
+      n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 3) {
+      val batch = (0L until 10L)
+        .map(i => (1000L * r + i, s"round $r fresh text $i"))
+        .toDF("doc_id", "text")
+      Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), src,
+        n = 1, numHashes = 64, bands = 32, threshold = 0.9).collect()
+    }
+    val srcMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(src, "_index.txt"))
+    assert(srcMeta.contains("appends=3"))
+    val dest = src + "-d"
+    Dedup.nearDupIndexCompactTo(spark, src, dest)
+    Dedup.requireIndexComplete(dest)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "_index.txt")) === srcMeta)
+    // fewer files, identical decisions
+    assert(spark.read.parquet(dest).inputFiles.length <
+      spark.read.parquet(src).inputFiles.length)
+    val probe = (0L until 40L)
+      .map(i => (5000L + i, if (i % 2 == 0) s"seed text body $i"
+                 else s"probe novel text $i")).toDF("doc_id", "text")
+    def decide(p: String) = Dedup.nearDupIncremental(probe, col("text"),
+        col("doc_id"), p, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(decide(dest) === decide(src))
+    // the disarm hazard: data without meta must refuse
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dest, "_index.txt"))
+    intercept[IllegalStateException] { Dedup.requireIndexComplete(dest) }
+  }
+
+  test("contaminationFractionReport and decontaminateFraction match the local model") {
+    import spark.implicits._
+    val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "aa bb cc dd ee"),       // all 3 trigrams contaminated → frac 1
+      (11L, "aa bb cc xx yy zz"),    // 1 of 4 trigrams → 0.25 < 0.3
+      (12L, "qq aa bb cc dd rr ss"), // 2 of 5 → 0.4 ≥ 0.3
+      (13L, "totally novel text body here"),
+      (14L, "aa bb")                 // < 3 tokens: no gram, always survives
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationFractionReport(corpus, col("text"),
+        col("doc_id"), eval, col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(rep === Seq((10L, 3, 3L, 1.0), (11L, 4, 1L, 0.25),
+      (12L, 5, 2L, 0.4)))
+    val kept = Dedup.decontaminateFraction(corpus, col("text"), col("doc_id"),
+        eval, col("text"), n = 3, minFraction = 0.3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(11L, 13L, 14L))
+  }
 }

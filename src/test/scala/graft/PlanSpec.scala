@@ -286,6 +286,51 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup incremental two-tier sizing: daily batch broadcasts, forced-giant shuffles everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def freshIdx(tag: String): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"plan-nd-$tag").toString + "/i"
+      val hist = (0L until 30L).map(i => (i, s"history text body $i"))
+        .toDF("doc_id", "text")
+      graft.pipeline.Dedup.buildNearDupIndexIfMissing(hist, col("text"),
+        col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+      idx
+    }
+    val batch = (0L until 20L)
+      .map(i => (100L + i, if (i % 4 == 0) s"history text body $i"
+                 else s"fresh batch text $i")).toDF("doc_id", "text")
+    // kill size-based auto-broadcast so the pin tests OUR two-tier hint,
+    // not Spark's threshold (the ANN append pin's discipline)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // daily path: band rows + candidate-id prune + loser anti-join all
+      // broadcast — the index never shuffles for candidate generation
+      val daily = graft.pipeline.Dedup.nearDupIncremental(batch, col("text"),
+        col("doc_id"), freshIdx("daily"), n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = false)
+      daily.collect()
+      val dp = daily.queryExecution.executedPlan.toString
+      assert(dp.contains("BroadcastHashJoin"), dp)
+      // forced-giant override: every hinted join falls back to a shuffle so
+      // a bootstrap backfill never ships its band rows to every executor
+      val giant = graft.pipeline.Dedup.nearDupIncremental(batch, col("text"),
+        col("doc_id"), freshIdx("giant"), n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = false, maxBroadcastBandRows = 0L)
+      giant.collect()
+      val gp = giant.queryExecution.executedPlan.toString
+      assert(!gp.contains("BroadcastHashJoin"),
+        s"always-shuffle override still broadcast:\n$gp")
+      // identical decisions on both paths
+      assert(daily.collect().map(_.getLong(0)).sorted.toSeq ===
+        giant.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("repeated-span stats shuffle md5 keys and ints, never text or tokens") {
     val p = planOf("q_repeated_spans")
     val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange\\b.*"))
