@@ -3026,6 +3026,56 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Dedup.requireIndexComplete(dest) }
   }
 
+  test("streaming near-dup maintenance: index exactly-once, survivors at-least-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-stream").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("nd-stream-ckpt").toString
+    val histText = "seed text body alpha beta gamma delta epsilon zeta eta"
+    val hist = Seq((100L, histText)).toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(hist, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32)
+    val nine = (1 to 9).map(i => s"k$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val delivered = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val query = graft.streaming.NearDupIndexStream.attach(stream,
+      col("text"), col("doc_id"), idx, ckpt,
+      n = 1, numHashes = 64, bands = 32, threshold = 0.9,
+      sink = Some(df =>
+        delivered += df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq))
+    try {
+      // 1: near-dup of history (10/11 ≥ 0.9); 2: novel; 3: dominated by 2
+      // (9/10 = 0.9); 4: zero shingles (pass-through, never admitted)
+      mem.addData(Seq((1L, s"$histText iota"), (2L, nine),
+        (3L, s"$nine k10"), (4L, "")))
+      query.processAllAvailable()
+      // 5: exact copy of batch 1's admission; 6: novel
+      mem.addData(Seq((5L, nine), (6L, "another entirely different body")))
+      query.processAllAvailable()
+      // replayed content (at-least-once): 6 is now an exact copy of its
+      // admitted self (j = 1.0) — nothing admitted, empty survivor set
+      mem.addData(Seq((5L, nine), (6L, "another entirely different body")))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(delivered.toSeq === Seq(Seq(2L, 4L), Seq(6L), Seq()))
+    // index content: seed + the two admitted signatures, exactly once each
+    val ids = spark.read.parquet(idx).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(2L, 6L, 100L))
+    // a later ad-hoc pure read agrees with the stream's admitted state
+    val recheck = Dedup.nearDupIncremental(
+      Seq((9L, "another entirely different body"),
+        (10L, "totally new content here")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+      threshold = 0.9, admit = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(recheck === Seq(10L))
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
