@@ -193,7 +193,7 @@ object Bench {
         histDocs.filter(col("doc_id") < 800)
           .select(col("doc_id"), col("text"), col("n_chars")),
         col("text"), col("doc_id"), SparkEntry.gateNearDupPath(sfDir),
-        n = 1, numHashes = 64, bands = 32)
+        n = 3, numHashes = 64, bands = 32)
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

@@ -792,11 +792,17 @@ object SparkEntry {
     // raw src0 docs, near-copies of HISTORY (negative odd ids, one novel
     // token appended) and near-copies of ITSELF (negative even ids), and
     // survivors must equal the exact-Jaccard oracle (no history near-dup,
-    // no smaller-id batch near-dup). A doc with d distinct tokens scores
-    // d/(d+1) against its one-token-appended copy, so only docs with
-    // d >= 9 near-dup their plant at threshold 0.9 — the boundary is
-    // exercised from BOTH sides at every SF. The id scheme reuses
-    // q_dedup_incremental's collision-free negative parities.
+    // no smaller-id batch near-dup). Shingles are word TRIGRAMS — the
+    // standard near-dup shingling: at n=1 the fixture's same-domain docs
+    // share enough vocabulary that nearly every pair collides in some
+    // band (measured: 124k candidates from 166×760 docs — candidate
+    // generation degenerates to all-pairs), while organic trigram overlap
+    // is ≈0 and candidates collapse to the planted structure. A doc with
+    // d distinct trigrams scores d/(d+1) against its one-token-appended
+    // copy, so only docs with d >= 9 near-dup their plant at threshold
+    // 0.9 — the boundary is exercised from BOTH sides at every SF. The id
+    // scheme reuses q_dedup_incremental's collision-free negative
+    // parities.
     "q_neardup_incremental" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val hist = docs.filter(col("source") =!= "src0" && col("doc_id") < 800)
@@ -812,9 +818,9 @@ object SparkEntry {
             concat(col("text"), lit(" vb42k")).as("text"), col("n_chars")))
       val idx = gateNearDupPath(dir)
       Dedup.buildNearDupIndexIfMissing(hist, col("text"), col("doc_id"),
-        idx, n = 1, numHashes = 64, bands = 32)
+        idx, n = 3, numHashes = 64, bands = 32)
       Dedup.nearDupIncremental(batch, col("text"), col("doc_id"), idx,
-          n = 1, numHashes = 64, bands = 32, threshold = 0.9, admit = false)
+          n = 3, numHashes = 64, bands = 32, threshold = 0.9, admit = false)
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     },
 
@@ -1344,6 +1350,19 @@ object SparkEntry {
           round(col("frac"), 6).as("frac"),
           (col("frac") >= 0.3).as("dropped"))
         .orderBy(col("id"))
+    },
+
+    // deterministic weighted repetition: floor(w) copies + an md5-uniform
+    // Bernoulli(frac(w)) extra — epoch upsampling AND fractional
+    // downsampling in one reproducible, engine-portable operator
+    "q_weighted_repeat" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 2000)
+      val w = when(col("lang") === "en", 2.25)
+        .when(col("lang") === "zh", 0.4).otherwise(1.0)
+      Sampling.weightedRepeat(docs, col("doc_id"), w)
+        .select(col("doc_id"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
     },
 
     // deterministic stratified sampling: md5-keyed uniform per doc, per-lang
@@ -2012,8 +2031,8 @@ object SparkEntry {
 
     // exact-Jaccard ground truth for the incremental near-dup gate: a
     // batch row survives iff NO history doc and NO smaller-id batch doc
-    // reaches Jaccard 0.9 on distinct tokens (the engine's LSH candidates
-    // are exact-verified, so its result must equal this)
+    // reaches Jaccard 0.9 on distinct word TRIGRAMS (the engine's LSH
+    // candidates are exact-verified, so its result must equal this)
     "q_neardup_incremental" ->
       """WITH hist AS (SELECT doc_id, text, n_chars FROM documents
         |  WHERE source <> 'src0' AND doc_id < 800),
@@ -2025,12 +2044,24 @@ object SparkEntry {
         |    FROM hist WHERE doc_id % 5 = 0
         |  UNION ALL SELECT -doc_id * 2 - 2, text || ' vb42k', n_chars
         |    FROM b0 WHERE doc_id % 7 = 0),
-        |bt AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
-        |  FROM batch WHERE length(trim(text)) > 0),
-        |ht AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) toks
-        |  FROM hist WHERE length(trim(text)) > 0),
-        |be AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM bt),
-        |he AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM ht),
+        |bt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split(trim(text), ' ') END AS t FROM batch),
+        |ht AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split(trim(text), ' ') END AS t FROM hist),
+        |bg AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+        |         || ' ' || t[CAST(i AS INT)+3])) END AS toks FROM bt),
+        |hg AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+        |         || ' ' || t[CAST(i AS INT)+3])) END AS toks FROM ht),
+        |be AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM bg
+        |  WHERE len(toks) > 0),
+        |he AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM hg
+        |  WHERE len(toks) > 0),
         |hd AS (SELECT DISTINCT bid FROM (
         |  SELECT b.doc_id AS bid,
         |    count(*)::DOUBLE / (any_value(b.sz) + any_value(h.sz) - count(*)) AS j
@@ -2626,6 +2657,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY uv, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q_weighted_repeat" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1
+        |           AS BIGINT) << ((12 - CAST(i AS INT)) * 4))) AS DOUBLE)
+        |      / 4503599627370496.0 AS uv
+        |  FROM documents WHERE doc_id < 2000),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(w) + CASE WHEN uv < w - FLOOR(w) THEN 1 ELSE 0 END
+        |         AS BIGINT) AS n
+        |  FROM (SELECT doc_id, uv,
+        |          CASE lang WHEN 'en' THEN 2.25 WHEN 'zh' THEN 0.4
+        |               ELSE 1.0 END AS w
+        |        FROM u))
+        |SELECT doc_id, unnest(range(n)) AS copy FROM c WHERE n > 0
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q_sample" ->
       """WITH u AS (

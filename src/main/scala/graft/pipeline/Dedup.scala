@@ -368,14 +368,37 @@ object Dedup {
     * per id. Duplicate ids collapse deterministically to the minimum
     * (hs, bnd) struct (the [[exactIncremental]] winners discipline — an
     * index must never hold two signature rows for one id); the collapse
-    * shuffles only the hashed signature frame, never text.
+    * shuffles only the hashed signature frame, never text. Signatures come
+    * from the native [[graft.functions.MinHashBands]] (one JVM walk per
+    * row); [[nearDupSigColumnar]] is the Column/HOF executable spec it is
+    * pinned against in PipelineSpec — outputs are bit-identical, so
+    * indexes built by either formulation probe correctly under the other.
     */
   private def nearDupSig(df: DataFrame, textCol: Column, idCol: Column,
                          n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sig = df
       .select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("__mh",
+        graft.functions.MinHashBands(col("sh"), numHashes, bands))
+      .select(col("id"), col("__mh.hs").as("hs"), col("__mh.bnd").as("bnd"))
+    sig.groupBy(col("id"))
+      .agg(min(struct(col("hs"), col("bnd"))).as("__w"))
+      .select(col("id"), col("__w.hs").as("hs"), col("__w.bnd").as("bnd"))
+  }
+
+  /** HOF formulation of the signature rows — the executable spec for the
+    * native [[graft.functions.MinHashBands]] (same xxhash64 fold order:
+    * per-shingle hash, seeded per-slot min, per-band hash of the signature
+    * slice with the band index appended).
+    */
+  private[graft] def nearDupSigColumnar(df: DataFrame, textCol: Column,
+                                        idCol: Column, n: Int,
+                                        numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
       .withColumn("__sig", array((0 until numHashes).map { i =>
@@ -385,9 +408,6 @@ object Dedup {
         array((0 until bands).map { b =>
           xxhash64(slice(col("__sig"), lit(b * r + 1), lit(r)), lit(b))
         }: _*).as("bnd"))
-    sig.groupBy(col("id"))
-      .agg(min(struct(col("hs"), col("bnd"))).as("__w"))
-      .select(col("id"), col("__w.hs").as("hs"), col("__w.bnd").as("bnd"))
   }
 
   /** (Re)build the near-dup index at `indexPath` from an initial corpus:
@@ -522,7 +542,9 @@ object Dedup {
         // the set is collision-bounded, and admitted docs are mutually
         // non-near-dup, which keeps real match degrees small). Everything
         // downstream joins candidate-bounded frames only.
-        val candIds = cand.select(col("hid")).distinct()
+        // no distinct on the prune side: a semi-join tolerates duplicate
+        // keys, and `cand` is already pair-distinct — one less shuffle
+        val candIds = cand.select(col("hid"))
         val histHs = ix.select(col("id").as("hid"), col("hs").as("hhs"))
           .join(maybeB(candIds), Seq("hid"), "left_semi")
         val bHs = prep.select(col("id").as("bid"), col("hs").as("bhs"))
@@ -535,7 +557,7 @@ object Dedup {
           .withColumn("__j",
             inter / (size(col("bhs")) + size(col("hhs")) - inter))
           .filter(col("__j") >= threshold)
-          .select(col("bid").as("id")).distinct()
+          .select(col("bid").as("id"))
       }
     // intra-batch domination: banded self-join over the batch's own rows
     // (striped for hot band buckets like minHashLsh), exact-verified, then
@@ -552,8 +574,11 @@ object Dedup {
       .withColumn("__j",
         interIB / (size(col("sha")) + size(col("shb")) - interIB))
       .filter(col("__j") >= threshold)
-      .select(col("id_b").as("id")).distinct()
-    val losers = histDup.unionByName(dominated).distinct()
+      .select(col("id_b").as("id"))
+    // losers stays duplicate-bearing on purpose: every consumer is an
+    // anti-join (duplicate keys are free there), so the distincts would
+    // only add shuffles. The set is candidate-bounded either way.
+    val losers = histDup.unionByName(dominated)
     val survivors = prep.join(losers, Seq("id"), "left_anti")
     if (admit) {
       // counter bump BEFORE the parquet append (see exactIncremental: the

@@ -100,6 +100,27 @@ object Sampling {
     df.filter(hashUniform(keyCol) < lit(rate))
   }
 
+  /** Deterministic weighted repetition — the "epochs per domain/quality
+    * tier" primitive of a pretraining mixture (DoReMi-style weights made
+    * materializable): emit `floor(w)` copies of every row plus one more
+    * with probability `frac(w)`, the md5-uniform standing in for the RNG
+    * so the materialized mixture is identical across re-runs,
+    * partitionings, and engines. Rows whose copy count lands on 0
+    * disappear (w < 1 downsamples, w > 1 upsamples — one operator covers
+    * both sides); output carries a 0-based `copy` index for downstream
+    * shuffling/packing. Map-only: no shuffle, no state — a pure scan
+    * transform at any corpus size.
+    */
+  def weightedRepeat(df: DataFrame, idCol: Column,
+                     weightCol: Column): DataFrame = {
+    val n = (floor(weightCol) +
+      when(hashUniform(idCol) < weightCol - floor(weightCol), 1).otherwise(0))
+      .cast("long")
+    df.withColumn("__n", n).filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Per-stratum rates (e.g. keep 50% of English, 15% of everything else) —
     * the language/domain/source re-balancing step of a data mixture. Still
     * map-only: the rate is a CASE over the stratum column; rows never

@@ -3076,6 +3076,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(recheck === Seq(10L))
   }
 
+  test("native MinHashBands ≡ the Column/HOF signature spec, hash for hash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    val words = (0 until 30).map(i => s"w$i")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong,
+        (0 until (1 + rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" "))
+    } :+ (99L, "solo")).toDF("doc_id", "text")
+    for ((k, b) <- Seq((64, 32), (32, 8), (16, 16))) {
+      val native = docs
+        .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("__mh", graft.functions.MinHashBands(col("sh"), k, b))
+        .select(col("doc_id"), col("__mh.hs").as("hs"), col("__mh.bnd").as("bnd"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+      val spec = Dedup.nearDupSigColumnar(docs, col("text"), col("doc_id"),
+          n = 1, numHashes = k, bands = b)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+      assert(native === spec, s"k=$k b=$b")
+    }
+  }
+
+  test("weightedRepeat: floor(w) copies + md5-Bernoulli extra, zero-copy rows vanish") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    val w = when(col("lang") === "en", 2.25)
+      .when(col("lang") === "zh", 0.4).otherwise(1.0)
+    val got = Sampling.weightedRepeat(df, col("doc_id"), w)
+      .select(col("doc_id"), col("copy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (0L until 200L).flatMap { i =>
+      val wv = if (i % 3 == 0) 2.25 else if (i % 3 == 1) 0.4 else 1.0
+      val n = math.floor(wv).toLong +
+        (if (localUniform53(i.toString) < wv - math.floor(wv)) 1L else 0L)
+      (0L until n).map(c => (i, c))
+    }
+    assert(got === expected)
+    // both directions actually exercised: some en docs got 3 copies, some
+    // zh docs vanished, de docs are exactly once
+    val byDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0L until 200L by 3L).exists(i => byDoc.getOrElse(i, 0) == 3))
+    assert((1L until 200L by 3L).exists(i => !byDoc.contains(i)))
+    assert((2L until 200L by 3L).forall(i => byDoc(i) == 1))
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
