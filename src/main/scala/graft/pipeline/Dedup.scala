@@ -608,6 +608,31 @@ object Dedup {
                             srcPath: String, destPath: String): Unit =
     compactClustered(spark, srcPath, destPath)
 
+  /** Candidate-load monitor for the near-dup index — the
+    * [[Similarity.cellHistogram]] of this layer: posting-list size and
+    * share per (band, bandHash) bucket, hottest first. Candidate volume
+    * per probing doc is the sum over its 'bands' buckets of the posting
+    * sizes here, so a heavy tail is THE early warning that candidate
+    * generation is degenerating toward all-pairs — the signature of a
+    * shingle size too small for the corpus (same-domain unigrams measured
+    * 124k candidates from 166×760 docs where trigrams give 157) or of a
+    * large admitted dup cluster that should have been compacted away
+    * upstream. One column-pruned scan + one partial-agg shuffle; `topK`
+    * bounds the result.
+    */
+  def bandHistogram(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, topK: Int = 100): DataFrame = {
+    val counts = spark.read.parquet(indexPath)
+      .select(posexplode(col("bnd")).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("postings"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("postings")).as("__t"))))
+      .select(col("band"), col("bh"), col("postings"),
+        (col("postings").cast("double") / col("__t")).as("share"))
+      .orderBy(col("postings").desc, col("band"), col("bh"))
+      .limit(topK)
+  }
+
   /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /
     * C4 span-dedup stage): split every document on `sep`, keep only the
     * FIRST occurrence of each distinct unit corpus-wide (earliest

@@ -3126,6 +3126,27 @@ class PipelineSpec extends AnyFunSuite {
     assert((2L until 200L by 3L).forall(i => byDoc(i) == 1))
   }
 
+  test("bandHistogram surfaces a planted hot bucket (the degeneracy early-warning)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-hist").toString + "/i"
+    // 20 token-DISJOINT docs + a 10-copy identical cluster (distinct ids,
+    // same text) — the cluster's identical signatures pile all 32 bands
+    // into the same buckets, so the hottest bucket must hold 10 postings
+    // (disjoint docs can't collide: a shared band needs shared shingles)
+    val docs = ((0L until 20L).map(i =>
+      (i, (0 until 5).map(j => s"u${i}t$j").mkString(" "))) ++
+      (100L until 110L).map(i => (i, "the same cluster text here")))
+      .toDF("doc_id", "text")
+    Dedup.buildNearDupIndex(docs, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32)
+    val top = Dedup.bandHistogram(spark, idx, topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(top.head._2 === 10L, s"hot bucket not surfaced: ${top.toSeq}")
+    // share denominator is all postings: 30 docs × 32 bands
+    assert(math.abs(top.head._3 - 10.0 / (30 * 32)) < 1e-12)
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
