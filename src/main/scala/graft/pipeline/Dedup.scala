@@ -953,17 +953,18 @@ object Dedup {
                  numHashes: Int, bands: Int, threshold: Double,
                  stripes: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val base = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .filter(size(col("sh")) > 0) // empty docs have no signature
-    val sig = base.select(col("id"),
-      minHashFromShingles(col("sh"), numHashes).as("sig"))
     // compact band rows: (id, band, bandHash) — no payload through the
     // shuffle; striping splits a hot bucket (a band value shared by a large
-    // near-dup cluster) across reducers (see Similarity.selfPairs)
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
+    // near-dup cluster) across reducers (see Similarity.selfPairs). Band
+    // hashes come from the native [[graft.functions.MinHashBands]] —
+    // bit-identical to the HOF formulation ([[minHashFromShingles]] +
+    // per-band slice hash, the MinHashBands PipelineSpec pin), one JVM
+    // walk instead of numHashes interpreted transform passes per row
+    val banded = base.select(col("id"),
+      posexplode(graft.functions.MinHashBands(col("sh"), numHashes, bands)
+        .getField("bnd")).as(Seq("band", "bh")))
     val candidates = Similarity.selfPairs(banded, Seq("band", "bh"), "id", stripes)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
