@@ -1286,6 +1286,31 @@ object SparkEntry {
         .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
     },
 
+    // SemDeDup: cluster-scoped semantic dedup — rows assign to their
+    // max-cosine centroid (explicit centroid vectors: the first 8 fixture
+    // embeddings, so the assignment is SQL-computable), then the
+    // smaller-id dominance rule drops near-dups WITHIN a cluster only;
+    // planted twins (+100000 ids, exact copies) land in their original's
+    // cluster and are dropped, organic ≥0.4 pairs decided by the oracle.
+    // Quantized exact-integer cosine keeps every decision bit-identical
+    // between engines (the q_embed_dedup arithmetic).
+    "q_semantic_dedup" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") < 2000)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val corpus = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          col("embedding")))
+      Similarity.semanticDedup(corpus, col("embedding"), col("vec_id"),
+          cents, threshold = 0.4)
+        .select(col("vec_id"), col("label"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
     // multimodal plumbing: binary payloads + metadata + stubbed decode
     "q_multimodal" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2251,6 +2276,29 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))) >= 0.4)
         |SELECT vec_id, label FROM allr
         |WHERE vec_id NOT IN (SELECT vec_id FROM dups) ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH q0 AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |  FROM embeddings WHERE vec_id >= 8 AND vec_id < 2000),
+        |corpus AS (SELECT * FROM q0
+        |  UNION ALL SELECT vec_id + 100000, label, qe FROM q0 WHERE vec_id % 10 = 0),
+        |cents AS (SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, label, qe, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid) rn FROM (
+        |  SELECT c.vec_id, c.label, c.qe, k.cid,
+        |    list_dot_product(c.qe, k.ce) /
+        |      (sqrt(list_dot_product(c.qe, c.qe)) * sqrt(list_dot_product(k.ce, k.ce))) AS cos
+        |  FROM corpus c CROSS JOIN cents k)),
+        |a AS (SELECT vec_id, label, qe, cid FROM asg WHERE rn = 1),
+        |dom AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cid = b.cid
+        |  AND x.vec_id < b.vec_id
+        |  AND list_dot_product(x.qe, b.qe) /
+        |    (sqrt(list_dot_product(x.qe, x.qe)) * sqrt(list_dot_product(b.qe, b.qe))) >= 0.4)
+        |SELECT vec_id, label, CAST(cid AS INT) AS cluster FROM a
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dom) ORDER BY vec_id""".stripMargin,
 
     "q_embed_top_pairs" ->
       """WITH q AS (SELECT vec_id, label,

@@ -172,6 +172,64 @@ object Similarity {
     df.join(dups, idCol === col("__dup"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup scoped to
+    * embedding clusters. Every row assigns to its maximum-cosine centroid
+    * (ties → lowest centroid id); within a cluster, a row is dropped when
+    * any SMALLER-id cluster-mate reaches `threshold` cosine — the
+    * [[cosineDedup]] dominance rule, which an exact SQL oracle can state
+    * where SemDeDup's greedy keep-one cannot. Output: the surviving input
+    * rows plus their `cluster` id.
+    *
+    * Centroids are an explicit bounded list — derive them with
+    * [[sampleCentroids]]/[[refineCentroids]] for the k-means mode, or pass
+    * fixed vectors for decisions reproducible across engines. All cosines
+    * (assignment AND dedup) use the quantized exact-integer arithmetic of
+    * [[cosineQuantized]], so every decision is bit-identical anywhere (the
+    * per-element 1e6 quantization keeps all dot sums below 2^53 at
+    * embedding scale — exact in doubles regardless of summation order).
+    *
+    * Scale shape: assignment is map-only (centroid list rides the plan as
+    * literals — SemDeDup's k ≈ √N keeps it bounded); the pair join blocks
+    * on the cluster id via [[selfPairs]] (+`stripes` for a skewed
+    * cluster), so nothing quadratic exists above cluster granularity —
+    * the paper's core argument, unchanged in Spark.
+    */
+  def semanticDedup(df: DataFrame, vecCol: Column, idCol: Column,
+                    centroids: Seq[(Int, Seq[Float])], threshold: Double,
+                    stripes: Int = 1): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val qcents = centroids.map { case (cid, v) =>
+      (cid, v.map(x => math.round(x.toDouble * 1000000.0)))
+    }
+    val nq = sqrt(graft.functions.VecDot(col("__qv"), col("__qv"))
+      .cast("double"))
+    // argmax cosine via struct-min over (-cos, cid): ties take the lowest
+    // centroid id, matching the oracle's ORDER BY cos DESC, cid
+    val best = array_min(array(qcents.map { case (cid, qc) =>
+      val qcDot = qc.map(x => x * x).sum // exact in Long at 1e6 scale
+      val cos = graft.functions.VecDot(col("__qv"), typedLit(qc))
+        .cast("double") / (nq * math.sqrt(qcDot.toDouble))
+      struct((-cos).as("n"), lit(cid).as("c"))
+    }: _*)).getField("c")
+    val withC = df
+      .withColumn("__qv", quantize(vecCol))
+      .withColumn("cluster", best)
+    // per-row prep BEFORE the pair join (quantization + norm computed once
+    // per row, the cosineDedup discipline)
+    val prep = graft.PersistCache.persist(
+      withC.select(idCol.as("id"), col("cluster"), col("__qv").as("qv"))
+        .withColumn("nq",
+          sqrt(graft.functions.VecDot(col("qv"), col("qv")).cast("double"))))
+    val dotC = graft.functions.VecDot(col("a.qv"), col("b.qv")).cast("double")
+    // dominated = greater id of every verified pair; consumers are
+    // anti-joins, so no distinct is needed (duplicate keys are free there)
+    val dups = selfPairs(prep, Seq("cluster"), "id", stripes)
+      .filter(dotC / (col("a.nq") * col("b.nq")) >= threshold)
+      .select(greatest(col("a.id"), col("b.id")).as("__dup"))
+    withC.join(dups, idCol === col("__dup"), "left_anti").drop("__qv")
+  }
+
   /** Most-similar pair per block (e.g. per label/cluster): block-local
     * self-join + window rank. The block key bounds the join quadratically —
     * at scale, blocks come from LSH buckets or IVF cells, and the same

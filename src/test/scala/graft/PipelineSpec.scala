@@ -3126,6 +3126,53 @@ class PipelineSpec extends AnyFunSuite {
     assert((2L until 200L by 3L).forall(i => byDoc(i) == 1))
   }
 
+  test("semanticDedup: cluster-scoped dominance, cross-cluster twins both survive") {
+    import spark.implicits._
+    // two orthogonal centroids; docs tilt toward one of them
+    val cents = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(0f, 1f, 0f, 0f))
+    val docs = Seq(
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)),   // cluster 0
+      (11L, Seq(0.9f, 0.1f, 0f, 0.01f)),// cluster 0, ~identical to 10 → dropped
+      (12L, Seq(0.1f, 0.9f, 0f, 0f)),   // cluster 1
+      (13L, Seq(0.1f, 0.9f, 0.01f, 0f)),// cluster 1, ~identical to 12 → dropped
+      // near-identical PAIR split across clusters by construction: each
+      // sits exactly on its side of the axis, so cluster scoping keeps both
+      (14L, Seq(0.8f, 0.75f, 0f, 0f)),  // cluster 0 (cos to e1 > e2)
+      (15L, Seq(0.75f, 0.8f, 0f, 0f)),  // cluster 1
+      (16L, Seq(0f, 0f, 1f, 0f))        // far from both, survives in cluster 0 or 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(docs, col("embedding"), col("vec_id"),
+        cents, threshold = 0.95)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq(10L, 12L, 14L, 15L, 16L),
+      s"survivors wrong: $out")
+    assert(out.toMap === Map(10L -> 0, 12L -> 1, 14L -> 0, 15L -> 1, 16L -> 0),
+      s"clusters wrong: $out")
+    // 14↔15 cosine is ≥ 0.95 — only the cluster split saved 15 (SemDeDup's
+    // known cross-cluster blind spot, exercised on purpose)
+    val j = Similarity.cosineQuantized(
+      typedlit(Seq(0.8f, 0.75f, 0f, 0f)), typedlit(Seq(0.75f, 0.8f, 0f, 0f)))
+    assert(spark.range(1).select(j.as("c")).collect()(0).getDouble(0) >= 0.95)
+  }
+
+  test("semanticDedup with one centroid equals cosineDedup (single global cluster)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(8)((rnd.nextGaussian()).toFloat))).toDF("vec_id", "embedding")
+    val twins = docs.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val all = docs.unionByName(twins)
+    val sem = Similarity.semanticDedup(all, col("embedding"), col("vec_id"),
+        Seq(0 -> Seq.fill(8)(1f)), threshold = 0.6)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val cos = Similarity.cosineDedup(all, col("embedding"), col("vec_id"),
+        threshold = 0.6, quantized = true)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(sem === cos)
+  }
+
   test("bandHistogram surfaces a planted hot bucket (the degeneracy early-warning)") {
     import spark.implicits._
     val idx = java.nio.file.Files
