@@ -173,7 +173,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("hash sampling and repetition scoring are map-only (no exchange before sort)") {
-    for (name <- Seq("q_sample", "q_repetition")) {
+    for (name <- Seq("q_sample", "q_repetition", "q_weighted_repeat")) {
       val p = planOf(name)
       // the trailing global ORDER BY is the only allowed exchange
       val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
