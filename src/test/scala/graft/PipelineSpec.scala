@@ -3194,6 +3194,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(top.head._3 - 10.0 / (30 * 32)) < 1e-12)
   }
 
+  test("near-dup compaction crash fuzz: half-compacted dest refuses, recompaction converges") {
+    import spark.implicits._
+    class InjectedCrash extends RuntimeException("injected")
+    val src = java.nio.file.Files
+      .createTempDirectory("nd-cfuzz-src").toString + "/i"
+    val corpus = (0L until 30L).map(i => (i, s"corpus text body $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(corpus, col("text"), col("doc_id"), src,
+      n = 1, numHashes = 64, bands = 32)
+    Dedup.nearDupIncremental(
+      (100L until 110L).map(i => (i, s"fresh text round $i"))
+        .toDF("doc_id", "text"),
+      col("text"), col("doc_id"), src, n = 1, numHashes = 64, bands = 32,
+      threshold = 0.9).collect()
+    val srcMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(src, "_index.txt"))
+    assert(srcMeta.contains("appends=1"))
+    val probe = (0L until 40L).map(i =>
+      (5000L + i, if (i % 2 == 0) s"corpus text body $i"
+       else s"novel probe text $i")).toDF("doc_id", "text")
+    def decide(p: String) = Dedup.nearDupIncremental(probe, col("text"),
+        col("doc_id"), p, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val srcDecisions = decide(src)
+    val points = Seq("dedup.compact-data", "dedup.meta-pre", "dedup.meta-tmp",
+      "dedup.meta-moved", "dedup.compact-done")
+    try {
+      for (p <- points) {
+        val dest = java.nio.file.Files
+          .createTempDirectory(s"nd-cfuzz-$p").toString + "/i"
+        Dedup.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] {
+          Dedup.nearDupIndexCompactTo(spark, src, dest)
+        }
+        Dedup.crashHook = _ => ()
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dest, "_index.txt")))
+          // data without meta reads appends=0 — must refuse (the disarm
+          // hazard, same invariant as the exact index)
+          intercept[IllegalStateException] {
+            Dedup.requireIndexComplete(dest)
+          }
+        GraftDB.deleteRecursively(java.nio.file.Paths.get(dest))
+        Dedup.nearDupIndexCompactTo(spark, src, dest)
+        Dedup.requireIndexComplete(dest)
+        assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dest, "_index.txt")) === srcMeta,
+          s"$p: meta not carried verbatim")
+        assert(decide(dest) === srcDecisions, s"$p: decisions diverged")
+      }
+    } finally { Dedup.crashHook = _ => () }
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
