@@ -608,6 +608,61 @@ object Dedup {
                             srcPath: String, destPath: String): Unit =
     compactClustered(spark, srcPath, destPath)
 
+  /** Outcome of one [[maintainIndex]] pass: the measured fragmentation,
+    * whether a compaction ran, the path readers should use from now on,
+    * and the (possibly restarted) maintenance stream.
+    */
+  final case class MaintainDedupResult(
+      maxFilesPerPrefix: Int, compacted: Boolean, activePath: String,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery])
+
+  /** Operational glue for the incremental-dedup index lifecycle — exact
+    * AND near-dup, which share the `__hp` layout and compactor. Unlike the
+    * ANN index (where drift crowds cells and the trigger is probe COST,
+    * [[Similarity.maintainIndex]]), this family has no geometry to decay:
+    * its maintenance trigger is pure FRAGMENTATION — every admit appends
+    * ~one file per touched prefix, so a year of daily batches leaves
+    * hundreds of files per directory and scan open-costs dominate.
+    *
+    *   1. measure max files per `__hp=` prefix (one driver-side listing —
+    *      the same bounded metadata walk every scan plans with);
+    *   2. at or under `maxFilesPerPrefix` → no action;
+    *   3. over → stop the attached [[graft.streaming.DedupIndexStream]] /
+    *      [[graft.streaming.NearDupIndexStream]] (single-writer: the
+    *      compactor reads a quiesced index), compact blue/green into
+    *      `destPath` (meta written LAST — the completion sentinel), verify
+    *      the dest via [[requireIndexComplete]], restart the stream
+    *      against the dest via `restart`.
+    *
+    * The flip is the return value: readers (and the restarted stream)
+    * switch to `activePath`; the caller deletes the source after its own
+    * readers drain, per the blue/green contract.
+    */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, destPath: String,
+                    maxFilesPerPrefix: Int = 16,
+                    stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+                    restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None)
+      : MaintainDedupResult = {
+    val files =
+      try spark.read.parquet(indexPath).inputFiles
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Array.empty[String]
+      }
+    val worst =
+      if (files.isEmpty) 0
+      else files.groupBy(f => f.split("/").takeRight(2).head)
+        .values.map(_.length).max
+    if (worst <= maxFilesPerPrefix)
+      return MaintainDedupResult(worst, compacted = false, indexPath, stream)
+    // quiesce the single writer BEFORE the compactor reads its snapshot
+    stream.foreach { q => q.stop(); q.awaitTermination() }
+    compactClustered(spark, indexPath, destPath)
+    requireIndexComplete(destPath)
+    MaintainDedupResult(worst, compacted = true, destPath,
+      restart.map(_(destPath)))
+  }
+
   /** Candidate-load monitor for the near-dup index — the
     * [[Similarity.cellHistogram]] of this layer: posting-list size and
     * share per (band, bandHash) bucket, hottest first. Candidate volume

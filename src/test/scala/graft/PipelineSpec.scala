@@ -3248,6 +3248,63 @@ class PipelineSpec extends AnyFunSuite {
     } finally { Dedup.crashHook = _ => () }
   }
 
+  test("dedup maintainIndex: fragmentation past bound → blue/green compact, stream resumes, no rows lost") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("nd-maint").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("nd-maint-ckpt").toString
+    val seed = (0L until 50L).map(i => (i, s"seed corpus text $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildNearDupIndexIfMissing(seed, col("text"), col("doc_id"), idx,
+      n = 1, numHashes = 64, bands = 32)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def attachAt(path: String) = graft.streaming.NearDupIndexStream.attach(
+      mem.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+      path, ckpt, n = 1, numHashes = 64, bands = 32, threshold = 0.9)
+    val q0 = attachAt(idx)
+    try {
+      for (r <- 1 to 3) {
+        // namespaced tokens: "round 1 doc 2" and "round 2 doc 1" would be
+        // the same token SET (j = 1.0) and the engine would rightly dedup
+        mem.addData((0L until 40L).map(i => (1000L * r + i, s"round r$r doc i$i")))
+        q0.processAllAvailable()
+      }
+    } finally if (q0.isActive) () // stopped by maintainIndex below
+    // under-bound pass: no action, stream untouched
+    val pass0 = Dedup.maintainIndex(spark, idx, idx + "-d0",
+      maxFilesPerPrefix = 64, stream = Some(q0))
+    assert(!pass0.compacted && pass0.activePath === idx &&
+      pass0.stream.contains(q0))
+    assert(pass0.maxFilesPerPrefix > 1, "admits did not fragment")
+    // over-bound pass: quiesce → compact → verify → restart at the dest
+    val dest = idx + "-d1"
+    val res = Dedup.maintainIndex(spark, idx, dest, maxFilesPerPrefix = 1,
+      stream = Some(q0), restart = Some(p => attachAt(p)))
+    assert(res.compacted && res.activePath === dest && res.stream.isDefined)
+    assert(!q0.isActive, "old stream must be stopped")
+    // meta (appends counter) carried; fragmentation actually fixed
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "_index.txt")).contains("appends=3"))
+    val perPrefix = spark.read.parquet(dest).inputFiles
+      .groupBy(f => f.split("/").takeRight(2).head).values.map(_.length).max
+    assert(perPrefix === 1, s"dest still fragmented: $perPrefix")
+    // no rows lost, and the restarted stream keeps admitting INTO THE DEST
+    val q1 = res.stream.get
+    try {
+      assert(spark.read.parquet(dest).count() ===
+        spark.read.parquet(idx).count())
+      mem.addData(Seq((9000L, "post compact novel doc")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val ids = spark.read.parquet(dest).select(col("id"))
+      .collect().map(_.getLong(0))
+    assert(ids.contains(9000L), "restarted stream not admitting into dest")
+    assert(ids.length === 50 + 120 + 1)
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
