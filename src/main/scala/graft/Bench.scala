@@ -194,6 +194,12 @@ object Bench {
           .select(col("doc_id"), col("text"), col("n_chars")),
         col("text"), col("doc_id"), SparkEntry.gateNearDupPath(sfDir),
         n = 3, numHashes = 64, bands = 32)
+      // containment (quotation) history index, same discipline
+      graft.pipeline.Dedup.buildContainmentIndexIfMissing(
+        histDocs.filter(col("doc_id") < 600)
+          .select(col("doc_id"), col("text"), col("n_chars")),
+        col("text"), col("doc_id"), SparkEntry.gateContainmentPath(sfDir),
+        n = 3, numProbes = 16)
       // pre-build the materialized partitionby gate store for the same
       // reason: q_partitionby_store measures bucketed-store READ latency
       // (per-generation relation + __bucket pruning), not the one-time

@@ -209,6 +209,12 @@ object SparkEntry {
   private[graft] def gateNearDupPath(dir: String): String =
     s"$gateBase/gate-dedup/nd${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Persistent containment (quotation) history index for the
+    * q_containment_incremental gate.
+    */
+  private[graft] def gateContainmentPath(dir: String): String =
+    s"$gateBase/gate-dedup/cn${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   // 30d / 90d / 1w in millis for the period/stride/shift oracle arithmetic
   private val D30 = 30L * 86400000L
   private val D90 = 90L * 86400000L
@@ -1359,6 +1365,42 @@ object SparkEntry {
       Dedup.contaminationReport(corpus, col("text"), col("doc_id"),
           evalSet, col("text"), n = 3)
         .orderBy(col("id"))
+    },
+
+    // incremental CONTAINMENT dedup against the persistent quotation
+    // index — the third incremental sibling: the batch carries the raw
+    // src0 docs, 5-token PREFIX quotes of history (negative odd ids —
+    // "batch quotes history", the side-1 probe direction) and history
+    // docs EXTENDED with three novel tokens (negative even ids — "history
+    // quoted by batch", the side-2 direction near-dup banding would also
+    // catch but containment must catch for ANY length ratio). Word-TRIGRAM
+    // shingles (verbatim quotes preserve their trigram runs, and trigram
+    // postings don't degenerate the way unigram postings do); survivors
+    // must equal the exact trigram-containment oracle. Docs with < 3
+    // tokens have no trigram and always pass — both engines agree.
+    "q_containment_incremental" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hist = docs.filter(col("source") =!= "src0" && col("doc_id") < 600)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val b0 = docs.filter(col("source") === "src0" && col("doc_id") < 600)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val batch = b0
+        .unionByName(hist
+          .filter(col("doc_id") % 5 === 0 && length(trim(col("text"))) > 0)
+          .select((-col("doc_id") * 2 - 1).as("doc_id"),
+            concat_ws(" ", slice(split(trim(col("text")), " "), 1, 5))
+              .as("text"),
+            col("n_chars")))
+        .unionByName(hist.filter(col("doc_id") % 7 === 0)
+          .select((-col("doc_id") * 2 - 2).as("doc_id"),
+            concat(col("text"), lit(" qp77a qp77b qp77c")).as("text"),
+            col("n_chars")))
+      val idx = gateContainmentPath(dir)
+      Dedup.buildContainmentIndexIfMissing(hist, col("text"), col("doc_id"),
+        idx, n = 3, numProbes = 16)
+      Dedup.containmentIncremental(batch, col("text"), col("doc_id"), idx,
+          n = 3, threshold = 0.95, numProbes = 16, admit = false)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     },
 
     // FRACTIONAL decontamination (the PaLM-style thresholded rule): per
@@ -2665,6 +2707,56 @@ object SparkEntry {
         |SELECT co.doc_id AS id, CAST(count(*) AS BIGINT) AS hits
         |FROM co JOIN ev USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact trigram-containment ground truth for the incremental
+    // containment gate: a batch row survives iff NO history doc and NO
+    // smaller-id batch doc reaches containment 0.95 on distinct word
+    // trigrams (|A∩B| / min(|A|,|B|) — the asymmetric quotation measure)
+    "q_containment_incremental" ->
+      """WITH hist AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source <> 'src0' AND doc_id < 600),
+        |b0 AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source = 'src0' AND doc_id < 600),
+        |batch AS (
+        |  SELECT * FROM b0
+        |  UNION ALL SELECT -doc_id * 2 - 1,
+        |    array_to_string(string_split(trim(text), ' ')[1:5], ' '), n_chars
+        |    FROM hist WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
+        |  UNION ALL SELECT -doc_id * 2 - 2, text || ' qp77a qp77b qp77c',
+        |    n_chars FROM hist WHERE doc_id % 7 = 0),
+        |bt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split(trim(text), ' ') END AS t FROM batch),
+        |ht AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split(trim(text), ' ') END AS t FROM hist),
+        |bg AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+        |         || ' ' || t[CAST(i AS INT)+3])) END AS toks FROM bt),
+        |hg AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+        |         || ' ' || t[CAST(i AS INT)+3])) END AS toks FROM ht),
+        |be AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM bg
+        |  WHERE len(toks) > 0),
+        |he AS (SELECT doc_id, len(toks) sz, unnest(toks) tok FROM hg
+        |  WHERE len(toks) > 0),
+        |hd AS (SELECT DISTINCT bid FROM (
+        |  SELECT b.doc_id AS bid,
+        |    count(*)::DOUBLE / least(any_value(b.sz), any_value(h.sz)) AS c
+        |  FROM be b JOIN he h USING (tok) GROUP BY b.doc_id, h.doc_id)
+        |  WHERE c >= 0.95),
+        |dom AS (SELECT DISTINCT ib FROM (
+        |  SELECT b2.doc_id AS ib,
+        |    count(*)::DOUBLE / least(any_value(b1.sz), any_value(b2.sz)) AS c
+        |  FROM be b1 JOIN be b2 ON b1.tok = b2.tok AND b1.doc_id < b2.doc_id
+        |  GROUP BY b1.doc_id, b2.doc_id)
+        |  WHERE c >= 0.95)
+        |SELECT doc_id, n_chars FROM batch
+        |WHERE doc_id NOT IN (SELECT bid FROM hd)
+        |  AND doc_id NOT IN (SELECT ib FROM dom)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate_frac" ->
       """WITH tok AS (

@@ -332,11 +332,16 @@ object Dedup {
     if (java.nio.file.Files.exists(dir.resolve("_index.txt"))) return
     val hasData = {
       val s = java.nio.file.Files.list(dir)
-      try s.anyMatch(p => p.getFileName.toString.startsWith("__hp="))
+      // flat layouts (exact/near-dup: __hp= dirs at the root) and the
+      // containment layout (docs/ + post/ subtables) both count as data
+      try s.anyMatch { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith("__hp=") || nm == "docs" || nm == "post"
+      }
       finally s.close()
     }
     if (hasData) throw new IllegalStateException(
-      s"exact-dedup index at $indexPath holds data but no _index.txt — an " +
+      s"dedup index at $indexPath holds data but no _index.txt — an " +
         "incomplete compacted copy; flipping readers to it would disarm " +
         "the appends-refusal. Delete it and re-compact from the source")
   }
@@ -686,6 +691,274 @@ object Dedup {
         (col("postings").cast("double") / col("__t")).as("share"))
       .orderBy(col("postings").desc, col("band"), col("bh"))
       .limit(topK)
+  }
+
+  // ---- incremental CONTAINMENT dedup against a persistent index ---------
+  //
+  // The third member of the incremental family: "does this batch doc QUOTE
+  // (or get quoted by) anything ever admitted" — the boilerplate/quotation
+  // check exact and near-dup dedup both miss (a short doc wholesale inside
+  // a long one has containment ≈ 1 but low Jaccard, so MinHash banding
+  // never collides). Index layout, two tables under one root:
+  //
+  //   docs/  (id, hs array<long>, pr array<long>)  per-doc shingle hashes
+  //          (exact-verify payload) + its numProbes argmin probe hashes,
+  //          partitioned on the id-hash prefix like the other indexes
+  //   post/  (ph, hid) inverted postings of every admitted shingle hash,
+  //          partitioned on pmod(ph, 64) — the candidate-generation side
+  //
+  // Candidates are TWO-SIDED (containment is asymmetric): a batch doc's
+  // probes against the postings catch "batch quotes history"; stored
+  // history probes against the batch's hash inventory catch "history is
+  // quoted by batch". For a true pair at containment c ≥ t, at least one
+  // side's probes land with probability ≥ c each, so the miss probability
+  // is ≤ (1−t)^numProbes (≈1e-21 at t=0.95, k=16); candidates verify
+  // EXACTLY on the stored hash sets, so false candidates cost work, never
+  // correctness.
+  //
+  // CRASH ORDERING (counter → postings → docs): the meta counter commits
+  // first (refusal armed — the usual asymmetry), then POSTINGS, then doc
+  // rows. Post-first is what makes replay self-healing: a death between
+  // the two data appends leaves postings without doc rows, so the
+  // replayed batch's candidates against those orphan postings fail
+  // verification (no hs row) and the doc is re-admitted — re-appending
+  // its postings (benign duplicates; candidate pairs are de-duplicated)
+  // and writing the missing doc row. Docs-first would instead leave
+  // admitted docs invisible to batch-side probes until a compaction.
+  // [[containmentIndexCompactTo]] rebuilds BOTH tables clustered from
+  // docs/ (postings are derivable), dropping any crash-duplicated
+  // posting rows.
+
+  private def containmentSig(df: DataFrame, textCol: Column, idCol: Column,
+                             n: Int, numProbes: Int): DataFrame = {
+    require(numProbes >= 1, "numProbes must be >= 1")
+    val sig = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      // argmin over seeded variants via struct min — the containmentLsh
+      // probe construction, verbatim (seeded key first, plain hash payload)
+      .withColumn("pr", array_distinct(array((0 until numProbes).map { i =>
+        array_min(transform(col("hs"),
+          h => struct(xxhash64(h, lit(i)).as("k"), h.as("v"))))
+          .getField("v")
+      }: _*)))
+    sig.groupBy(col("id"))
+      .agg(min(struct(col("hs"), col("pr"))).as("__w"))
+      .select(col("id"), col("__w.hs").as("hs"), col("__w.pr").as("pr"))
+  }
+
+  /** (Re)build the containment index at `indexPath` from a seed corpus. */
+  def buildContainmentIndex(df: DataFrame, textCol: Column, idCol: Column,
+                            indexPath: String, n: Int,
+                            numProbes: Int = 16): Unit = {
+    val sig = graft.PersistCache.persist(
+      containmentSig(df, textCol, idCol, n, numProbes))
+    sig.select(explode(col("hs")).as("ph"), col("id").as("hid"))
+      .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
+      .repartition(col("__pp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__pp").parquet(s"$indexPath/post")
+    sig.withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
+      .repartition(col("__hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__hp").parquet(s"$indexPath/docs")
+  }
+
+  private val containmentIndexValidated =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), String]()
+
+  /** [[buildContainmentIndex]] only if absent or built from a different
+    * (corpus, recipe); refuses a corpus-change rebuild once admissions
+    * exist — the same tripwire as the other two incremental indexes.
+    */
+  def buildContainmentIndexIfMissing(df: DataFrame, textCol: Column,
+                                     idCol: Column, indexPath: String,
+                                     n: Int, numProbes: Int = 16): Unit = {
+    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash(),
+      n, numProbes)
+    if (containmentIndexValidated.containsKey(memoKey)) return
+    val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+    val header = s"fp=${Similarity.datasetFingerprint(df, idCol)};" +
+      s"n=$n;k=$numProbes;kind=containment"
+    readIndexMeta(metaPath) match {
+      case Some((fp, _)) if fp == header =>
+        containmentIndexValidated.put(memoKey, header)
+        return
+      case Some((_, appends)) if appends > 0 =>
+        throw new IllegalStateException(
+          s"containment index at $indexPath holds $appends incremental " +
+            "append(s) that a corpus-change rebuild would silently discard; " +
+            "delete the index directory explicitly to rebuild from scratch")
+      case _ =>
+    }
+    containmentIndexValidated.keySet.removeIf(_._1 == indexPath)
+    buildContainmentIndex(df, textCol, idCol, indexPath, n, numProbes)
+    writeIndexMeta(metaPath, header, appends = 0L)
+    containmentIndexValidated.put(memoKey, header)
+  }
+
+  /** Batch rows that survive containment dedup against BOTH the index (any
+    * admitted doc with containment ≥ `threshold` rejects the batch row —
+    * in EITHER quote direction) and the batch itself (smaller-id dominance,
+    * as in [[nearDupIncremental]]). Zero-shingle docs pass through and are
+    * never admitted. `admit = true` appends survivors counter → postings →
+    * docs (see the crash-ordering note above); SINGLE WRITER per index.
+    *
+    * Scale shape: both candidate joins are keyed on an 8-byte hash — the
+    * batch's probe rows broadcast into a column-pruned postings scan, and
+    * the batch's hash inventory broadcasts into a column-pruned (id, pr)
+    * docs scan, both under two-tier sizing (`maxBroadcastRows` bounds the
+    * LARGER frame, the exploded hash inventory; ≤ 0 forces the shuffle
+    * fallback where history shuffles once, amortized over the batch).
+    * History text is never read (it was never stored); verification joins
+    * are candidate-bounded.
+    */
+  def containmentIncremental(batch: DataFrame, textCol: Column, idCol: Column,
+                             indexPath: String, n: Int, threshold: Double,
+                             numProbes: Int = 16, admit: Boolean = true,
+                             maxBroadcastRows: Long = 4000000L,
+                             stripes: Int = 1): DataFrame = {
+    require(stripes >= 1, "stripes must be >= 1")
+    val spark = batch.sparkSession
+    val prep = graft.PersistCache.persist(
+      containmentSig(batch, textCol, idCol, n, numProbes))
+    // two-tier sizing on the batch's exploded HASH rows (the larger of the
+    // two broadcast frames; probe rows are k per doc, strictly smaller)
+    val stats =
+      try Some(batch.queryExecution.optimizedPlan.stats)
+      catch { case _: Exception => None }
+    val estDocs: BigInt = stats.flatMap(_.rowCount).getOrElse {
+      val estBytes = stats.map(s => BigInt(s.sizeInBytes.toString))
+        .getOrElse(BigInt(-1))
+      if (estBytes < 0) BigInt(-1) else estBytes * 10 / 8
+    }
+    // a doc's hash count is bounded by its token count; the byte-derived
+    // row bound already over-counts docs ~10×, so docs ≈ hash rows here —
+    // when the stats can't prove it, one agg on the persisted prep settles
+    // both counts exactly
+    val smallByStats = maxBroadcastRows > 0 &&
+      estDocs >= 0 && estDocs <= BigInt(maxBroadcastRows)
+    val small =
+      if (smallByStats) true
+      else if (maxBroadcastRows <= 0) false
+      else {
+        val r = prep.agg(sum(size(col("hs")))).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0)) <= maxBroadcastRows
+      }
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // pin BOTH table snapshots before any append
+    def filesOf(p: String): IndexedSeq[String] =
+      try spark.read.parquet(p).inputFiles.toIndexedSeq
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => IndexedSeq.empty[String]
+      }
+    val postFiles = filesOf(s"$indexPath/post")
+    val docFiles = filesOf(s"$indexPath/docs")
+    val bHashes = prep.select(col("id").as("bid"), explode(col("hs")).as("ph"))
+    val bProbes = prep.select(col("id").as("bid"), explode(col("pr")).as("ph"))
+    val histDup =
+      if (docFiles.isEmpty) prep.select(col("id")).limit(0)
+      else {
+        val docsIx = spark.read.parquet(docFiles: _*)
+        // side 2: stored history probes into the batch's hash inventory
+        // (history quoted by batch)
+        val iProbes = docsIx.select(col("id").as("hid"),
+          explode(col("pr")).as("ph"))
+        val cand2 = iProbes.join(maybeB(bHashes), Seq("ph"))
+          .select(col("bid"), col("hid"))
+        // side 1: batch probes into the postings (batch quotes history);
+        // a postings-less index (a crash before the very first posting
+        // append) degrades to side 2 only
+        val cand1 =
+          if (postFiles.isEmpty) cand2.limit(0)
+          else spark.read.parquet(postFiles: _*).select(col("ph"), col("hid"))
+            .join(maybeB(bProbes), Seq("ph"))
+            .select(col("bid"), col("hid"))
+        val cand = cand1.unionByName(cand2).distinct()
+        val histHs = docsIx.select(col("id").as("hid"), col("hs").as("hhs"))
+          .join(cand.select(col("hid")), Seq("hid"), "left_semi")
+        val bHs = prep.select(col("id").as("bid"), col("hs").as("bhs"))
+        val inter = size(array_intersect(col("bhs"), col("hhs"))).cast("double")
+        cand.join(histHs, "hid").join(bHs, "bid")
+          .withColumn("__c",
+            inter / least(size(col("bhs")), size(col("hhs"))).cast("double"))
+          .filter(col("__c") >= threshold)
+          .select(col("bid").as("id"))
+      }
+    // intra-batch: each doc's probes against every other doc's hashes
+    // (two-sided by construction — both orientations of a pair probe),
+    // striped on the probe doc id for hot posting hashes (containmentLsh's
+    // salt: probes salt, hash rows replicate — result-identical)
+    val joinedIB =
+      if (stripes == 1) bProbes.join(bHashes.withColumnRenamed("bid", "iid"), "ph")
+      else bProbes
+        .withColumn("__s", pmod(xxhash64(col("bid")), lit(stripes)).cast("int"))
+        .join(bHashes.withColumnRenamed("bid", "iid").withColumn("__s",
+          explode(sequence(lit(0), lit(stripes - 1)))), Seq("ph", "__s"))
+    val candIB = joinedIB
+      .filter(col("bid") =!= col("iid"))
+      .select(least(col("bid"), col("iid")).as("id_a"),
+        greatest(col("bid"), col("iid")).as("id_b"))
+      .distinct()
+    val sa = prep.select(col("id").as("id_a"), col("hs").as("sha"))
+    val sb = prep.select(col("id").as("id_b"), col("hs").as("shb"))
+    val interIB = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val dominated = candIB.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("__c",
+        interIB / least(size(col("sha")), size(col("shb"))).cast("double"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_b").as("id"))
+    val losers = histDup.unionByName(dominated)
+    val survivors = prep.join(losers, Seq("id"), "left_anti")
+    if (admit) {
+      val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+      val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
+      val bumped =
+        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      writeIndexMeta(metaPath, fpLine, bumped)
+      // POSTINGS FIRST (see the crash-ordering note)
+      survivors.select(explode(col("hs")).as("ph"), col("id").as("hid"))
+        .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
+        .repartition(col("__pp"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__pp").parquet(s"$indexPath/post")
+      crashHook("dedup.cn-post")
+      survivors
+        .withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
+        .repartition(col("__hp"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__hp").parquet(s"$indexPath/docs")
+      crashHook("dedup.cn-docs")
+    }
+    batch.join(maybeB(losers.select(col("id").as("__lid"))),
+      idCol === col("__lid"), "left_anti")
+  }
+
+  /** Blue/green compact of the containment index: BOTH tables rebuild
+    * clustered from `docs/` (postings are derivable — one explode), which
+    * also drops any crash-duplicated posting rows; meta written LAST as
+    * the completion sentinel. Dest is valid iff `_index.txt` is present.
+    */
+  def containmentIndexCompactTo(spark: org.apache.spark.sql.SparkSession,
+                                srcPath: String, destPath: String): Unit = {
+    val (fpLine, appends) = readIndexMeta(
+      java.nio.file.Paths.get(srcPath, "_index.txt")).getOrElse(("fp=?", 0L))
+    val docs = graft.PersistCache.persist(
+      spark.read.parquet(s"$srcPath/docs")
+        .select(col("id"), col("hs"), col("pr")).dropDuplicates("id"))
+    docs.select(explode(col("hs")).as("ph"), col("id").as("hid"))
+      .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
+      .repartition(col("__pp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__pp").parquet(s"$destPath/post")
+    docs.withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
+      .repartition(col("__hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__hp").parquet(s"$destPath/docs")
+    crashHook("dedup.compact-data")
+    writeIndexMeta(java.nio.file.Paths.get(destPath, "_index.txt"),
+      fpLine, appends)
+    crashHook("dedup.compact-done")
   }
 
   /** Corpus-wide line/paragraph dedup (the Dolma `dedupe.paragraphs` /

@@ -3305,6 +3305,214 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.length === 50 + 120 + 1)
   }
 
+  // ---- incremental containment (quotation) dedup --------------------------
+
+  /** Local exact-containment model over distinct whitespace tokens. */
+  private def localContainment(a: String, b: String): Double = {
+    def toks(s: String): Set[String] =
+      if (s.trim.isEmpty) Set.empty else s.trim.split(" ").toSet
+    val (ta, tb) = (toks(a), toks(b))
+    if (ta.isEmpty || tb.isEmpty) 0.0
+    else (ta intersect tb).size.toDouble / math.min(ta.size, tb.size)
+  }
+
+  private def localContainmentSurvivors(hist: Seq[String],
+                                        batch: Seq[(Long, String)],
+                                        t: Double): Set[Long] =
+    batch.collect { case (id, tx)
+      if !hist.exists(h => localContainment(tx, h) >= t) &&
+        !batch.exists { case (id2, tx2) =>
+          id2 < id && localContainment(tx, tx2) >= t } => id
+    }.toSet
+
+  test("containmentIncremental: both quote directions reject, dominance, replay, purity") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("cn-idx").toString + "/i"
+    val longDoc = (1 to 20).map(i => s"L$i").mkString(" ")
+    val shortDoc = "s1 s2 s3"
+    val hist = Seq((100L, longDoc), (101L, shortDoc)).toDF("doc_id", "text")
+    Dedup.buildContainmentIndexIfMissing(hist, col("text"), col("doc_id"),
+      idx, n = 1, numProbes = 16)
+    val batch = Seq(
+      1L -> (1 to 5).map(i => s"L$i").mkString(" "), // quotes hist long: c=1 → rejected (side 1)
+      2L -> s"$shortDoc pad1 pad2 pad3 pad4 pad5",   // CONTAINS hist short: c=1 → rejected (side 2)
+      3L -> "fresh alpha beta gamma delta",          // novel → survives
+      4L -> "zz1 zz2 zz3 zz4 zz5 zz6",               // novel → survives
+      5L -> "zz1 zz2 zz3",                           // quoted by batch 4 (c=1), 4 < 5 → rejected
+      6L -> ""                                       // zero shingles → passes
+    ).toDF("doc_id", "text")
+    def run(admit: Boolean) = Dedup.containmentIncremental(batch,
+        col("text"), col("doc_id"), idx, n = 1, threshold = 0.95,
+        numProbes = 16, admit = admit)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(admit = false) === Seq(3L, 4L, 6L))
+    // admit=false was a pure read
+    assert(run(admit = false) === Seq(3L, 4L, 6L))
+    run(admit = true)
+    // replay: admitted texts reject themselves (c = 1); empties pass
+    assert(run(admit = false) === Seq(6L))
+    val ids = spark.read.parquet(s"$idx/docs").select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(3L, 4L, 100L, 101L))
+  }
+
+  test("containmentIncremental fuzz: random schedules match the local model; shuffle path agrees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(262626L)
+    val words = (0 until 14).map(i => s"c$i")
+    def randText() =
+      (0 until (2 + rnd.nextInt(7))).map(_ => words(rnd.nextInt(words.size)))
+        .distinct.mkString(" ")
+    for (trial <- 0 until 2) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"cn-fuzz$trial").toString + "/i"
+      val histTexts = Seq.fill(6)(randText()).distinct
+      Dedup.buildContainmentIndexIfMissing(
+        histTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numProbes = 16)
+      var model = histTexts
+      var nextId = 1000L
+      for (step <- 0 until 4) {
+        val batch = Seq.fill(1 + rnd.nextInt(6))(randText())
+          .zipWithIndex.map { case (t, i) => (nextId + i, t) }
+        nextId += 100
+        // short random docs over a small vocab sit on BOTH sides of 0.75
+        val got = Dedup.containmentIncremental(
+            batch.toDF("doc_id", "text"), col("text"), col("doc_id"), idx,
+            n = 1, threshold = 0.75, numProbes = 16)
+          .collect().map(_.getLong(0)).toSet
+        val expect = localContainmentSurvivors(model, batch, 0.75)
+        assert(got === expect,
+          s"[trial $trial step $step] batch=$batch model=$model")
+        model ++= batch.collect { case (id, tx) if expect(id) => tx }
+      }
+    }
+    // forced-shuffle path decides identically (fresh index, same shapes)
+    val idxA = java.nio.file.Files
+      .createTempDirectory("cn-bcast").toString + "/i"
+    val idxB = java.nio.file.Files
+      .createTempDirectory("cn-shuf").toString + "/i"
+    val hist = (0L until 25L).map(i => (i, s"h${i}a h${i}b h${i}c h${i}d"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 30L).map(i =>
+      (500L + i, if (i % 3 == 0) s"h${i % 25}a h${i % 25}b"
+       else s"n${i}a n${i}b n${i}c")).toDF("doc_id", "text")
+    val out = Seq(idxA -> 4000000L, idxB -> 0L).map { case (ix, bound) =>
+      Dedup.buildContainmentIndexIfMissing(hist, col("text"), col("doc_id"),
+        ix, n = 1, numProbes = 16)
+      Dedup.containmentIncremental(batch, col("text"), col("doc_id"), ix,
+          n = 1, threshold = 0.95, numProbes = 16, admit = true,
+          maxBroadcastRows = bound)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(out.head === out.last)
+    assert(out.head.nonEmpty)
+  }
+
+  test("containment admit crash fuzz: post-first ordering makes every replay converge") {
+    import spark.implicits._
+    final class InjectedCrash extends RuntimeException("injected cn crash")
+    val points = Seq("dedup.meta-pre", "dedup.meta-tmp", "dedup.meta-moved",
+      "dedup.cn-post", "dedup.cn-docs")
+    def seed = Seq((100L, "alpha beta gamma delta epsilon"),
+      (101L, "zeta eta theta")).toDF("doc_id", "text")
+    def batch = Seq((1L, "alpha beta gamma"), (2L, "fresh one two three"),
+      (3L, "other body here now")).toDF("doc_id", "text")
+    def probe = Seq((50L, "fresh one two"), (51L, "omega psi chi"))
+      .toDF("doc_id", "text")
+    def changed = Seq((100L, "alpha beta gamma delta epsilon"),
+      (102L, "cc dd")).toDF("doc_id", "text")
+    def run(p: DataFrame, idx: String, admit: Boolean) =
+      Dedup.containmentIncremental(p, col("text"), col("doc_id"), idx,
+          n = 1, threshold = 0.95, numProbes = 16, admit = admit)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def readAppends(idx: String): Long = {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(idx, "_index.txt"))
+      (1 until lines.size()).map(lines.get(_).trim)
+        .collectFirst { case s if s.startsWith("appends=") =>
+          s.stripPrefix("appends=").toLong }.getOrElse(0L)
+    }
+    val twinIdx = java.nio.file.Files
+      .createTempDirectory("cn-crash-twin").toString + "/i"
+    Dedup.buildContainmentIndexIfMissing(seed, col("text"), col("doc_id"),
+      twinIdx, n = 1, numProbes = 16)
+    run(batch, twinIdx, admit = true)
+    val twinProbe = run(probe, twinIdx, admit = false)
+    val twinIds = spark.read.parquet(s"$twinIdx/docs").select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      for (p <- points) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"cn-crash-$p").toString + "/i"
+        Dedup.buildContainmentIndexIfMissing(seed, col("text"),
+          col("doc_id"), idx, n = 1, numProbes = 16)
+        val seedDocs = spark.read.parquet(s"$idx/docs").count()
+        Dedup.crashHook = pt => if (pt == p) throw new InjectedCrash
+        intercept[InjectedCrash] { run(batch, idx, admit = true) }
+        Dedup.crashHook = _ => ()
+        val docsNow = spark.read.parquet(s"$idx/docs").count()
+        val appends = readAppends(idx)
+        assert(!(docsNow > seedDocs && appends == 0L),
+          s"$p: admitted docs stranded under appends=0")
+        if (appends > 0L)
+          intercept[IllegalStateException] {
+            Dedup.buildContainmentIndexIfMissing(changed, col("text"),
+              col("doc_id"), idx, n = 1, numProbes = 16)
+          }
+        run(batch, idx, admit = true) // clean replay converges
+        val ids = spark.read.parquet(s"$idx/docs").select(col("id"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids === twinIds, s"$p: docs diverged from twin: $ids")
+        assert(run(probe, idx, admit = false) === twinProbe,
+          s"$p: probe decisions diverged from twin")
+      }
+    } finally { Dedup.crashHook = _ => () }
+  }
+
+  test("containment index compaction: postings rebuilt from docs, decisions + meta verbatim") {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("cn-compact").toString + "/i"
+    val seed = (0L until 20L).map(i => (i, s"x${i}a x${i}b x${i}c x${i}d"))
+      .toDF("doc_id", "text")
+    Dedup.buildContainmentIndexIfMissing(seed, col("text"), col("doc_id"),
+      src, n = 1, numProbes = 16)
+    for (r <- 1 to 3)
+      Dedup.containmentIncremental(
+        (0L until 8L).map(i => (1000L * r + i, s"f$r${i}a f$r${i}b f$r${i}c"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), src, n = 1, threshold = 0.95,
+        numProbes = 16).collect()
+    val srcMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(src, "_index.txt"))
+    assert(srcMeta.contains("appends=3"))
+    val dest = src + "-d"
+    Dedup.containmentIndexCompactTo(spark, src, dest)
+    Dedup.requireIndexComplete(dest)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "_index.txt")) === srcMeta)
+    // postings derivable from docs: same count after dedup, fewer files
+    assert(spark.read.parquet(s"$dest/post").count() ===
+      spark.read.parquet(s"$src/post").select(col("ph"), col("hid"))
+        .distinct().count())
+    assert(spark.read.parquet(s"$dest/post").inputFiles.length <
+      spark.read.parquet(s"$src/post").inputFiles.length)
+    val probe = (0L until 30L).map(i =>
+      (5000L + i, if (i % 2 == 0) s"x${i}a x${i}b" else s"nv${i}q nv${i}r"))
+      .toDF("doc_id", "text")
+    def decide(p: String) = Dedup.containmentIncremental(probe, col("text"),
+        col("doc_id"), p, n = 1, threshold = 0.95, numProbes = 16,
+        admit = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(decide(dest) === decide(src))
+    // the sentinel: data without meta refuses
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dest, "_index.txt"))
+    intercept[IllegalStateException] { Dedup.requireIndexComplete(dest) }
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
