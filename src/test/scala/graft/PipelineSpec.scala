@@ -3513,6 +3513,43 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Dedup.requireIndexComplete(dest) }
   }
 
+  test("streaming containment maintenance: index exactly-once, survivors at-least-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("cn-stream").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cn-stream-ckpt").toString
+    val hist = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Dedup.buildContainmentIndexIfMissing(hist, col("text"), col("doc_id"),
+      idx, n = 1, numProbes = 16)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val delivered = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val query = graft.streaming.ContainmentIndexStream.attach(
+      mem.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+      idx, ckpt, n = 1, threshold = 0.95, numProbes = 16,
+      sink = Some(df =>
+        delivered += df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq))
+    try {
+      // 1: quotes history (c = 1); 2: novel; 3: quoted BY 2 (2 < 3); 4: empty
+      mem.addData(Seq((1L, "alpha beta gamma"), (2L, "k1 k2 k3 k4 k5"),
+        (3L, "k1 k2"), (4L, "")))
+      query.processAllAvailable()
+      // 5: quotes batch-1's admission; 6: novel
+      mem.addData(Seq((5L, "k3 k4"), (6L, "m1 m2 m3")))
+      query.processAllAvailable()
+      // replay (at-least-once): nothing admitted, empty survivor set
+      mem.addData(Seq((5L, "k3 k4"), (6L, "m1 m2 m3")))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(delivered.toSeq === Seq(Seq(2L, 4L), Seq(6L), Seq()))
+    val ids = spark.read.parquet(s"$idx/docs").select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(2L, 6L, 100L))
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
