@@ -189,11 +189,22 @@ object Similarity {
     * per-element 1e6 quantization keeps all dot sums below 2^53 at
     * embedding scale — exact in doubles regardless of summation order).
     *
-    * Scale shape: assignment is map-only (centroid list rides the plan as
-    * literals — SemDeDup's k ≈ √N keeps it bounded); the pair join blocks
-    * on the cluster id via [[selfPairs]] (+`stripes` for a skewed
-    * cluster), so nothing quadratic exists above cluster granularity —
-    * the paper's core argument, unchanged in Spark.
+    * Scale shape: assignment is map-only; the pair join blocks on the
+    * cluster id via [[selfPairs]] (+`stripes` for a skewed cluster), so
+    * nothing quadratic exists above cluster granularity — the paper's
+    * core argument, unchanged in Spark.
+    *
+    * CENTROID-COUNT BOUND: the centroid list rides the plan as literals
+    * (one quantized array + one dot per centroid), which is what makes
+    * the assignment exactly reproducible — and which stops scaling
+    * somewhere in the hundreds of centroids (plan size and codegen grow
+    * linearly in k). SemDeDup's web-scale k ≈ √N does NOT fit this path:
+    * there, assign cells with the IVF machinery ([[sampleCentroids]] /
+    * [[refineCentroids]] / [[ivfAssign]] — native ArgMinCosine, O(1) plan
+    * size at any k, float arithmetic) and run the same within-cell
+    * dominance on `__c`; the float/exact trade only moves boundary-case
+    * assignments, never the dominance rule. This operator's exact-literal
+    * path is for bounded-k, decision-auditable curation (the gate shape).
     */
   def semanticDedup(df: DataFrame, vecCol: Column, idCol: Column,
                     centroids: Seq[(Int, Seq[Float])], threshold: Double,
