@@ -649,20 +649,30 @@ object Dedup {
                     stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
                     restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None)
       : MaintainDedupResult = {
-    val files =
-      try spark.read.parquet(indexPath).inputFiles
+    // the containment index nests two subtables; its fragmentation is the
+    // worst prefix across BOTH, and its compactor rebuilds both from docs/
+    val isContainment =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexPath, "docs"))
+    def filesOf(p: String): Array[String] =
+      try spark.read.parquet(p).inputFiles
       catch {
         case _: org.apache.spark.sql.AnalysisException => Array.empty[String]
       }
+    val files =
+      if (isContainment) filesOf(s"$indexPath/docs") ++ filesOf(s"$indexPath/post")
+      else filesOf(indexPath)
     val worst =
       if (files.isEmpty) 0
-      else files.groupBy(f => f.split("/").takeRight(2).head)
+      // key = parent dir qualified by its table dir, so docs/__hp=3 and
+      // post/__pp=3 count separately (and flat layouts keep their prefix)
+      else files.groupBy(f => f.split("/").dropRight(1).takeRight(2).mkString("/"))
         .values.map(_.length).max
     if (worst <= maxFilesPerPrefix)
       return MaintainDedupResult(worst, compacted = false, indexPath, stream)
     // quiesce the single writer BEFORE the compactor reads its snapshot
     stream.foreach { q => q.stop(); q.awaitTermination() }
-    compactClustered(spark, indexPath, destPath)
+    if (isContainment) containmentIndexCompactTo(spark, indexPath, destPath)
+    else compactClustered(spark, indexPath, destPath)
     requireIndexComplete(destPath)
     MaintainDedupResult(worst, compacted = true, destPath,
       restart.map(_(destPath)))

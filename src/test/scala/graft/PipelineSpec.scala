@@ -3550,6 +3550,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids === Seq(2L, 6L, 100L))
   }
 
+  test("maintainIndex detects the containment layout: both subtables compact, stream resumes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("cn-maint").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cn-maint-ckpt").toString
+    val seed = (0L until 30L).map(i => (i, s"s${i}a s${i}b s${i}c"))
+      .toDF("doc_id", "text")
+    Dedup.buildContainmentIndexIfMissing(seed, col("text"), col("doc_id"),
+      idx, n = 1, numProbes = 8)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def attachAt(path: String) = graft.streaming.ContainmentIndexStream.attach(
+      mem.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+      path, ckpt, n = 1, threshold = 0.95, numProbes = 8)
+    val q0 = attachAt(idx)
+    for (r <- 1 to 3) {
+      mem.addData((0L until 20L).map(i => (1000L * r + i, s"f${r}_${i}a f${r}_${i}b")))
+      q0.processAllAvailable()
+    }
+    val res = Dedup.maintainIndex(spark, idx, idx + "-d",
+      maxFilesPerPrefix = 1, stream = Some(q0), restart = Some(p => attachAt(p)))
+    assert(res.compacted && !q0.isActive && res.stream.isDefined)
+    val dest = res.activePath
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "_index.txt")).contains("appends=3"))
+    // both subtables exist at the dest, row-complete
+    assert(spark.read.parquet(s"$dest/docs").count() === 90L)
+    val q1 = res.stream.get
+    try {
+      mem.addData(Seq((9000L, "brand new content entirely")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$dest/docs").select(col("id"))
+      .collect().map(_.getLong(0)).contains(9000L))
+  }
+
   test("contaminationFractionReport and decontaminateFraction match the local model") {
     import spark.implicits._
     val eval = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
