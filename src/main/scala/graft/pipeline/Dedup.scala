@@ -742,20 +742,30 @@ object Dedup {
   private def containmentSig(df: DataFrame, textCol: Column, idCol: Column,
                              n: Int, numProbes: Int): DataFrame = {
     require(numProbes >= 1, "numProbes must be >= 1")
+    // probes from the native [[graft.functions.ArgMinProbes]] (one JVM
+    // walk per row); [[containmentProbesColumnar]] is the Column/HOF
+    // executable spec it is pinned against in PipelineSpec
     val sig = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      // argmin over seeded variants via struct min — the containmentLsh
-      // probe construction, verbatim (seeded key first, plain hash payload)
-      .withColumn("pr", array_distinct(array((0 until numProbes).map { i =>
-        array_min(transform(col("hs"),
-          h => struct(xxhash64(h, lit(i)).as("k"), h.as("v"))))
-          .getField("v")
-      }: _*)))
+      .withColumn("pr", graft.functions.ArgMinProbes(col("hs"), numProbes))
     sig.groupBy(col("id"))
       .agg(min(struct(col("hs"), col("pr"))).as("__w"))
       .select(col("id"), col("__w.hs").as("hs"), col("__w.pr").as("pr"))
   }
+
+  /** HOF formulation of the probe set — the executable spec for the native
+    * [[graft.functions.ArgMinProbes]] (same seeded struct-min: seeded key
+    * first, element hash breaks ties; array_distinct keeps first
+    * appearance by seed order).
+    */
+  private[graft] def containmentProbesColumnar(hs: Column,
+                                               numProbes: Int): Column =
+    array_distinct(array((0 until numProbes).map { i =>
+      array_min(transform(hs,
+        h => struct(xxhash64(h, lit(i)).as("k"), h.as("v"))))
+        .getField("v")
+    }: _*))
 
   /** (Re)build the containment index at `indexPath` from a seed corpus. */
   def buildContainmentIndex(df: DataFrame, textCol: Column, idCol: Column,
@@ -1228,15 +1238,10 @@ object Dedup {
       df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
         .filter(size(col("sh")) > 0))
     val hashed = base.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-    // argmin over seeded variants via struct min (seeded key first, plain
-    // hash as payload); distinct: two seeds often pick the same shingle
+    // argmin over seeded variants — the native ArgMinProbes (bit-identical
+    // to the struct-min HOF, PipelineSpec-pinned), already de-duplicated
     val probes = hashed.select(col("id").as("pid"),
-        explode(array((0 until numProbes).map { i =>
-          array_min(transform(col("hs"),
-            h => struct(xxhash64(h, lit(i)).as("k"), h.as("v"))))
-            .getField("v")
-        }: _*)).as("ph"))
-      .distinct()
+      explode(graft.functions.ArgMinProbes(col("hs"), numProbes)).as("ph"))
     val index = hashed.select(col("id").as("iid"), explode(col("hs")).as("ph"))
     val joined =
       if (stripes == 1) probes.join(index, "ph")

@@ -3076,6 +3076,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recheck === Seq(10L))
   }
 
+  test("native ArgMinProbes ≡ the Column/HOF struct-min spec, probe for probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337L)
+    val docs = ((0 until 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong()).distinct)
+    } :+ (99L, Seq(42L))).toDF("id", "hs")
+    for (k <- Seq(4, 16)) {
+      val native = docs
+        .select(col("id"), graft.functions.ArgMinProbes(col("hs"), k).as("pr"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      val spec = docs
+        .select(col("id"), Dedup.containmentProbesColumnar(col("hs"), k).as("pr"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      assert(native === spec, s"k=$k")
+    }
+  }
+
   test("native MinHashBands ≡ the Column/HOF signature spec, hash for hash") {
     import spark.implicits._
     val rnd = new scala.util.Random(777L)
