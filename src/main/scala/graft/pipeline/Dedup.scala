@@ -895,8 +895,11 @@ object Dedup {
             .join(maybeB(bProbes), Seq("ph"))
             .select(col("bid"), col("hid"))
         val cand = cand1.unionByName(cand2).distinct()
+        // the candidate-hid prune broadcasts under the same `small` flag so
+        // the docs/ hs scan stays map-only on the daily path (the
+        // nearDupIncremental discipline; the set is collision-bounded)
         val histHs = docsIx.select(col("id").as("hid"), col("hs").as("hhs"))
-          .join(cand.select(col("hid")), Seq("hid"), "left_semi")
+          .join(maybeB(cand.select(col("hid"))), Seq("hid"), "left_semi")
         val bHs = prep.select(col("id").as("bid"), col("hs").as("bhs"))
         val inter = size(array_intersect(col("bhs"), col("hhs"))).cast("double")
         cand.join(histHs, "hid").join(bHs, "bid")
