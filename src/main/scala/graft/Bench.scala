@@ -302,6 +302,20 @@ object Bench {
     // of output then includes this line whole (and target/bench.json
     // still holds the authoritative copy either way).
     println(primary)
+    // r15's capture proved the ~4 KB primary line itself can exceed the
+    // driver's tail window (parsed: null with the line cut mid-entry).
+    // Emit a SHORT (<200 byte) summary LAST: total, first-pass total,
+    // calibration median (the load meter), and the 3 slowest entries —
+    // so a machine-parseable record survives ANY tail window, and the
+    // full per-query map still lives one line up + in target/bench.json.
+    val calMed = {
+      val cs = Seq(calA0, calA1, calB0, calB1).sorted
+      (cs(1) + cs(2)) / 2
+    }
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","first_pass_total":${num(totalA)},"cal_med":${num(calMed)},"worst":$worst,"detail":"target/bench.json"}""")
     System.out.flush()
   }
 }

@@ -57,7 +57,18 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
           graft.pipeline.Similarity.loadIvfCentroids(idx.path)
         // the WHERE compiles against the INDEX's stored columns (the
         // filtered-ANN attribute set); unknown columns error at analysis,
-        // which is the right failure for a typo'd attribute
+        // which is the right failure for a typo'd attribute. IN-subqueries
+        // can't be lowered here — the semi-join rewrite runs post-scan, but
+        // a SIMSEARCH WHERE is a PRE-filter inside the probe — so refuse
+        // with the dialect's usual targeted message instead of letting
+        // Builders.dim throw its internal lowering invariant.
+        q.where.filter(containsInSub).foreach { _ =>
+          throw new IllegalArgumentException(
+            "SIMSEARCH WHERE does not support IN (SELECT ...): the " +
+              "predicate pre-filters inside the index probe, where a " +
+              "subquery semi-join cannot run. Materialize the subquery " +
+              "values and use IN (v1, v2, ...) instead.")
+        }
         val extra = q.where.map(w => Builders.dim(w, col))
         val df = graft.pipeline.Similarity.ivfTopK(spark, idx.path,
           centroids, col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
@@ -644,6 +655,24 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
     * stays a filter, with any IN-subqueries nested below OR/NOT executed
     * two-phase by [[rewriteInSubsToMembership]].
     */
+  /** True when the predicate tree contains an IN-subquery anywhere —
+    * including under OR/NOT where the two-phase rewrite would apply. Used
+    * to refuse SIMSEARCH WHEREs (which pre-filter inside the probe, where
+    * no semi-join can run) with a targeted message.
+    */
+  private def containsInSub(e: DExpr): Boolean = e match {
+    case DInSub(_, _, _) => true
+    case DAnd(l, r)      => containsInSub(l) || containsInSub(r)
+    case DOr(l, r)       => containsInSub(l) || containsInSub(r)
+    case DNot(x)         => containsInSub(x)
+    case DCmp(_, l, r)   => containsInSub(l) || containsInSub(r)
+    case DFn(_, args)    => args.exists(containsInSub)
+    case DLike(x, _, _)  => containsInSub(x)
+    case DIn(x, _, _)    => containsInSub(x)
+    case DIsNull(x, _)   => containsInSub(x)
+    case _               => false
+  }
+
   private def splitInSubqueries(w: DExpr): (Option[DExpr], Seq[DInSub]) = {
     def conjuncts(e: DExpr): Seq[DExpr] = e match {
       case DAnd(l, r) => conjuncts(l) ++ conjuncts(r)

@@ -136,6 +136,30 @@ class EngineSpec extends AnyFunSuite {
         () => T0).collect()
     }
     assert(e.getMessage.contains("not registered"), e.getMessage)
+    // an IN-subquery in a SIMSEARCH WHERE refuses with the dialect's
+    // targeted message (not Builders.dim's internal lowering invariant):
+    // the WHERE pre-filters inside the probe, where no semi-join can run
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.sql(cat,
+        s"""SELECT score FROM SIMSEARCH('vecs_idx', [$vecLit], 5, 4)
+           |WHERE label IN (SELECT label FROM SIMSEARCH('vecs_idx',
+           |  [$vecLit], 5, 4) GROUP BY label) GROUP BY id""".stripMargin,
+        () => T0).collect()
+    }
+    assert(e2.getMessage.contains("SIMSEARCH WHERE does not support IN (SELECT"),
+      e2.getMessage)
+    // ...including buried under OR/NOT, where the two-phase rewrite would
+    // otherwise pick it up post-scan
+    val e3 = intercept[IllegalArgumentException] {
+      Engine.sql(cat,
+        s"""SELECT score FROM SIMSEARCH('vecs_idx', [$vecLit], 5, 4)
+           |WHERE label = 0 OR NOT (label IN (SELECT label FROM
+           |  SIMSEARCH('vecs_idx', [$vecLit], 5, 4) GROUP BY label))
+           |GROUP BY id""".stripMargin,
+        () => T0).collect()
+    }
+    assert(e3.getMessage.contains("SIMSEARCH WHERE does not support IN (SELECT"),
+      e3.getMessage)
   }
 
   test("README: group by server with _points, SUM default and AVG") {
