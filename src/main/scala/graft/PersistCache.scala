@@ -19,9 +19,20 @@ private[graft] object PersistCache {
   /** How many scan-saver caches stay persisted at once
     * (`-Dgraft.maxPersistedCaches=` overrides — a knob, like
     * `spark.sql.pivotMaxValues`, for drivers with more memory).
+    *
+    * Default 16: the cap bounds ENTRY COUNT, not bytes — each entry is a
+    * group-cardinality / fingerprint-sized intermediate at MEMORY_AND_DISK,
+    * and the unified memory manager still evicts blocks LRU under real
+    * pressure (lineage recompute, the documented contract), so a larger
+    * cap risks churn, not OOM. The old cap of 8 sat below the number of
+    * distinct cache-registering queries in a realistic mixed workload,
+    * which turned every rerun into a full recompute: measured in r15's
+    * bench as a 3-round monotone drift of q_crosstab_shift
+    * (0.42→0.57→0.80 s) as rounds added registering queries — FIFO
+    * round-robin eviction, not ambient load.
     */
   def maxEntries: Int =
-    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(8)
+    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(16)
 
   private val fifo = new java.util.ArrayDeque[DataFrame]()
 

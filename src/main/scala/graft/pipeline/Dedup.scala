@@ -76,12 +76,7 @@ object Dedup {
     else {
       val lines = java.nio.file.Files.readAllLines(metaPath)
       val fp = if (lines.isEmpty) "" else lines.get(0).trim
-      val appends = (1 until lines.size()).map(lines.get(_).trim)
-        .collectFirst { case s if s.startsWith("appends=") =>
-          scala.util.Try(s.stripPrefix("appends=").toLong)
-            .getOrElse(Long.MaxValue) }
-        .getOrElse(0L)
-      Some((fp, appends))
+      Some((fp, IndexMeta.parseAppends(lines)))
     }
 
   /** Crash-atomic meta commit: tmp + ATOMIC_MOVE (the MANIFEST discipline,
@@ -242,13 +237,13 @@ object Dedup {
       // the next fingerprint mismatch silently rebuilt over them.
       val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
       val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
-      // SATURATING increment: a corrupt counter reads as Long.MaxValue (the
-      // refusing side), and `MaxValue + 1` would wrap to MinValue — the next
-      // staleness check would then see appends <= 0 and silently rebuild
-      // over admitted history, exactly the state the tripwire exists to
-      // prevent. Once saturated the counter stays pinned at the refusal.
-      val bumped =
-        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      // SATURATING increment (IndexMeta.saturatedBump): a corrupt counter
+      // reads as Long.MaxValue (the refusing side), and `MaxValue + 1` would
+      // wrap to MinValue — the next staleness check would then see
+      // appends <= 0 and silently rebuild over admitted history, exactly the
+      // state the tripwire exists to prevent. Once saturated the counter
+      // stays pinned at the refusal.
+      val bumped = IndexMeta.saturatedBump(appends)
       writeIndexMeta(metaPath, fpLine, bumped)
       fresh.select(col("__h"), substring(col("__h"), 1, 2).as("__hp"))
         .repartition(col("__hp")) // cluster: ~one appended file per prefix
@@ -590,8 +585,7 @@ object Dedup {
       // asymmetric failure modes demand the refusing side)
       val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
       val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
-      val bumped =
-        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      val bumped = IndexMeta.saturatedBump(appends)
       writeIndexMeta(metaPath, fpLine, bumped)
       survivors
         .withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
@@ -936,8 +930,7 @@ object Dedup {
     if (admit) {
       val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
       val (fpLine, appends) = readIndexMeta(metaPath).getOrElse(("fp=?", 0L))
-      val bumped =
-        if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+      val bumped = IndexMeta.saturatedBump(appends)
       writeIndexMeta(metaPath, fpLine, bumped)
       // POSTINGS FIRST (see the crash-ordering note)
       survivors.select(explode(col("hs")).as("ph"), col("id").as("hid"))

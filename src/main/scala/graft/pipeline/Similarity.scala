@@ -489,22 +489,16 @@ object Similarity {
   @volatile private[graft] var lastAppendPlan: String = ""
 
   /** Count of incremental appends recorded in an index meta's trailer
-    * lines; 0 when absent. An UNPARSEABLE value reads as Long.MaxValue, not
-    * 0 — the tripwire's failure modes are asymmetric (a spurious refusal
-    * costs an explicit directory delete; a missed one silently rebuilds
-    * over appended history), so corruption must land on the refusing side.
-    * Scanned over ALL lines so even a mangled meta still trips the refusal
-    * as long as the marker survives.
+    * lines; 0 when absent. One shared implementation across the dedup and
+    * ANN families ([[IndexMeta]]) so the corruption discipline — an
+    * unparseable value reads as Long.MaxValue, the refusing side — can
+    * never drift between them.
     */
   private def parseAppends(lines: java.util.List[String]): Long =
-    (0 until lines.size()).map(lines.get(_).trim)
-      .collectFirst { case s if s.startsWith("appends=") =>
-        scala.util.Try(s.stripPrefix("appends=").toLong)
-          .getOrElse(Long.MaxValue) }
-      .getOrElse(0L)
+    IndexMeta.parseAppends(lines)
 
   private def saturatedBump(appends: Long): Long =
-    if (appends >= Long.MaxValue - 1) Long.MaxValue else appends + 1L
+    IndexMeta.saturatedBump(appends)
 
   /** One `key=value` field of a meta header line ("fp=...;lloyd=2;v=2;n=16"). */
   private def headerField(h0: String, name: String): Option[String] =

@@ -1477,6 +1477,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append"), e.getMessage)
   }
 
+  test("cross-family corrupt appends discipline: ANN refuses and saturates identically (shared IndexMeta)") {
+    // the dedup tests above pin the corrupt-counter → refusing-side rule
+    // for _index.txt; this is the SAME rule on the ANN family's
+    // _centroids.txt, via the shared IndexMeta implementation — the two
+    // families must never drift apart on corruption semantics
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def corpus(n: Long) = (0L until n).map { i =>
+      (i, Array.fill(6)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("ann-corrupt").toString + "/i"
+    Similarity.ivfBuildIfMissing(corpus(24), col("embedding"),
+      col("vec_id"), 4, idx)
+    Similarity.ivfAppend(spark, idx,
+      Seq((100L, Array.fill(6)(0.1f))).toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    // mangle ONLY the counter: header + centroid body stay parseable, so
+    // the index still serves probes — the corruption is in the history
+    // accounting alone (the torn-write shape the atomic move prevents, but
+    // a hand-edit or bitrot can still produce)
+    val metaPath = java.nio.file.Paths.get(idx, "_centroids.txt")
+    val mangled = java.nio.file.Files.readString(metaPath)
+      .replaceFirst("appends=1", "appends=1#)x")
+    assert(mangled.contains("appends=1#)x"))
+    java.nio.file.Files.writeString(metaPath, mangled)
+    // a further append over the corrupt counter must saturate (wrap would
+    // re-arm the silent rebuild: appends <= 0)
+    Similarity.ivfAppend(spark, idx,
+      Seq((101L, Array.fill(6)(0.2f))).toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    val after = java.nio.file.Files.readString(metaPath)
+    assert(after.contains(s"appends=${Long.MaxValue}"), after.linesIterator
+      .filter(_.startsWith("appends=")).mkString(","))
+    // and a corpus-change rebuild refuses — the identical message family
+    // as Dedup's (refusal resolved only by an explicit directory delete)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfBuildIfMissing(corpus(30), col("embedding"),
+        col("vec_id"), 4, idx)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
+  }
+
   test("packSequences drops zero-token docs instead of emitting inverted ranges") {
     import spark.implicits._
     val d = Seq(

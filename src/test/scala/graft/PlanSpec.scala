@@ -172,6 +172,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SHIFT inside CROSSTAB runs a bounded stage count (no per-pivot-series multiplication)") {
+    // the composition is: ONE agg over (keys, __ct), ONE explode-regroup
+    // for the shift, ONE pivot, ONE sort — plus the column-pruned
+    // pivot-value distinct. The hazard this pins: a rewrite that self-joins
+    // or regroups PER pivot value would scale stages with the pivot
+    // cardinality (4 here, unbounded in production). Stage count is
+    // measured through a listener over a real cold execution because the
+    // persisted shift frame hides its exchanges inside an
+    // InMemoryRelation, where string-matching the outer plan can't see
+    // them.
+    val submitted = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        submitted.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q_crosstab_shift")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async: wait until the count is stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(150)
+        val now = submitted.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val stages = submitted.get()
+    // measured shape: ~8-10 stages (agg partials/finals, regroup, pivot,
+    // sort, the pivot-value distinct, noop write). 16 = the same shape
+    // with headroom for AQE re-splits; a per-pivot-value regroup (4 values
+    // x the shift pipeline) would blow well past it.
+    assert(stages > 0 && stages <= 16,
+      s"q_crosstab_shift submitted $stages stages — shape multiplied?")
+  }
+
   test("hash sampling and repetition scoring are map-only (no exchange before sort)") {
     for (name <- Seq("q_sample", "q_repetition", "q_weighted_repeat")) {
       val p = planOf(name)
