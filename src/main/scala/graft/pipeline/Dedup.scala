@@ -733,6 +733,48 @@ object Dedup {
   // docs/ (postings are derivable), dropping any crash-duplicated
   // posting rows.
 
+  /** Most distinct probe hashes a batch may have for its postings scan to
+    * be bounded driver-side (the collect is limited to this + 1 rows, so
+    * the driver never holds more than ~64 KB of probe longs). Daily
+    * batches at production scale exceed it and take the unbounded scan /
+    * shuffle fallback — at that probe density row-group skipping cannot
+    * win anyway (every row group contains some probe).
+    */
+  private[graft] def ProbeFilterMaxProbes: Int =
+    sys.props.get("graft.containmentProbeFilterMax").map(_.toInt)
+      .getOrElse(4096)
+
+  /** Cap on pushed OR-of-range terms — bounds both the parquet row-group
+    * stats evaluation and the residual per-row filter cost.
+    */
+  private[graft] val ProbeFilterMaxRanges: Int = 256
+
+  /** Sorted probe hashes → ≤ [[ProbeFilterMaxRanges]] covering ranges,
+    * splitting at the LARGEST gaps (point ranges when the set is small
+    * enough). Parquet pushdown keeps OR-trees of eq/range predicates
+    * as-is — unlike a large `isin`, which Catalyst folds to an InSet that
+    * the parquet layer degrades to one useless [min,max] over uniform
+    * hashes.
+    */
+  private[graft] def phRangePredicate(sorted: Array[Long]): Column = {
+    require(sorted.nonEmpty)
+    val ranges: Seq[(Long, Long)] =
+      if (sorted.length <= ProbeFilterMaxRanges)
+        sorted.toSeq.map(v => (v, v))
+      else {
+        val seps = (1 until sorted.length)
+          .sortBy(i => -(sorted(i) - sorted(i - 1)))
+          .take(ProbeFilterMaxRanges - 1).sorted
+        (0 +: seps :+ sorted.length).sliding(2).map {
+          case Seq(a, b) => (sorted(a), sorted(b - 1))
+        }.toSeq
+      }
+    ranges.map { case (lo, hi) =>
+      if (lo == hi) col("ph") === lit(lo)
+      else col("ph") >= lit(lo) && col("ph") <= lit(hi)
+    }.reduce(_ || _)
+  }
+
   private def containmentSig(df: DataFrame, textCol: Column, idCol: Column,
                              n: Int, numProbes: Int): DataFrame = {
     require(numProbes >= 1, "numProbes must be >= 1")
@@ -770,6 +812,11 @@ object Dedup {
     sig.select(explode(col("hs")).as("ph"), col("id").as("hid"))
       .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
       .repartition(col("__pp"))
+      // ph-sorted within each partition file: parquet row-group min/max
+      // stats become tight ph ranges, so a probe-derived pushed predicate
+      // can SKIP row groups instead of scanning the whole per-token table
+      // (see containmentIncremental's probe-scan bounding)
+      .sortWithinPartitions(col("__pp"), col("ph"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__pp").parquet(s"$indexPath/post")
     sig.withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))
@@ -870,6 +917,26 @@ object Dedup {
     val docFiles = filesOf(s"$indexPath/docs")
     val bHashes = prep.select(col("id").as("bid"), explode(col("hs")).as("ph"))
     val bProbes = prep.select(col("id").as("bid"), explode(col("pr")).as("ph"))
+    // Probe-scan bounding: the postings table is the one per-TOKEN-width
+    // scan in the index family (one row per admitted shingle hash), so a
+    // broadcast probe join over it reads O(corpus tokens) per batch — the
+    // join prunes nothing by itself. When the batch is small (the daily
+    // path), collect its bounded distinct probe set driver-side and turn
+    // it into (a) a file-list prune on the `__pp=` residue dirs and (b) a
+    // pushed OR-of-ranges predicate on `ph`, which skips row groups via
+    // the ph-sorted writes' tight min/max stats. Bytes read then scale
+    // with the BATCH's probe count, not the corpus (superlinearly so as
+    // batches shrink — ContainmentStress measures it). Giant batches whose
+    // probes saturate the hash space skip the filter: for them row-group
+    // skipping cannot win and the shuffle fallback is the scale path.
+    val probeVals: Option[Array[Long]] =
+      if (!small || postFiles.isEmpty) None
+      else {
+        val vs = prep.select(explode(col("pr")).as("ph")).distinct()
+          .limit(Dedup.ProbeFilterMaxProbes + 1)
+          .collect().map(_.getLong(0))
+        if (vs.length <= Dedup.ProbeFilterMaxProbes) Some(vs.sorted) else None
+      }
     val histDup =
       if (docFiles.isEmpty) prep.select(col("id")).limit(0)
       else {
@@ -882,12 +949,27 @@ object Dedup {
           .select(col("bid"), col("hid"))
         // side 1: batch probes into the postings (batch quotes history);
         // a postings-less index (a crash before the very first posting
-        // append) degrades to side 2 only
+        // append) degrades to side 2 only. Under `probeVals` the scan is
+        // bounded: residue-pruned file list + pushed ph ranges (above).
+        val scanFiles = probeVals match {
+          case Some(vs) =>
+            val residues = vs.map(v => ((v % 64) + 64) % 64).toSet
+            postFiles.filter(f =>
+              residues.exists(r => f.contains(s"/__pp=$r/")))
+          case None => postFiles
+        }
         val cand1 =
-          if (postFiles.isEmpty) cand2.limit(0)
-          else spark.read.parquet(postFiles: _*).select(col("ph"), col("hid"))
-            .join(maybeB(bProbes), Seq("ph"))
-            .select(col("bid"), col("hid"))
+          if (scanFiles.isEmpty) cand2.limit(0)
+          else {
+            val scan0 = spark.read.parquet(scanFiles: _*)
+            val scan = probeVals match {
+              case Some(vs) => scan0.filter(Dedup.phRangePredicate(vs))
+              case None     => scan0
+            }
+            scan.select(col("ph"), col("hid"))
+              .join(maybeB(bProbes), Seq("ph"))
+              .select(col("bid"), col("hid"))
+          }
         val cand = cand1.unionByName(cand2).distinct()
         // the candidate-hid prune broadcasts under the same `small` flag so
         // the docs/ hs scan stays map-only on the daily path (the
@@ -936,6 +1018,7 @@ object Dedup {
       survivors.select(explode(col("hs")).as("ph"), col("id").as("hid"))
         .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
         .repartition(col("__pp"))
+        .sortWithinPartitions(col("__pp"), col("ph")) // tight row-group stats
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("__pp").parquet(s"$indexPath/post")
       crashHook("dedup.cn-post")
@@ -965,6 +1048,7 @@ object Dedup {
     docs.select(explode(col("hs")).as("ph"), col("id").as("hid"))
       .withColumn("__pp", pmod(col("ph"), lit(64)).cast("int"))
       .repartition(col("__pp"))
+      .sortWithinPartitions(col("__pp"), col("ph")) // tight row-group stats
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__pp").parquet(s"$destPath/post")
     docs.withColumn("__hp", pmod(xxhash64(col("id")), lit(32)).cast("int"))

@@ -84,6 +84,102 @@ object ContainmentStress {
         admit = false).count()
     }
 
+    // Probe-scan bounding A/B: input bytes for the SAME broadcast-shaped
+    // probe with the ph range filter on (default) vs off (probe-filter
+    // max forced to 0), across shrinking batch sizes. Skipping granularity
+    // is the parquet ROW GROUP: a production-scale postings table holds
+    // thousands of ph-sorted row groups per `__pp` dir, so emulate that
+    // row-group COUNT at toy scale with a small block size on a second
+    // index copy — the mechanism under measure is "row groups whose
+    // [min,max] misses every probe are never read", and that is a function
+    // of group count vs probe count, not absolute bytes.
+    val idxRg = java.nio.file.Files
+      .createTempDirectory("cn-stress-rg").toString + "/i"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 16 * 1024)
+    try graft.pipeline.Dedup.buildContainmentIndex(hist, col("text"),
+      col("doc_id"), idxRg, n = 1, numProbes = 16)
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      hc.unset("parquet.page.size")
+    }
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    val lst = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          inputBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measuredBytes(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(lst)
+      inputBytes.set(0L)
+      try { f; var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = inputBytes.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(lst)
+      inputBytes.get()
+    }
+    // isolate the POSTINGS scan itself (the end-to-end probe also reads
+    // the per-doc `docs/` table twice, which at toy scale drowns the
+    // signal but at 100 TB is the cheap part): synthetic uniform probe
+    // sets of shrinking size through the same pushed-predicate path.
+    // Measured as the scan node's numOutputRows — rows MATERIALIZED from
+    // non-skipped row groups, the quantity that is IO-proportional at any
+    // scale (local-fs byte counters are dominated by constant
+    // footer/page-index reads at toy scale).
+    val allPostFiles = spark.read.parquet(s"$idxRg/post").inputFiles.toSeq
+    def postingsScanRows(files: Seq[String],
+        filter: Option[org.apache.spark.sql.Column]): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val base = spark.read.parquet(files: _*)
+        val df = filter.map(base.filter).getOrElse(base)
+          .agg(count(col("hid")))
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val rowsFull = postingsScanRows(allPostFiles, None)
+    // both halves of the real path's bound: residue file-prune (a probe
+    // set covering r of 64 residues keeps r/64 of the files) x row-group
+    // skip (within kept files, a group survives only if some probe lands
+    // in its ph range — P ~ probes/groups_per_dir, vanishing at real
+    // group counts). Together the read rows collapse superlinearly as the
+    // batch shrinks.
+    val postScan = Seq(256, 16, 4, 1).map { n =>
+      val rnd = new scala.util.Random(n)
+      val vs = Array.fill(n)(rnd.nextLong()).distinct.sorted
+      val residues = vs.map(v => ((v % 64) + 64) % 64).toSet
+      val files = allPostFiles.filter(f =>
+        residues.exists(r => f.contains(s"/__pp=$r/")))
+      n -> postingsScanRows(files,
+        Some(graft.pipeline.Dedup.phRangePredicate(vs)))
+    }
+    // and the end-to-end daily probe with the filter on vs forced off
+    def probeBatch(rows: Long) = spark.range(rows).select(
+      (col("id") + 95000000L).as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"p${i}_"), col("id"))): _*).as("text"))
+    def runProbe(rows: Long): Unit =
+      graft.pipeline.Dedup.containmentIncremental(probeBatch(rows),
+        col("text"), col("doc_id"), idxRg, n = 1, threshold = 0.95,
+        numProbes = 16, admit = false).count()
+    val e2eFiltered = measuredBytes(runProbe(16L))
+    val e2eUnfiltered = {
+      sys.props("graft.containmentProbeFilterMax") = "0"
+      try measuredBytes(runProbe(16L))
+      finally sys.props.remove("graft.containmentProbeFilterMax")
+    }
+
     // one admitting pass (counter + postings + docs) at the giant size
     val (_, admitSec) = time {
       graft.pipeline.Dedup.containmentIncremental(batch, col("text"),
@@ -98,6 +194,14 @@ object ContainmentStress {
       s""""survivors_expected":$expected,"match":${bigCount == expected},""" +
       s""""small_broadcast_sec":${f"$smallSec%.2f"},""" +
       s""""small_survivors":$smallCount,""" +
+      s""""postings_scan_rows_full":$rowsFull,""" +
+      postScan.map { case (n, b) =>
+        s""""postings_scan_rows_${n}probes":{"rows":$b,""" +
+          s""""of_full":${f"${b.toDouble / rowsFull}%.4f"}},"""
+      }.mkString +
+      s""""e2e_16doc_bytes":{"filtered":$e2eFiltered,""" +
+      s""""unfiltered":$e2eUnfiltered,""" +
+      s""""ratio":${f"${e2eFiltered.toDouble / e2eUnfiltered}%.3f"}},""" +
       s""""admit_shuffle_sec":${f"$admitSec%.1f"}}""")
     spark.stop()
   }

@@ -279,6 +279,34 @@ class PlanSpec extends AnyFunSuite {
       s"q_dedup_incremental shuffled the index:\n$p")
   }
 
+  test("containment probe pushes the batch's ph ranges into the postings scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the postings table is per-TOKEN width — the one scan in the index
+    // family whose rows grow with corpus tokens, not docs. A small batch's
+    // probe set must reach the parquet reader as pushed ph predicates
+    // (point/range OR-tree over the ph-sorted row groups) so bytes read
+    // scale with the BATCH, not the corpus. q_containment_incremental's
+    // own gate fixture exercises the same path; this pins the plan shape.
+    val idx = java.nio.file.Files
+      .createTempDirectory("cn-planspec").toString + "/i"
+    val hist = (0L until 40L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i")).toDF("doc_id", "text")
+    pipeline.Dedup.buildContainmentIndex(hist, col("text"), col("doc_id"),
+      idx, n = 1, numProbes = 8)
+    val batch = Seq((100L, "fresh tokens here entirely new"),
+      (101L, "alpha3 beta3 gamma3 delta3 epsilon3")).toDF("doc_id", "text")
+    val df = pipeline.Dedup.containmentIncremental(batch, col("text"),
+      col("doc_id"), idx, n = 1, threshold = 0.95, numProbes = 8,
+      admit = false)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("EqualTo(ph,") || p.contains("GreaterThanOrEqual(ph,"),
+      s"probe ph predicate not pushed into the postings scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"small containment probe shuffled the index:\n$p")
+  }
+
   test("ANN append two-tier sizing: daily batch stays broadcast, giant batch shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
