@@ -1063,6 +1063,30 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
     },
 
+    // batch-mode SIMSEARCH — the production retrieval shape from the
+    // dialect: TABLE of query vectors in place of the literal, same
+    // PRE-filter semantics (the WHERE composes into the pruned index scan
+    // before ranking, for EVERY query of the batch). Full probe ≡ exact,
+    // so the oracle is the exact filtered windowed top-k join.
+    "q_ann_dialect_batch" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idx = gateBatchPath(dir)
+      Similarity.ivfBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, idx)
+      val cat = catalogFor(s, dir)
+        .addAnn("gate_batch", AnnIndexDef(idx, "embedding", "vec_id"))
+        .add(Catalog.classify("gate_queries", queries))
+      Engine.sql(cat,
+        """SELECT score FROM SIMSEARCH('gate_batch', TABLE gate_queries, 3, 16)
+          |WHERE label IN (0, 3, 6, 9)
+          |GROUP BY qid, id, rank ORDER BY qid, rank""".stripMargin,
+        () => FixedNow)
+        .select(col("qid"), col("id"), col("rank"),
+          round(col("score"), 6).as("score"))
+    },
+
     // IVF-PQ ANN: codes-only probe (8 B/row instead of 256 B of vector) +
     // ADC candidate scoring + exact re-rank of the broadcast candidate set.
     // Oracle configuration: full probe + refineK >= corpus, so the re-ranked
@@ -2520,6 +2544,27 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(c.e, c.e)) *
         |         sqrt(list_dot_product(q.e, q.e))) AS cs
         |  FROM qe q, qe c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (
+        |  SELECT qid, id, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank, round(cs, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // dialect batch mode at full probe == the same exact filtered windowed
+    // top-k (the dialect's IN (0,3,6,9) is label % 3 = 0 on this corpus)
+    "q_ann_dialect_batch" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_dot_product(c.e, q.e)
+        |      / (sqrt(list_dot_product(c.e, c.e)) *
+        |         sqrt(list_dot_product(q.e, q.e))) AS cs
+        |  FROM qe q, qe c
+        |  WHERE q.vec_id < 20 AND c.vec_id >= 20 AND c.label % 3 = 0),
         |r AS (
         |  SELECT qid, id, cs, row_number() OVER (
         |    PARTITION BY qid ORDER BY cs DESC, id) AS rank

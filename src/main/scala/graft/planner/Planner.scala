@@ -70,15 +70,39 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
               "values and use IN (v1, v2, ...) instead.")
         }
         val extra = q.where.map(w => Builders.dim(w, col))
-        val df = graft.pipeline.Similarity.ivfTopK(spark, idx.path,
-          centroids, col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
-          fss.nProbe, idx.quantized, extraFilter = extra)
-        TableDef(
-          name = "__simsearch",
-          dfFn = () => df,
-          timeCol = None,
-          dims = Seq("id"),
-          vals = Seq("score"))
+        fss.queryTable match {
+          case Some(qt) =>
+            // batch retrieval: the production shape — every query vector of
+            // a table probed in ONE pruned scan (cells = union of all
+            // queries' nProbe assignments), the same PRE-filter semantics,
+            // per-query top-k via a window. Adds (qid, rank) to each hit.
+            val qdf = catalog.get(qt).df
+            for (c <- Seq(idx.idCol, idx.vecCol))
+              require(qdf.columns.contains(c),
+                s"SIMSEARCH query table '$qt' must carry the index's " +
+                  s"column '$c' (its id '${idx.idCol}' and vector " +
+                  s"'${idx.vecCol}' columns)")
+            val df = graft.pipeline.Similarity.ivfTopKBatch(spark, idx.path,
+              centroids, qdf, col(idx.idCol), col(idx.vecCol),
+              col(idx.idCol), col(idx.vecCol), fss.k, fss.nProbe,
+              idx.quantized, extraFilter = extra)
+            TableDef(
+              name = "__simsearch",
+              dfFn = () => df,
+              timeCol = None,
+              dims = Seq("qid", "id", "rank"),
+              vals = Seq("score"))
+          case None =>
+            val df = graft.pipeline.Similarity.ivfTopK(spark, idx.path,
+              centroids, col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
+              fss.nProbe, idx.quantized, extraFilter = extra)
+            TableDef(
+              name = "__simsearch",
+              dfFn = () => df,
+              timeCol = None,
+              dims = Seq("id"),
+              vals = Seq("score"))
+        }
     }
 
     // ---- ASOF / UNTIL bounds — resolved BEFORE the scan so a time-bounded

@@ -121,7 +121,8 @@ final case class FromSub(q: Query) extends From
   * search), not a post-filtered top-k.
   */
 final case class FromSimSearch(index: String, vec: Seq[Float], k: Int,
-                               nProbe: Int) extends From
+                               nProbe: Int,
+                               queryTable: Option[String] = None) extends From
 
 final case class Query(
     fields: Seq[FieldSel],

@@ -191,23 +191,34 @@ object Parser {
         else if (isIdent("simsearch") && toks(pos + 1) == TPunct("(")) {
           // SIMSEARCH('index', [v1, v2, ...], k, nProbe) — the retrieval
           // table function; the index name is a string literal so
-          // registered names can carry any characters
+          // registered names can carry any characters. Batch mode takes a
+          // TABLE of query vectors in place of the literal:
+          // SIMSEARCH('index', TABLE queries, k, nProbe) — `queries` is a
+          // catalog table carrying the index's id and vector columns, and
+          // the result adds (qid, rank) to each (id, score) hit.
           pos += 1; expectPunct("(")
           val name = str()
-          expectPunct(","); expectPunct("[")
-          val vec = ArrayBuffer.empty[Float]
-          if (!isPunct("]")) {
-            var v1 = true
-            while (v1 || eatPunct(",")) { v1 = false; vec += num().toFloat }
-          }
-          expectPunct("]"); expectPunct(",")
+          expectPunct(",")
+          val (vec, queryTable) =
+            if (isIdent("table")) { pos += 1; (Seq.empty[Float], Some(ident())) }
+            else {
+              expectPunct("[")
+              val v = ArrayBuffer.empty[Float]
+              if (!isPunct("]")) {
+                var v1 = true
+                while (v1 || eatPunct(",")) { v1 = false; v += num().toFloat }
+              }
+              expectPunct("]")
+              require(v.nonEmpty, "SIMSEARCH needs a non-empty query vector")
+              (v.toSeq, None)
+            }
+          expectPunct(",")
           val k = num().toInt
           expectPunct(",")
           val nProbe = num().toInt
           expectPunct(")")
-          require(vec.nonEmpty, "SIMSEARCH needs a non-empty query vector")
           require(k > 0 && nProbe > 0, "SIMSEARCH k and nProbe must be > 0")
-          FromSimSearch(name, vec.toSeq, k, nProbe)
+          FromSimSearch(name, vec, k, nProbe, queryTable)
         }
         else FromTable(ident())
 

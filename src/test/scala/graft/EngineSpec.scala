@@ -160,6 +160,34 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("SIMSEARCH WHERE does not support IN (SELECT"),
       e3.getMessage)
+    // batch mode: TABLE of query vectors ≡ the ivfTopKBatch pipeline with
+    // the same predicate as extraFilter, per-row on (qid, id, rank, score)
+    val queries = vecs.filter(col("vec_id") < 8)
+    val cat2 = cat.add(Catalog.classify("qvecs", queries))
+    val dialectB = Engine.sql(cat2,
+      """SELECT score FROM SIMSEARCH('vecs_idx', TABLE qvecs, 3, 4)
+        |WHERE label IN (0, 2) GROUP BY qid, id, rank
+        |ORDER BY qid, rank""".stripMargin,
+      () => T0).collect().map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("id"), r.getAs[Long]("rank"), d(r.getAs[Any]("score"))))
+    val pipelineB = Similarity.ivfTopKBatch(spark, idx,
+        Similarity.loadIvfCentroids(idx), queries, col("vec_id"),
+        col("embedding"), col("vec_id"), col("embedding"), k = 3,
+        nProbe = 4, quantized = true,
+        extraFilter = Some(col("label").isin(0, 2)))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._3))
+    assert(dialectB.toSeq === pipelineB.toSeq)
+    assert(dialectB.nonEmpty)
+    // a query table missing the index's columns refuses with guidance
+    val e4 = intercept[IllegalArgumentException] {
+      Engine.sql(cat2.add(Catalog.classify("badq",
+          vecs.select(col("vec_id").as("other_id"), col("embedding")))),
+        "SELECT score FROM SIMSEARCH('vecs_idx', TABLE badq, 3, 4) GROUP BY qid",
+        () => T0).collect()
+    }
+    assert(e4.getMessage.contains("must carry the index's"), e4.getMessage)
   }
 
   test("README: group by server with _points, SUM default and AVG") {
