@@ -524,6 +524,112 @@ final class GraftDB(
     Engine.sql(catalog, query, now)
   }
 
+  // ---- self-driving index maintenance ---------------------------------
+  //
+  // The reference's daemon runs its own flush/retention loops (zenodb.go
+  // table timers) — nothing external calls them. The index lifecycle's
+  // analogue: registered indexes get their maintainIndex pass run
+  // periodically by the Server's maintenance thread (--maintain-interval),
+  // each pass measuring its trigger statistic (fragmentation for the dedup
+  // family, probed fraction for ANN) and compacting / re-clustering
+  // blue/green only when over bound. Generations are numbered off the base
+  // path (`-g1`, `-g2`, …); after a flip the registry tracks the active
+  // path (and re-points the SIMSEARCH registration of the same name, so
+  // dialect queries follow the flip), and the attached maintenance stream
+  // is restarted against the dest by the registered `restart`.
+
+  private sealed trait MaintSpec
+  private final case class DedupMaint(maxFilesPerPrefix: Int) extends MaintSpec
+  private final case class AnnMaint(vecCol: String, idCol: String,
+                                    nProbe: Int, scanBudget: Double)
+      extends MaintSpec
+  private final class MaintState(
+      val basePath: String, val spec: MaintSpec,
+      var activePath: String, var gen: Int,
+      var stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      val restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery])
+  private val maintained =
+    scala.collection.mutable.LinkedHashMap.empty[String, MaintState]
+
+  /** Enroll a dedup-family index (exact / near-dup / containment — the
+    * layout is detected) for daemon-driven fragmentation maintenance.
+    */
+  def registerDedupMaintenance(name: String, path: String,
+      maxFilesPerPrefix: Int = 16,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None): Unit =
+    maintained.synchronized {
+      maintained(name) = new MaintState(path,
+        DedupMaint(maxFilesPerPrefix), path, 0, stream, restart)
+    }
+
+  /** Enroll an IVF index for daemon-driven probe-cost maintenance (the
+    * drift re-cluster policy). If an ANN index of the same `name` is
+    * registered for SIMSEARCH, a flip re-points it at the new generation.
+    */
+  def registerAnnMaintenance(name: String, path: String,
+      vecCol: String, idCol: String, nProbe: Int, scanBudget: Double,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None): Unit =
+    maintained.synchronized {
+      maintained(name) = new MaintState(path,
+        AnnMaint(vecCol, idCol, nProbe, scanBudget), path, 0, stream, restart)
+    }
+
+  /** One maintenance pass over every enrolled index; returns
+    * (name, status) per index. Called by the Server's maintenance thread;
+    * callable directly for one-shot administration. Failures are caught
+    * per-index so one broken path can't starve the others.
+    */
+  def maintenanceTick(): Seq[(String, String)] = maintained.synchronized {
+    import org.apache.spark.sql.functions.col
+    maintained.toSeq.map { case (name, st) =>
+      val status =
+        try st.spec match {
+          case DedupMaint(maxFiles) =>
+            val dest = s"${st.basePath}-g${st.gen + 1}"
+            val r = pipeline.Dedup.maintainIndex(spark, st.activePath, dest,
+              maxFiles, st.stream, st.restart)
+            if (r.compacted) {
+              st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
+            }
+            if (r.compacted) s"compacted -> ${r.activePath}"
+            else s"ok (${r.maxFilesPerPrefix} files/prefix)"
+          case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
+            val dest = s"${st.basePath}-g${st.gen + 1}"
+            val r = pipeline.Similarity.maintainIndex(spark, st.activePath,
+              dest, col(vecCol0), col(idCol0), nProbe, budget,
+              st.stream, st.restart)
+            if (r.rebuilt) {
+              st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
+              annIndexes.synchronized {
+                annIndexes.get(name.toLowerCase).foreach { d =>
+                  annIndexes(name.toLowerCase) = d.copy(path = r.activePath)
+                }
+              }
+            }
+            if (r.rebuilt) s"re-clustered -> ${r.activePath}"
+            else f"ok (probedFraction ${r.probedFraction}%.2f)"
+        } catch { case e: Exception => s"error: ${e.getMessage}" }
+      name -> status
+    }
+  }
+
+  /** Last completed [[maintenanceTick]]'s statuses (observability for the
+    * daemon thread's work; empty until the first tick).
+    */
+  @volatile var lastMaintenance: Seq[(String, String)] = Nil
+
+  /** The enrolled index's CURRENT path and attached maintenance stream
+    * (post-flip these point at the latest generation) — the handles an
+    * operator needs to query the active copy or drain/stop the writer.
+    */
+  def maintainedState(name: String)
+      : Option[(String, Option[org.apache.spark.sql.streaming.StreamingQuery])] =
+    maintained.synchronized {
+      maintained.get(name).map(st => (st.activePath, st.stream))
+    }
+
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.
     */

@@ -24,17 +24,42 @@ object Server {
     */
   final case class Running(db: GraftDB, http: server.HttpServer,
                            rpc: server.RpcServer, httpPort: Int, rpcPort: Int,
-                           watcher: Option[Thread]) {
+                           watcher: Option[Thread],
+                           maintainer: Option[Thread] = None) {
     def stop(): Unit = {
       watcher.foreach(_.interrupt())
+      maintainer.foreach(_.interrupt())
       http.stop(); rpc.stop()
     }
+  }
+
+  /** The daemon's self-driving maintenance loop (the reference's tables run
+    * their own flush/retention timers, zenodb.go — nothing external calls
+    * them; this is the index-lifecycle analogue): every `intervalMs`, one
+    * [[GraftDB.maintenanceTick]] over the enrolled indexes. Per-index
+    * failures are contained inside the tick; the thread only exits on
+    * interrupt.
+    */
+  private def maintainLoop(db: GraftDB, intervalMs: Long): Thread = {
+    val t = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(intervalMs)
+        try db.lastMaintenance = db.maintenanceTick()
+        catch { case e: Exception =>
+          System.err.println(s"[graft] maintenance tick failed: ${e.getMessage}")
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-maintain")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   def start(spark: SparkSession, schemaPath: String, dataDir: String,
             httpPort: Int = 0, rpcPort: Int = 0,
             watchSchema: Boolean = true,
-            now: () => Long = () => System.currentTimeMillis()): Running = {
+            now: () => Long = () => System.currentTimeMillis(),
+            maintainIntervalMs: Long = 0L): Running = {
     val db = new GraftDB(spark,
       java.nio.file.Files.readString(java.nio.file.Paths.get(schemaPath)),
       dataDir, now)
@@ -64,14 +89,27 @@ object Server {
         case e: Throwable =>
           http.stop(); watcher.foreach(_.interrupt()); throw e
       }
-    Running(db, http, rpc, boundHttp, boundRpc, watcher)
+    val maintainer =
+      if (maintainIntervalMs > 0) Some(maintainLoop(db, maintainIntervalMs))
+      else None
+    Running(db, http, rpc, boundHttp, boundRpc, watcher, maintainer)
   }
 
   def main(args0: Array[String]): Unit = {
     // --vtime: the reference's virtual-time flag (server/server.go:632) —
     // the db clock advances with inserted timestamps instead of the wall
     val vtime = args0.contains("--vtime")
-    val args = args0.filterNot(_ == "--vtime")
+    // --maintain-interval <seconds>: run GraftDB.maintenanceTick on a
+    // period (0 = off). Indexes enroll via registerDedupMaintenance /
+    // registerAnnMaintenance.
+    val mIdx = args0.indexOf("--maintain-interval")
+    val maintainMs =
+      if (mIdx >= 0) args0(mIdx + 1).toLong * 1000L else 0L
+    val noVtime = args0.filterNot(_ == "--vtime")
+    val args = {
+      val i = noVtime.indexOf("--maintain-interval")
+      if (i >= 0) noVtime.patch(i, Nil, 2) else noVtime
+    }
     require(args.length >= 2,
       "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props] [--vtime]")
     val spark = SparkSession.builder()
@@ -88,7 +126,8 @@ object Server {
       args.lift(2).map(_.toInt).getOrElse(0),
       args.lift(3).map(_.toInt).getOrElse(0),
       now = if (vtime) GraftDB.virtualClock()
-            else () => System.currentTimeMillis())
+            else () => System.currentTimeMillis(),
+      maintainIntervalMs = maintainMs)
     println(s"graft server up: http=${r.httpPort} rpc=${r.rpcPort}")
     // serve until killed (the reference's HandleShutdownSignal + run loop)
     Thread.currentThread().join()

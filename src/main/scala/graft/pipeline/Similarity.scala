@@ -838,6 +838,62 @@ object Similarity {
     MaintainResult(pf, rebuilt = true, destPath, restarted)
   }
 
+  /** [[maintainIndex]] for the IVF-PQ family. A PQ index stores CODES, not
+    * vectors, so a drifted one cannot re-cluster from its own contents —
+    * which previously left it with no automated recovery (maintainIndex
+    * correctly refuses it). This overload rebuilds coarse cells AND
+    * codebooks from `sourceCorpus` — the original vector table (or any
+    * registered source covering the index's current docs, appends
+    * included; the rebuilt index holds exactly `sourceCorpus`'s rows) —
+    * with the recipe (m, k, Lloyd/PQ iterations, kept columns) read from
+    * the drifted index's own meta, blue/green into `destPath` with the
+    * `appends=` counter carried, meta written LAST, and the dest verified
+    * via [[requireIndexComplete]] before the stream restarts against it.
+    * Same trigger, quiesce, and flip contract as [[maintainIndex]].
+    */
+  def maintainIndexPq(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, destPath: String,
+                      sourceCorpus: DataFrame, vecCol: Column, idCol: Column,
+                      nProbe: Int, scanBudget: Double,
+                      stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+                      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None)
+      : MaintainResult = {
+    val pf = probedFraction(spark, indexPath, nProbe)
+    if (pf <= scanBudget)
+      return MaintainResult(pf, rebuilt = false, indexPath, stream)
+    val metaPath = java.nio.file.Paths.get(indexPath, "_pq.txt")
+    if (!java.nio.file.Files.exists(metaPath))
+      throw new IllegalStateException(
+        s"maintainIndexPq requires an IVF-PQ index (_pq.txt) at $indexPath" +
+          " — use maintainIndex for a plain IVF index")
+    val lines = java.nio.file.Files.readAllLines(metaPath)
+    val h0 = lines.get(0)
+    val m = headerField(h0, "m").get.toInt
+    val k = headerField(h0, "k").get.toInt
+    val lloyd = headerField(h0, "lloyd").get.toInt
+    val pqIters = headerField(h0, "pq").get.toInt
+    val nCentroids = headerField(h0, "c").get.toInt
+    val keep = headerField(h0, "keep")
+      .map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val appends = parseAppends(lines)
+    // quiesce the single writer BEFORE training on the rebuild snapshot
+    stream.foreach { q => q.stop(); q.awaitTermination() }
+    val (coarse, books) = ivfPqBuild(sourceCorpus, vecCol, idCol,
+      nCentroids, m, k, destPath, lloyd, pqIters, keep)
+    val keepTag = if (keep.isEmpty) "" else s"keep=${keep.mkString("|")};"
+    val recipe = s"fp=${datasetFingerprint(sourceCorpus, idCol)};m=$m;" +
+      s"k=$k;lloyd=$lloyd;pq=$pqIters;c=$nCentroids;${keepTag}v=2"
+    val body = (s"$recipe;n=${coarse.length}" +:
+      (coarse.map(_._2.map(_.toString).mkString(",")) ++
+        books.flatten.map(_.map(_.toString).mkString(",")))) ++
+      (if (appends > 0) Seq(s"appends=$appends") else Nil)
+    writeMetaAtomic(java.nio.file.Paths.get(destPath, "_pq.txt"),
+      body.mkString("\n"))
+    requireIndexComplete(destPath)
+    val restarted = restart.map(f => f(destPath))
+    MaintainResult(pf, rebuilt = true, destPath, restarted)
+  }
+
   /** Blue/green compaction of an appended index: each [[ivfAppend]] adds
     * up to one file per touched cell, so a long-lived index fragments
     * exactly like a size-tiered store. This rewrites the index CLUSTERED

@@ -2630,6 +2630,105 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainIndexPq: drifted PQ index rebuilds codebooks from the source corpus; stream resumes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // same drift fixture as the IVF twin: balanced seed, multi-modal
+    // drifted ingest that crowds one frozen cell
+    def axisRow(id: Long, axis: Int, jitter: Double): (Long, Seq[Float]) = {
+      val rnd = new scala.util.Random(id * 7 + axis)
+      (id, (0 until 12).map(d =>
+        ((if (d == axis) 10.0 else 0.0) + rnd.nextGaussian() * jitter)
+          .toFloat))
+    }
+    def driftRow(id: Long, mix: Int, jitter: Double): (Long, Array[Float]) = {
+      val rnd = new scala.util.Random(id * 13 + mix)
+      (id, (0 until 12).map(d =>
+        ((if (d == 0) 10.0 else 0.0) + (if (d == 4 + mix) 14.0 else 0.0) +
+          rnd.nextGaussian() * jitter).toFloat).toArray)
+    }
+    val seed = ((0L until 60L).map(i => axisRow(i, (i % 4).toInt, 0.2)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("pq-maintain").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("pq-maintain-ckpt").toString
+    Similarity.ivfPqBuildIfMissing(seed, col("embedding"), col("vec_id"),
+      nCentroids = 4, m = 4, k = 8, idx)
+    val drifted = (60L until 240L).map(i => driftRow(i, (i % 3).toInt, 0.2))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    def attach(p: String) = graft.streaming.AnnIndexStream.attachIvfPq(stream,
+      col("embedding"), col("vec_id"), p, ckpt)
+    val query = attach(idx)
+    var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      mem.addData(drifted)
+      query.processAllAvailable()
+      val pfBefore = Similarity.probedFraction(spark, idx, nProbe = 1)
+      assert(pfBefore > 0.6,
+        f"drift did not crowd a cell (pf=$pfBefore%.2f) — fixture broken")
+      // maintainIndex (the IVF entry point) still refuses the PQ layout —
+      // re-clustering codes from themselves would be wrong
+      val eIvf = intercept[IllegalStateException] {
+        Similarity.maintainIndex(spark, idx, idx + "-x",
+          col("embedding"), col("vec_id"), nProbe = 1, scanBudget = 0.6)
+      }
+      assert(eIvf.getMessage.contains("PQ index cannot re-cluster"),
+        eIvf.getMessage)
+      // the full current corpus (seed + drifted appends) as the rebuild
+      // source — exactly what a registered source table would provide
+      val corpus = seed.unionByName(
+        drifted.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>")))
+      // under budget: no action
+      val noop = Similarity.maintainIndexPq(spark, idx, idx + "-never",
+        corpus, col("embedding"), col("vec_id"), nProbe = 1,
+        scanBudget = 0.95, stream = Some(query), restart = Some(attach))
+      assert(!noop.rebuilt && noop.activePath === idx)
+      assert(query.isActive)
+      // over budget: quiesce -> retrain coarse + codebooks from the
+      // corpus -> blue/green flip -> restart
+      val dest = idx + "-g"
+      val res = Similarity.maintainIndexPq(spark, idx, dest, corpus,
+        col("embedding"), col("vec_id"), nProbe = 1, scanBudget = 0.6,
+        stream = Some(query), restart = Some(attach))
+      active = res.stream
+      assert(res.rebuilt && res.activePath === dest)
+      assert(!query.isActive)
+      assert(active.exists(_.isActive))
+      val pfAfter = Similarity.probedFraction(spark, dest, nProbe = 1)
+      assert(pfAfter <= 0.6,
+        f"PQ re-cluster did not recover probe cost (pf=$pfAfter%.2f)")
+      // no rows lost, appends carried, recipe (m/k) preserved in the meta
+      // (the PQ index stores (__id, __codes, __c) rows)
+      val scan = spark.read.parquet(dest)
+      assert(scan.count() === 240L)
+      assert(scan.select(col("__id")).distinct().count() === 240L)
+      val meta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dest, "_pq.txt"))
+      assert(meta.contains("appends="), meta.linesIterator.toSeq.last)
+      assert(meta.contains("m=4;k=8;"), meta.linesIterator.next())
+      // the rebuilt index still answers probes (codes decode under the
+      // fresh codebooks) and the restarted stream appends to the DEST
+      val (coarse, books) = Similarity.ivfPqBuildIfMissing(corpus,
+        col("embedding"), col("vec_id"), nCentroids = 4, m = 4, k = 8, dest)
+      val q0 = corpus.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val hits = Similarity.ivfPqTopK(spark, dest, coarse, books, corpus,
+        col("embedding"), col("vec_id"), q0, k = 5, nProbe = 4,
+        refineK = 1000).collect()
+      assert(hits.length === 5 && hits.map(_.getLong(0)).contains(0L))
+      mem.addData((240L until 250L).map(i => driftRow(i, 0, 0.2)))
+      active.get.processAllAvailable()
+      assert(spark.read.parquet(dest).count() === 250L)
+      assert(spark.read.parquet(idx).count() === 240L)
+    } finally {
+      query.stop(); active.foreach(_.stop())
+    }
+  }
+
   test("normalizeUrl: a malformed port passes the URL through untouched") {
     import spark.implicits._
     val urls = Seq(

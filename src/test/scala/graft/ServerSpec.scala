@@ -358,6 +358,84 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("daemon: --maintain-interval compacts an enrolled fragmented index; stream resumes, no rows lost") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-maint-daemon").toString
+    val schemaFile = Files.createTempFile("maint-schema", ".yaml")
+    Files.writeString(schemaFile,
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin)
+    // a near-dup index fragmented by three streamed admit rounds (~one
+    // file per touched prefix per batch), with its maintenance stream
+    // attached — exactly the state an operator enrolls with the daemon
+    val idx = Files.createTempDirectory("maint-idx").toString + "/i"
+    val ckpt = Files.createTempDirectory("maint-ckpt").toString
+    val seed = (0L until 40L).map(i => (i, s"seed corpus text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def attachAt(path: String) = graft.streaming.NearDupIndexStream.attach(
+      mem.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+      path, ckpt, n = 1, numHashes = 64, bands = 32, threshold = 0.9)
+    val q0 = attachAt(idx)
+    for (r <- 1 to 3) {
+      mem.addData((0L until 30L).map(i => (1000L * r + i, s"round r$r doc i$i")))
+      q0.processAllAvailable()
+    }
+    val rowsBefore = spark.read.parquet(idx).count()
+    // boot the daemon with a short maintenance period and enroll the index
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false, maintainIntervalMs = 250L)
+    try {
+      running.db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+        stream = Some(q0), restart = Some(p => attachAt(p)))
+      // the DAEMON's thread must run the tick: poll its observed statuses
+      val deadline = System.currentTimeMillis() + 30000
+      while (!running.db.lastMaintenance.exists(_._2.startsWith("compacted")) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val status = running.db.lastMaintenance
+      assert(status.exists { case (n, s) =>
+        n == "nd" && s == s"compacted -> $idx-g1" }, status.toString)
+      assert(!q0.isActive, "daemon must have quiesced the old stream")
+      // dest complete (meta carried), defragmented, no rows lost
+      val dest = s"$idx-g1"
+      assert(Files.readString(java.nio.file.Paths.get(dest, "_index.txt"))
+        .contains("appends=3"))
+      val perPrefix = spark.read.parquet(dest).inputFiles
+        .groupBy(f => f.split("/").takeRight(2).head).values.map(_.length).max
+      assert(perPrefix === 1, s"dest still fragmented: $perPrefix")
+      assert(spark.read.parquet(dest).count() === rowsBefore)
+      // the restarted stream admits into the DEST; the next tick reports ok
+      mem.addData(Seq((9000L, "post compact novel doc")))
+      val deadline2 = System.currentTimeMillis() + 30000
+      while (!spark.read.parquet(dest).select(col("id"))
+               .filter(col("id") === 9000L).head(1).nonEmpty &&
+             System.currentTimeMillis() < deadline2) {
+        Thread.sleep(200)
+      }
+      assert(spark.read.parquet(dest).filter(col("id") === 9000L).count() === 1,
+        "restarted stream not admitting into dest")
+      val deadline3 = System.currentTimeMillis() + 30000
+      while (!running.db.lastMaintenance.exists { case (n, s) =>
+               n == "nd" && s.startsWith("ok") } &&
+             System.currentTimeMillis() < deadline3)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "nd" && s.startsWith("ok") }, running.db.lastMaintenance.toString)
+    } finally {
+      running.db.maintainedState("nd").flatMap(_._2).foreach(_.stop())
+      running.stop()
+      if (q0.isActive) q0.stop()
+    }
+  }
+
   test("daemon: one schema boots both surfaces over a shared db (zeno.go parity)") {
     val dir = Files.createTempDirectory("graft-daemon").toString
     val schemaFile = Files.createTempFile("daemon-schema", ".yaml")
