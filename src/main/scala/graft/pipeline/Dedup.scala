@@ -747,7 +747,21 @@ object Dedup {
   /** Cap on pushed OR-of-range terms — bounds both the parquet row-group
     * stats evaluation and the residual per-row filter cost.
     */
-  private[graft] val ProbeFilterMaxRanges: Int = 256
+  private[graft] def ProbeFilterMaxRanges: Int =
+    sys.props.get("graft.containmentProbeFilterRanges").map(_.toInt)
+      .getOrElse(256)
+
+  /** Fewest (residue-pruned) postings FILES before the ph range predicate
+    * is attached. The predicate exists for row-group skipping over a
+    * per-token table measured in TB — on a small index it skips nothing
+    * and its Catalyst/serialization overhead is pure cost (measured
+    * +1.2 s on the sf0.1 gate whose whole postings table is 64 small
+    * files). File count is the free proxy already in hand from the
+    * snapshot listing: a production postings table is thousands of files.
+    */
+  private[graft] def ProbeFilterMinFiles: Int =
+    sys.props.get("graft.containmentProbeFilterMinFiles").map(_.toInt)
+      .getOrElse(512)
 
   /** Sorted probe hashes → ≤ [[ProbeFilterMaxRanges]] covering ranges,
     * splitting at the LARGEST gaps (point ranges when the set is small
@@ -962,9 +976,13 @@ object Dedup {
           if (scanFiles.isEmpty) cand2.limit(0)
           else {
             val scan0 = spark.read.parquet(scanFiles: _*)
+            // the pushed predicate pays off only when there are enough
+            // files/row-groups to skip (ProbeFilterMinFiles) — on a small
+            // index its plan overhead exceeds the whole scan
             val scan = probeVals match {
-              case Some(vs) => scan0.filter(Dedup.phRangePredicate(vs))
-              case None     => scan0
+              case Some(vs) if scanFiles.length >= Dedup.ProbeFilterMinFiles =>
+                scan0.filter(Dedup.phRangePredicate(vs))
+              case _ => scan0
             }
             scan.select(col("ph"), col("hid"))
               .join(maybeB(bProbes), Seq("ph"))

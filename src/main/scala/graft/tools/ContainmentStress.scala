@@ -173,7 +173,12 @@ object ContainmentStress {
       graft.pipeline.Dedup.containmentIncremental(probeBatch(rows),
         col("text"), col("doc_id"), idxRg, n = 1, threshold = 0.95,
         numProbes = 16, admit = false).count()
-    val e2eFiltered = measuredBytes(runProbe(16L))
+    val e2eFiltered = {
+      // the toy index sits under the production file-count gate — open it
+      sys.props("graft.containmentProbeFilterMinFiles") = "0"
+      try measuredBytes(runProbe(16L))
+      finally sys.props.remove("graft.containmentProbeFilterMinFiles")
+    }
     val e2eUnfiltered = {
       sys.props("graft.containmentProbeFilterMax") = "0"
       try measuredBytes(runProbe(16L))

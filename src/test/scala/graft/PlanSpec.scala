@@ -296,9 +296,14 @@ class PlanSpec extends AnyFunSuite {
       idx, n = 1, numProbes = 8)
     val batch = Seq((100L, "fresh tokens here entirely new"),
       (101L, "alpha3 beta3 gamma3 delta3 epsilon3")).toDF("doc_id", "text")
-    val df = pipeline.Dedup.containmentIncremental(batch, col("text"),
-      col("doc_id"), idx, n = 1, threshold = 0.95, numProbes = 8,
-      admit = false)
+    // force the file-count gate open: this fixture's whole index is a few
+    // files, below the production ProbeFilterMinFiles threshold
+    sys.props("graft.containmentProbeFilterMinFiles") = "0"
+    val df =
+      try pipeline.Dedup.containmentIncremental(batch, col("text"),
+        col("doc_id"), idx, n = 1, threshold = 0.95, numProbes = 8,
+        admit = false)
+      finally sys.props.remove("graft.containmentProbeFilterMinFiles")
     val p = df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("EqualTo(ph,") || p.contains("GreaterThanOrEqual(ph,"),
