@@ -60,9 +60,17 @@ final case class TableDef(
 /** An ANN index registered for the dialect's `SIMSEARCH` table function:
   * where it lives plus the column names the index stores its ids and
   * vectors under (the probe rebuilds the scoring expression from these).
+  * The index kind is read from its own meta (`_centroids.txt` = IVF,
+  * `_pq.txt` = IVF-PQ). For a PQ index, `baseTable` names a registered
+  * catalog table holding the ORIGINAL vectors (the codes-only index
+  * cannot re-rank from itself): when present, probes re-rank the top
+  * `refineK` ADC candidates exactly against it; when absent, probes
+  * return raw ADC rankings.
   */
 final case class AnnIndexDef(path: String, vecCol: String, idCol: String,
-                             quantized: Boolean = true)
+                             quantized: Boolean = true,
+                             baseTable: Option[String] = None,
+                             refineK: Int = 0)
 
 /** Registry of queryable tables. Parquet-backed construction classifies
   * columns by type: Float/Double columns are measures, everything else is a

@@ -509,10 +509,12 @@ final class GraftDB(
     scala.collection.mutable.Map.empty[String, AnnIndexDef]
 
   def registerAnnIndex(name: String, path: String, vecCol: String,
-                       idCol: String, quantized: Boolean = true): Unit =
+                       idCol: String, quantized: Boolean = true,
+                       baseTable: Option[String] = None,
+                       refineK: Int = 0): Unit =
     annIndexes.synchronized {
       annIndexes(name.toLowerCase) =
-        AnnIndexDef(path, vecCol, idCol, quantized)
+        AnnIndexDef(path, vecCol, idCol, quantized, baseTable, refineK)
     }
 
   def sql(query: String): DataFrame = {

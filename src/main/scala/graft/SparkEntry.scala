@@ -1106,6 +1106,31 @@ object SparkEntry {
         quantized = true)
     },
 
+    // SIMSEARCH over the IVF-PQ index from the dialect: the codes probe +
+    // exact re-rank against the registered base table. Oracle
+    // configuration (full probe, refineK >= corpus) degrades to the exact
+    // quantized-cosine top-k, like q_ann_pq's.
+    "q_ann_pq_dialect" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val corpus = e.filter(col("vec_id") =!= 1)
+      val idx = gatePqPath(dir)
+      Similarity.ivfPqBuildIfMissing(corpus, col("embedding"),
+        col("vec_id"), nCentroids = 16, m = 8, k = 16, idx)
+      val cat = catalogFor(s, dir)
+        .add(Catalog.classify("pq_corpus", corpus))
+        .addAnn("gate_pq", AnnIndexDef(idx, "embedding", "vec_id",
+          baseTable = Some("pq_corpus"), refineK = 1000000))
+      val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      Engine.sql(cat,
+        s"""SELECT score FROM SIMSEARCH('gate_pq', [$vecLit], 10, 16)
+           |GROUP BY id ORDER BY id""".stripMargin,
+        () => FixedNow)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
     // batched ANN retrieval join: top-3 corpus neighbors for EVERY query
     // row in one pass over the index (queries pick cells via a broadcast
     // centroid table; the index scan prunes to the probed cells; per-query
@@ -2684,6 +2709,20 @@ object SparkEntry {
         |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
         |  FROM embeddings, q WHERE vec_id <> 1)
         |SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10""".stripMargin,
+
+    // the PQ dialect gate re-ranks exactly at the oracle configuration, so
+    // its result is q_ann_pq's exact top-10 re-ordered by id
+    "q_ann_pq_dialect" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) qe
+        |           FROM embeddings WHERE vec_id = 1),
+        |s AS (SELECT vec_id AS id,
+        |  list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), q.qe)
+        |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |                             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))))
+        |       * sqrt(list_dot_product(q.qe, q.qe))) AS c
+        |  FROM embeddings, q WHERE vec_id <> 1),
+        |t AS (SELECT id, round(c, 6) AS score FROM s ORDER BY c DESC, id LIMIT 10)
+        |SELECT id, score FROM t ORDER BY id""".stripMargin,
 
     // Connected components as a recursive transitive closure: reach(id, r) =
     // all nodes reachable from id; the component label is min(r). Tractable

@@ -512,6 +512,33 @@ object Similarity {
     * driver-side file read; throws with guidance when the index has no
     * parseable meta (never built, or a half-compacted copy).
     */
+  /** Parse an IVF-PQ index's persisted meta (`_pq.txt`): (coarse cells,
+    * codebooks). The read-side twin of [[loadIvfCentroids]] — lets probes
+    * (and the dialect's SIMSEARCH) reopen a PQ index without re-deriving
+    * anything from the corpus. `appends=` trailer lines are ignored.
+    */
+  def loadIvfPqMeta(indexPath: String)
+      : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) =
+    scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(indexPath, "_pq.txt"))
+      val h0 = lines.get(0)
+      val nAct = headerField(h0, "n").get.toInt
+      val m = headerField(h0, "m").get.toInt
+      val k = headerField(h0, "k").get.toInt
+      val coarse = (0 until nAct).map { i =>
+        i -> lines.get(i + 1).split(",").toSeq.map(_.toFloat)
+      }
+      val books = (0 until m).map { s =>
+        (0 until k).map { j =>
+          lines.get(1 + nAct + s * k + j).split(",").toSeq.map(_.toDouble)
+        }
+      }
+      (coarse, books)
+    }.getOrElse(throw new IllegalStateException(
+      s"no parseable IVF-PQ index meta at $indexPath — build the index " +
+        "first (ivfPqBuildIfMissing)"))
+
   def loadIvfCentroids(indexPath: String): Seq[(Int, Seq[Float])] =
     scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(

@@ -53,8 +53,11 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
         whereConsumed = true
         val idx = catalog.getAnn(fss.index)
         val spark = org.apache.spark.sql.SparkSession.active
-        val centroids =
-          graft.pipeline.Similarity.loadIvfCentroids(idx.path)
+        // the index kind comes from its OWN meta: _pq.txt = IVF-PQ (codes
+        // probe + optional exact re-rank against the registered base
+        // table), _centroids.txt = plain IVF
+        val isPq = java.nio.file.Files
+          .exists(java.nio.file.Paths.get(idx.path, "_pq.txt"))
         // the WHERE compiles against the INDEX's stored columns (the
         // filtered-ANN attribute set); unknown columns error at analysis,
         // which is the right failure for a typo'd attribute. IN-subqueries
@@ -70,6 +73,20 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
               "values and use IN (v1, v2, ...) instead.")
         }
         val extra = q.where.map(w => Builders.dim(w, col))
+        // PQ re-rank source: the codes-only index cannot re-rank from
+        // itself, so refinement needs the registered base table; without
+        // one, probes return raw ADC rankings (refineK 0)
+        lazy val (pqBase, pqRefineK) = idx.baseTable match {
+          case Some(bt) =>
+            val bdf = catalog.get(bt).df
+            for (c <- Seq(idx.idCol, idx.vecCol))
+              require(bdf.columns.contains(c),
+                s"SIMSEARCH base table '$bt' must carry the index's " +
+                  s"column '$c' (its id '${idx.idCol}' and vector " +
+                  s"'${idx.vecCol}' columns)")
+            (bdf, math.max(idx.refineK, 1))
+          case None => (spark.emptyDataFrame, 0)
+        }
         fss.queryTable match {
           case Some(qt) =>
             // batch retrieval: the production shape — every query vector of
@@ -82,10 +99,19 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
                 s"SIMSEARCH query table '$qt' must carry the index's " +
                   s"column '$c' (its id '${idx.idCol}' and vector " +
                   s"'${idx.vecCol}' columns)")
-            val df = graft.pipeline.Similarity.ivfTopKBatch(spark, idx.path,
-              centroids, qdf, col(idx.idCol), col(idx.vecCol),
-              col(idx.idCol), col(idx.vecCol), fss.k, fss.nProbe,
-              idx.quantized, extraFilter = extra)
+            val df =
+              if (isPq) {
+                val (coarse, books) =
+                  graft.pipeline.Similarity.loadIvfPqMeta(idx.path)
+                graft.pipeline.Similarity.ivfPqTopKBatch(spark, idx.path,
+                  coarse, books, pqBase, col(idx.vecCol), col(idx.idCol),
+                  qdf, col(idx.idCol), col(idx.vecCol), fss.k, fss.nProbe,
+                  pqRefineK, idx.quantized, extraFilter = extra)
+              } else graft.pipeline.Similarity.ivfTopKBatch(spark, idx.path,
+                graft.pipeline.Similarity.loadIvfCentroids(idx.path),
+                qdf, col(idx.idCol), col(idx.vecCol),
+                col(idx.idCol), col(idx.vecCol), fss.k, fss.nProbe,
+                idx.quantized, extraFilter = extra)
             TableDef(
               name = "__simsearch",
               dfFn = () => df,
@@ -93,9 +119,18 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
               dims = Seq("qid", "id", "rank"),
               vals = Seq("score"))
           case None =>
-            val df = graft.pipeline.Similarity.ivfTopK(spark, idx.path,
-              centroids, col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
-              fss.nProbe, idx.quantized, extraFilter = extra)
+            val df =
+              if (isPq) {
+                val (coarse, books) =
+                  graft.pipeline.Similarity.loadIvfPqMeta(idx.path)
+                graft.pipeline.Similarity.ivfPqTopK(spark, idx.path,
+                  coarse, books, pqBase, col(idx.vecCol), col(idx.idCol),
+                  fss.vec, fss.k, fss.nProbe, pqRefineK, idx.quantized,
+                  extraFilter = extra)
+              } else graft.pipeline.Similarity.ivfTopK(spark, idx.path,
+                graft.pipeline.Similarity.loadIvfCentroids(idx.path),
+                col(idx.vecCol), col(idx.idCol), fss.vec, fss.k,
+                fss.nProbe, idx.quantized, extraFilter = extra)
             TableDef(
               name = "__simsearch",
               dfFn = () => df,

@@ -190,6 +190,75 @@ class EngineSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("must carry the index's"), e4.getMessage)
   }
 
+  test("SIMSEARCH over an IVF-PQ index: ADC-only, base-table re-rank, batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextGaussian() * 2).toFloat), (i % 5).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("simsearch-pq").toString + "/i"
+    val (coarse, books) = Similarity.ivfPqBuildIfMissing(vecs,
+      col("embedding"), col("vec_id"), nCentroids = 4, m = 4, k = 8, idx,
+      keep = Seq("label"))
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    // 1) no base table registered → raw ADC rankings, filtered on the
+    //    KEPT label column inside the pruned codes scan
+    val catAdc = catalog
+      .addAnn("pq_idx", AnnIndexDef(idx, "embedding", "vec_id"))
+    val dialectAdc = Engine.sql(catAdc,
+      s"""SELECT score FROM SIMSEARCH('pq_idx', [$vecLit], 5, 4)
+         |WHERE label IN (0, 2) GROUP BY id ORDER BY id""".stripMargin,
+      () => T0).collect().map(r => (r.getAs[Long]("id"),
+        d(r.getAs[Any]("score"))))
+    val pipeAdc = Similarity.ivfPqTopK(spark, idx, coarse, books, vecs,
+        col("embedding"), col("vec_id"), q, k = 5, nProbe = 4, refineK = 0,
+        extraFilter = Some(col("label").isin(0, 2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(dialectAdc.toSeq === pipeAdc.toSeq)
+    assert(dialectAdc.nonEmpty)
+    // 2) base table registered → exact re-rank of the ADC candidates
+    val catRr = catAdc
+      .add(Catalog.classify("vtab", vecs))
+      .addAnn("pq_idx", AnnIndexDef(idx, "embedding", "vec_id",
+        baseTable = Some("vtab"), refineK = 20))
+    val dialectRr = Engine.sql(catRr,
+      s"""SELECT score FROM SIMSEARCH('pq_idx', [$vecLit], 5, 4)
+         |WHERE label IN (0, 2) GROUP BY id ORDER BY id""".stripMargin,
+      () => T0).collect().map(r => (r.getAs[Long]("id"),
+        d(r.getAs[Any]("score"))))
+    val pipeRr = Similarity.ivfPqTopK(spark, idx, coarse, books, vecs,
+        col("embedding"), col("vec_id"), q, k = 5, nProbe = 4, refineK = 20,
+        extraFilter = Some(col("label").isin(0, 2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(dialectRr.toSeq === pipeRr.toSeq)
+    // re-rank scores are exact cosines of the query's own vector: the top
+    // hit at full-probe settings includes vec 0 itself with score 1.0
+    assert(dialectRr.exists { case (id, s) => id == 0L && s > 0.999999 })
+    // 3) batch mode over the PQ index ≡ ivfPqTopKBatch with the re-rank
+    val queries = vecs.filter(col("vec_id") < 8)
+    val catB = catRr.add(Catalog.classify("qvecs", queries))
+    val dialectB = Engine.sql(catB,
+      """SELECT score FROM SIMSEARCH('pq_idx', TABLE qvecs, 3, 4)
+        |WHERE label IN (0, 2) GROUP BY qid, id, rank
+        |ORDER BY qid, rank""".stripMargin,
+      () => T0).collect().map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("id"), r.getAs[Long]("rank"), d(r.getAs[Any]("score"))))
+    val pipeB = Similarity.ivfPqTopKBatch(spark, idx, coarse, books, vecs,
+        col("embedding"), col("vec_id"), queries, col("vec_id"),
+        col("embedding"), k = 3, nProbe = 4, refineK = 20,
+        extraFilter = Some(col("label").isin(0, 2)))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._3))
+    assert(dialectB.toSeq === pipeB.toSeq)
+    assert(dialectB.nonEmpty)
+  }
+
   test("README: group by server with _points, SUM default and AVG") {
     val rows = sql(
       """SELECT _points, requests, AVG(load_avg) AS load_avg
