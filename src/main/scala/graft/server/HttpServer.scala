@@ -43,10 +43,19 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     val journals = db.journalStats.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
       s""""$s":{"entries":$n,"bytes":$b}"""
     }.mkString("{", ",", "}")
+    // the daemon's last maintenance pass per enrolled index (empty until
+    // the first --maintain-interval tick) — the operator's view of the
+    // self-driving compaction/re-cluster loop
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val maint = db.lastMaintenance.map { case (n, st) =>
+      s"${jstr(n)}:${jstr(st)}"
+    }.mkString("{", ",", "}")
     s"""{"uptimeMs":${System.currentTimeMillis() - startedAt},""" +
       s""""tables":$tables,"journals":$journals,""" +
       s""""activeStreams":${db.activeStreamCount},""" +
-      s""""asyncCacheEntries":${byPermalink.size()}}"""
+      s""""asyncCacheEntries":${byPermalink.size()},""" +
+      s""""maintenance":$maint}"""
   }
 
   /** Bounded body read: `readAllBytes` on an unbounded POST would buffer a

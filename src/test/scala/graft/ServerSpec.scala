@@ -429,6 +429,14 @@ class ServerSpec extends AnyFunSuite {
         Thread.sleep(100)
       assert(running.db.lastMaintenance.exists { case (n, s) =>
         n == "nd" && s.startsWith("ok") }, running.db.lastMaintenance.toString)
+      // the ops surface exposes the daemon's last pass per enrolled index
+      val met = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(
+              s"http://localhost:${running.httpPort}/metrics"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(met.body().contains("\"maintenance\":{\"nd\":\"ok"), met.body())
     } finally {
       running.db.maintainedState("nd").flatMap(_._2).foreach(_.stop())
       running.stop()
@@ -498,6 +506,7 @@ class ServerSpec extends AnyFunSuite {
         "\"inbound\":\\{\"entries\":(\\d+),\"bytes\":(\\d+)\\}".r
       val jm = journal.findFirstMatchIn(m).getOrElse(fail(s"no journal stats: $m"))
       assert(jm.group(1).toInt >= 1 && jm.group(2).toLong > 0, m)
+      assert(m.contains("\"maintenance\":{}"), m) // no indexes enrolled
     } finally running.stop()
   }
 
