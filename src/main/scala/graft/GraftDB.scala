@@ -48,29 +48,45 @@ final class GraftDB(
     * to their parent's stream and are materialized independently
     * (/root/reference/table.go:194-250).
     */
-  private def resolveSchema(text: String): Map[String, (TableConfig, Query)] = {
-    val parsed: Map[String, (TableConfig, Query)] =
-      SchemaParser.parse(text).map(c => c.name -> (c, Parser.parse(c.sql))).toMap
+  private def resolveSchema(text: String)
+      : Map[String, (TableConfig, Option[Query])] = {
+    // `annindex:` entries declare SIMSEARCH registrations, not tables —
+    // they carry no sql to parse (Query = None)
+    val parsed: Map[String, (TableConfig, Option[Query])] =
+      SchemaParser.parse(text).map(c => c.name -> (c,
+        if (c.annIndexPath.isDefined) None else Some(Parser.parse(c.sql))))
+        .toMap
     parsed.map { case (name, (cfg, q0)) =>
-      val resolved =
-        if (!cfg.isView) q0
+      val resolved = q0.map { q =>
+        if (!cfg.isView) q
         else {
-          val parentName = q0.from match {
+          val parentName = q.from match {
             case FromTable(p) => p
             case other => throw new IllegalArgumentException(
               s"view $name must select FROM a table, got $other")
           }
-          val (_, parentQ) = parsed.getOrElse(parentName,
+          val parentQ = parsed.get(parentName).flatMap(_._2).getOrElse(
             throw new IllegalArgumentException(
               s"view $name references unknown table $parentName"))
-          SchemaParser.resolveView(q0, parentQ)
+          SchemaParser.resolveView(q, parentQ)
         }
+      }
       name -> (cfg, resolved)
     }
   }
 
+  private def registerSchemaAnnIndexes(
+      resolved: Map[String, (TableConfig, Option[Query])]): Unit =
+    resolved.foreach {
+      case (name, (cfg, None)) =>
+        registerAnnIndex(name, cfg.annIndexPath.get, cfg.annVecCol,
+          cfg.annIdCol, baseTable = cfg.annBaseTable,
+          refineK = cfg.annRefineK)
+      case _ => ()
+    }
+
   @volatile private var tableMap: Map[String, MaterializedTable] =
-    resolveSchema(schemaText).map { case (name, (cfg, resolved)) =>
+    resolveSchema(schemaText).collect { case (name, (cfg, Some(resolved))) =>
       name -> new MaterializedTable(spark, cfg, resolved, s"$baseDir/$name", now)
     }
 
@@ -97,7 +113,8 @@ final class GraftDB(
     */
   def alter(newSchemaText: String): Unit = synchronized {
     val resolved = resolveSchema(newSchemaText)
-    tableMap = resolved.map { case (name, (cfg, q)) =>
+    registerSchemaAnnIndexes(resolved)
+    tableMap = resolved.collect { case (name, (cfg, Some(q))) =>
       tableMap.get(name) match {
         case Some(t) => t.alter(cfg, q); name -> t
         case None =>
@@ -516,6 +533,11 @@ final class GraftDB(
       annIndexes(name.toLowerCase) =
         AnnIndexDef(path, vecCol, idCol, quantized, baseTable, refineK)
     }
+
+  // schema-declared `annindex:` entries register at boot (placed here so
+  // the registry above is initialized — Scala runs the class body in
+  // declaration order); live ALTERs re-register through alter()
+  locally { registerSchemaAnnIndexes(resolveSchema(schemaText)) }
 
   def sql(query: String): DataFrame = {
     // `-- force_fresh` (sql/sql.go:279-283): drain attached streams so the

@@ -13,7 +13,15 @@ final case class TableConfig(
     backfillMillis: Option[Long] = None,
     maxFlushLatencyMillis: Option[Long] = None,
     minFlushLatencyMillis: Option[Long] = None,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    // an `annindex:` entry declares a SIMSEARCH-queryable ANN index
+    // instead of a table: the daemon registers it at boot (and on live
+    // ALTER), so the console's vector search needs no Scala call.
+    annIndexPath: Option[String] = None,
+    annVecCol: String = "embedding",
+    annIdCol: String = "id",
+    annBaseTable: Option[String] = None,
+    annRefineK: Int = 0)
 
 /** Minimal parser for the zenodb schema YAML subset: top-level table names,
   * scalar options, `sql: >`-folded blocks. (No external YAML dependency —
@@ -80,6 +88,11 @@ object SchemaParser {
         val list = value.stripPrefix("[").stripSuffix("]")
           .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
         c.copy(partitionBy = list)
+      case "annindex"   => c.copy(annIndexPath = Some(value))
+      case "annvec"     => c.copy(annVecCol = value)
+      case "annid"      => c.copy(annIdCol = value)
+      case "annbase"    => c.copy(annBaseTable = Some(value.toLowerCase))
+      case "annrefinek" => c.copy(annRefineK = value.toInt)
       case other =>
         throw new IllegalArgumentException(s"unknown table option '$other'")
     }

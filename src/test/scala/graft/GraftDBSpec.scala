@@ -1082,4 +1082,63 @@ class GraftDBSpec extends AnyFunSuite {
     db.insert("inbound", points())
     assert(vc() === T0 + 7200000L + 7000)
   }
+  test("schema-declared annindex: registered at boot, SIMSEARCH from db.sql, live ALTER") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idxDir = Files.createTempDirectory("db-ann-schema").toString
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, s"$idxDir/ivf")
+    graft.pipeline.Similarity.ivfPqBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, m = 3, k = 8, s"$idxDir/pq")
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    // boot with one table + one declared index — no Scala registration call
+    val db = new GraftDB(spark,
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vec_idx:
+         |  annindex: $idxDir/ivf
+         |  annvec: embedding
+         |  annid: vec_id
+         |""".stripMargin,
+      Files.createTempDirectory("db-ann-store").toString, () => T0)
+    val hits = db.sql(
+      s"""SELECT score FROM SIMSEARCH('vec_idx', [$vecLit], 3, 4)
+         |WHERE label IN (0, 1) GROUP BY id ORDER BY id""".stripMargin)
+      .collect()
+    assert(hits.length == 3)
+    // the nearest neighbor of vec 0 under a full-coverage probe is itself
+    assert(hits.map(_.getAs[Long]("id")).contains(0L))
+    // live ALTER adds a PQ-backed index (ADC-only; no base table): the
+    // dialect picks the kind up from the index's own meta
+    db.alter(
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vec_idx:
+         |  annindex: $idxDir/ivf
+         |  annvec: embedding
+         |  annid: vec_id
+         |pq_idx:
+         |  annindex: $idxDir/pq
+         |  annvec: embedding
+         |  annid: vec_id
+         |""".stripMargin)
+    val adc = db.sql(
+      s"""SELECT score FROM SIMSEARCH('pq_idx', [$vecLit], 3, 4)
+         |GROUP BY id ORDER BY id""".stripMargin).collect()
+    assert(adc.length == 3)
+    // the original registration still resolves after the ALTER
+    assert(db.sql(
+      s"""SELECT score FROM SIMSEARCH('vec_idx', [$vecLit], 3, 4)
+         |GROUP BY id ORDER BY id""".stripMargin).collect().length == 3)
+  }
+
 }
