@@ -184,4 +184,23 @@ LIMIT 100, 10
     val ok = "SELECT " + ("(" * 50) + "x" + (")" * 50) + " FROM t GROUP BY k"
     assert(Parser.parse(ok).fields.nonEmpty)
   }
+
+  test("SIMSEARCH grammar: literal and TABLE forms parse; malformed forms refuse") {
+    import graft.sqlx._
+    // literal form
+    val lit = Parser.parse(
+      "SELECT score FROM SIMSEARCH('idx', [0.5, -1.25, 3], 10, 4) GROUP BY id")
+    assert(lit.from === FromSimSearch("idx", Seq(0.5f, -1.25f, 3f), 10, 4))
+    // TABLE form (batch mode)
+    val tab = Parser.parse(
+      "SELECT score FROM SIMSEARCH('idx', TABLE qvecs, 3, 2) GROUP BY qid, id, rank")
+    assert(tab.from === FromSimSearch("idx", Nil, 3, 2, Some("qvecs")))
+    // malformed: empty vector, non-positive k/nProbe, missing table name
+    for (bad <- Seq(
+        "SELECT score FROM SIMSEARCH('idx', [], 3, 2) GROUP BY id",
+        "SELECT score FROM SIMSEARCH('idx', [1.0], 0, 2) GROUP BY id",
+        "SELECT score FROM SIMSEARCH('idx', [1.0], 3, 0) GROUP BY id",
+        "SELECT score FROM SIMSEARCH('idx', TABLE, 3, 2) GROUP BY qid"))
+      intercept[IllegalArgumentException](Parser.parse(bad))
+  }
 }
