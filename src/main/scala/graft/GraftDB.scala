@@ -571,7 +571,13 @@ final class GraftDB(
       val basePath: String, val spec: MaintSpec,
       var activePath: String, var gen: Int,
       var stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      val restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery])
+      val restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
+      val gcOldGenerations: Boolean,
+      // the superseded generation, deleted at the START of the NEXT tick
+      // (one full period for readers of the old path to drain — the
+      // blue/green contract's "caller deletes after readers drain",
+      // automated for the daemon-owned case)
+      var pendingDelete: Option[String] = None)
   private val maintained =
     scala.collection.mutable.LinkedHashMap.empty[String, MaintState]
 
@@ -581,10 +587,12 @@ final class GraftDB(
   def registerDedupMaintenance(name: String, path: String,
       maxFilesPerPrefix: Int = 16,
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
-      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None): Unit =
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
+      gcOldGenerations: Boolean = false): Unit =
     maintained.synchronized {
       maintained(name) = new MaintState(path,
-        DedupMaint(maxFilesPerPrefix), path, 0, stream, restart)
+        DedupMaint(maxFilesPerPrefix), path, 0, stream, restart,
+        gcOldGenerations)
     }
 
   /** Enroll an IVF index for daemon-driven probe-cost maintenance (the
@@ -594,10 +602,12 @@ final class GraftDB(
   def registerAnnMaintenance(name: String, path: String,
       vecCol: String, idCol: String, nProbe: Int, scanBudget: Double,
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
-      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None): Unit =
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
+      gcOldGenerations: Boolean = false): Unit =
     maintained.synchronized {
       maintained(name) = new MaintState(path,
-        AnnMaint(vecCol, idCol, nProbe, scanBudget), path, 0, stream, restart)
+        AnnMaint(vecCol, idCol, nProbe, scanBudget), path, 0, stream,
+        restart, gcOldGenerations)
     }
 
   /** One maintenance pass over every enrolled index; returns
@@ -609,35 +619,55 @@ final class GraftDB(
     import org.apache.spark.sql.functions.col
     maintained.toSeq.map { case (name, st) =>
       val status =
-        try st.spec match {
-          case DedupMaint(maxFiles) =>
-            val dest = s"${st.basePath}-g${st.gen + 1}"
-            val r = pipeline.Dedup.maintainIndex(spark, st.activePath, dest,
-              maxFiles, st.stream, st.restart)
-            if (r.compacted) {
-              st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
-            }
-            if (r.compacted) s"compacted -> ${r.activePath}"
-            else s"ok (${r.maxFilesPerPrefix} files/prefix)"
-          case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
-            val dest = s"${st.basePath}-g${st.gen + 1}"
-            val r = pipeline.Similarity.maintainIndex(spark, st.activePath,
-              dest, col(vecCol0), col(idCol0), nProbe, budget,
-              st.stream, st.restart)
-            if (r.rebuilt) {
-              st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
-              annIndexes.synchronized {
-                annIndexes.get(name.toLowerCase).foreach { d =>
-                  annIndexes(name.toLowerCase) = d.copy(path = r.activePath)
+        try {
+          // GC the generation superseded LAST tick (readers have had one
+          // full maintenance period to drain off it)
+          if (st.gcOldGenerations) st.pendingDelete.foreach { p =>
+            deleteRecursively(java.nio.file.Paths.get(p))
+            st.pendingDelete = None
+          }
+          st.spec match {
+            case DedupMaint(maxFiles) =>
+              val dest = s"${st.basePath}-g${st.gen + 1}"
+              val prev = st.activePath
+              val r = pipeline.Dedup.maintainIndex(spark, st.activePath, dest,
+                maxFiles, st.stream, st.restart)
+              if (r.compacted) {
+                st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
+                if (st.gcOldGenerations) st.pendingDelete = Some(prev)
+              }
+              if (r.compacted) s"compacted -> ${r.activePath}"
+              else s"ok (${r.maxFilesPerPrefix} files/prefix)"
+            case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
+              val dest = s"${st.basePath}-g${st.gen + 1}"
+              val prev = st.activePath
+              val r = pipeline.Similarity.maintainIndex(spark, st.activePath,
+                dest, col(vecCol0), col(idCol0), nProbe, budget,
+                st.stream, st.restart)
+              if (r.rebuilt) {
+                st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
+                if (st.gcOldGenerations) st.pendingDelete = Some(prev)
+                annIndexes.synchronized {
+                  annIndexes.get(name.toLowerCase).foreach { d =>
+                    annIndexes(name.toLowerCase) = d.copy(path = r.activePath)
+                  }
                 }
               }
-            }
-            if (r.rebuilt) s"re-clustered -> ${r.activePath}"
-            else f"ok (probedFraction ${r.probedFraction}%.2f)"
+              if (r.rebuilt) s"re-clustered -> ${r.activePath}"
+              else f"ok (probedFraction ${r.probedFraction}%.2f)"
+          }
         } catch { case e: Exception => s"error: ${e.getMessage}" }
       name -> status
     }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Last completed [[maintenanceTick]]'s statuses (observability for the
     * daemon thread's work; empty until the first tick).

@@ -394,7 +394,8 @@ class ServerSpec extends AnyFunSuite {
       watchSchema = false, maintainIntervalMs = 250L)
     try {
       running.db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
-        stream = Some(q0), restart = Some(p => attachAt(p)))
+        stream = Some(q0), restart = Some(p => attachAt(p)),
+        gcOldGenerations = true)
       // the DAEMON's thread must run the tick: poll its observed statuses
       val deadline = System.currentTimeMillis() + 30000
       while (!running.db.lastMaintenance.exists(_._2.startsWith("compacted")) &&
@@ -429,6 +430,11 @@ class ServerSpec extends AnyFunSuite {
         Thread.sleep(100)
       assert(running.db.lastMaintenance.exists { case (n, s) =>
         n == "nd" && s.startsWith("ok") }, running.db.lastMaintenance.toString)
+      // gcOldGenerations: the superseded generation (here the original
+      // source dir) is deleted by the tick AFTER the flip — one full
+      // period for readers of the old path to drain
+      assert(!Files.exists(java.nio.file.Paths.get(idx)),
+        "old generation not GC'd by the post-flip tick")
       // the ops surface exposes the daemon's last pass per enrolled index
       val met = java.net.http.HttpClient.newHttpClient().send(
         java.net.http.HttpRequest.newBuilder(
