@@ -148,6 +148,24 @@ object ContainmentStress {
         }.sum
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+    // history-independence of the BOUNDED probe: at 4x the history the
+    // unfiltered scan reads 4x the rows, but a fixed small probe set hits
+    // the same NUMBER of row groups (more groups exist, the same count
+    // match), so filtered rows read stay ~flat — the property that makes
+    // the daily small-batch probe O(batch), not O(corpus tokens)
+    val idxRg4 = java.nio.file.Files
+      .createTempDirectory("cn-stress-rg4").toString + "/i"
+    val hist4 = spark.range(histDocs * 4).select(col("id").as("doc_id"),
+      concat_ws(" ", toks(col("id"), 10): _*).as("text"))
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 16 * 1024)
+    try graft.pipeline.Dedup.buildContainmentIndex(hist4, col("text"),
+      col("doc_id"), idxRg4, n = 1, numProbes = 16)
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      hc.unset("parquet.page.size")
+    }
     val rowsFull = postingsScanRows(allPostFiles, None)
     // both halves of the real path's bound: residue file-prune (a probe
     // set covering r of 64 residues keeps r/64 of the files) x row-group
@@ -162,6 +180,17 @@ object ContainmentStress {
       val files = allPostFiles.filter(f =>
         residues.exists(r => f.contains(s"/__pp=$r/")))
       n -> postingsScanRows(files,
+        Some(graft.pipeline.Dedup.phRangePredicate(vs)))
+    }
+    val allPostFiles4 = spark.read.parquet(s"$idxRg4/post").inputFiles.toSeq
+    val rowsFull4 = postingsScanRows(allPostFiles4, None)
+    val rows16At4x = {
+      val rnd = new scala.util.Random(16)
+      val vs = Array.fill(16)(rnd.nextLong()).distinct.sorted
+      val residues = vs.map(v => ((v % 64) + 64) % 64).toSet
+      val files = allPostFiles4.filter(f =>
+        residues.exists(r => f.contains(s"/__pp=$r/")))
+      postingsScanRows(files,
         Some(graft.pipeline.Dedup.phRangePredicate(vs)))
     }
     // and the end-to-end daily probe with the filter on vs forced off
@@ -207,6 +236,9 @@ object ContainmentStress {
       s""""e2e_16doc_bytes":{"filtered":$e2eFiltered,""" +
       s""""unfiltered":$e2eUnfiltered,""" +
       s""""ratio":${f"${e2eFiltered.toDouble / e2eUnfiltered}%.3f"}},""" +
+      s""""history_4x":{"rows_full_1x":$rowsFull,"rows_full_4x":$rowsFull4,""" +
+      s""""rows_16probes_1x":${postScan.find(_._1 == 16).get._2},""" +
+      s""""rows_16probes_4x":$rows16At4x},""" +
       s""""admit_shuffle_sec":${f"$admitSec%.1f"}}""")
     spark.stop()
   }
