@@ -75,8 +75,22 @@ final class GraftDB(
     }
   }
 
+  // which SIMSEARCH registrations came from the schema file: an ALTER that
+  // drops an `annindex:` entry detaches its registration (the table
+  // analogue — stores/indexes on disk are never deleted), while
+  // programmatic registerAnnIndex calls survive schema reloads untouched
+  private val schemaAnnNames = scala.collection.mutable.Set.empty[String]
+
   private def registerSchemaAnnIndexes(
-      resolved: Map[String, (TableConfig, Option[Query])]): Unit =
+      resolved: Map[String, (TableConfig, Option[Query])]): Unit = {
+    val declared = resolved.collect {
+      case (name, (_, None)) => name.toLowerCase
+    }.toSet
+    annIndexes.synchronized {
+      (schemaAnnNames -- declared).foreach(annIndexes.remove)
+      schemaAnnNames.clear()
+      schemaAnnNames ++= declared
+    }
     resolved.foreach {
       case (name, (cfg, None)) =>
         registerAnnIndex(name, cfg.annIndexPath.get, cfg.annVecCol,
@@ -84,6 +98,7 @@ final class GraftDB(
           refineK = cfg.annRefineK)
       case _ => ()
     }
+  }
 
   @volatile private var tableMap: Map[String, MaterializedTable] =
     resolveSchema(schemaText).collect { case (name, (cfg, Some(resolved))) =>

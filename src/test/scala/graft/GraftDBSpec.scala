@@ -1139,6 +1139,34 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.sql(
       s"""SELECT score FROM SIMSEARCH('vec_idx', [$vecLit], 3, 4)
          |GROUP BY id ORDER BY id""".stripMargin).collect().length == 3)
+    // an ALTER that DROPS a schema-declared annindex detaches its
+    // registration (the table-detach analogue; the index files stay)
+    db.alter(
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |pq_idx:
+         |  annindex: $idxDir/pq
+         |  annvec: embedding
+         |  annid: vec_id
+         |""".stripMargin)
+    val gone = intercept[IllegalArgumentException] {
+      db.sql(s"SELECT score FROM SIMSEARCH('vec_idx', [$vecLit], 3, 4) GROUP BY id")
+        .collect()
+    }
+    assert(gone.getMessage.contains("not registered"), gone.getMessage)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/ivf"))) // files untouched
+    // ...while a PROGRAMMATIC registration survives schema reloads
+    db.registerAnnIndex("prog_idx", s"$idxDir/ivf", "embedding", "vec_id")
+    db.alter(
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |""".stripMargin)
+    assert(db.sql(
+      s"""SELECT score FROM SIMSEARCH('prog_idx', [$vecLit], 3, 4)
+         |GROUP BY id ORDER BY id""".stripMargin).collect().length == 3)
   }
 
 }
