@@ -94,8 +94,8 @@ final class GraftDB(
     resolved.foreach {
       case (name, (cfg, None)) =>
         registerAnnIndex(name, cfg.annIndexPath.get, cfg.annVecCol,
-          cfg.annIdCol, baseTable = cfg.annBaseTable,
-          refineK = cfg.annRefineK)
+          cfg.annIdCol, quantized = cfg.annQuantized,
+          baseTable = cfg.annBaseTable, refineK = cfg.annRefineK)
       case _ => ()
     }
   }

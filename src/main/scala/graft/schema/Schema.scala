@@ -21,7 +21,8 @@ final case class TableConfig(
     annVecCol: String = "embedding",
     annIdCol: String = "id",
     annBaseTable: Option[String] = None,
-    annRefineK: Int = 0)
+    annRefineK: Int = 0,
+    annQuantized: Boolean = true)
 
 /** Minimal parser for the zenodb schema YAML subset: top-level table names,
   * scalar options, `sql: >`-folded blocks. (No external YAML dependency —
@@ -93,6 +94,7 @@ object SchemaParser {
       case "annid"      => c.copy(annIdCol = value)
       case "annbase"    => c.copy(annBaseTable = Some(value.toLowerCase))
       case "annrefinek" => c.copy(annRefineK = value.toInt)
+      case "annquantized" => c.copy(annQuantized = value.toBoolean)
       case other =>
         throw new IllegalArgumentException(s"unknown table option '$other'")
     }
