@@ -81,6 +81,12 @@ final class GraftDB(
   // programmatic registerAnnIndex calls survive schema reloads untouched
   private val schemaAnnNames = scala.collection.mutable.Set.empty[String]
 
+  // which maintenance enrollments came from the schema file, same contract
+  // as schemaAnnNames: dropping the `maintain:` option (or the whole entry)
+  // on ALTER detaches the enrollment; programmatic register*Maintenance
+  // calls survive schema reloads untouched
+  private val schemaMaintNames = scala.collection.mutable.Set.empty[String]
+
   private def registerSchemaAnnIndexes(
       resolved: Map[String, (TableConfig, Option[Query])]): Unit = {
     val declared = resolved.collect {
@@ -91,9 +97,45 @@ final class GraftDB(
       schemaAnnNames.clear()
       schemaAnnNames ++= declared
     }
+    // maintenance enrollment is declarative too (`maintain: true`): the
+    // daemon is then config-driven end-to-end — no Scala call needed for
+    // an index to be SIMSEARCH-queryable AND self-maintaining
+    val declaredMaint = resolved.collect {
+      case (name, (cfg, None)) if cfg.maintain => name.toLowerCase
+    }.toSet
+    maintained.synchronized {
+      (schemaMaintNames -- declaredMaint).foreach(maintained.remove)
+      schemaMaintNames.clear()
+      schemaMaintNames ++= declaredMaint
+    }
     resolved.foreach {
       case (name, (cfg, None)) =>
-        registerAnnIndex(name, cfg.annIndexPath.get, cfg.annVecCol,
+        val declaredPath = cfg.annIndexPath.get
+        if (cfg.maintain) {
+          // re-ALTERs must not reset a live enrollment's generation state
+          // (activePath/gen survive; only a changed base path re-enrolls)
+          val keep = maintained.synchronized {
+            maintained.get(name.toLowerCase).exists(_.basePath == declaredPath)
+          }
+          if (!keep) cfg.maintainSource match {
+            case Some(src) => registerPqMaintenance(name.toLowerCase,
+              declaredPath, src, cfg.annVecCol, cfg.annIdCol,
+              cfg.maintainNProbe, cfg.maintainBudget,
+              gcOldGenerations = cfg.maintainGc)
+            case None => registerAnnMaintenance(name.toLowerCase,
+              declaredPath, cfg.annVecCol, cfg.annIdCol,
+              cfg.maintainNProbe, cfg.maintainBudget,
+              gcOldGenerations = cfg.maintainGc)
+          }
+        }
+        // a schema reload must not UNDO a maintenance flip: when the entry
+        // is enrolled and the daemon has already flipped it to a newer
+        // generation, the SIMSEARCH registration points at the enrolled
+        // ACTIVE path, not the yaml's base path
+        val path = maintained.synchronized {
+          maintained.get(name.toLowerCase).filter(_.basePath == declaredPath)
+        }.map(st => st.synchronized(st.activePath)).getOrElse(declaredPath)
+        registerAnnIndex(name, path, cfg.annVecCol,
           cfg.annIdCol, quantized = cfg.annQuantized,
           baseTable = cfg.annBaseTable, refineK = cfg.annRefineK)
       case _ => ()
@@ -524,12 +566,34 @@ final class GraftDB(
           })
       }
     }
+    // externals never shadow materialized tables of the same name
+    val withExternal = externalTables.synchronized {
+      externalTables.values.filterNot(e => defs.exists(_.name == e.name))
+        .toSeq
+    } ++ defs
     annIndexes.synchronized {
-      annIndexes.foldLeft(new Catalog(defs.map(d => d.name -> d).toMap)) {
+      annIndexes.foldLeft(
+          new Catalog(withExternal.map(d => d.name -> d).toMap)) {
         case (c, (n, d)) => c.addAnn(n, d)
       }
     }
   }
+
+  // External (non-materialized) relations reachable from the dialect:
+  // reference/corpus parquet tables or in-memory frames joinable with the
+  // materialized state — and the resolution target for a PQ maintenance
+  // spec's `sourceTable` and SIMSEARCH's `annbase:`/TABLE arguments.
+  private val externalTables =
+    scala.collection.mutable.Map.empty[String, TableDef]
+
+  /** Register an external DataFrame as a dialect-queryable table (columns
+    * classified like any raw source: float columns are measures, the rest
+    * dims). Materialized tables of the same name win.
+    */
+  def registerTable(name: String, df: DataFrame): Unit =
+    externalTables.synchronized {
+      externalTables(name.toLowerCase) = Catalog.classify(name.toLowerCase, df)
+    }
 
   // ANN indexes reachable from the dialect's SIMSEARCH table function —
   // a curation analyst at the query console can then run
@@ -549,18 +613,75 @@ final class GraftDB(
         AnnIndexDef(path, vecCol, idCol, quantized, baseTable, refineK)
     }
 
-  // schema-declared `annindex:` entries register at boot (placed here so
-  // the registry above is initialized — Scala runs the class body in
-  // declaration order); live ALTERs re-register through alter()
-  locally { registerSchemaAnnIndexes(resolveSchema(schemaText)) }
+  /** Per-query entry work shared by [[sql]]/[[sqlTimed]]/[[sqlWithStats]].
+    *
+    * `-- force_fresh` (sql/sql.go:279-283): drain attached streams so the
+    * query sees every point delivered so far (≅ includeMemStore reads) —
+    * BOTH the table-merge streams and any enrolled index-maintenance
+    * streams (a SIMSEARCH after force_fresh must see every vector already
+    * delivered to an attached AnnIndexStream, the same contract).
+    *
+    * Every maintained ANN index the query's SIMSEARCH calls reference
+    * (including inside FROM- and IN-subqueries) gets a reader lease on its
+    * CURRENT path: a concurrent maintenance flip then cannot GC the
+    * generation this query resolved until the lease is released — the
+    * reference's "unless an iteration holds them" retention
+    * (/root/reference/row_store.go:681-725). Returns the leases; the
+    * caller releases them when done with the index files.
+    */
+  private def preQuery(query: String): Seq[AutoCloseable] = {
+    val parsed = Parser.parse(query)
+    if (parsed.forceFresh) {
+      val tableStreams =
+        activeStreams.synchronized { activeStreams.filter(_.isActive).toSeq }
+      val indexStreams =
+        maintained.synchronized { maintained.values.flatMap(_.stream).toSeq }
+      (tableStreams ++ indexStreams.filter(_.isActive))
+        .foreach(_.processAllAvailable())
+    }
+    val names = simSearchNames(parsed)
+    val pins =
+      if (names.isEmpty) Nil
+      else annIndexes.synchronized {
+        names.toSeq.flatMap(n => annIndexes.get(n)).map(_.path)
+      }.map(pinPath)
+    queryHook(query)
+    pins
+  }
+
+  /** ANN index names referenced by the query's SIMSEARCH table functions,
+    * recursing through FROM-subqueries and IN-subqueries.
+    */
+  private def simSearchNames(q: Query): Set[String] = {
+    import graft.sqlx._
+    def ofD(d: DExpr): Set[String] = d match {
+      case DAnd(l, r)        => ofD(l) ++ ofD(r)
+      case DOr(l, r)         => ofD(l) ++ ofD(r)
+      case DNot(e)           => ofD(e)
+      case DInSub(_, sub, _) => simSearchNames(sub)
+      case _                 => Set.empty
+    }
+    val fromNames = q.from match {
+      case FromSimSearch(n, _, _, _, _) => Set(n.toLowerCase)
+      case FromSub(sub)                 => simSearchNames(sub)
+      case _                            => Set.empty
+    }
+    fromNames ++ q.where.map(ofD).getOrElse(Set.empty)
+  }
+
+  /** Test seam: runs after [[preQuery]] acquired its leases, before the
+    * engine plans — lets a test hold a query mid-flight across a
+    * maintenance flip deterministically (the crashHook pattern).
+    */
+  @volatile private[graft] var queryHook: String => Unit = _ => ()
 
   def sql(query: String): DataFrame = {
-    // `-- force_fresh` (sql/sql.go:279-283): drain attached streams so the
-    // query sees every point delivered so far (≅ includeMemStore reads)
-    if (Parser.parse(query).forceFresh)
-      activeStreams.synchronized { activeStreams.filter(_.isActive) }
-        .foreach(_.processAllAvailable())
-    Engine.sql(catalog, query, now)
+    val pins = preQuery(query)
+    // the leases cover PLANNING (index meta reads + probe construction);
+    // the eager forms below hold them through execution too. A lazily
+    // consumed DataFrame falls back on the GC's next-tick drain window.
+    try Engine.sql(catalog, query, now)
+    finally pins.foreach(_.close())
   }
 
   // ---- self-driving index maintenance ---------------------------------
@@ -582,19 +703,75 @@ final class GraftDB(
   private final case class AnnMaint(vecCol: String, idCol: String,
                                     nProbe: Int, scanBudget: Double)
       extends MaintSpec
+  // IVF-PQ: a codes-only index cannot re-cluster from itself, so the spec
+  // names the CATALOG TABLE holding the original vectors; the tick resolves
+  // it to a DataFrame at rebuild time (the corpus definition can thus be a
+  // live materialized table that keeps growing between ticks)
+  private final case class PqMaint(sourceTable: String, vecCol: String,
+                                   idCol: String, nProbe: Int,
+                                   scanBudget: Double) extends MaintSpec
   private final class MaintState(
       val basePath: String, val spec: MaintSpec,
       var activePath: String, var gen: Int,
       var stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
       val restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
       val gcOldGenerations: Boolean,
-      // the superseded generation, deleted at the START of the NEXT tick
-      // (one full period for readers of the old path to drain — the
-      // blue/green contract's "caller deletes after readers drain",
-      // automated for the daemon-owned case)
-      var pendingDelete: Option[String] = None)
+      // superseded generations awaiting GC: deleted at the start of a LATER
+      // tick (at least one full period for readers of the old path to
+      // drain), and only once no reader lease pins them — the blue/green
+      // contract's "caller deletes after readers drain", automated for the
+      // daemon-owned case with in-flight queries tracked by [[pinPath]]
+      val pendingDeletes: scala.collection.mutable.Buffer[String] =
+        scala.collection.mutable.Buffer.empty,
+      // claimed by a tick for the duration of its (unlocked) Spark pass:
+      // overlapping ticks (daemon + a manual one-shot) skip a claimed index
+      // instead of double-compacting it
+      var inFlight: Boolean = false)
   private val maintained =
     scala.collection.mutable.LinkedHashMap.empty[String, MaintState]
+
+  // ---- reader leases: generation-GC safety -----------------------------
+  // path -> count of in-flight readers pinning it against generation GC.
+  private val pathLeases = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Pin `path` against [[maintenanceTick]]'s old-generation GC: a pinned
+    * generation survives flips until every lease is closed (then the next
+    * tick deletes it). Queries through [[sql]]/[[sqlTimed]]/[[sqlWithStats]]
+    * pin their SIMSEARCH indexes automatically; embedded callers holding a
+    * DataFrame over a maintained path across ticks pin it explicitly:
+    * {{{
+    * val lease = db.pinPath(db.maintainedState("idx").get._1)
+    * try df.collect() finally lease.close()
+    * }}}
+    */
+  def pinPath(path: String): AutoCloseable = {
+    pathLeases.synchronized {
+      pathLeases(path) = pathLeases.getOrElse(path, 0) + 1
+    }
+    new AutoCloseable {
+      private var closed = false
+      def close(): Unit = pathLeases.synchronized {
+        if (!closed) {
+          closed = true
+          val n = pathLeases.getOrElse(path, 1) - 1
+          if (n <= 0) pathLeases.remove(path) else pathLeases(path) = n
+        }
+      }
+    }
+  }
+
+  private def isLeased(path: String): Boolean =
+    pathLeases.synchronized(pathLeases.contains(path))
+
+  private[graft] def leaseCount(path: String): Int =
+    pathLeases.synchronized(pathLeases.getOrElse(path, 0))
+
+  // schema-declared `annindex:` entries (and their `maintain:` enrollments)
+  // register at boot — placed here so every registry they touch
+  // (annIndexes, maintained, pathLeases) is initialized first (Scala runs
+  // the class body in declaration order); live ALTERs re-register through
+  // alter()
+  locally { registerSchemaAnnIndexes(resolveSchema(schemaText)) }
 
   /** Enroll a dedup-family index (exact / near-dup / containment — the
     * layout is detected) for daemon-driven fragmentation maintenance.
@@ -625,51 +802,116 @@ final class GraftDB(
         restart, gcOldGenerations)
     }
 
+  /** Enroll an IVF-PQ index for daemon-driven probe-cost maintenance. A PQ
+    * index stores CODES, not vectors, so a drifted one rebuilds coarse
+    * cells AND codebooks from `sourceTable` — a catalog table holding the
+    * ORIGINAL vectors, resolved to a DataFrame at TICK time (so a live,
+    * still-growing materialized table is a valid corpus definition). If an
+    * ANN index of the same `name` is registered for SIMSEARCH, a flip
+    * re-points it at the new generation.
+    */
+  def registerPqMaintenance(name: String, path: String, sourceTable: String,
+      vecCol: String, idCol: String, nProbe: Int, scanBudget: Double,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
+      gcOldGenerations: Boolean = false): Unit =
+    maintained.synchronized {
+      maintained(name) = new MaintState(path,
+        PqMaint(sourceTable.toLowerCase, vecCol, idCol, nProbe, scanBudget),
+        path, 0, stream, restart, gcOldGenerations)
+    }
+
   /** One maintenance pass over every enrolled index; returns
     * (name, status) per index. Called by the Server's maintenance thread;
     * callable directly for one-shot administration. Failures are caught
     * per-index so one broken path can't starve the others.
+    *
+    * Locking: the registry lock is held only to SNAPSHOT the enrolled
+    * states; each compaction/rebuild (Spark jobs that can take minutes)
+    * runs unlocked, with the flip re-acquiring the state's own monitor —
+    * registrations and [[maintainedState]] reads never block behind a
+    * running pass. An index claimed by an in-flight pass is skipped
+    * (`busy`) by an overlapping tick instead of double-compacted.
     */
-  def maintenanceTick(): Seq[(String, String)] = maintained.synchronized {
+  def maintenanceTick(): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
-    maintained.toSeq.map { case (name, st) =>
+    val snapshot = maintained.synchronized { maintained.toSeq }
+    snapshot.map { case (name, st) =>
       val status =
         try {
-          // GC the generation superseded LAST tick (readers have had one
-          // full maintenance period to drain off it)
-          if (st.gcOldGenerations) st.pendingDelete.foreach { p =>
-            deleteRecursively(java.nio.file.Paths.get(p))
-            st.pendingDelete = None
+          // claim the index and snapshot the pass inputs under ITS monitor
+          val claimed = st.synchronized {
+            if (st.inFlight) None
+            else {
+              st.inFlight = true
+              Some((st.activePath, st.gen, st.stream))
+            }
           }
-          st.spec match {
-            case DedupMaint(maxFiles) =>
-              val dest = s"${st.basePath}-g${st.gen + 1}"
-              val prev = st.activePath
-              val r = pipeline.Dedup.maintainIndex(spark, st.activePath, dest,
-                maxFiles, st.stream, st.restart)
-              if (r.compacted) {
-                st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
-                if (st.gcOldGenerations) st.pendingDelete = Some(prev)
-              }
-              if (r.compacted) s"compacted -> ${r.activePath}"
-              else s"ok (${r.maxFilesPerPrefix} files/prefix)"
-            case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
-              val dest = s"${st.basePath}-g${st.gen + 1}"
-              val prev = st.activePath
-              val r = pipeline.Similarity.maintainIndex(spark, st.activePath,
-                dest, col(vecCol0), col(idCol0), nProbe, budget,
-                st.stream, st.restart)
-              if (r.rebuilt) {
-                st.activePath = r.activePath; st.gen += 1; st.stream = r.stream
-                if (st.gcOldGenerations) st.pendingDelete = Some(prev)
-                annIndexes.synchronized {
-                  annIndexes.get(name.toLowerCase).foreach { d =>
-                    annIndexes(name.toLowerCase) = d.copy(path = r.activePath)
+          claimed match {
+            case None => "busy (pass in flight)"
+            case Some((active, gen, stream0)) =>
+              try {
+                // GC generations superseded by PREVIOUS ticks (readers have
+                // had at least one full maintenance period to drain) — but
+                // never one a reader lease still pins; those stay pending
+                // and are retried next tick
+                if (st.gcOldGenerations) {
+                  val freed = st.synchronized {
+                    val (pinned, free) = st.pendingDeletes.partition(isLeased)
+                    st.pendingDeletes.clear()
+                    st.pendingDeletes ++= pinned
+                    free.toList
+                  }
+                  freed.foreach { p =>
+                    try deleteRecursively(java.nio.file.Paths.get(p))
+                    catch {
+                      case e: Exception =>
+                        st.synchronized { st.pendingDeletes += p }
+                        throw e
+                    }
                   }
                 }
-              }
-              if (r.rebuilt) s"re-clustered -> ${r.activePath}"
-              else f"ok (probedFraction ${r.probedFraction}%.2f)"
+                def flip(newPath: String,
+                    newStream: Option[org.apache.spark.sql.streaming.StreamingQuery],
+                    repoint: Boolean): Unit = {
+                  st.synchronized {
+                    st.activePath = newPath; st.gen = gen + 1
+                    st.stream = newStream
+                    if (st.gcOldGenerations) st.pendingDeletes += active
+                  }
+                  if (repoint) annIndexes.synchronized {
+                    annIndexes.get(name.toLowerCase).foreach { d =>
+                      annIndexes(name.toLowerCase) = d.copy(path = newPath)
+                    }
+                  }
+                }
+                val dest = s"${st.basePath}-g${gen + 1}"
+                st.spec match {
+                  case DedupMaint(maxFiles) =>
+                    val r = pipeline.Dedup.maintainIndex(spark, active, dest,
+                      maxFiles, stream0, st.restart)
+                    if (r.compacted) flip(r.activePath, r.stream, repoint = false)
+                    if (r.compacted) s"compacted -> ${r.activePath}"
+                    else s"ok (${r.maxFilesPerPrefix} files/prefix)"
+                  case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
+                    val r = pipeline.Similarity.maintainIndex(spark, active,
+                      dest, col(vecCol0), col(idCol0), nProbe, budget,
+                      stream0, st.restart)
+                    if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
+                    if (r.rebuilt) s"re-clustered -> ${r.activePath}"
+                    else f"ok (probedFraction ${r.probedFraction}%.2f)"
+                  case PqMaint(source, vecCol0, idCol0, nProbe, budget) =>
+                    // the rebuild corpus resolves from the catalog NOW — a
+                    // materialized source table serves its current contents
+                    val corpus = catalog.get(source).df
+                    val r = pipeline.Similarity.maintainIndexPq(spark, active,
+                      dest, corpus, col(vecCol0), col(idCol0), nProbe, budget,
+                      stream0, st.restart)
+                    if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
+                    if (r.rebuilt) s"rebuilt -> ${r.activePath}"
+                    else f"ok (probedFraction ${r.probedFraction}%.2f)"
+                }
+              } finally st.synchronized { st.inFlight = false }
           }
         } catch { case e: Exception => s"error: ${e.getMessage}" }
       name -> status
@@ -695,18 +937,16 @@ final class GraftDB(
     */
   def maintainedState(name: String)
       : Option[(String, Option[org.apache.spark.sql.streaming.StreamingQuery])] =
-    maintained.synchronized {
-      maintained.get(name).map(st => (st.activePath, st.stream))
-    }
+    maintained.synchronized { maintained.get(name) }
+      .map(st => st.synchronized((st.activePath, st.stream)))
 
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.
     */
   def sqlTimed(query: String, timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
-    if (Parser.parse(query).forceFresh)
-      activeStreams.synchronized { activeStreams.filter(_.isActive) }
-        .foreach(_.processAllAvailable())
-    Engine.sqlTimed(catalog, query, timeoutMs, now)
+    val pins = preQuery(query)
+    try Engine.sqlTimed(catalog, query, timeoutMs, now)
+    finally pins.foreach(_.close())
   }
 
   /** Deadline form that never throws on expiry: returns rows plus
@@ -715,10 +955,9 @@ final class GraftDB(
     * common/common.go:57-64).
     */
   def sqlWithStats(query: String, timeoutMs: Long): Engine.QueryResult = {
-    if (Parser.parse(query).forceFresh)
-      activeStreams.synchronized { activeStreams.filter(_.isActive) }
-        .foreach(_.processAllAvailable())
-    Engine.sqlWithStats(catalog, query, timeoutMs, now)
+    val pins = preQuery(query)
+    try Engine.sqlWithStats(catalog, query, timeoutMs, now)
+    finally pins.foreach(_.close())
   }
 }
 

@@ -36,6 +36,29 @@ private[graft] object PersistCache {
 
   private val fifo = new java.util.ArrayDeque[DataFrame]()
 
+  // Distinct registering CALL SITES seen this session (class:line of the
+  // first graft frame outside this object). The r13-r15 q_crosstab_shift
+  // drift recurred mechanically whenever the number of live registering
+  // queries outgrew the static cap — FIFO round-robin turned every rerun
+  // into a full recompute. The high-water is the tripwire: it is surfaced
+  // in /metrics, and the suite (PlanSpec) asserts the SOURCE-level site
+  // count stays under ~75% of [[maxEntries]], so a round that adds sites
+  // without bumping the cap fails loudly instead of drifting.
+  private val sites = scala.collection.mutable.Set.empty[String]
+
+  /** Distinct registering call sites observed so far this session (runtime
+    * high-water — ≤ the source-level count the suite bounds).
+    */
+  def sitesHighWater: Int = fifo.synchronized(sites.size)
+
+  // callers hold fifo's monitor
+  private def recordSite(): Unit = {
+    val frame = new Throwable().getStackTrace
+      .find(f => f.getClassName.startsWith("graft.") &&
+        !f.getClassName.contains("PersistCache"))
+    frame.foreach(f => sites += s"${f.getClassName}:${f.getLineNumber}")
+  }
+
   /** Persist `df` (MEMORY_AND_DISK) and enroll it in the FIFO; returns the
     * same DataFrame for chaining. Idempotent on plan identity: a plan the
     * CacheManager already holds (the same query re-run) is returned as-is —
@@ -59,6 +82,7 @@ private[graft] object PersistCache {
 
   // callers hold fifo's monitor
   private def enroll(df: DataFrame): Unit = {
+    recordSite()
     fifo.addLast(df)
     while (fifo.size > maxEntries)
       fifo.removeFirst().unpersist(blocking = false)

@@ -103,15 +103,23 @@ object Server {
     // period (0 = off). Indexes enroll via registerDedupMaintenance /
     // registerAnnMaintenance.
     val mIdx = args0.indexOf("--maintain-interval")
+    require(mIdx < 0 || mIdx + 1 < args0.length,
+      "--maintain-interval requires a value in seconds")
     val maintainMs =
-      if (mIdx >= 0) args0(mIdx + 1).toLong * 1000L else 0L
+      if (mIdx >= 0) {
+        val v = args0(mIdx + 1)
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"--maintain-interval: expected a whole number of seconds, got '$v'")
+        v.toLong * 1000L
+      } else 0L
     val noVtime = args0.filterNot(_ == "--vtime")
     val args = {
       val i = noVtime.indexOf("--maintain-interval")
       if (i >= 0) noVtime.patch(i, Nil, 2) else noVtime
     }
     require(args.length >= 2,
-      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] [aliases.props] [--vtime]")
+      "usage: Server <schema.yaml> <dataDir> [httpPort] [rpcPort] " +
+        "[aliases.props] [--vtime] [--maintain-interval <seconds>]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",

@@ -776,8 +776,14 @@ object Dedup {
       if (sorted.length <= ProbeFilterMaxRanges)
         sorted.toSeq.map(v => (v, v))
       else {
+        // unsigned gap compare: xxhash64 probe values span the full signed
+        // Long range, so a gap crossing the sign boundary can exceed 2^63
+        // and overflow negative under signed subtraction — a signed sort
+        // would rank the WIDEST gap last and keep ranges spanning nearly
+        // the whole hash space (coverage stays correct; skipping dies)
         val seps = (1 until sorted.length)
-          .sortBy(i => -(sorted(i) - sorted(i - 1)))
+          .sortWith((a, b) => java.lang.Long.compareUnsigned(
+            sorted(a) - sorted(a - 1), sorted(b) - sorted(b - 1)) > 0)
           .take(ProbeFilterMaxRanges - 1).sorted
         (0 +: seps :+ sorted.length).sliding(2).map {
           case Seq(a, b) => (sorted(a), sorted(b - 1))

@@ -84,7 +84,12 @@ final class Planner(catalog: Catalog, now: () => Long = () => System.currentTime
                 s"SIMSEARCH base table '$bt' must carry the index's " +
                   s"column '$c' (its id '${idx.idCol}' and vector " +
                   s"'${idx.vecCol}' columns)")
-            (bdf, math.max(idx.refineK, 1))
+            // floor at the query's k: refineK bounds how many ADC
+            // candidates the exact re-rank keeps, so a registration
+            // leaving it at the default 0 (schema `annbase:` without
+            // `annrefinek:`) would otherwise silently truncate every
+            // result to 1 row regardless of the requested k
+            (bdf, math.max(idx.refineK, fss.k))
           case None => (spark.emptyDataFrame, 0)
         }
         fss.queryTable match {

@@ -22,7 +22,21 @@ final case class TableConfig(
     annIdCol: String = "id",
     annBaseTable: Option[String] = None,
     annRefineK: Int = 0,
-    annQuantized: Boolean = true)
+    annQuantized: Boolean = true,
+    // `maintain: true` enrolls the declared ANN index with the daemon's
+    // maintenance loop (--maintain-interval), making the index lifecycle
+    // fully config-driven: probed-fraction measured per tick, blue/green
+    // re-cluster when over `maintainbudget`. An IVF-PQ index additionally
+    // names its rebuild corpus with `maintainsource:` (a schema table whose
+    // rows hold the original vectors — codes cannot re-cluster from
+    // themselves); `maintaingc: true` opts into old-generation GC (reader
+    // leases respected), `maintainnprobe:` sets the probe width the
+    // trigger statistic is measured at.
+    maintain: Boolean = false,
+    maintainBudget: Double = 0.5,
+    maintainNProbe: Int = 4,
+    maintainSource: Option[String] = None,
+    maintainGc: Boolean = false)
 
 /** Minimal parser for the zenodb schema YAML subset: top-level table names,
   * scalar options, `sql: >`-folded blocks. (No external YAML dependency —
@@ -95,6 +109,11 @@ object SchemaParser {
       case "annbase"    => c.copy(annBaseTable = Some(value.toLowerCase))
       case "annrefinek" => c.copy(annRefineK = value.toInt)
       case "annquantized" => c.copy(annQuantized = value.toBoolean)
+      case "maintain"       => c.copy(maintain = value.toBoolean)
+      case "maintainbudget" => c.copy(maintainBudget = value.toDouble)
+      case "maintainnprobe" => c.copy(maintainNProbe = value.toInt)
+      case "maintainsource" => c.copy(maintainSource = Some(value.toLowerCase))
+      case "maintaingc"     => c.copy(maintainGc = value.toBoolean)
       case other =>
         throw new IllegalArgumentException(s"unknown table option '$other'")
     }

@@ -55,6 +55,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       s""""tables":$tables,"journals":$journals,""" +
       s""""activeStreams":${db.activeStreamCount},""" +
       s""""asyncCacheEntries":${byPermalink.size()},""" +
+      // scan-saver cache pressure: distinct registering sites seen this
+      // session vs the FIFO cap — sites approaching max is the r13-r15
+      // crosstab-drift precondition (eviction churn), visible here before
+      // it shows up as bench regression
+      s""""persistCache":{"sites":${graft.PersistCache.sitesHighWater},""" +
+      s""""max":${graft.PersistCache.maxEntries}},""" +
       s""""maintenance":$maint}"""
   }
 

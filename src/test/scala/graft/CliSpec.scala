@@ -146,4 +146,24 @@ class CliSpec extends AnyFunSuite {
     assert(out.toString.contains("inserted 2"), out.toString)
     assert(out.toString.contains("5.0"), out.toString)
   }
+
+  test("Server: --maintain-interval argument validation fails fast") {
+    // both failures must surface as targeted requires BEFORE any Spark
+    // session or file access happens
+    val missing = intercept[IllegalArgumentException] {
+      Server.main(Array("schema.yaml", "dir", "--maintain-interval"))
+    }
+    assert(missing.getMessage.contains("requires a value"),
+      missing.getMessage)
+    val garbage = intercept[IllegalArgumentException] {
+      Server.main(Array("schema.yaml", "dir", "--maintain-interval", "fast"))
+    }
+    assert(garbage.getMessage.contains("whole number"), garbage.getMessage)
+    // the usage string documents the flag
+    val usage = intercept[IllegalArgumentException] {
+      Server.main(Array("--maintain-interval", "5"))
+    }
+    assert(usage.getMessage.contains("--maintain-interval <seconds>"),
+      usage.getMessage)
+  }
 }

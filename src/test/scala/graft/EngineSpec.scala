@@ -259,6 +259,44 @@ class EngineSpec extends AnyFunSuite {
     assert(dialectB.nonEmpty)
   }
 
+  test("PQ base table with refineK left at default: full k rows, not 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextGaussian() * 2).toFloat), (i % 5).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("simsearch-pq-dflt").toString + "/i"
+    Similarity.ivfPqBuildIfMissing(vecs, col("embedding"), col("vec_id"),
+      nCentroids = 4, m = 4, k = 8, idx)
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    // a registration declaring `annbase:` but no `annrefinek:` (refineK 0)
+    // used to clamp the re-rank window to 1 candidate — every SIMSEARCH
+    // silently returned at most 1 row; the floor is now the query's k
+    val cat = catalog.add(Catalog.classify("vtab", vecs))
+      .addAnn("pq_dflt", AnnIndexDef(idx, "embedding", "vec_id",
+        baseTable = Some("vtab")))
+    val hits = Engine.sql(cat,
+      s"""SELECT score FROM SIMSEARCH('pq_dflt', [$vecLit], 5, 4)
+         |GROUP BY id ORDER BY id""".stripMargin, () => T0).collect()
+    assert(hits.length == 5, s"expected full k=5 rows, got ${hits.length}")
+    // re-rank scores are exact cosines: the query's own vector scores 1.0
+    assert(hits.exists(r => r.getAs[Long]("id") == 0L &&
+      d(r.getAs[Any]("score")) > 0.999999))
+    // batch form under the same default: k rows PER query
+    val queries = vecs.filter(col("vec_id") < 4)
+    val catB = cat.add(Catalog.classify("qvecs", queries))
+    val batch = Engine.sql(catB,
+      """SELECT score FROM SIMSEARCH('pq_dflt', TABLE qvecs, 3, 4)
+        |GROUP BY qid, id, rank ORDER BY qid, rank""".stripMargin,
+      () => T0).collect()
+    assert(batch.length == 12, s"expected 4 queries x k=3, got ${batch.length}")
+  }
+
   test("README: group by server with _points, SUM default and AVG") {
     val rows = sql(
       """SELECT _points, requests, AVG(load_avg) AS load_avg

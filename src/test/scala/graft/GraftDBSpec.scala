@@ -1169,4 +1169,194 @@ class GraftDBSpec extends AnyFunSuite {
          |GROUP BY id ORDER BY id""".stripMargin).collect().length == 3)
   }
 
+  test("maintenance GC: reader leases pin superseded generations until drained") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a fragmented near-dup index: three appended admit rounds leave >1
+    // file per prefix, so the first tick compacts (flip to -g1) and later
+    // ticks report ok — deterministic, no clustering physics involved
+    val idx = Files.createTempDirectory("gc-lease-idx").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"lease seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2) {
+      val batch = (0L until 20L).map(i => (1000L * r + i, s"round $r doc $i"))
+        .toDF("doc_id", "text")
+      graft.pipeline.Dedup.nearDupIncremental(batch, col("text"),
+        col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    }
+    val rowsBefore = spark.read.parquet(idx).count()
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("gc-lease-db").toString, () => T0)
+    db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    // an in-flight reader of the CURRENT generation takes a lease before
+    // the flip (the automated analogue: preQuery pins SIMSEARCH paths)
+    val lease = db.pinPath(idx)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g1" },
+      t1.toString)
+    // tick 2: the superseded generation is pending GC but LEASED — it must
+    // survive, and the reader completes against it
+    val t2 = db.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "nd" && s.startsWith("ok") },
+      t2.toString)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "leased old generation must survive GC ticks")
+    assert(spark.read.parquet(idx).count() === rowsBefore,
+      "reader of the pinned old generation must complete")
+    lease.close()
+    assert(db.leaseCount(idx) === 0)
+    // next tick after the lease drains: the old generation is GC'd
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "unleased old generation must be GC'd on the following tick")
+    assert(spark.read.parquet(s"$idx-g1").count() === rowsBefore)
+  }
+
+  test("SIMSEARCH queries hold a reader lease across a maintenance flip") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("gc-query-idx").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("gc-query-db").toString, () => T0)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id")
+    // scanBudget 0: every tick re-clusters — each tick is a flip, the
+    // worst case for readers of the just-superseded generation
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 2, scanBudget = 0.0, gcOldGenerations = true)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    db.queryHook = q => if (q.contains("SIMSEARCH")) {
+      entered.countDown(); release.await()
+    }
+    @volatile var rows: Array[org.apache.spark.sql.Row] = null
+    val qt = new Thread(() => {
+      rows = db.sqlTimed(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id",
+        120000L)
+    })
+    qt.start()
+    try {
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // the in-flight query pinned the path it resolved
+      assert(db.leaseCount(idx) === 1)
+      val t1 = db.maintenanceTick() // flip: idx -> idx-g1
+      assert(t1.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+      db.maintenanceTick() // would GC idx — but the query's lease pins it
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "generation pinned by an in-flight query must survive the tick")
+    } finally {
+      release.countDown()
+      db.queryHook = _ => ()
+    }
+    qt.join(120000L)
+    assert(rows != null && rows.length == 3, "spanning query must complete")
+    assert(db.leaseCount(idx) === 0)
+    // with the lease drained, the following tick GC's the old generation
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "old generation must be GC'd once the spanning query drained")
+  }
+
+  test("force_fresh drains enrolled index maintenance streams before SIMSEARCH") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    // seed vectors cluster near the origin; the streamed vector sits far
+    // away on its own axis, so a probe AT that vector ranks it first iff
+    // the stream's append is visible
+    val seed = (0L until 30L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("fresh-idx").toString + "/i"
+    val ckpt = Files.createTempDirectory("fresh-ckpt").toString
+    graft.pipeline.Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q0 = graft.streaming.AnnIndexStream.attachIvf(
+      mem.toDF().toDF("vec_id", "embedding"), col("embedding"),
+      col("vec_id"), idx, ckpt)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("fresh-db").toString, () => T0)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id")
+    // enrolled but never over budget: the stream handle is what matters
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, stream = Some(q0))
+    try {
+      val novel = Seq.tabulate(6)(d => if (d == 0) 50.0f else 0.0f)
+      mem.addData(Seq((9999L, novel.toSeq)))
+      // no processAllAvailable here: `-- force_fresh` must drain the
+      // ENROLLED index stream itself (sql/sql.go:279-283 semantics)
+      val vecLit = novel.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      val hits = db.sql(
+        s"""SELECT score FROM SIMSEARCH('vidx', [$vecLit], 1, 4)
+           |GROUP BY id -- force_fresh""".stripMargin).collect()
+      assert(hits.length == 1)
+      assert(hits(0).getAs[Long]("id") === 9999L,
+        "force_fresh SIMSEARCH must see the vector delivered to the stream")
+    } finally { q0.stop(); q0.awaitTermination() }
+  }
+
+  test("schema-declared maintenance: boot enrollment, ALTER attach/detach") {
+    val idxDir = Files.createTempDirectory("schema-maint").toString
+    def yaml(maintainLines: String) =
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vec_idx:
+         |  annindex: $idxDir/ivf
+         |  annvec: embedding
+         |  annid: vec_id
+         |$maintainLines""".stripMargin
+    val db = new GraftDB(spark,
+      yaml("""  maintain: true
+             |  maintainbudget: 0.6
+             |  maintainnprobe: 3
+             |""".stripMargin),
+      Files.createTempDirectory("schema-maint-db").toString, () => T0)
+    // declared at boot: enrolled without any Scala registration call
+    assert(db.maintainedState("vec_idx").exists(_._1 == s"$idxDir/ivf"))
+    // ALTER dropping the maintain option detaches the enrollment (the
+    // SIMSEARCH registration itself stays — the entry is still declared)
+    db.alter(yaml(""))
+    assert(db.maintainedState("vec_idx").isEmpty)
+    // re-attaching via ALTER with a PQ source enrolls the PQ family
+    db.alter(yaml("""  maintain: true
+                    |  maintainsource: corpus
+                    |  maintaingc: true
+                    |""".stripMargin))
+    assert(db.maintainedState("vec_idx").exists(_._1 == s"$idxDir/ivf"))
+    // a re-ALTER with the same declaration must NOT reset enrollment state
+    db.alter(yaml("""  maintain: true
+                    |  maintainsource: corpus
+                    |  maintaingc: true
+                    |""".stripMargin))
+    assert(db.maintainedState("vec_idx").exists(_._1 == s"$idxDir/ivf"))
+    // ...while a PROGRAMMATIC enrollment survives schema reloads untouched
+    db.registerDedupMaintenance("prog_m", s"$idxDir/dedup")
+    db.alter(yaml(""))
+    assert(db.maintainedState("prog_m").isDefined)
+    assert(db.maintainedState("vec_idx").isEmpty)
+  }
+
 }

@@ -3768,4 +3768,52 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(11L, 13L, 14L))
   }
+
+  test("phRangePredicate: gap selection is unsigned across the sign boundary") {
+    // xxhash64 probes span the full signed Long range: the true widest gap
+    // here crosses the sign boundary and exceeds 2^63, so SIGNED gap
+    // arithmetic overflows it negative and would split at the tiny
+    // high-end gap instead — leaving one range spanning nearly the whole
+    // hash space (correct coverage, zero row-group skipping)
+    val a = Long.MinValue + 10
+    val b = Long.MaxValue - 20
+    val c = Long.MaxValue - 10
+    val prev = sys.props.get("graft.containmentProbeFilterRanges")
+    sys.props("graft.containmentProbeFilterRanges") = "2"
+    try {
+      val sql = Dedup.phRangePredicate(Array(a, b, c)).toString
+      // unsigned selection splits between a and b: a stays a point range,
+      // b..c become one tight range — NOT the signed-buggy split at (b, c)
+      assert(sql.contains(s"=(ph, ${a}L)") && sql.contains(s">=(ph, ${b}L)"),
+        s"expected point range at $a + range starting at $b in: $sql")
+      assert(!sql.contains(s">=(ph, ${a}L)"),
+        s"signed-overflow split: a near-full-space range from $a in: $sql")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.containmentProbeFilterRanges") = v
+        case None => sys.props.remove("graft.containmentProbeFilterRanges")
+      }
+    }
+  }
+
+  test("PersistCache: registering sites stay under 75% of the FIFO cap") {
+    // the r13-r15 crosstab drift recurs mechanically if cache-registering
+    // call sites outgrow the cap (FIFO round-robin eviction turns every
+    // rerun into a recompute). This tripwire counts the SOURCE-level sites;
+    // adding one past the bound means bumping PersistCache.maxEntries (and
+    // re-checking driver memory headroom), not shipping silent churn.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src", "main", "scala")
+    val sites = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.toString.endsWith("PersistCache.scala"))
+      .map(p => java.nio.file.Files.readString(p))
+      .map(s => "PersistCache\\.(persist|register)\\(".r.findAllIn(s).size)
+      .sum
+    assert(sites > 0, "site scan found nothing — path layout changed?")
+    val bound = graft.PersistCache.maxEntries * 3 / 4
+    assert(sites <= bound,
+      s"$sites PersistCache registering sites exceed 75% of the cap " +
+        s"(${graft.PersistCache.maxEntries}); bump maxEntries or drop a site")
+  }
 }

@@ -443,11 +443,264 @@ class ServerSpec extends AnyFunSuite {
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(met.body().contains("\"maintenance\":{\"nd\":\"ok"), met.body())
+      // scan-saver cache pressure is part of the same ops surface
+      assert(met.body().contains("\"persistCache\":{\"sites\":"), met.body())
     } finally {
       running.db.maintainedState("nd").flatMap(_._2).foreach(_.stop())
       running.stop()
       if (q0.isActive) q0.stop()
     }
+  }
+
+  test("daemon recovers a drifted IVF-PQ index from its registered source corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    // 4 tight 15-vector clusters at distinct corners: the seed geometry
+    def cluster(cid: Int, base: Long, n: Int): Seq[(Long, Seq[Float], Int)] = {
+      val center = Seq.tabulate(8)(d => if (d == cid % 8) 10.0f else 0.0f)
+      (0 until n).map { j =>
+        (base + j,
+          center.map(c => c + (rnd.nextGaussian() * 0.4).toFloat), cid)
+      }
+    }
+    val seed = (0 until 4).flatMap(c => cluster(c, 100L * c, 15))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Files.createTempDirectory("pq-maint-idx").toString + "/i"
+    val ckpt = Files.createTempDirectory("pq-maint-ckpt").toString
+    graft.pipeline.Similarity.ivfPqBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), nCentroids = 6, m = 4, k = 8, idx)
+    // drift: a memory stream delivers 60 vectors ALL in a new region —
+    // they crowd the nearest frozen cells, so the top-nProbe probed
+    // fraction rises over budget (the PQ family's trigger statistic)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], Int)]
+    def attachAt(path: String) = graft.streaming.AnnIndexStream.attachIvfPq(
+      mem.toDF().toDF("vec_id", "embedding", "label"), col("embedding"),
+      col("vec_id"), path, ckpt)
+    val q0 = attachAt(idx)
+    val drift = cluster(5, 900L, 60)
+    mem.addData(drift)
+    q0.processAllAvailable()
+    val pfDrifted = graft.pipeline.Similarity.probedFraction(spark, idx, 2)
+    val budget = 0.5
+    assert(pfDrifted > budget,
+      f"fixture must be drifted over budget: $pfDrifted%.2f")
+    val dir = Files.createTempDirectory("pq-maint-db").toString
+    val schemaFile = Files.createTempFile("pq-maint-schema", ".yaml")
+    Files.writeString(schemaFile,
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin)
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false, maintainIntervalMs = 250L)
+    try {
+      // the rebuild corpus (seed + everything streamed) is a registered
+      // catalog table, resolved by the TICK — codes cannot re-cluster
+      // from themselves, so the spec names where the vectors live
+      val corpus = seed.unionByName(drift.toDF("vec_id", "embedding", "label"))
+      running.db.registerTable("corpus", corpus)
+      running.db.registerAnnIndex("pqm", idx, "embedding", "vec_id")
+      running.db.registerPqMaintenance("pqm", idx, "corpus",
+        "embedding", "vec_id", nProbe = 2, scanBudget = budget,
+        stream = Some(q0), restart = Some(p => attachAt(p)))
+      // the DAEMON's thread must run the recovery: poll its statuses
+      val deadline = System.currentTimeMillis() + 60000
+      while (!running.db.lastMaintenance.exists(_._2.startsWith("rebuilt")) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "pqm" && s == s"rebuilt -> $idx-g1" },
+        running.db.lastMaintenance.toString)
+      assert(!q0.isActive, "daemon must have quiesced the old stream")
+      val dest = s"$idx-g1"
+      // the rebuilt index holds exactly the corpus's rows, re-coded with
+      // FRESH coarse cells + codebooks, and is complete (meta sentinel)
+      graft.pipeline.Similarity.requireIndexComplete(dest)
+      assert(spark.read.parquet(dest).count() === 120)
+      // recovered: the trigger statistic is back under budget, so the
+      // next passes report ok instead of rebuilding forever
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (!running.db.lastMaintenance.exists { case (n, s) =>
+               n == "pqm" && s.startsWith("ok") } &&
+             System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "pqm" && s.startsWith("ok") },
+        running.db.lastMaintenance.toString)
+      // the SIMSEARCH registration followed the flip: the dialect probes
+      // the new generation and finds a drift vector's own neighborhood
+      val qv = drift.head._2
+      val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      val hits = running.db.sql(
+        s"""SELECT score FROM SIMSEARCH('pqm', [$vecLit], 3, 3)
+           |GROUP BY id ORDER BY id""".stripMargin).collect()
+      assert(hits.length == 3)
+      assert(hits.map(_.getAs[Long]("id")).forall(_ >= 900L),
+        s"drift-region probe must hit drift vectors: ${hits.mkString(",")}")
+      // the restarted stream admits into the DEST generation
+      mem.addData(Seq((9999L, Seq.tabulate(8)(d =>
+        if (d == 5) 10.0f else 0.0f), 5)))
+      // the PQ index stores codes under its own layout (__id/__codes/__c)
+      val deadline3 = System.currentTimeMillis() + 60000
+      while (spark.read.parquet(dest).filter(col("__id") === 9999L)
+               .head(1).isEmpty &&
+             System.currentTimeMillis() < deadline3)
+        Thread.sleep(200)
+      assert(spark.read.parquet(dest).filter(col("__id") === 9999L)
+        .count() === 1, "restarted stream not admitting into dest")
+    } finally {
+      running.db.maintainedState("pqm").flatMap(_._2).foreach(_.stop())
+      running.stop()
+      if (q0.isActive) q0.stop()
+    }
+  }
+
+  test("registry stays responsive while a maintenance pass is mid-flight") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a fragmented near-dup index whose tick WILL compact
+    val idx = Files.createTempDirectory("lock-idx").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"lock seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"lock round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val dir = Files.createTempDirectory("lock-db").toString
+    val schemaFile = Files.createTempFile("lock-schema", ".yaml")
+    Files.writeString(schemaFile,
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin)
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false)
+    val db = running.db
+    db.registerDedupMaintenance("slow", idx, maxFilesPerPrefix = 1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    graft.pipeline.Dedup.crashHook = p =>
+      if (p == "dedup.compact-data") { entered.countDown(); release.await() }
+    @volatile var statuses: Seq[(String, String)] = Nil
+    val tick = new Thread(() => { statuses = db.maintenanceTick() })
+    tick.start()
+    try {
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "compaction never reached the mid-flight hook")
+      // with the pass mid-compaction, registry reads and registrations
+      // must return promptly — neither may block behind the Spark job
+      val probe = new Thread(() => {
+        assert(db.maintainedState("slow").exists(_._1 == idx))
+        db.registerDedupMaintenance("other",
+          Files.createTempDirectory("lock-other").toString)
+        assert(db.maintainedState("other").isDefined)
+      })
+      probe.start()
+      probe.join(5000)
+      assert(!probe.isAlive,
+        "registry blocked behind a mid-flight maintenance pass")
+      // an overlapping tick skips the claimed index instead of
+      // double-compacting it
+      val overlap = new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](Nil)
+      val t2 = new Thread(() => overlap.set(db.maintenanceTick()))
+      t2.start(); t2.join(30000)
+      assert(!t2.isAlive, "overlapping tick blocked behind the first pass")
+      assert(overlap.get().exists { case (n, s) =>
+        n == "slow" && s.startsWith("busy") }, overlap.get().toString)
+    } finally {
+      release.countDown()
+      graft.pipeline.Dedup.crashHook = _ => ()
+      tick.join(120000)
+      running.stop()
+    }
+    assert(statuses.exists { case (n, s) =>
+      n == "slow" && s == s"compacted -> $idx-g1" }, statuses.toString)
+  }
+
+  test("daemon maintenance driven purely by the schema yaml") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    def cluster(cid: Int, base: Long, n: Int): Seq[(Long, Seq[Float])] = {
+      val center = Seq.tabulate(6)(d => if (d == cid % 6) 10.0f else 0.0f)
+      (0 until n).map { j =>
+        (base + j, center.map(c => c + (rnd.nextGaussian() * 0.4).toFloat))
+      }
+    }
+    val seed = (0 until 4).flatMap(c => cluster(c, 100L * c, 15))
+      .toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("yaml-maint-idx").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), nCentroids = 6, idx)
+    // drift the IVF index: 120 appends all in ONE direction (corner 0)
+    // crowd that direction's frozen cell(s); a rebuild with fresh
+    // centroids re-balances by splitting the dense direction's angular
+    // noise across several cells
+    graft.pipeline.Similarity.ivfAppend(spark, idx,
+      cluster(0, 900L, 120).toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    val pfDrifted = graft.pipeline.Similarity.probedFraction(spark, idx, 2)
+    // budget from the MEASURED drifted statistic: the trigger is
+    // guaranteed, and the recovery assertion below then checks the policy's
+    // actual promise — a fresh re-cluster lands meaningfully under the
+    // drifted probe cost
+    val budget = pfDrifted - 0.02
+    assert(budget > 0.2, f"fixture not drifted enough: $pfDrifted%.2f")
+    val dir = Files.createTempDirectory("yaml-maint-db").toString
+    val schemaFile = Files.createTempFile("yaml-maint-schema", ".yaml")
+    // EVERYTHING is declared: the index registration AND its maintenance
+    // enrollment — no Scala call touches the db after boot
+    Files.writeString(schemaFile,
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY *, period(5m)
+         |vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |  maintain: true
+         |  maintainbudget: $budget
+         |  maintainnprobe: 2
+         |""".stripMargin)
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false, maintainIntervalMs = 250L)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!running.db.lastMaintenance.exists(_._2.startsWith("re-clustered")) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g1" },
+        running.db.lastMaintenance.toString)
+      assert(running.db.maintainedState("vidx").exists(_._1 == s"$idx-g1"))
+      // the declared SIMSEARCH registration follows the flip
+      val qv = seed.filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      val hits = running.db.sql(
+        s"""SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 6)
+           |GROUP BY id ORDER BY id""".stripMargin).collect()
+      assert(hits.length == 3)
+      assert(hits.map(_.getAs[Long]("id")).contains(0L))
+      // recovered: later passes report ok
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (!running.db.lastMaintenance.exists { case (n, s) =>
+               n == "vidx" && s.startsWith("ok") } &&
+             System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "vidx" && s.startsWith("ok") },
+        running.db.lastMaintenance.toString)
+    } finally running.stop()
   }
 
   test("daemon: one schema boots both surfaces over a shared db (zeno.go parity)") {
