@@ -214,6 +214,112 @@ object ContainmentStress {
       finally sys.props.remove("graft.containmentProbeFilterMax")
     }
 
+    // ---- mid-band probe tiers (10k-1M probes): broadcast vs shuffle vs
+    //      shuffle + runtime bloom-filter injection --------------------
+    // The bounded (residue-prune + pushed ph ranges) path covers <=4096
+    // probes; giant batches shuffle. In between, uniform probes saturate
+    // both the residue dirs and any 256-range cover, so row-group
+    // skipping cannot win — the open question is the JOIN tier: the probe
+    // frame still broadcasts easily through ~4M hash rows, and past that
+    // ceiling Spark's runtime bloom filter could bound the postings
+    // side's shuffle. Measure all three tiers on the exact candidate-join
+    // shape containmentIncremental plans (postings JOIN probes ON ph),
+    // miss-dominated probes (the daily fresh-doc shape).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shLst = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(
+            te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    val bloomDefault =
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val postAll = spark.read.parquet(s"$idx/post")
+    def probeFrame(n: Long) = spark.range(n)
+      .select(xxhash64(col("id"), lit(777)).as("ph"))
+    def bandRun(n: Long, bcast: Boolean, bloom: Boolean,
+                dedupProbes: Boolean = false): (Double, Long, Boolean) = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        bloom.toString)
+      // let injection fire at toy scale: production postings clear the
+      // 10GB application-side default on their own
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "128MB")
+      if (!bcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p0 = if (dedupProbes) probeFrame(n).distinct() else probeFrame(n)
+        val p = if (bcast) broadcast(p0) else p0
+        val df = postAll.join(p, Seq("ph")).agg(count(lit(1)))
+        spark.sparkContext.addSparkListener(shLst)
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        try df.collect() finally ()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let straggler task-end events land
+        spark.sparkContext.removeSparkListener(shLst)
+        val injected = df.queryExecution.executedPlan.toString
+          .toLowerCase.contains("might_contain")
+        (sec, shuffleBytes.get(), injected)
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter" +
+          ".applicationSideScanSizeThreshold")
+        spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    // InjectRuntimeFilter only fires when the creation side holds a
+    // SELECTIVE FILTER OVER A SCAN — a derived probe frame (explode over a
+    // persisted prep, or this synthetic range) never qualifies, with or
+    // without an Aggregate on top. The variants measure the tiers anyway
+    // (distinct() on the probe side is the Aggregate a real adoption
+    // would add; a semantic no-op — probe arrays are already
+    // array_distinct), and the sanity run below proves the rig CAN
+    // produce an injection when the creation-side shape is right, so
+    // "injected: false" is a property of the probe shape, not the rig.
+    val band = Seq(16384L, 131072L, 1048576L).map { n =>
+      val b = bandRun(n, bcast = true, bloom = false)
+      val s = bandRun(n, bcast = false, bloom = false)
+      val sb = bandRun(n, bcast = false, bloom = true, dedupProbes = true)
+      (n, b, s, sb)
+    }
+    // sanity: parquet-backed creation side carrying a selective literal
+    // filter — the shape InjectRuntimeFilter's isSelectiveFilterOverScan
+    // demands. If THIS reports false too, the conclusion above is void.
+    val bloomSanity = {
+      val pdir = java.nio.file.Files
+        .createTempDirectory("cn-bloom-probe").toString
+      probeFrame(1048576L).withColumn("tag", pmod(col("ph"), lit(17)))
+        .write.mode("overwrite").parquet(pdir)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "128MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = spark.read.parquet(pdir).filter(col("tag") === 3)
+          .select(col("ph"))
+        val df = postAll.join(p, Seq("ph")).agg(count(lit(1)))
+        df.collect()
+        df.queryExecution.executedPlan.toString
+          .toLowerCase.contains("might_contain")
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter" +
+          ".applicationSideScanSizeThreshold")
+        spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+
     // one admitting pass (counter + postings + docs) at the giant size
     val (_, admitSec) = time {
       graft.pipeline.Dedup.containmentIncremental(batch, col("text"),
@@ -239,6 +345,17 @@ object ContainmentStress {
       s""""history_4x":{"rows_full_1x":$rowsFull,"rows_full_4x":$rowsFull4,""" +
       s""""rows_16probes_1x":${postScan.find(_._1 == 16).get._2},""" +
       s""""rows_16probes_4x":$rows16At4x},""" +
+      s""""bloom_default":"$bloomDefault","probe_band":{""" +
+      band.map { case (n, b, s, sb) =>
+        s""""${n}":{"bcast_sec":${f"${b._1}%.2f"},""" +
+          s""""bcast_shuffle_mb":${b._2 / (1 << 20)},""" +
+          s""""shuffle_sec":${f"${s._1}%.2f"},""" +
+          s""""shuffle_mb":${s._2 / (1 << 20)},""" +
+          s""""bloom_sec":${f"${sb._1}%.2f"},""" +
+          s""""bloom_mb":${sb._2 / (1 << 20)},""" +
+          s""""bloom_injected":${sb._3}}"""
+      }.mkString(",") + "}," +
+      s""""bloom_sanity_injected":$bloomSanity,""" +
       s""""admit_shuffle_sec":${f"$admitSec%.1f"}}""")
     spark.stop()
   }
