@@ -19,16 +19,16 @@ import org.apache.spark.sql.SparkSession
 object Server {
 
   /** A started daemon: both surfaces share one embedded [[GraftDB]].
-    * `stop()` also interrupts the schema watcher, so repeated start/stop
-    * cycles in one JVM don't accumulate poller threads.
+    * `stop()` also interrupts the schema watcher and maintenance loop, so
+    * repeated start/stop cycles in one JVM don't accumulate poller threads.
     */
   final case class Running(db: GraftDB, http: server.HttpServer,
                            rpc: server.RpcServer, httpPort: Int, rpcPort: Int,
                            watcher: Option[Thread],
-                           maintainer: Option[Thread] = None) {
+                           maintainer: Option[Maintainer] = None) {
     def stop(): Unit = {
       watcher.foreach(_.interrupt())
-      maintainer.foreach(_.interrupt())
+      maintainer.foreach(_.stop())
       http.stop(); rpc.stop()
     }
   }
@@ -37,23 +37,38 @@ object Server {
     * their own flush/retention timers, zenodb.go — nothing external calls
     * them; this is the index-lifecycle analogue): every `intervalMs`, one
     * [[GraftDB.maintenanceTick]] over the enrolled indexes. Per-index
-    * failures are contained inside the tick; the thread only exits on
-    * interrupt.
+    * failures are contained inside the tick.
+    *
+    * Shutdown is FLAG-based, not interrupt-only: an interrupt that lands
+    * while a tick is inside a Spark job surfaces as some wrapped exception
+    * that the tick's failure containment would swallow — consuming the
+    * interrupt FLAG and leaving the loop ticking forever (observed as a
+    * stopped test daemon spamming probedFraction jobs for the rest of the
+    * JVM). `stop()` sets the flag first, then interrupts to cut a sleep
+    * short; the loop re-checks the flag after every wake-up of either kind.
     */
-  private def maintainLoop(db: GraftDB, intervalMs: Long): Thread = {
-    val t = new Thread(() => {
-      try while (!Thread.currentThread().isInterrupted) {
-        Thread.sleep(intervalMs)
-        try db.lastMaintenance = db.maintenanceTick()
-        catch { case e: Exception =>
-          System.err.println(s"[graft] maintenance tick failed: ${e.getMessage}")
+  final class Maintainer private[Server] (db: GraftDB, intervalMs: Long) {
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+        if (!stopped) {
+          try db.lastMaintenance = db.maintenanceTick()
+          catch { case e: Exception => if (!stopped)
+            System.err.println(
+              s"[graft] maintenance tick failed: ${e.getMessage}")
+          }
         }
-      } catch { case _: InterruptedException => () }
+      }
     }, "graft-maintain")
     t.setDaemon(true)
     t.start()
-    t
+    def stop(): Unit = { stopped = true; t.interrupt() }
   }
+
+  private def maintainLoop(db: GraftDB, intervalMs: Long): Maintainer =
+    new Maintainer(db, intervalMs)
 
   def start(spark: SparkSession, schemaPath: String, dataDir: String,
             httpPort: Int = 0, rpcPort: Int = 0,
