@@ -894,6 +894,18 @@ final class GraftDB(
                     if (r.compacted) s"compacted -> ${r.activePath}"
                     else s"ok (${r.maxFilesPerPrefix} files/prefix)"
                   case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
+                    // fail with the ACTIONABLE message before the trigger
+                    // statistic: an IVF-PQ index enrolled through the IVF
+                    // path (yaml `maintain:` without `maintainsource:`)
+                    // would otherwise only error on the tick that first
+                    // crosses budget, with maintainIndex's layout message
+                    if (java.nio.file.Files.exists(
+                        java.nio.file.Paths.get(active, "_pq.txt")))
+                      throw new IllegalStateException(
+                        s"'$name' is an IVF-PQ index: its codes cannot " +
+                          "re-cluster from themselves — enroll it with " +
+                          "registerPqMaintenance (schema: add " +
+                          "'maintainsource: <vector table>')")
                     val r = pipeline.Similarity.maintainIndex(spark, active,
                       dest, col(vecCol0), col(idCol0), nProbe, budget,
                       stream0, st.restart)
@@ -939,6 +951,18 @@ final class GraftDB(
       : Option[(String, Option[org.apache.spark.sql.streaming.StreamingQuery])] =
     maintained.synchronized { maintained.get(name) }
       .map(st => st.synchronized((st.activePath, st.stream)))
+
+  /** Observability snapshot per enrolled index (the `/metrics` surface):
+    * active path, generation number, superseded generations awaiting GC,
+    * and how many of those a reader lease currently pins.
+    */
+  def maintainedStats: Map[String, (String, Int, Int, Int)] =
+    maintained.synchronized { maintained.toMap }.map { case (n, st) =>
+      n -> st.synchronized {
+        (st.activePath, st.gen, st.pendingDeletes.size,
+          st.pendingDeletes.count(isLeased))
+      }
+    }
 
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.

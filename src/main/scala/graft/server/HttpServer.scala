@@ -51,6 +51,14 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     val maint = db.lastMaintenance.map { case (n, st) =>
       s"${jstr(n)}:${jstr(st)}"
     }.mkString("{", ",", "}")
+    // per-enrolled-index lifecycle state: active generation + the GC
+    // queue (pending = superseded generations awaiting deletion, leased =
+    // how many an in-flight reader currently pins)
+    val maintained = db.maintainedStats.toSeq.sortBy(_._1)
+      .map { case (n, (path, gen, pending, leased)) =>
+        s"${jstr(n)}:{\"path\":${jstr(path)},\"generation\":$gen," +
+          s"\"pendingGc\":$pending,\"leasedGc\":$leased}"
+      }.mkString("{", ",", "}")
     s"""{"uptimeMs":${System.currentTimeMillis() - startedAt},""" +
       s""""tables":$tables,"journals":$journals,""" +
       s""""activeStreams":${db.activeStreamCount},""" +
@@ -61,7 +69,7 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       // it shows up as bench regression
       s""""persistCache":{"sites":${graft.PersistCache.sitesHighWater},""" +
       s""""max":${graft.PersistCache.maxEntries}},""" +
-      s""""maintenance":$maint}"""
+      s""""maintained":$maintained,"maintenance":$maint}"""
   }
 
   /** Bounded body read: `readAllBytes` on an unbounded POST would buffer a

@@ -1359,4 +1359,34 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedState("vec_idx").isEmpty)
   }
 
+  test("maintain: on a PQ index without maintainsource fails the tick with an actionable message") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("pq-misconf").toString
+    graft.pipeline.Similarity.ivfPqBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, m = 3, k = 8, s"$idxDir/pq")
+    val db = new GraftDB(spark,
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |pq_idx:
+         |  annindex: $idxDir/pq
+         |  annvec: embedding
+         |  annid: vec_id
+         |  maintain: true
+         |""".stripMargin,
+      Files.createTempDirectory("pq-misconf-db").toString, () => T0)
+    // the misconfiguration (no maintainsource -> enrolled as plain IVF)
+    // must fail EVERY tick with the fix spelled out, not only the tick
+    // that first crosses the probe budget
+    val t = db.maintenanceTick()
+    assert(t.exists { case (n, s) =>
+      n == "pq_idx" && s.startsWith("error:") &&
+        s.contains("maintainsource") }, t.toString)
+  }
+
 }

@@ -445,6 +445,11 @@ class ServerSpec extends AnyFunSuite {
       assert(met.body().contains("\"maintenance\":{\"nd\":\"ok"), met.body())
       // scan-saver cache pressure is part of the same ops surface
       assert(met.body().contains("\"persistCache\":{\"sites\":"), met.body())
+      // per-index lifecycle state: the flip and its (already-GC'd, so
+      // empty) deletion queue are visible to the operator
+      assert(met.body().contains(
+        s""""nd":{"path":"$idx-g1","generation":1,"pendingGc":0,"leasedGc":0}"""),
+        met.body())
     } finally {
       running.db.maintainedState("nd").flatMap(_._2).foreach(_.stop())
       running.stop()
