@@ -773,6 +773,36 @@ final class GraftDB(
   // alter()
   locally { registerSchemaAnnIndexes(resolveSchema(schemaText)) }
 
+  /** Restart durability: discover the newest COMPLETE generation of a
+    * maintained index from the blue/green naming scheme (`-g1`, `-g2`,
+    * ...) so a re-enrollment after a daemon restart resumes at the
+    * flipped generation instead of the (possibly GC'd) base path — the
+    * reference's stores re-derive their generation from the manifest on
+    * open (row_store.go); the index analogue re-derives it from the
+    * sibling dirs. "Complete" is the families' shared meta-sentinel
+    * contract: a generation is valid iff its meta file committed LAST
+    * (`_centroids.txt`/`_pq.txt` for the ANN family, `_index.txt` for
+    * exact/near-dup/containment), so a crash mid-flip leaves a dest this
+    * scan skips.
+    */
+  private def discoverGeneration(basePath: String): (String, Int) = {
+    def complete(p: String): Boolean = {
+      val dir = java.nio.file.Paths.get(p)
+      java.nio.file.Files.isDirectory(dir) &&
+        Seq("_centroids.txt", "_pq.txt", "_index.txt")
+          .exists(m => java.nio.file.Files.exists(dir.resolve(m)))
+    }
+    var gen = 0
+    var active = basePath
+    var n = 1
+    while (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$basePath-g$n"))) {
+      if (complete(s"$basePath-g$n")) { gen = n; active = s"$basePath-g$n" }
+      n += 1
+    }
+    (active, gen)
+  }
+
   /** Enroll a dedup-family index (exact / near-dup / containment — the
     * layout is detected) for daemon-driven fragmentation maintenance.
     */
@@ -782,8 +812,9 @@ final class GraftDB(
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
     maintained.synchronized {
+      val (active, gen) = discoverGeneration(path)
       maintained(name) = new MaintState(path,
-        DedupMaint(maxFilesPerPrefix), path, 0, stream, restart,
+        DedupMaint(maxFilesPerPrefix), active, gen, stream, restart,
         gcOldGenerations)
     }
 
@@ -797,8 +828,9 @@ final class GraftDB(
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
     maintained.synchronized {
+      val (active, gen) = discoverGeneration(path)
       maintained(name) = new MaintState(path,
-        AnnMaint(vecCol, idCol, nProbe, scanBudget), path, 0, stream,
+        AnnMaint(vecCol, idCol, nProbe, scanBudget), active, gen, stream,
         restart, gcOldGenerations)
     }
 
@@ -816,9 +848,10 @@ final class GraftDB(
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
     maintained.synchronized {
+      val (active, gen) = discoverGeneration(path)
       maintained(name) = new MaintState(path,
         PqMaint(sourceTable.toLowerCase, vecCol, idCol, nProbe, scanBudget),
-        path, 0, stream, restart, gcOldGenerations)
+        active, gen, stream, restart, gcOldGenerations)
     }
 
   /** One maintenance pass over every enrolled index; returns

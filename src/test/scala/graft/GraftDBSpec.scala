@@ -1359,6 +1359,89 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedState("vec_idx").isEmpty)
   }
 
+  test("maintenance enrollment after restart resumes at the flipped generation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("restart-gen").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"restart seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    def fragment(at: String, round: Int): Unit =
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * round + i, s"round $round doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), at, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    for (r <- 1 to 2) fragment(idx, r)
+    val yaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db1 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("restart-db1").toString, () => T0)
+    db1.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    db1.maintenanceTick() // flip -> -g1
+    db1.maintenanceTick() // GC the base generation
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // "restart": a fresh process re-enrolls with the DECLARED base path —
+    // generation discovery must land on -g1, not the GC'd base
+    val db2 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("restart-db2").toString, () => T0)
+    db2.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    assert(db2.maintainedState("nd").exists(_._1 == s"$idx-g1"),
+      db2.maintainedState("nd").toString)
+    val t1 = db2.maintenanceTick()
+    assert(t1.exists { case (n, s) => n == "nd" && s.startsWith("ok") },
+      t1.toString)
+    // the NEXT flip numbers off the discovered generation (-g2, not a
+    // second -g1 clobbering the live copy)
+    for (r <- 3 to 4) fragment(s"$idx-g1", r)
+    val t2 = db2.maintenanceTick()
+    assert(t2.exists { case (n, s) =>
+      n == "nd" && s == s"compacted -> $idx-g2" }, t2.toString)
+  }
+
+  test("schema-declared maintenance resolves a flipped generation at boot") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("boot-gen").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    // simulate a pre-restart flip + GC: the live copy is -g1, base gone
+    graft.pipeline.Similarity.indexCompactTo(spark, idx, s"$idx-g1")
+    GraftDB.deleteRecursively(java.nio.file.Paths.get(idx))
+    val db = new GraftDB(spark,
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |  maintain: true
+         |  maintainbudget: 2.0
+         |  maintainnprobe: 2
+         |""".stripMargin,
+      Files.createTempDirectory("boot-gen-db").toString, () => T0)
+    assert(db.maintainedState("vidx").exists(_._1 == s"$idx-g1"))
+    // the declared SIMSEARCH registration follows the discovered
+    // generation too — the yaml's base path no longer exists
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val hits = db.sql(
+      s"""SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4)
+         |GROUP BY id ORDER BY id""".stripMargin).collect()
+    assert(hits.length == 3)
+    assert(hits.map(_.getAs[Long]("id")).contains(0L))
+  }
+
   test("maintain: on a PQ index without maintainsource fails the tick with an actionable message") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
