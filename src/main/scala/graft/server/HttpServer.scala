@@ -176,6 +176,17 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       val rewritten = db.compact(table)
       s"""{"table":${jsonStr(table)},"day_dirs_rewritten":$rewritten}"""
     })
+    // one-shot maintenance pass over every enrolled index — the manual
+    // counterpart of the --maintain-interval daemon loop (an operator
+    // forcing recovery NOW instead of waiting a period); the result also
+    // lands in /metrics' "maintenance" object like a daemon tick's would
+    server.createContext("/maintain", (ex: HttpExchange) => handle(ex) {
+      require(ex.getRequestMethod == "POST", "POST required")
+      val statuses = db.maintenanceTick()
+      db.lastMaintenance = statuses
+      statuses.map { case (n, st) => s"${jsonStr(n)}:${jsonStr(st)}" }
+        .mkString("{", ",", "}")
+    })
     server.start()
     server.getAddress.getPort
   }

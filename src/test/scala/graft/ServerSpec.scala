@@ -564,6 +564,57 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /maintain forces a one-shot maintenance pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("http-maint-idx").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"http maint seed $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"hm round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val dir = Files.createTempDirectory("http-maint-db").toString
+    val schemaFile = Files.createTempFile("http-maint-schema", ".yaml")
+    Files.writeString(schemaFile,
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin)
+    // NO --maintain-interval: the endpoint is the manual counterpart
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false)
+    try {
+      running.db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1)
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/maintain"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.body().contains(s""""nd":"compacted -> $idx-g1""""),
+        resp.body())
+      // the forced pass is visible on /metrics like a daemon tick's
+      val met = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(met.body().contains("\"maintenance\":{\"nd\":\"compacted"),
+        met.body())
+      // GET refuses: the pass mutates state
+      val get = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/maintain"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 400, get.body())
+    } finally running.stop()
+  }
+
   test("registry stays responsive while a maintenance pass is mid-flight") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
