@@ -229,9 +229,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def suitePass(): Seq[(String, Double)] =
-      (SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))) :+
-        ("ingest_events" -> runIngest())
+    // Short calibration probes INTERLEAVED every CalGroup queries: the r17
+    // official capture showed load can drift mid-capture (cal 0.18 -> 0.74
+    // within one run), which a start/end pair cannot localize — per-group
+    // probes make each ENTRY's load context readable from the JSON alone.
+    // Entry i of a pass (sorted query names, then ingest_events last) is
+    // bracketed by probes [i / CalGroup] and [i / CalGroup + 1] of that
+    // pass's cal series.
+    val CalGroup = 8
+    def suitePass(cals: scala.collection.mutable.ArrayBuffer[Double])
+        : Seq[(String, Double)] = {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (i % CalGroup == 0) cals += calibration()
+        out += (n -> runOnce(n))
+      }
+      cals += calibration()
+      out += (("ingest_events", runIngest()))
+      cals += calibration()
+      out.toSeq
+    }
 
     // Fixed-cost calibration probe, run at the start and end of each pass:
     // a constant 3-row pivot + join + window job whose true cost is pure
@@ -258,12 +276,14 @@ object Bench {
     }
     calibration() // warm the probe's own plan family out of the first sample
 
-    val calA0 = calibration()
-    val passA = suitePass()
-    val calA1 = calibration()
-    val calB0 = calibration()
-    val passB = suitePass()
-    val calB1 = calibration()
+    val calsA = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passA = suitePass(calsA)
+    val calsB = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passB = suitePass(calsB)
+    val calA0 = calsA.head
+    val calA1 = calsA.last
+    val calB0 = calsB.head
+    val calB1 = calsB.last
     val results = passA.zip(passB).map { case ((k, a), (_, b)) =>
       k -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
@@ -277,8 +297,13 @@ object Bench {
     // line: emit the cold-read first-pass series on its own line first, then
     // the compact primary object alone on the final line so the headline
     // total can never be truncated off the front again (r6 verdict item #1).
+    // a_start/a_end/b_start/b_end keep the pre-r18 shape for cross-round
+    // tooling; cal_series carries the full interleaved probe record (one
+    // probe before every CalGroup-sized query group, plus one after the
+    // last query and one after ingest), keyed to the sorted entry order
+    def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
     val calibrationJson =
-      s"""{"a_start":${num(calA0)},"a_end":${num(calA1)},"b_start":${num(calB0)},"b_end":${num(calB1)}}"""
+      s"""{"a_start":${num(calA0)},"a_end":${num(calA1)},"b_start":${num(calB0)},"b_end":${num(calB1)},"group_size":$CalGroup,"series_a":${arr(calsA.toSeq)},"series_b":${arr(calsB.toSeq)}}"""
     // Load-normalized total: the calibration probe's unloaded band on this
     // machine is ~0.105 s (BENCH_LOCAL.md history); cal_norm_total scales
     // the headline by unloaded/observed so the per-round record is
@@ -288,8 +313,9 @@ object Bench {
     // work); cross-round conclusions should still prefer captures whose
     // raw cal_med sits in the unloaded band.
     val calMedAll = {
-      val cs = Seq(calA0, calA1, calB0, calB1).sorted
-      (cs(1) + cs(2)) / 2
+      val cs = (calsA ++ calsB).sorted
+      if (cs.length % 2 == 1) cs(cs.length / 2)
+      else (cs(cs.length / 2 - 1) + cs(cs.length / 2)) / 2
     }
     val UnloadedCalBand = 0.105
     val calNormTotal =

@@ -50,11 +50,12 @@ final class GraftDB(
     */
   private def resolveSchema(text: String)
       : Map[String, (TableConfig, Option[Query])] = {
-    // `annindex:` entries declare SIMSEARCH registrations, not tables —
-    // they carry no sql to parse (Query = None)
+    // `annindex:` / `dedupindex:` entries declare index registrations, not
+    // tables — they carry no sql to parse (Query = None)
     val parsed: Map[String, (TableConfig, Option[Query])] =
       SchemaParser.parse(text).map(c => c.name -> (c,
-        if (c.annIndexPath.isDefined) None else Some(Parser.parse(c.sql))))
+        if (c.annIndexPath.isDefined || c.dedupIndexPath.isDefined) None
+        else Some(Parser.parse(c.sql))))
         .toMap
     parsed.map { case (name, (cfg, q0)) =>
       val resolved = q0.map { q =>
@@ -90,7 +91,7 @@ final class GraftDB(
   private def registerSchemaAnnIndexes(
       resolved: Map[String, (TableConfig, Option[Query])]): Unit = {
     val declared = resolved.collect {
-      case (name, (_, None)) => name.toLowerCase
+      case (name, (cfg, None)) if cfg.annIndexPath.isDefined => name.toLowerCase
     }.toSet
     annIndexes.synchronized {
       (schemaAnnNames -- declared).foreach(annIndexes.remove)
@@ -104,20 +105,21 @@ final class GraftDB(
       case (name, (cfg, None)) if cfg.maintain => name.toLowerCase
     }.toSet
     maintained.synchronized {
-      (schemaMaintNames -- declaredMaint).foreach(maintained.remove)
+      // a detached enrollment's queued generations go to the orphan GC
+      // queue — detach must not strand superseded dirs on disk
+      (schemaMaintNames -- declaredMaint).foreach(n =>
+        maintained.remove(n).foreach(orphanPendingDeletes))
       schemaMaintNames.clear()
       schemaMaintNames ++= declaredMaint
     }
     resolved.foreach {
-      case (name, (cfg, None)) =>
+      case (name, (cfg, None)) if cfg.annIndexPath.isDefined =>
         val declaredPath = cfg.annIndexPath.get
         if (cfg.maintain) {
-          // re-ALTERs must not reset a live enrollment's generation state
-          // (activePath/gen survive; only a changed base path re-enrolls)
-          val keep = maintained.synchronized {
-            maintained.get(name.toLowerCase).exists(_.basePath == declaredPath)
-          }
-          if (!keep) cfg.maintainSource match {
+          // enroll() is in-place for an unchanged base path: a re-ALTER
+          // keeps generation state (activePath/gen/stream/GC queue) while
+          // applying any CHANGED maintain* options live
+          cfg.maintainSource match {
             case Some(src) => registerPqMaintenance(name.toLowerCase,
               declaredPath, src, cfg.annVecCol, cfg.annIdCol,
               cfg.maintainNProbe, cfg.maintainBudget,
@@ -131,13 +133,23 @@ final class GraftDB(
         // a schema reload must not UNDO a maintenance flip: when the entry
         // is enrolled and the daemon has already flipped it to a newer
         // generation, the SIMSEARCH registration points at the enrolled
-        // ACTIVE path, not the yaml's base path
+        // ACTIVE path. A NON-enrolled entry (maintain dropped on ALTER, or
+        // a restart before enrollment) resolves the newest complete
+        // on-disk generation instead of blindly trusting the yaml base,
+        // which earlier flips may have GC'd.
         val path = maintained.synchronized {
           maintained.get(name.toLowerCase).filter(_.basePath == declaredPath)
-        }.map(st => st.synchronized(st.activePath)).getOrElse(declaredPath)
+        }.map(st => st.synchronized(st.activePath))
+          .getOrElse(discoverGeneration(declaredPath)._1)
         registerAnnIndex(name, path, cfg.annVecCol,
           cfg.annIdCol, quantized = cfg.annQuantized,
           baseTable = cfg.annBaseTable, refineK = cfg.annRefineK)
+      // `dedupindex:` entries exist solely to enroll daemon maintenance
+      // for the exact/near-dup/containment family (parse-time validated
+      // to carry maintain: true)
+      case (name, (cfg, None)) if cfg.dedupIndexPath.isDefined && cfg.maintain =>
+        registerDedupMaintenance(name.toLowerCase, cfg.dedupIndexPath.get,
+          cfg.maintainFiles, gcOldGenerations = cfg.maintainGc)
       case _ => ()
     }
   }
@@ -540,7 +552,15 @@ final class GraftDB(
     * file listed here, so planning stays O(1) in store size; a query forces
     * exactly the relation (full or day-pruned) it scans.
     */
-  def catalog: Catalog = {
+  def catalog: Catalog =
+    catalogWith(annIndexes.synchronized(annIndexes.toMap))
+
+  /** [[catalog]] with the ANN registry pinned to a caller-held snapshot:
+    * [[preQuery]] takes the snapshot at LEASE time and threads it into
+    * planning, so the path a query's lease pins and the path its plan scans
+    * cannot diverge when a maintenance flip lands in between.
+    */
+  private def catalogWith(ann: Map[String, AnnIndexDef]): Catalog = {
     val defs = tables.flatMap { case (name, t) =>
       t.storedSchema().map { schema =>
         val cols = schema.fieldNames.toSeq
@@ -571,11 +591,8 @@ final class GraftDB(
       externalTables.values.filterNot(e => defs.exists(_.name == e.name))
         .toSeq
     } ++ defs
-    annIndexes.synchronized {
-      annIndexes.foldLeft(
-          new Catalog(withExternal.map(d => d.name -> d).toMap)) {
-        case (c, (n, d)) => c.addAnn(n, d)
-      }
+    ann.foldLeft(new Catalog(withExternal.map(d => d.name -> d).toMap)) {
+      case (c, (n, d)) => c.addAnn(n, d)
     }
   }
 
@@ -629,7 +646,7 @@ final class GraftDB(
     * (/root/reference/row_store.go:681-725). Returns the leases; the
     * caller releases them when done with the index files.
     */
-  private def preQuery(query: String): Seq[AutoCloseable] = {
+  private def preQuery(query: String): (Seq[AutoCloseable], Catalog) = {
     val parsed = Parser.parse(query)
     if (parsed.forceFresh) {
       val tableStreams =
@@ -639,14 +656,15 @@ final class GraftDB(
       (tableStreams ++ indexStreams.filter(_.isActive))
         .foreach(_.processAllAvailable())
     }
+    // ONE registry snapshot serves both the leases and the plan: the pinned
+    // path and the scanned path are the same by construction — a flip
+    // landing between the pin and planning re-points the registry, not this
+    // query (it finishes against the generation its leases protect)
     val names = simSearchNames(parsed)
-    val pins =
-      if (names.isEmpty) Nil
-      else annIndexes.synchronized {
-        names.toSeq.flatMap(n => annIndexes.get(n)).map(_.path)
-      }.map(pinPath)
+    val annSnap = annIndexes.synchronized { annIndexes.toMap }
+    val pins = names.toSeq.flatMap(annSnap.get).map(_.path).map(pinPath)
     queryHook(query)
-    pins
+    (pins, catalogWith(annSnap))
   }
 
   /** ANN index names referenced by the query's SIMSEARCH table functions,
@@ -676,12 +694,64 @@ final class GraftDB(
   @volatile private[graft] var queryHook: String => Unit = _ => ()
 
   def sql(query: String): DataFrame = {
-    val pins = preQuery(query)
-    // the leases cover PLANNING (index meta reads + probe construction);
-    // the eager forms below hold them through execution too. A lazily
-    // consumed DataFrame falls back on the GC's next-tick drain window.
-    try Engine.sql(catalog, query, now)
-    finally pins.foreach(_.close())
+    val (pins, cat) = preQuery(query)
+    val df =
+      try Engine.sql(cat, query, now)
+      catch { case e: Throwable => pins.foreach(_.close()); throw e }
+    if (pins.nonEmpty) transferLeasesToExecution(df, pins)
+    df
+  }
+
+  /** Lease lifetime for a LAZILY consumed [[sql]] frame: the query's reader
+    * leases are released when the frame's first action completes (success
+    * or failure), via a QueryExecutionListener keyed on this exact frame's
+    * QueryExecution — so a caller collecting the frame several maintenance
+    * ticks after issue still scans a live generation. Two backstops bound
+    * the cases the listener can't see: (1) a frame that is re-executed, or
+    * executed through a DERIVED frame (`df.write`, further transforms,
+    * `df.count()` after a first collect), is covered only for its first
+    * direct action; (2) a frame never executed at all would pin forever, so
+    * the leases also auto-expire after `graft.queryLeaseGraceMillis`
+    * (default 15 min) — swept by [[maintenanceTick]], visible as leasedGc
+    * in /metrics until then. The reference's analogue is an iteration
+    * holding row files until closed (row_store.go:681-725).
+    */
+  private def transferLeasesToExecution(
+      df: DataFrame, pins: Seq[AutoCloseable]): Unit = {
+    val qe = df.queryExecution
+    val mgr = spark.listenerManager
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def done(
+          qe2: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe2 eq qe) { pins.foreach(_.close()); mgr.unregister(this) }
+      override def onSuccess(funcName: String,
+          qe2: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = done(qe2)
+      override def onFailure(funcName: String,
+          qe2: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = done(qe2)
+    }
+    mgr.register(listener)
+    val deadline = System.nanoTime() +
+      java.lang.Long.getLong("graft.queryLeaseGraceMillis", 900000L) * 1000000L
+    expiringLeases.synchronized { expiringLeases += ((deadline, pins)) }
+  }
+
+  // (deadline-nanos, leases) for issued-but-not-yet-executed sql() frames;
+  // maintenanceTick sweeps expired entries (close is idempotent — the
+  // execution listener usually released them long before)
+  private val expiringLeases =
+    scala.collection.mutable.Buffer.empty[(Long, Seq[AutoCloseable])]
+
+  private def sweepExpiredLeases(): Unit = {
+    val nowNs = System.nanoTime()
+    val expired = expiringLeases.synchronized {
+      val (done, live) = expiringLeases.partition(_._1 <= nowNs)
+      expiringLeases.clear(); expiringLeases ++= live
+      done
+    }
+    expired.foreach(_._2.foreach(p =>
+      try p.close() catch { case _: Exception => () }))
   }
 
   // ---- self-driving index maintenance ---------------------------------
@@ -711,11 +781,11 @@ final class GraftDB(
                                    idCol: String, nProbe: Int,
                                    scanBudget: Double) extends MaintSpec
   private final class MaintState(
-      val basePath: String, val spec: MaintSpec,
+      val basePath: String, var spec: MaintSpec,
       var activePath: String, var gen: Int,
       var stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      val restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
-      val gcOldGenerations: Boolean,
+      var restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
+      var gcOldGenerations: Boolean,
       // superseded generations awaiting GC: deleted at the start of a LATER
       // tick (at least one full period for readers of the old path to
       // drain), and only once no reader lease pins them — the blue/green
@@ -729,6 +799,50 @@ final class GraftDB(
       var inFlight: Boolean = false)
   private val maintained =
     scala.collection.mutable.LinkedHashMap.empty[String, MaintState]
+
+  // superseded generations whose enrollment was detached or re-pointed
+  // before their GC completed: a schema detach or a re-enrollment at a new
+  // base path moves the old state's pendingDeletes here instead of dropping
+  // them, and every maintenance tick drains this queue first (lease-checked,
+  // per-path error capture) — so lifecycle churn never strands a queued
+  // generation on disk
+  private val orphanGc = scala.collection.mutable.Buffer.empty[String]
+
+  private def orphanPendingDeletes(st: MaintState): Unit = {
+    val moved = st.synchronized {
+      val ps = st.pendingDeletes.toList; st.pendingDeletes.clear(); ps
+    }
+    if (moved.nonEmpty) orphanGc.synchronized { orphanGc ++= moved }
+  }
+
+  /** Shared enrollment core for the three register*Maintenance fronts.
+    * A re-enrollment at the SAME declared base path (an ALTER tuning
+    * maintainbudget / maintainnprobe / maintainsource / maintaingc, or a
+    * programmatic re-register) updates the policy IN PLACE — generation
+    * state (activePath/gen), the attached stream, and the GC queue all
+    * survive, so config changes apply live without a process restart. A
+    * re-enrollment at a DIFFERENT base path replaces the state, handing the
+    * old queue to [[orphanGc]].
+    */
+  private def enroll(name: String, path: String, spec: MaintSpec,
+      stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
+      gcOldGenerations: Boolean): Unit =
+    maintained.synchronized {
+      maintained.get(name).filter(_.basePath == path) match {
+        case Some(st) => st.synchronized {
+          st.spec = spec
+          st.gcOldGenerations = gcOldGenerations
+          if (stream.isDefined) st.stream = stream
+          if (restart.isDefined) st.restart = restart
+        }
+        case None =>
+          maintained.get(name).foreach(orphanPendingDeletes)
+          val (active, gen) = discoverGeneration(path)
+          maintained(name) = new MaintState(path, spec, active, gen, stream,
+            restart, gcOldGenerations)
+      }
+    }
 
   // ---- reader leases: generation-GC safety -----------------------------
   // path -> count of in-flight readers pinning it against generation GC.
@@ -786,21 +900,33 @@ final class GraftDB(
     * scan skips.
     */
   private def discoverGeneration(basePath: String): (String, Int) = {
-    def complete(p: String): Boolean = {
-      val dir = java.nio.file.Paths.get(p)
+    def complete(dir: java.nio.file.Path): Boolean =
       java.nio.file.Files.isDirectory(dir) &&
         Seq("_centroids.txt", "_pq.txt", "_index.txt")
           .exists(m => java.nio.file.Files.exists(dir.resolve(m)))
-    }
+    // Enumerate SIBLINGS and take the max complete generation — never a
+    // sequential -g1, -g2, ... probe: with gcOldGenerations on, each flip
+    // deletes the prior generation, so after two flips only the newest -gN
+    // exists and a first-gap probe would resolve the (deleted) base path,
+    // then re-number the next flip OVER the live generation.
+    val base = java.nio.file.Paths.get(basePath).toAbsolutePath
+    val parent = base.getParent
+    val prefix = base.getFileName.toString + "-g"
     var gen = 0
-    var active = basePath
-    var n = 1
-    while (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$basePath-g$n"))) {
-      if (complete(s"$basePath-g$n")) { gen = n; active = s"$basePath-g$n" }
-      n += 1
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      val st = java.nio.file.Files.list(parent)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val suffix = p.getFileName.toString.stripPrefix(prefix)
+          if ((p.getFileName.toString.startsWith(prefix)) &&
+              suffix.nonEmpty && suffix.forall(_.isDigit) && complete(p))
+            scala.util.Try(suffix.toInt).foreach(g => if (g > gen) gen = g)
+        }
+      } finally st.close()
     }
-    (active, gen)
+    if (gen > 0) (s"$basePath-g$gen", gen) else (basePath, 0)
   }
 
   /** Enroll a dedup-family index (exact / near-dup / containment — the
@@ -811,12 +937,8 @@ final class GraftDB(
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
-    maintained.synchronized {
-      val (active, gen) = discoverGeneration(path)
-      maintained(name) = new MaintState(path,
-        DedupMaint(maxFilesPerPrefix), active, gen, stream, restart,
-        gcOldGenerations)
-    }
+    enroll(name, path, DedupMaint(maxFilesPerPrefix), stream, restart,
+      gcOldGenerations)
 
   /** Enroll an IVF index for daemon-driven probe-cost maintenance (the
     * drift re-cluster policy). If an ANN index of the same `name` is
@@ -827,12 +949,8 @@ final class GraftDB(
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
-    maintained.synchronized {
-      val (active, gen) = discoverGeneration(path)
-      maintained(name) = new MaintState(path,
-        AnnMaint(vecCol, idCol, nProbe, scanBudget), active, gen, stream,
-        restart, gcOldGenerations)
-    }
+    enroll(name, path, AnnMaint(vecCol, idCol, nProbe, scanBudget), stream,
+      restart, gcOldGenerations)
 
   /** Enroll an IVF-PQ index for daemon-driven probe-cost maintenance. A PQ
     * index stores CODES, not vectors, so a drifted one rebuilds coarse
@@ -847,12 +965,9 @@ final class GraftDB(
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
       gcOldGenerations: Boolean = false): Unit =
-    maintained.synchronized {
-      val (active, gen) = discoverGeneration(path)
-      maintained(name) = new MaintState(path,
-        PqMaint(sourceTable.toLowerCase, vecCol, idCol, nProbe, scanBudget),
-        active, gen, stream, restart, gcOldGenerations)
-    }
+    enroll(name, path,
+      PqMaint(sourceTable.toLowerCase, vecCol, idCol, nProbe, scanBudget),
+      stream, restart, gcOldGenerations)
 
   /** One maintenance pass over every enrolled index; returns
     * (name, status) per index. Called by the Server's maintenance thread;
@@ -868,8 +983,34 @@ final class GraftDB(
     */
   def maintenanceTick(): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
+    // release leases of issued-but-never-executed sql() frames past their
+    // grace window, so an abandoned frame can't pin a generation forever
+    sweepExpiredLeases()
+    // drain the orphan queue first: generations queued by enrollments that
+    // have since been detached or re-pointed. Same lease + per-path error
+    // discipline as the per-index GC below; reported as a pseudo-row so the
+    // /metrics maintenance surface shows the work.
+    val orphanStatus: Option[(String, String)] = {
+      val freed = orphanGc.synchronized {
+        val (pinned, free) = orphanGc.partition(isLeased)
+        orphanGc.clear(); orphanGc ++= pinned
+        free.toList
+      }
+      if (freed.isEmpty) None
+      else {
+        val errs = freed.flatMap { p =>
+          try { gcDelete(p); None }
+          catch { case e: Exception =>
+            orphanGc.synchronized { orphanGc += p }
+            Some(s"$p: ${e.getMessage}")
+          }
+        }
+        Some("_orphans" -> (if (errs.isEmpty) s"gc'd ${freed.size}"
+          else s"gc errors: ${errs.mkString("; ")}"))
+      }
+    }
     val snapshot = maintained.synchronized { maintained.toSeq }
-    snapshot.map { case (name, st) =>
+    orphanStatus.toSeq ++ snapshot.map { case (name, st) =>
       val status =
         try {
           // claim the index and snapshot the pass inputs under ITS monitor
@@ -887,7 +1028,12 @@ final class GraftDB(
                 // GC generations superseded by PREVIOUS ticks (readers have
                 // had at least one full maintenance period to drain) — but
                 // never one a reader lease still pins; those stay pending
-                // and are retried next tick
+                // and are retried next tick. Failures are captured PER PATH
+                // (a failing delete re-queues only itself and never aborts
+                // the remaining freed entries — those were already cleared
+                // from the buffer and would otherwise leak) and surface in
+                // the status.
+                val gcErrs = scala.collection.mutable.ArrayBuffer.empty[String]
                 if (st.gcOldGenerations) {
                   val freed = st.synchronized {
                     val (pinned, free) = st.pendingDeletes.partition(isLeased)
@@ -896,11 +1042,11 @@ final class GraftDB(
                     free.toList
                   }
                   freed.foreach { p =>
-                    try deleteRecursively(java.nio.file.Paths.get(p))
+                    try gcDelete(p)
                     catch {
                       case e: Exception =>
                         st.synchronized { st.pendingDeletes += p }
-                        throw e
+                        gcErrs += s"$p: ${e.getMessage}"
                     }
                   }
                 }
@@ -919,7 +1065,7 @@ final class GraftDB(
                   }
                 }
                 val dest = s"${st.basePath}-g${gen + 1}"
-                st.spec match {
+                val passStatus = st.spec match {
                   case DedupMaint(maxFiles) =>
                     val r = pipeline.Dedup.maintainIndex(spark, active, dest,
                       maxFiles, stream0, st.restart)
@@ -956,11 +1102,24 @@ final class GraftDB(
                     if (r.rebuilt) s"rebuilt -> ${r.activePath}"
                     else f"ok (probedFraction ${r.probedFraction}%.2f)"
                 }
+                if (gcErrs.isEmpty) passStatus
+                else s"$passStatus (gc errors: ${gcErrs.mkString("; ")})"
               } finally st.synchronized { st.inFlight = false }
           }
         } catch { case e: Exception => s"error: ${e.getMessage}" }
       name -> status
     }
+  }
+
+  /** Test seam: runs before each generation-GC recursive delete — a test
+    * throws here for one path to exercise the per-path error capture
+    * (filesystem-level delete failures are hard to stage as root).
+    */
+  @volatile private[graft] var gcDeleteHook: String => Unit = _ => ()
+
+  private def gcDelete(path: String): Unit = {
+    gcDeleteHook(path)
+    deleteRecursively(java.nio.file.Paths.get(path))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -1001,8 +1160,8 @@ final class GraftDB(
     * the query's job group and raises TimeoutException.
     */
   def sqlTimed(query: String, timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
-    val pins = preQuery(query)
-    try Engine.sqlTimed(catalog, query, timeoutMs, now)
+    val (pins, cat) = preQuery(query)
+    try Engine.sqlTimed(cat, query, timeoutMs, now)
     finally pins.foreach(_.close())
   }
 
@@ -1012,8 +1171,8 @@ final class GraftDB(
     * common/common.go:57-64).
     */
   def sqlWithStats(query: String, timeoutMs: Long): Engine.QueryResult = {
-    val pins = preQuery(query)
-    try Engine.sqlWithStats(catalog, query, timeoutMs, now)
+    val (pins, cat) = preQuery(query)
+    try Engine.sqlWithStats(cat, query, timeoutMs, now)
     finally pins.foreach(_.close())
   }
 }

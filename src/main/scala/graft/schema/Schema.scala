@@ -36,7 +36,15 @@ final case class TableConfig(
     maintainBudget: Double = 0.5,
     maintainNProbe: Int = 4,
     maintainSource: Option[String] = None,
-    maintainGc: Boolean = false)
+    maintainGc: Boolean = false,
+    // a `dedupindex:` entry declares a dedup-family index (exact /
+    // near-dup / containment — the layout is detected at tick time) for
+    // daemon maintenance, the declarative twin of
+    // registerDedupMaintenance. It has no query surface of its own, so
+    // `maintain: true` is REQUIRED (parse-validated); `maintainfiles:`
+    // sets the fragmentation trigger (max files per prefix).
+    dedupIndexPath: Option[String] = None,
+    maintainFiles: Int = 16)
 
 /** Minimal parser for the zenodb schema YAML subset: top-level table names,
   * scalar options, `sql: >`-folded blocks. (No external YAML dependency —
@@ -86,6 +94,15 @@ object SchemaParser {
       }
     }
     flush()
+    tables.foreach { c =>
+      // an inert dedupindex declaration is always a misconfiguration: the
+      // entry's only purpose is enrolling the daemon — fail loud at parse
+      if (c.dedupIndexPath.isDefined && !c.maintain)
+        throw new IllegalArgumentException(
+          s"dedupindex entry '${c.name}' declares no maintenance — " +
+            "add 'maintain: true' (dedupindex entries exist to enroll " +
+            "the daemon's fragmentation maintenance)")
+    }
     tables.toSeq
   }
 
@@ -114,6 +131,8 @@ object SchemaParser {
       case "maintainnprobe" => c.copy(maintainNProbe = value.toInt)
       case "maintainsource" => c.copy(maintainSource = Some(value.toLowerCase))
       case "maintaingc"     => c.copy(maintainGc = value.toBoolean)
+      case "dedupindex"     => c.copy(dedupIndexPath = Some(value))
+      case "maintainfiles"  => c.copy(maintainFiles = value.toInt)
       case other =>
         throw new IllegalArgumentException(s"unknown table option '$other'")
     }

@@ -1472,4 +1472,341 @@ class GraftDBSpec extends AnyFunSuite {
         s.contains("maintainsource") }, t.toString)
   }
 
+  test("restart after TWO GC'd flips resumes at the newest surviving generation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("restart-gen2").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"gen2 seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    def fragment(at: String, round: Int): Unit =
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * round + i, s"g2 round $round doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), at, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    for (r <- 1 to 2) fragment(idx, r)
+    val yaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db1 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("gen2-db1").toString, () => T0)
+    db1.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    db1.maintenanceTick() // flip -> -g1 (base queued for GC)
+    fragment(s"$idx-g1", 3)
+    db1.maintenanceTick() // GC base; flip -> -g2 (-g1 queued)
+    db1.maintenanceTick() // GC -g1
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")))
+    // "restart": only -g2 survives, with a HOLE at -g1 — a sequential
+    // first-gap probe would resolve the deleted base and re-number the
+    // next flip over the live -g2; sibling enumeration must land on -g2
+    val db2 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("gen2-db2").toString, () => T0)
+    db2.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    assert(db2.maintainedState("nd").exists(_._1 == s"$idx-g2"),
+      db2.maintainedState("nd").toString)
+    // the next flip numbers PAST the live generation (-g3, never a second
+    // -g1/-g2 clobbering it)
+    fragment(s"$idx-g2", 4)
+    val t = db2.maintenanceTick()
+    assert(t.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g3" },
+      t.toString)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")),
+      "superseded -g2 awaits the NEXT tick's GC, not immediate deletion")
+  }
+
+  test("re-ALTER tunes maintain* options in place; the GC queue survives it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("alter-inplace").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    def yaml(budget: Double) =
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |  maintain: true
+         |  maintainbudget: $budget
+         |  maintainnprobe: 2
+         |  maintaingc: true
+         |""".stripMargin
+    val db = new GraftDB(spark, yaml(0.0),
+      Files.createTempDirectory("alter-inplace-db").toString, () => T0)
+    // budget 0: the first tick re-clusters -> -g1, base queued for GC
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+    assert(db.maintainedStats("vidx")._3 === 1, "base must be queued for GC")
+    // ALTER the budget on the SAME declared path: the spec updates in
+    // place — generation state AND the queued GC work survive
+    db.alter(yaml(5.0))
+    assert(db.maintainedState("vidx").exists(_._1 == s"$idx-g1"),
+      "re-ALTER must not reset the enrolled generation")
+    val t2 = db.maintenanceTick()
+    // the NEW budget is live without a restart (5.0 can never trigger) ...
+    assert(t2.exists { case (n, s) => n == "vidx" && s.startsWith("ok") },
+      t2.toString)
+    // ... and the queued base generation was still GC'd, not orphaned
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "GC queue must survive the re-ALTER")
+    assert(db.maintainedStats("vidx")._3 === 0)
+  }
+
+  test("schema detach hands queued generations to the orphan GC") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("orphan-gc").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"orphan seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"orphan round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    // the dedup family is schema-declarable too: a `dedupindex:` entry is
+    // the declarative twin of registerDedupMaintenance
+    val db = new GraftDB(spark,
+      s"""${tableYaml}nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin,
+      Files.createTempDirectory("orphan-db").toString, () => T0)
+    assert(db.maintainedState("nd_idx").exists(_._1 == idx))
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    // detach via ALTER mid-GC-queue: the queued base generation must not
+    // be stranded — it moves to the orphan queue and the next tick (with
+    // the enrollment GONE) still deletes it
+    db.alter(tableYaml)
+    assert(db.maintainedState("nd_idx").isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "detach itself must not delete (readers may still be draining)")
+    val t2 = db.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      t2.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "orphaned generation must be GC'd by the next tick")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+  }
+
+  test("dropping maintain keeps SIMSEARCH on the flipped generation, not the GC'd base") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("detach-gen").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    def yaml(maintainLines: String) =
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |$maintainLines""".stripMargin
+    val db = new GraftDB(spark,
+      yaml("""  maintain: true
+             |  maintainbudget: 0.0
+             |  maintainnprobe: 2
+             |  maintaingc: true
+             |""".stripMargin),
+      Files.createTempDirectory("detach-gen-db").toString, () => T0)
+    db.maintenanceTick() // flip -> -g1, base queued
+    db.maintenanceTick() // GC the base
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // ALTER drops `maintain:` but keeps the entry: the SIMSEARCH
+    // registration must resolve the surviving generation, not revert to
+    // the yaml base path (which no longer exists)
+    db.alter(yaml(""))
+    assert(db.maintainedState("vidx").isEmpty)
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = q.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val hits = db.sql(
+      s"""SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4)
+         |GROUP BY id ORDER BY id""".stripMargin).collect()
+    assert(hits.length == 3)
+    assert(hits.map(_.getAs[Long]("id")).contains(0L))
+  }
+
+  test("a flip between lease and planning cannot divert the query (pin-vs-flip)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def corpus(baseId: Long) = (0L until 40L).map { i =>
+      (baseId + i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = corpus(0L)
+    val b = corpus(1000L)
+    val dir = Files.createTempDirectory("pin-flip").toString
+    graft.pipeline.Similarity.ivfBuildIfMissing(a, col("embedding"),
+      col("vec_id"), nCentroids = 4, s"$dir/a")
+    graft.pipeline.Similarity.ivfBuildIfMissing(b, col("embedding"),
+      col("vec_id"), nCentroids = 4, s"$dir/b")
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("pin-flip-db").toString, () => T0)
+    db.registerAnnIndex("vidx", s"$dir/a", "embedding", "vec_id")
+    // the hook fires AFTER the leases pin the snapshot and BEFORE the
+    // engine plans — the exact window a maintenance flip could land in.
+    // Re-pointing the registry here must not divert the in-flight query.
+    db.queryHook = q => if (q.contains("SIMSEARCH")) {
+      db.registerAnnIndex("vidx", s"$dir/b", "embedding", "vec_id")
+      assert(db.leaseCount(s"$dir/a") === 1,
+        "the in-flight query must hold its lease through the flip window")
+    }
+    try {
+      val qv = a.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      val rows = db.sqlTimed(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id",
+        120000L)
+      assert(rows.length == 3)
+      // every hit comes from corpus A (ids < 1000): the scanned path is
+      // the LEASED path, not the re-pointed registry entry
+      assert(rows.map(_.getAs[Long]("id")).forall(_ < 1000L),
+        rows.map(_.getAs[Long]("id")).toSeq.toString)
+    } finally db.queryHook = _ => ()
+    assert(db.leaseCount(s"$dir/a") === 0)
+    // AFTER the in-flight query drained, new queries follow the registry
+    val qb = b.filter(col("vec_id") === 1000L).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLitB = qb.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val rowsB = db.sqlTimed(
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLitB], 3, 4) GROUP BY id",
+      120000L)
+    assert(rowsB.map(_.getAs[Long]("id")).forall(_ >= 1000L))
+  }
+
+  test("a lazily consumed sql() frame holds its lease across ticks until executed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("lazy-lease").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("lazy-lease-db").toString, () => T0)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id")
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 2, scanBudget = 0.0, gcOldGenerations = true)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    // issue the frame but do NOT execute it yet
+    val df = db.sql(
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+    assert(db.leaseCount(idx) === 1, "an issued frame must hold its lease")
+    db.maintenanceTick() // flip -> -g1, base queued for GC
+    db.maintenanceTick() // would GC the base — the frame's lease pins it
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "generation pinned by an unexecuted frame must survive ticks")
+    // executing the frame TWO ticks after issue still scans a live path
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // the execution listener releases the lease (async via the listener
+    // bus — poll briefly)
+    val deadline = System.currentTimeMillis() + 30000
+    while (db.leaseCount(idx) > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(db.leaseCount(idx) === 0,
+      "execution completion must release the frame's lease")
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "drained generation must be GC'd on the following tick")
+  }
+
+  test("generation GC captures failures per path: later entries still delete") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gc-perpath").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"perpath seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    def fragment(at: String, round: Int): Unit =
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * round + i, s"pp round $round doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), at, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    for (r <- 1 to 2) fragment(idx, r)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("gc-perpath-db").toString, () => T0)
+    db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    db.maintenanceTick() // flip -> -g1, queue [base]
+    fragment(s"$idx-g1", 3)
+    // make the BASE's delete fail: with the queue at [base, -g1] the tick
+    // must re-queue only base, still delete -g1, and surface the error
+    db.gcDeleteHook = p => if (p == idx)
+      throw new RuntimeException("simulated delete failure")
+    try {
+      val t2 = db.maintenanceTick() // GC attempt [base] fails; flip -> -g2
+      assert(t2.exists { case (n, s) =>
+        n == "nd" && s.startsWith(s"compacted -> $idx-g2") &&
+          s.contains("gc errors:") }, t2.toString)
+      val t3 = db.maintenanceTick() // frees [base(fails again), -g1]
+      assert(t3.exists { case (n, s) =>
+        n == "nd" && s.contains("gc errors:") }, t3.toString)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")),
+        "entries after a failing delete must still be deleted")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "the failing path stays on disk, re-queued")
+      assert(db.maintainedStats("nd")._3 === 1, "failing path re-queued")
+    } finally db.gcDeleteHook = _ => ()
+    // once the failure clears, the re-queued path drains
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    assert(db.maintainedStats("nd")._3 === 0)
+  }
+
+  test("dedupindex schema entries require maintain: true") {
+    val e = intercept[IllegalArgumentException] {
+      new GraftDB(spark,
+        """combined:
+          |  sql: >
+          |    SELECT requests FROM inbound GROUP BY server, period(5m)
+          |nd_idx:
+          |  dedupindex: /tmp/nowhere
+          |""".stripMargin,
+        Files.createTempDirectory("dedup-inert").toString, () => T0)
+    }
+    assert(e.getMessage.contains("maintain: true"), e.getMessage)
+  }
+
 }

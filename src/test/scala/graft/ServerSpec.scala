@@ -759,6 +759,66 @@ class ServerSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("daemon maintenance of a dedup-family index driven purely by the schema yaml") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a fragmented near-dup index: appended admit rounds leave >1 file per
+    // prefix, so the daemon's first pass WILL compact — no Scala call
+    // touches the db after boot (the ANN twin of this test is above)
+    val idx = Files.createTempDirectory("yaml-dedup-idx").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"yaml dedup seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"yaml dedup round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val dir = Files.createTempDirectory("yaml-dedup-db").toString
+    val schemaFile = Files.createTempFile("yaml-dedup-schema", ".yaml")
+    Files.writeString(schemaFile,
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY *, period(5m)
+         |nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin)
+    val running = Server.start(spark, schemaFile.toString, dir,
+      watchSchema = false, maintainIntervalMs = 250L)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!running.db.lastMaintenance.exists(_._2.startsWith("compacted")) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(running.db.lastMaintenance.exists { case (n, s) =>
+        n == "nd_idx" && s == s"compacted -> $idx-g1" },
+        running.db.lastMaintenance.toString)
+      assert(running.db.maintainedState("nd_idx").exists(_._1 == s"$idx-g1"))
+      // with maintaingc declared, a later daemon pass GC's the superseded
+      // base generation once no lease pins it
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (java.nio.file.Files.exists(java.nio.file.Paths.get(idx)) &&
+             System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "declared maintaingc must GC the superseded generation")
+      // the compacted index still serves: one file per band prefix, same rows
+      assert(spark.read.parquet(s"$idx-g1").count() > 0)
+      // the lifecycle is visible on /metrics
+      val client = HttpClient.newHttpClient()
+      val met = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${running.httpPort}/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(met.body().contains("\"nd_idx\""), met.body())
+    } finally running.stop()
+  }
+
   test("daemon: one schema boots both surfaces over a shared db (zeno.go parity)") {
     val dir = Files.createTempDirectory("graft-daemon").toString
     val schemaFile = Files.createTempFile("daemon-schema", ".yaml")
