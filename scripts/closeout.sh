@@ -29,6 +29,13 @@ export SPARK_GRAFT_JARS="$JAR"
 export SPARK_GRAFT_CPUS=32
 
 sbt -batch "runMain graft.Verify $SF $OUT/vcluster"
+
+# Maintenance-lifecycle pin under multi-JVM executors: flip + lease + GC +
+# restart generation discovery, with the /metrics-surface stats asserted
+# at each step (exits non-zero on any violation).
+# (set -o pipefail: a FAIL inside the tool exits the close-out)
+sbt -batch "runMain graft.tools.MaintLifecycleCheck" | tee "$OUT/maint-check.log"
+grep -q 'PASS all lifecycle assertions' "$OUT/maint-check.log"
 SPARK_GRAFT_SF_DIR="${BENCH_SF:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.Bench" | tee "$OUT/bench-cluster.log"
 cp target/bench.json "$OUT/bench-cluster.json"

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Standing close-out assertion for the maintenance lifecycle under REAL
+  * multi-process executors: drives a flip + lease + GC + restart-discovery
+  * cycle through [[graft.GraftDB]] and checks the /metrics-surface fields
+  * ([[graft.GraftDB.maintainedStats]]: activePath, generation, pendingGc,
+  * leasedGc) at every step. The NIO-side machinery this pins — sibling
+  * enumeration in discoverGeneration, recursive generation GC, the
+  * pendingDeletes queue — runs on the DRIVER against the same filesystem
+  * executors read through, so a local-cluster run (closeout.sh) verifies
+  * the multi-JVM shared-FS assumptions each round.
+  *
+  * Exits non-zero on any violated expectation (closeout.sh runs under
+  * `set -e`).
+  *
+  * Run: SPARK_GRAFT_MASTER='local-cluster[4,8,4096]' SPARK_GRAFT_JARS=...
+  *      sbt "runMain graft.tools.MaintLifecycleCheck"
+  */
+object MaintLifecycleCheck {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def check(cond: Boolean, what: String): Unit =
+      if (cond) println(s"[maint-check] OK   $what")
+      else { System.err.println(s"[maint-check] FAIL $what"); sys.exit(1) }
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("maint-check").toString + "/i"
+    def exists(p: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val seed = (0L until 30L).map(i => (i, s"maint check seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    def fragment(at: String, round: Int): Unit =
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * round + i, s"mc round $round doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), at, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    for (r <- 1 to 2) fragment(idx, r)
+    val rows = spark.read.parquet(idx).count()
+
+    val db = new graft.GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      java.nio.file.Files.createTempDirectory("maint-check-db").toString)
+    db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+
+    val t1 = db.maintenanceTick()
+    check(t1.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g1" },
+      s"tick 1 flips to -g1 (got $t1)")
+    val s1 = db.maintainedStats("nd")
+    check(s1 == ((s"$idx-g1", 1, 1, 0)),
+      s"stats after flip: active=-g1 gen=1 pendingGc=1 leasedGc=0 (got $s1)")
+
+    // a reader lease pins the superseded generation across the GC tick
+    val lease = db.pinPath(idx)
+    val t2 = db.maintenanceTick()
+    check(t2.exists { case (n, s) => n == "nd" && s.startsWith("ok") },
+      s"tick 2 reports ok (got $t2)")
+    check(exists(idx), "leased superseded generation survives the GC tick")
+    val s2 = db.maintainedStats("nd")
+    check(s2._3 == 1 && s2._4 == 1,
+      s"stats while leased: pendingGc=1 leasedGc=1 (got $s2)")
+    check(spark.read.parquet(idx).count() == rows,
+      "executors still read the pinned generation through the shared FS")
+
+    lease.close()
+    db.maintenanceTick()
+    check(!exists(idx), "drained generation GC'd on the following tick")
+    val s3 = db.maintainedStats("nd")
+    check(s3._3 == 0 && s3._4 == 0,
+      s"stats after GC: pendingGc=0 leasedGc=0 (got $s3)")
+    check(spark.read.parquet(s"$idx-g1").count() == rows,
+      "compacted generation serves the full row count")
+
+    // second flip + GC, then restart-discovery with a hole at -g1: the
+    // sibling scan must land on -g2 and number the next flip -g3
+    fragment(s"$idx-g1", 3)
+    val t4 = db.maintenanceTick()
+    check(t4.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g2" },
+      s"tick 4 flips to -g2 (got $t4)")
+    db.maintenanceTick()
+    check(!exists(s"$idx-g1"), "superseded -g1 GC'd")
+    val db2 = new graft.GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      java.nio.file.Files.createTempDirectory("maint-check-db2").toString)
+    db2.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    val s4 = db2.maintainedStats("nd")
+    check(s4._1 == s"$idx-g2" && s4._2 == 2,
+      s"restart discovery resumes at -g2 with base and -g1 both GC'd (got $s4)")
+    fragment(s"$idx-g2", 4)
+    val t6 = db2.maintenanceTick()
+    check(t6.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g3" },
+      s"post-restart flip numbers -g3, past the live generation (got $t6)")
+
+    println("[maint-check] PASS all lifecycle assertions")
+    spark.stop()
+  }
+}
