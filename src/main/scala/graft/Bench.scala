@@ -236,18 +236,36 @@ object Bench {
     // Entry i of a pass (sorted query names, then ingest_events last) is
     // bracketed by probes [i / CalGroup] and [i / CalGroup + 1] of that
     // pass's cal series.
+    // The calibration probe (framework overhead) is only WEAKLY sensitive
+    // to CPU oversubscription (measured ~1.4x at a 3x all-core hog while
+    // queries inflated ~1.2-4x): its cost is mostly single-threaded driver
+    // scheduling, which CFS serves promptly under load. The load probe is
+    // the CPU-contention meter: one 32-task parallel hash-sum whose wall
+    // time scales ~linearly with core oversubscription (~0.04 s unloaded,
+    // ~3x under a 3x hog). Both are interleaved per group so per-entry
+    // load context is readable from the JSON alone.
+    def loadProbe(): Double = {
+      val t0 = System.nanoTime()
+      // ~33M hashes/task across 32 tasks (~0.15 s of genuinely parallel
+      // CPU unloaded): enough real work that wall time tracks core
+      // contention instead of scheduling latency. max: ANSI-safe reduce.
+      spark.range(0L, 1L << 30, 1L, 32)
+        .selectExpr("max(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val CalGroup = 8
-    def suitePass(cals: scala.collection.mutable.ArrayBuffer[Double])
+    def suitePass(cals: scala.collection.mutable.ArrayBuffer[Double],
+                  loads: scala.collection.mutable.ArrayBuffer[Double])
         : Seq[(String, Double)] = {
       val names = SparkEntry.queries.keys.toSeq.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       names.zipWithIndex.foreach { case (n, i) =>
-        if (i % CalGroup == 0) cals += calibration()
+        if (i % CalGroup == 0) { cals += calibration(); loads += loadProbe() }
         out += (n -> runOnce(n))
       }
-      cals += calibration()
+      cals += calibration(); loads += loadProbe()
       out += (("ingest_events", runIngest()))
-      cals += calibration()
+      cals += calibration(); loads += loadProbe()
       out.toSeq
     }
 
@@ -276,10 +294,13 @@ object Bench {
     }
     calibration() // warm the probe's own plan family out of the first sample
 
+    loadProbe() // warm the load probe's plan family too
     val calsA = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passA = suitePass(calsA)
+    val loadsA = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passA = suitePass(calsA, loadsA)
     val calsB = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passB = suitePass(calsB)
+    val loadsB = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passB = suitePass(calsB, loadsB)
     val calA0 = calsA.head
     val calA1 = calsA.last
     val calB0 = calsB.head
@@ -303,7 +324,7 @@ object Bench {
     // last query and one after ingest), keyed to the sorted entry order
     def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
     val calibrationJson =
-      s"""{"a_start":${num(calA0)},"a_end":${num(calA1)},"b_start":${num(calB0)},"b_end":${num(calB1)},"group_size":$CalGroup,"series_a":${arr(calsA.toSeq)},"series_b":${arr(calsB.toSeq)}}"""
+      s"""{"a_start":${num(calA0)},"a_end":${num(calA1)},"b_start":${num(calB0)},"b_end":${num(calB1)},"group_size":$CalGroup,"series_a":${arr(calsA.toSeq)},"series_b":${arr(calsB.toSeq)},"load_a":${arr(loadsA.toSeq)},"load_b":${arr(loadsB.toSeq)}}"""
     // Load-normalized total: the calibration probe's unloaded band on this
     // machine is ~0.105 s (BENCH_LOCAL.md history); cal_norm_total scales
     // the headline by unloaded/observed so the per-round record is
@@ -312,10 +333,17 @@ object Bench {
     // (framework overhead scales with load more directly than data-path
     // work); cross-round conclusions should still prefer captures whose
     // raw cal_med sits in the unloaded band.
+    // cal_med stays the median of the four ENDPOINT probes — the pre-r18
+    // definition — so the unloaded band (~0.105 s) remains comparable
+    // across rounds. Mid-series probes are for LOCALIZATION only: measured
+    // on this machine they read ~0.05-0.15 s above the endpoints even at
+    // idle (residual async work — AQE/listener/broadcast-cleanup threads —
+    // from the preceding query group), so a loaded GROUP is one whose
+    // bracketing probes sit well above the rest of the same pass's series,
+    // not one merely above the endpoint band.
     val calMedAll = {
-      val cs = (calsA ++ calsB).sorted
-      if (cs.length % 2 == 1) cs(cs.length / 2)
-      else (cs(cs.length / 2 - 1) + cs(cs.length / 2)) / 2
+      val cs = Seq(calA0, calA1, calB0, calB1).sorted
+      (cs(1) + cs(2)) / 2
     }
     val UnloadedCalBand = 0.105
     val calNormTotal =
