@@ -656,6 +656,7 @@ final class GraftDB(
       (tableStreams ++ indexStreams.filter(_.isActive))
         .foreach(_.processAllAvailable())
     }
+    sweepExpiredLeases()
     // ONE registry snapshot serves both the leases and the plan: the pinned
     // path and the scanned path are the same by construction — a flip
     // landing between the pin and planning re-points the registry, not this
@@ -719,11 +720,13 @@ final class GraftDB(
   private def transferLeasesToExecution(
       df: DataFrame, pins: Seq[AutoCloseable]): Unit = {
     val qe = df.queryExecution
-    val mgr = spark.listenerManager
+    val deadline = System.nanoTime() +
+      java.lang.Long.getLong("graft.queryLeaseGraceMillis", 900000L) * 1000000L
+    val hold = new LeaseHold(deadline, pins)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def done(
           qe2: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe2 eq qe) { pins.foreach(_.close()); mgr.unregister(this) }
+        if (qe2 eq qe) releaseHold(hold)
       override def onSuccess(funcName: String,
           qe2: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit = done(qe2)
@@ -731,27 +734,41 @@ final class GraftDB(
           qe2: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = done(qe2)
     }
-    mgr.register(listener)
-    val deadline = System.nanoTime() +
-      java.lang.Long.getLong("graft.queryLeaseGraceMillis", 900000L) * 1000000L
-    expiringLeases.synchronized { expiringLeases += ((deadline, pins)) }
+    hold.listener = listener
+    expiringLeases.synchronized { expiringLeases += hold }
+    spark.listenerManager.register(listener)
   }
 
-  // (deadline-nanos, leases) for issued-but-not-yet-executed sql() frames;
-  // maintenanceTick sweeps expired entries (close is idempotent — the
-  // execution listener usually released them long before)
+  // Leases of issued sql() frames awaiting their first execution. Fully
+  // reclaimed on EITHER path: the execution listener releases at action
+  // completion (and unregisters itself + drops the entry immediately, so
+  // executed frames don't linger until their deadline), and the grace
+  // sweep catches frames never executed. Swept from BOTH preQuery and
+  // maintenanceTick — a db with no maintenance enrollments must not let
+  // abandoned frames accumulate holds/listeners.
+  private final class LeaseHold(val deadline: Long,
+      val pins: Seq[AutoCloseable]) {
+    @volatile var listener: org.apache.spark.sql.util.QueryExecutionListener =
+      null
+  }
   private val expiringLeases =
-    scala.collection.mutable.Buffer.empty[(Long, Seq[AutoCloseable])]
+    scala.collection.mutable.Buffer.empty[LeaseHold]
+
+  private def releaseHold(h: LeaseHold): Unit = {
+    h.pins.foreach(p => try p.close() catch { case _: Exception => () })
+    val l = h.listener
+    h.listener = null
+    if (l != null)
+      try spark.listenerManager.unregister(l) catch { case _: Exception => () }
+    expiringLeases.synchronized { expiringLeases -= h }
+  }
 
   private def sweepExpiredLeases(): Unit = {
     val nowNs = System.nanoTime()
     val expired = expiringLeases.synchronized {
-      val (done, live) = expiringLeases.partition(_._1 <= nowNs)
-      expiringLeases.clear(); expiringLeases ++= live
-      done
+      expiringLeases.filter(_.deadline <= nowNs).toList
     }
-    expired.foreach(_._2.foreach(p =>
-      try p.close() catch { case _: Exception => () }))
+    expired.foreach(releaseHold)
   }
 
   // ---- self-driving index maintenance ---------------------------------
@@ -1155,6 +1172,13 @@ final class GraftDB(
           st.pendingDeletes.count(isLeased))
       }
     }
+
+  /** Orphan-GC queue depth for the `/metrics` surface: (total, currently
+    * lease-pinned) superseded generations queued by detached or re-pointed
+    * enrollments, awaiting the next tick's drain.
+    */
+  def orphanGcStats: (Int, Int) =
+    orphanGc.synchronized { (orphanGc.size, orphanGc.count(isLeased)) }
 
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.

@@ -69,6 +69,11 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       // it shows up as bench regression
       s""""persistCache":{"sites":${graft.PersistCache.sitesHighWater},""" +
       s""""max":${graft.PersistCache.maxEntries}},""" +
+      // generations queued by DETACHED/re-pointed enrollments (drained by
+      // the next tick): nonzero here after lifecycle churn is normal;
+      // persistently nonzero means a lease is pinning an orphan
+      s""""orphanGc":{"pending":${db.orphanGcStats._1},""" +
+      s""""leased":${db.orphanGcStats._2}},""" +
       s""""maintained":$maintained,"maintenance":$maint}"""
   }
 

@@ -1601,12 +1601,57 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedState("nd_idx").isEmpty)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
       "detach itself must not delete (readers may still be draining)")
+    assert(db.orphanGcStats === ((1, 0)),
+      "the orphaned generation must be visible on the metrics surface")
     val t2 = db.maintenanceTick()
     assert(t2.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
       t2.toString)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
       "orphaned generation must be GC'd by the next tick")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+    assert(db.orphanGcStats === ((0, 0)))
+  }
+
+  test("an abandoned sql() frame's lease expires after the grace window") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("grace-lease").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("grace-lease-db").toString, () => T0)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id")
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    System.setProperty("graft.queryLeaseGraceMillis", "1")
+    try {
+      // issue and ABANDON the frame (never executed): its lease must not
+      // pin the generation forever — the grace sweep reclaims it
+      db.sql(s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+      assert(db.leaseCount(idx) === 1)
+      Thread.sleep(10)
+      // the sweep runs from BOTH maintenanceTick and the next query's
+      // preQuery — a db with no maintenance enrollments still reclaims
+      db.maintenanceTick()
+      assert(db.leaseCount(idx) === 0,
+        "grace-expired lease must be swept by the tick")
+      db.sql(s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+      Thread.sleep(10)
+      // an eager query both sweeps the abandoned hold in its preQuery and
+      // releases its own pins at return
+      db.sqlTimed(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id",
+        120000L)
+      assert(db.leaseCount(idx) === 0,
+        "grace-expired lease must be swept by the next query's preQuery")
+    } finally System.clearProperty("graft.queryLeaseGraceMillis")
   }
 
   test("dropping maintain keeps SIMSEARCH on the flipped generation, not the GC'd base") {

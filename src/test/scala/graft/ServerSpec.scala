@@ -816,6 +816,8 @@ class ServerSpec extends AnyFunSuite {
             URI.create(s"http://localhost:${running.httpPort}/metrics"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(met.body().contains("\"nd_idx\""), met.body())
+      assert(met.body().contains("\"orphanGc\":{\"pending\":0,\"leased\":0}"),
+        met.body())
     } finally running.stop()
   }
 
