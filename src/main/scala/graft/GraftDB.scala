@@ -856,10 +856,50 @@ final class GraftDB(
         case None =>
           maintained.get(name).foreach(orphanPendingDeletes)
           val (active, gen) = discoverGeneration(path)
-          maintained(name) = new MaintState(path, spec, active, gen, stream,
+          val st = new MaintState(path, spec, active, gen, stream,
             restart, gcOldGenerations)
+          // the GC QUEUE is restart-durable too: pendingDeletes lives in
+          // memory, so a restart between a flip and its GC would leak the
+          // superseded generation forever. gcOldGenerations is a DECLARED
+          // intent, so a fresh enrollment re-derives the queue from disk —
+          // every sibling generation that is not the discovered active
+          // (the GC'able base, generations a crash left behind, incomplete
+          // dests of crashed flips) re-queues, lease-checked as always.
+          if (gcOldGenerations) st.pendingDeletes ++= staleSiblings(path, active)
+          maintained(name) = st
       }
     }
+
+  /** On-disk generations of `basePath` other than `active`: the base dir
+    * itself (when superseded) and every `<base>-gN` sibling, complete or
+    * not — a crashed flip's incomplete dest is garbage by the meta-sentinel
+    * contract (its writer is gone; the next flip to that number rewrites
+    * it from scratch anyway).
+    */
+  private def staleSiblings(basePath: String, active: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(basePath).toAbsolutePath
+    val parent = base.getParent
+    val prefix = base.getFileName.toString + "-g"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (basePath != active && java.nio.file.Files.exists(base))
+      out += basePath
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      val st = java.nio.file.Files.list(parent)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          val suffix = n.stripPrefix(prefix)
+          if (n.startsWith(prefix) && suffix.nonEmpty &&
+              suffix.forall(_.isDigit)) {
+            val p = s"$basePath-g$suffix"
+            if (p != active) out += p
+          }
+        }
+      } finally st.close()
+    }
+    out.toSeq
+  }
 
   // ---- reader leases: generation-GC safety -----------------------------
   // path -> count of in-flight readers pinning it against generation GC.

@@ -1840,6 +1840,130 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedStats("nd")._3 === 0)
   }
 
+  test("the GC queue is restart-durable: a fresh enrollment re-queues stale generations") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gc-restart").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"gcr seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"gcr round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val yaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db1 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("gcr-db1").toString, () => T0)
+    db1.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    db1.maintenanceTick() // flip -> -g1; base QUEUED but not yet GC'd
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // a crashed flip's incomplete dest is also disk garbage
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idx-g7"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx-g7", "part-stale.parquet"), "junk")
+    // "restart" between the flip and its GC: the in-memory queue is gone —
+    // the fresh enrollment must re-derive it from disk or the base (and
+    // the crash debris) leak forever
+    val db2 = new GraftDB(spark, yaml,
+      Files.createTempDirectory("gcr-db2").toString, () => T0)
+    db2.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    assert(db2.maintainedState("nd").exists(_._1 == s"$idx-g1"))
+    assert(db2.maintainedStats("nd")._3 === 2,
+      "superseded base + incomplete -g7 must be re-queued after restart")
+    db2.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "re-queued base generation must be GC'd")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g7")),
+      "crashed-flip debris must be GC'd")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+  }
+
+  test("seeded lifecycle fuzz: random flip/GC/pin/restart schedules never lose index rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val yaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    for (fseed <- Seq(101, 202)) {
+      val rnd = new scala.util.Random(fseed)
+      val idx = Files.createTempDirectory(s"lc-fuzz-$fseed").toString + "/i"
+      graft.pipeline.Dedup.buildNearDupIndexIfMissing(
+        (0L until 30L).map(i => (i, s"fuzz seed $fseed base doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+      var db = new GraftDB(spark, yaml,
+        Files.createTempDirectory(s"lc-fuzz-db-$fseed").toString, () => T0)
+      db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+        gcOldGenerations = true)
+      def active: String = db.maintainedState("nd").get._1
+      def count(): Long = spark.read.parquet(active).count()
+      var last = count()
+      var round = 0
+      val pins = scala.collection.mutable.Buffer.empty[AutoCloseable]
+      for (op <- 1 to 12) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append: maximally distinct texts, all rows admit
+            round += 1
+            graft.pipeline.Dedup.nearDupIncremental(
+              (0L until 20L).map(i => (fseed * 100000L + round * 100L + i,
+                s"fz s$fseed r$round d$i x${rnd.nextLong()}"))
+                .toDF("doc_id", "text"),
+              col("text"), col("doc_id"), active, n = 1, numHashes = 64,
+              bands = 32, threshold = 0.9, admit = true)
+            val c = count()
+            assert(c > last, s"seed $fseed op $op: append lost rows")
+            last = c
+          case 2 => // maintenance tick: a flip must preserve every row
+            db.maintenanceTick()
+            assert(count() === last,
+              s"seed $fseed op $op: tick changed the row count")
+          case 3 => // pin the current active / release the oldest pin
+            if (pins.nonEmpty && rnd.nextBoolean()) pins.remove(0).close()
+            else pins += db.pinPath(active)
+          case 4 => // restart: leases die with the process; discovery +
+            // the re-derived GC queue must carry the schedule forward
+            pins.foreach(_.close()); pins.clear()
+            db = new GraftDB(spark, yaml,
+              Files.createTempDirectory(s"lc-fuzz-db-$fseed-$op").toString,
+              () => T0)
+            db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+              gcOldGenerations = true)
+            assert(count() === last,
+              s"seed $fseed op $op: restart changed the row count")
+        }
+      }
+      // drain: release every pin, tick twice — exactly the live generation
+      // remains on disk, nothing pending, nothing leaked
+      pins.foreach(_.close()); pins.clear()
+      db.maintenanceTick(); db.maintenanceTick()
+      assert(count() === last, s"seed $fseed: drain changed the row count")
+      assert(db.maintainedStats("nd")._3 === 0,
+        s"seed $fseed: pendingGc must be empty after the drain")
+      val base = java.nio.file.Paths.get(idx)
+      val prefix = base.getFileName.toString + "-g"
+      val survivors = {
+        val st = java.nio.file.Files.list(base.getParent)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = st.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n == base.getFileName.toString || n.startsWith(prefix)) b += n
+          }
+          b.toSeq
+        } finally st.close()
+      }
+      val activeName = java.nio.file.Paths.get(active).getFileName.toString
+      assert(survivors == Seq(activeName),
+        s"seed $fseed: expected only $activeName on disk, found $survivors")
+    }
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
