@@ -108,6 +108,45 @@ object MaintLifecycleCheck {
     val t6 = db2.maintenanceTick()
     check(t6.exists { case (n, s) => n == "nd" && s == s"compacted -> $idx-g3" },
       s"post-restart flip numbers -g3, past the live generation (got $t6)")
+    db2.maintenanceTick() // GC -g2 so the declarative phase starts clean
+
+    // declarative + orphan lifecycle under the same executors: a yaml
+    // `dedupindex:` entry enrolls at boot (discovery lands on the live
+    // generation), a flip queues the superseded copy, an ALTER that drops
+    // the entry mid-queue hands it to the orphan GC, and the next tick —
+    // with the enrollment GONE — still reclaims the directory
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db3 = new graft.GraftDB(spark,
+      s"""${tableYaml}nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin,
+      java.nio.file.Files.createTempDirectory("maint-check-db3").toString)
+    check(db3.maintainedState("nd_idx").exists(_._1 == s"$idx-g3"),
+      s"yaml dedupindex boot discovers -g3 (got ${db3.maintainedState("nd_idx")})")
+    fragment(s"$idx-g3", 6)
+    val preFlip = spark.read.parquet(s"$idx-g3").count()
+    val t7 = db3.maintenanceTick()
+    check(t7.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g4" },
+      s"yaml-enrolled tick flips to -g4 (got $t7)")
+    db3.alter(tableYaml)
+    check(db3.maintainedState("nd_idx").isEmpty && exists(s"$idx-g3"),
+      "ALTER detach leaves the queued generation on disk for the orphan GC")
+    check(db3.orphanGcStats == ((1, 0)),
+      s"orphan queue visible on the metrics surface (got ${db3.orphanGcStats})")
+    val t8 = db3.maintenanceTick()
+    check(t8.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      s"orphan drain reported (got $t8)")
+    check(!exists(s"$idx-g3") && db3.orphanGcStats == ((0, 0)),
+      "detached enrollment's superseded generation reclaimed")
+    // the invariant is flip-preserves-rows (admits per batch vary: the
+    // MinHash estimate can reject a J≈0.8 pair at 64 hashes)
+    check(spark.read.parquet(s"$idx-g4").count() == preFlip,
+      "final flip preserves every admitted row")
 
     println("[maint-check] PASS all lifecycle assertions")
     spark.stop()

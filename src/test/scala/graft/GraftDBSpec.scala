@@ -1964,6 +1964,82 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent soak: SIMSEARCH queries race constant flips, GC and re-ALTERs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("soak-idx").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    def yaml(budget: Double) =
+      s"""combined:
+         |  sql: >
+         |    SELECT requests FROM inbound GROUP BY server, period(5m)
+         |vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |  maintain: true
+         |  maintainbudget: $budget
+         |  maintainnprobe: 2
+         |  maintaingc: true
+         |""".stripMargin
+    // budget 0: EVERY tick re-clusters — each one a flip, the worst case
+    // for concurrent readers of the just-superseded generation
+    val db = new GraftDB(spark, yaml(0.0),
+      Files.createTempDirectory("soak-db").toString, () => T0)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val sql =
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // maintenance thread: back-to-back flip+GC ticks
+    val maint = new Thread(() => {
+      try for (_ <- 1 to 6 if !stop.get()) db.maintenanceTick()
+      catch { case t: Throwable => failures.add(t) }
+      finally stop.set(true)
+    }, "soak-maint")
+    // alter thread: live spec churn through the in-place enroll path
+    // (budget stays 0.0-equivalent only while ticking; the final ALTER
+    // parks it at 5.0 so the soak ends quiescent)
+    val alter = new Thread(() => {
+      try while (!stop.get()) { db.alter(yaml(0.0)); Thread.sleep(40) }
+      catch { case t: Throwable => failures.add(t) }
+    }, "soak-alter")
+    val queryThreads = (1 to 3).map(ti => new Thread(() => {
+      try {
+        var n = 0
+        while (!stop.get() || n == 0) {
+          val rows = db.sqlTimed(sql, 120000L)
+          if (rows.length != 3)
+            failures.add(new AssertionError(
+              s"thread $ti got ${rows.length} rows"))
+          n += 1
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, s"soak-query-$ti"))
+    maint.start(); alter.start(); queryThreads.foreach(_.start())
+    maint.join(180000); stop.set(true)
+    alter.join(30000); queryThreads.foreach(_.join(120000))
+    assert(!maint.isAlive && !alter.isAlive && queryThreads.forall(!_.isAlive),
+      "soak threads must drain")
+    assert(failures.isEmpty,
+      s"concurrent soak failures: ${failures.toArray.toSeq}")
+    // quiesce: park the budget, drain the GC queue; the live generation
+    // still serves exactly k rows
+    db.alter(yaml(5.0))
+    db.maintenanceTick(); db.maintenanceTick()
+    assert(db.sqlTimed(sql, 120000L).length == 3)
+    assert(db.maintainedStats("vidx")._3 === 0,
+      db.maintainedStats("vidx").toString)
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
