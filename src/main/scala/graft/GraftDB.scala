@@ -822,14 +822,54 @@ final class GraftDB(
   // base path moves the old state's pendingDeletes here instead of dropping
   // them, and every maintenance tick drains this queue first (lease-checked,
   // per-path error capture) — so lifecycle churn never strands a queued
-  // generation on disk
-  private val orphanGc = scala.collection.mutable.Buffer.empty[String]
+  // generation on disk.
+  // Unlike pendingDeletes (re-derived from disk by the next enrollment's
+  // staleSiblings scan), an orphan has NO surviving owner to re-derive it —
+  // a restart between the detach and the next tick would leak the dir
+  // forever. The queue therefore persists to $baseDir/_orphan_gc.txt (one
+  // path per line, atomic tmp+move rewrite after each change) and reloads
+  // at construction; reloaded entries that were already deleted drain as
+  // no-ops on the next tick.
+  private val orphanGcFile =
+    java.nio.file.Paths.get(baseDir, "_orphan_gc.txt")
+  private val orphanGc: scala.collection.mutable.Buffer[String] = {
+    val b = scala.collection.mutable.Buffer.empty[String]
+    if (java.nio.file.Files.exists(orphanGcFile)) {
+      val it = java.nio.file.Files.readAllLines(orphanGcFile).iterator()
+      while (it.hasNext) {
+        val line = it.next().trim
+        if (line.nonEmpty) b += line
+      }
+    }
+    b
+  }
+
+  /** Rewrite the durable twin of [[orphanGc]]. Call with the queue's lock
+    * held. Best-effort: a persistence failure never fails the mutation —
+    * the in-memory queue still drains this process; only restart durability
+    * is degraded.
+    */
+  private def persistOrphanGc(): Unit =
+    try {
+      val parent = orphanGcFile.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      val tmp = orphanGcFile.resolveSibling("_orphan_gc.txt.tmp")
+      java.nio.file.Files.write(tmp,
+        orphanGc.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, orphanGcFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
 
   private def orphanPendingDeletes(st: MaintState): Unit = {
     val moved = st.synchronized {
       val ps = st.pendingDeletes.toList; st.pendingDeletes.clear(); ps
     }
-    if (moved.nonEmpty) orphanGc.synchronized { orphanGc ++= moved }
+    if (moved.nonEmpty) orphanGc.synchronized {
+      orphanGc ++= moved
+      persistOrphanGc()
+    }
   }
 
   /** Shared enrollment core for the three register*Maintenance fronts.
@@ -846,15 +886,27 @@ final class GraftDB(
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
       gcOldGenerations: Boolean): Unit =
     maintained.synchronized {
+      // a replaced attached stream must be QUIESCED, not just dropped: an
+      // unstopped writer would keep appending to a path the replacement just
+      // queued for GC (same stop+await contract as the flip's quiesce)
+      def quiesce(old: Option[StreamingQuery]): Unit =
+        old.filter(_.isActive).filterNot(o => stream.exists(_ eq o))
+          .foreach { q =>
+            try { q.stop(); q.awaitTermination() }
+            catch { case _: Exception => () }
+          }
       maintained.get(name).filter(_.basePath == path) match {
         case Some(st) => st.synchronized {
           st.spec = spec
           st.gcOldGenerations = gcOldGenerations
-          if (stream.isDefined) st.stream = stream
+          if (stream.isDefined) { quiesce(st.stream); st.stream = stream }
           if (restart.isDefined) st.restart = restart
         }
         case None =>
-          maintained.get(name).foreach(orphanPendingDeletes)
+          maintained.get(name).foreach { old =>
+            quiesce(old.synchronized(old.stream))
+            orphanPendingDeletes(old)
+          }
           val (active, gen) = discoverGeneration(path)
           val st = new MaintState(path, spec, active, gen, stream,
             restart, gcOldGenerations)
@@ -1062,6 +1114,10 @@ final class GraftDB(
             Some(s"$p: ${e.getMessage}")
           }
         }
+        // persist AFTER the deletes: a crash mid-drain leaves the file
+        // listing some already-deleted paths, which reload and drain as
+        // no-ops — never the reverse (a live dir missing from the file)
+        orphanGc.synchronized { persistOrphanGc() }
         Some("_orphans" -> (if (errs.isEmpty) s"gc'd ${freed.size}"
           else s"gc errors: ${errs.mkString("; ")}"))
       }

@@ -72,8 +72,8 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       // generations queued by DETACHED/re-pointed enrollments (drained by
       // the next tick): nonzero here after lifecycle churn is normal;
       // persistently nonzero means a lease is pinning an orphan
-      s""""orphanGc":{"pending":${db.orphanGcStats._1},""" +
-      s""""leased":${db.orphanGcStats._2}},""" +
+      { val (pending, leased) = db.orphanGcStats
+        s""""orphanGc":{"pending":$pending,"leased":$leased},""" } +
       s""""maintained":$maintained,"maintenance":$maint}"""
   }
 

@@ -1612,6 +1612,118 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.orphanGcStats === ((0, 0)))
   }
 
+  test("the orphan GC queue survives a restart") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("orphan-restart").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"orphan seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"orphan round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val baseDir = Files.createTempDirectory("orphan-restart-db").toString
+    val db = new GraftDB(spark,
+      s"""${tableYaml}nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin,
+      baseDir, () => T0)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    // detach queues the superseded base to the orphan GC — then "crash"
+    // before the next tick: the queue is in-memory, so without the durable
+    // twin a restart would strand the dir forever (no enrollment remains
+    // whose staleSiblings scan could re-derive it)
+    db.alter(tableYaml)
+    assert(db.orphanGcStats === ((1, 0)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(baseDir, "_orphan_gc.txt")),
+      "the orphan queue must have a durable twin on disk")
+    // restart: a fresh GraftDB over the SAME baseDir, enrollment gone
+    val db2 = new GraftDB(spark, tableYaml, baseDir, () => T0)
+    assert(db2.orphanGcStats === ((1, 0)),
+      "the reloaded queue must carry the orphaned generation")
+    val t2 = db2.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      t2.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "the orphaned generation must be reclaimed after the restart")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")),
+      "the live generation must survive the orphan drain")
+    assert(db2.orphanGcStats === ((0, 0)))
+    // the durable twin drained with it: a THIRD boot reloads nothing and
+    // an already-deleted reloaded path would drain as a no-op anyway
+    val db3 = new GraftDB(spark, tableYaml, baseDir, () => T0)
+    assert(db3.orphanGcStats === ((0, 0)),
+      "a drained queue must not resurrect entries on the next boot")
+  }
+
+  test("re-enrollment quiesces a replaced index-maintenance stream") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val seed = (0L until 30L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("quiesce-enroll").toString
+    val idxA = s"$root/a"
+    val idxB = s"$root/b"
+    graft.pipeline.Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxA)
+    graft.pipeline.Similarity.ivfBuildIfMissing(seed, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxB)
+    def attach(at: String, ckpt: String) = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      graft.streaming.AnnIndexStream.attachIvf(
+        mem.toDF().toDF("vec_id", "embedding"), col("embedding"),
+        col("vec_id"), at, ckpt)
+    }
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("quiesce-db").toString, () => T0)
+    val q0 = attach(idxA, s"$root/ckpt0")
+    db.registerAnnMaintenance("vidx", idxA, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, stream = Some(q0))
+    assert(q0.isActive)
+    // re-point the enrollment at a NEW base path: the old attached writer
+    // must be stopped, not dropped — an unstopped stream would keep
+    // appending to a directory the replacement just queued for GC
+    db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0)
+    assert(!q0.isActive,
+      "re-pointing an enrollment must quiesce the replaced stream")
+    // in-place stream handoff at the SAME path: attaching the same
+    // instance again is a no-op; attaching a DIFFERENT stream stops the
+    // one it replaces
+    val q1 = attach(idxB, s"$root/ckpt1")
+    db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, stream = Some(q1))
+    db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, stream = Some(q1))
+    assert(q1.isActive,
+      "re-attaching the same stream instance must not stop it")
+    val q2 = attach(idxB, s"$root/ckpt2")
+    try {
+      db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+        nProbe = 4, scanBudget = 2.0, stream = Some(q2))
+      assert(!q1.isActive,
+        "an in-place stream handoff must quiesce the stream it replaces")
+      assert(q2.isActive)
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("an abandoned sql() frame's lease expires after the grace window") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
