@@ -117,6 +117,8 @@ object MaintLifecycleCheck {
     // with the enrollment GONE — still reclaims the directory
     val tableYaml =
       "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db3Base =
+      java.nio.file.Files.createTempDirectory("maint-check-db3").toString
     val db3 = new graft.GraftDB(spark,
       s"""${tableYaml}nd_idx:
          |  dedupindex: $idx
@@ -124,7 +126,7 @@ object MaintLifecycleCheck {
          |  maintainfiles: 1
          |  maintaingc: true
          |""".stripMargin,
-      java.nio.file.Files.createTempDirectory("maint-check-db3").toString)
+      db3Base)
     check(db3.maintainedState("nd_idx").exists(_._1 == s"$idx-g3"),
       s"yaml dedupindex boot discovers -g3 (got ${db3.maintainedState("nd_idx")})")
     fragment(s"$idx-g3", 6)
@@ -138,11 +140,18 @@ object MaintLifecycleCheck {
       "ALTER detach leaves the queued generation on disk for the orphan GC")
     check(db3.orphanGcStats == ((1, 0)),
       s"orphan queue visible on the metrics surface (got ${db3.orphanGcStats})")
-    val t8 = db3.maintenanceTick()
+    // "crash" between the detach and the drain: the orphan queue must be
+    // restart-durable ($baseDir/_orphan_gc.txt) — a fresh boot over the
+    // same baseDir has no enrollment left whose sibling scan could
+    // re-derive the queued dir, so only the durable twin prevents a leak
+    val db4 = new graft.GraftDB(spark, tableYaml, db3Base)
+    check(db4.orphanGcStats == ((1, 0)),
+      s"durable orphan queue reloads after restart (got ${db4.orphanGcStats})")
+    val t8 = db4.maintenanceTick()
     check(t8.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
-      s"orphan drain reported (got $t8)")
-    check(!exists(s"$idx-g3") && db3.orphanGcStats == ((0, 0)),
-      "detached enrollment's superseded generation reclaimed")
+      s"post-restart orphan drain reported (got $t8)")
+    check(!exists(s"$idx-g3") && db4.orphanGcStats == ((0, 0)),
+      "detached enrollment's superseded generation reclaimed after restart")
     // the invariant is flip-preserves-rows (admits per batch vary: the
     // MinHash estimate can reject a J≈0.8 pair at 64 hashes)
     check(spark.read.parquet(s"$idx-g4").count() == preFlip,
