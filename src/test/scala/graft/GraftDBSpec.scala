@@ -2152,6 +2152,107 @@ class GraftDBSpec extends AnyFunSuite {
       db.maintainedStats("vidx").toString)
   }
 
+  test("seeded declarative-lifecycle fuzz: random yaml ALTER/restart schedules never leak or mis-serve") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (fseed <- Seq(303, 404)) {
+      val rnd = new scala.util.Random(fseed)
+      val vrnd = new scala.util.Random(fseed + 1)
+      val vecs = (0L until 40L).map { i =>
+        (i, Seq.fill(6)((vrnd.nextGaussian() * 2).toFloat))
+      }.toDF("vec_id", "embedding")
+      val idx = Files.createTempDirectory(s"yaml-fuzz-$fseed").toString + "/i"
+      graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+        col("vec_id"), nCentroids = 4, idx)
+      val tableYaml =
+        "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+      def yaml(maintain: Boolean, budget: Double) =
+        s"""${tableYaml}vidx:
+           |  annindex: $idx
+           |  annvec: embedding
+           |  annid: vec_id
+           |""".stripMargin + (if (maintain)
+          s"""  maintain: true
+             |  maintainbudget: $budget
+             |  maintainnprobe: 2
+             |  maintaingc: true
+             |""".stripMargin else "")
+      // ONE baseDir for the whole schedule: restarts must find the durable
+      // orphan queue and re-derive generation state from disk
+      val baseDir =
+        Files.createTempDirectory(s"yaml-fuzz-db-$fseed").toString
+      var current = yaml(maintain = true, budget = 0.0)
+      var db = new GraftDB(spark, current, baseDir, () => T0)
+      val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+        .toPlainString).mkString(",")
+      val sql =
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id"
+      def assertServes(ctx: String): Unit = {
+        val rows = db.sqlTimed(sql, 120000L)
+        assert(rows.length == 3,
+          s"seed $fseed $ctx: SIMSEARCH returned ${rows.length} rows")
+      }
+      assertServes("boot")
+      // guarantee at least one flip is in play before the random schedule
+      // (budget 0.0 re-clusters immediately): every seed then fuzzes with a
+      // superseded generation queued, not just a clean base
+      val t0 = db.maintenanceTick()
+      assert(t0.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g1" }, t0.toString)
+      for (op <- 1 to 12) {
+        rnd.nextInt(4) match {
+          case 0 => // attach / re-tune: budget 0 flips on every tick,
+            // budget 5 parks the enrollment — both through the yaml path
+            current = yaml(maintain = true,
+              budget = if (rnd.nextBoolean()) 0.0 else 5.0)
+            db.alter(current)
+          case 1 => // detach: queued generations move to the orphan GC;
+            // the non-enrolled annindex entry must keep serving the
+            // newest on-disk generation, never the (possibly GC'd) base
+            current = yaml(maintain = false, budget = 0.0)
+            db.alter(current)
+          case 2 => db.maintenanceTick()
+          case 3 => // restart over the SAME baseDir with the CURRENT yaml:
+            // generation discovery + the durable orphan queue carry the
+            // schedule forward across the process boundary
+            db = new GraftDB(spark, current, baseDir, () => T0)
+        }
+        assertServes(s"op $op")
+      }
+      // close out: enroll parked with GC on, drain every queue, and
+      // assert exactly the live generation remains on disk
+      current = yaml(maintain = true, budget = 5.0)
+      db.alter(current)
+      db.maintenanceTick(); db.maintenanceTick(); db.maintenanceTick()
+      assertServes("final")
+      assert(db.maintainedStats("vidx")._3 === 0,
+        s"seed $fseed: pendingGc must drain, got ${db.maintainedStats("vidx")}")
+      assert(db.orphanGcStats === ((0, 0)),
+        s"seed $fseed: orphan queue must drain, got ${db.orphanGcStats}")
+      val active = db.maintainedState("vidx").get._1
+      val base = java.nio.file.Paths.get(idx)
+      val prefix = base.getFileName.toString + "-g"
+      val survivors = {
+        val st = java.nio.file.Files.list(base.getParent)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = st.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n == base.getFileName.toString || n.startsWith(prefix))
+              b += n
+          }
+          b.toSeq
+        } finally st.close()
+      }
+      val activeName = java.nio.file.Paths.get(active).getFileName.toString
+      assert(survivors == Seq(activeName),
+        s"seed $fseed: expected only $activeName on disk, found $survivors")
+    }
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
