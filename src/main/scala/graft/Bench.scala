@@ -241,9 +241,11 @@ object Bench {
     // queries inflated ~1.2-4x): its cost is mostly single-threaded driver
     // scheduling, which CFS serves promptly under load. The load probe is
     // the CPU-contention meter: one 32-task parallel hash-sum whose wall
-    // time scales ~linearly with core oversubscription (~0.04 s unloaded,
-    // ~3x under a 3x hog). Both are interleaved per group so per-entry
-    // load context is readable from the JSON alone.
+    // time scales ~linearly with core oversubscription (endpoint band
+    // ~0.15-0.25 s unloaded, mid-series up to ~0.4 s from residual async
+    // work, ~2-3x under a 3x hog — BENCH_LOCAL.md "per-group probe
+    // series"). Both are interleaved per group so per-entry load context
+    // is readable from the JSON alone.
     def loadProbe(): Double = {
       val t0 = System.nanoTime()
       // ~33M hashes/task across 32 tasks (~0.15 s of genuinely parallel
