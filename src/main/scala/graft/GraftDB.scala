@@ -106,9 +106,14 @@ final class GraftDB(
     }.toSet
     maintained.synchronized {
       // a detached enrollment's queued generations go to the orphan GC
-      // queue — detach must not strand superseded dirs on disk
+      // queue — detach must not strand superseded dirs on disk — and its
+      // attached writer (a name shared with a programmatic stream-attached
+      // enrollment) is stopped, not left appending
       (schemaMaintNames -- declaredMaint).foreach(n =>
-        maintained.remove(n).foreach(orphanPendingDeletes))
+        maintained.remove(n).foreach { old =>
+          quiesceStream(old.synchronized(old.stream), keep = None)
+          orphanPendingDeletes(old)
+        })
       schemaMaintNames.clear()
       schemaMaintNames ++= declaredMaint
     }
@@ -862,6 +867,18 @@ final class GraftDB(
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: Exception => () }
 
+  /** Stop+await a replaced or detached enrollment's attached stream (same
+    * contract as the flip's quiesce): an unstopped writer would keep
+    * appending to a path its old queue is about to GC. `keep` guards the
+    * same-instance re-attach no-op.
+    */
+  private def quiesceStream(old: Option[StreamingQuery],
+      keep: Option[StreamingQuery]): Unit =
+    old.filter(_.isActive).filterNot(o => keep.exists(_ eq o)).foreach { q =>
+      try { q.stop(); q.awaitTermination() }
+      catch { case _: Exception => () }
+    }
+
   private def orphanPendingDeletes(st: MaintState): Unit = {
     val moved = st.synchronized {
       val ps = st.pendingDeletes.toList; st.pendingDeletes.clear(); ps
@@ -886,25 +903,18 @@ final class GraftDB(
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
       gcOldGenerations: Boolean): Unit =
     maintained.synchronized {
-      // a replaced attached stream must be QUIESCED, not just dropped: an
-      // unstopped writer would keep appending to a path the replacement just
-      // queued for GC (same stop+await contract as the flip's quiesce)
-      def quiesce(old: Option[StreamingQuery]): Unit =
-        old.filter(_.isActive).filterNot(o => stream.exists(_ eq o))
-          .foreach { q =>
-            try { q.stop(); q.awaitTermination() }
-            catch { case _: Exception => () }
-          }
       maintained.get(name).filter(_.basePath == path) match {
         case Some(st) => st.synchronized {
           st.spec = spec
           st.gcOldGenerations = gcOldGenerations
-          if (stream.isDefined) { quiesce(st.stream); st.stream = stream }
+          if (stream.isDefined) {
+            quiesceStream(st.stream, keep = stream); st.stream = stream
+          }
           if (restart.isDefined) st.restart = restart
         }
         case None =>
           maintained.get(name).foreach { old =>
-            quiesce(old.synchronized(old.stream))
+            quiesceStream(old.synchronized(old.stream), keep = stream)
             orphanPendingDeletes(old)
           }
           val (active, gen) = discoverGeneration(path)
@@ -922,6 +932,44 @@ final class GraftDB(
       }
     }
 
+  /** Enumerate on-disk `<base>-gN` sibling generations:
+    * (path, parsed N, complete?). ONE enumeration serves both
+    * [[discoverGeneration]] and [[staleSiblings]] so they can never
+    * disagree about what counts as a generation, and the returned path
+    * preserves the ACTUAL listed suffix — a zero-padded `-g01` resolves
+    * and GCs as itself, never re-spelled `-g1` (which would point the
+    * registration at a nonexistent dir while queueing the real one for
+    * deletion).
+    */
+  private def generationSiblings(basePath: String)
+      : Seq[(String, Int, Boolean)] = {
+    val base = java.nio.file.Paths.get(basePath).toAbsolutePath
+    val parent = base.getParent
+    val prefix = base.getFileName.toString + "-g"
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Boolean)]
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      val st = java.nio.file.Files.list(parent)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val nm = p.getFileName.toString
+          val suffix = nm.stripPrefix(prefix)
+          if (nm.startsWith(prefix) && suffix.nonEmpty &&
+              suffix.length <= 9 && suffix.forall(_.isDigit))
+            out += ((s"$basePath-g$suffix", suffix.toInt, genComplete(p)))
+        }
+      } finally st.close()
+    }
+    out.toSeq
+  }
+
+  private def genComplete(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(dir) &&
+      Seq("_centroids.txt", "_pq.txt", "_index.txt")
+        .exists(m => java.nio.file.Files.exists(dir.resolve(m)))
+
   /** On-disk generations of `basePath` other than `active`: the base dir
     * itself (when superseded) and every `<base>-gN` sibling, complete or
     * not — a crashed flip's incomplete dest is garbage by the meta-sentinel
@@ -929,26 +977,12 @@ final class GraftDB(
     * it from scratch anyway).
     */
   private def staleSiblings(basePath: String, active: String): Seq[String] = {
-    val base = java.nio.file.Paths.get(basePath).toAbsolutePath
-    val parent = base.getParent
-    val prefix = base.getFileName.toString + "-g"
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (basePath != active && java.nio.file.Files.exists(base))
+    if (basePath != active && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(basePath).toAbsolutePath))
       out += basePath
-    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
-      val st = java.nio.file.Files.list(parent)
-      try {
-        val it = st.iterator()
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          val suffix = n.stripPrefix(prefix)
-          if (n.startsWith(prefix) && suffix.nonEmpty &&
-              suffix.forall(_.isDigit)) {
-            val p = s"$basePath-g$suffix"
-            if (p != active) out += p
-          }
-        }
-      } finally st.close()
+    out ++= generationSiblings(basePath).collect {
+      case (p, _, _) if p != active => p
     }
     out.toSeq
   }
@@ -1009,33 +1043,17 @@ final class GraftDB(
     * scan skips.
     */
   private def discoverGeneration(basePath: String): (String, Int) = {
-    def complete(dir: java.nio.file.Path): Boolean =
-      java.nio.file.Files.isDirectory(dir) &&
-        Seq("_centroids.txt", "_pq.txt", "_index.txt")
-          .exists(m => java.nio.file.Files.exists(dir.resolve(m)))
     // Enumerate SIBLINGS and take the max complete generation — never a
     // sequential -g1, -g2, ... probe: with gcOldGenerations on, each flip
     // deletes the prior generation, so after two flips only the newest -gN
     // exists and a first-gap probe would resolve the (deleted) base path,
     // then re-number the next flip OVER the live generation.
-    val base = java.nio.file.Paths.get(basePath).toAbsolutePath
-    val parent = base.getParent
-    val prefix = base.getFileName.toString + "-g"
-    var gen = 0
-    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
-      val st = java.nio.file.Files.list(parent)
-      try {
-        val it = st.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val suffix = p.getFileName.toString.stripPrefix(prefix)
-          if ((p.getFileName.toString.startsWith(prefix)) &&
-              suffix.nonEmpty && suffix.forall(_.isDigit) && complete(p))
-            scala.util.Try(suffix.toInt).foreach(g => if (g > gen) gen = g)
-        }
-      } finally st.close()
+    val complete = generationSiblings(basePath).filter(_._3)
+    if (complete.isEmpty) (basePath, 0)
+    else {
+      val (p, g, _) = complete.maxBy(_._2)
+      (p, g)
     }
-    if (gen > 0) (s"$basePath-g$gen", gen) else (basePath, 0)
   }
 
   /** Enroll a dedup-family index (exact / near-dup / containment — the
@@ -1100,7 +1118,19 @@ final class GraftDB(
     // discipline as the per-index GC below; reported as a pseudo-row so the
     // /metrics maintenance surface shows the work.
     val orphanStatus: Option[(String, String)] = {
+      // a queued orphan matching a CURRENT enrollment's active path is live
+      // again (re-attached and flipped back into service, or a reloaded
+      // entry colliding with a rebuilt generation): drop it from the queue,
+      // never delete a serving directory
+      val actives = maintained.synchronized {
+        maintained.values.map(s => s.synchronized(s.activePath)).toSet
+      }
       val freed = orphanGc.synchronized {
+        if (orphanGc.exists(actives.contains)) {
+          val kept = orphanGc.filterNot(actives.contains)
+          orphanGc.clear(); orphanGc ++= kept
+          persistOrphanGc()
+        }
         val (pinned, free) = orphanGc.partition(isLeased)
         orphanGc.clear(); orphanGc ++= pinned
         free.toList
@@ -1126,17 +1156,23 @@ final class GraftDB(
     orphanStatus.toSeq ++ snapshot.map { case (name, st) =>
       val status =
         try {
-          // claim the index and snapshot the pass inputs under ITS monitor
+          // claim the index and snapshot the pass inputs under ITS monitor.
+          // spec/restart/gcOldGenerations are in-place-mutable (live
+          // re-ALTER): snapshotting them under the SAME monitor enroll()
+          // mutates them under gives this pass one consistent config —
+          // never a torn view (new spec, old restart) or a stale read
+          // with no happens-before edge
           val claimed = st.synchronized {
             if (st.inFlight) None
             else {
               st.inFlight = true
-              Some((st.activePath, st.gen, st.stream))
+              Some((st.activePath, st.gen, st.stream, st.spec, st.restart,
+                st.gcOldGenerations))
             }
           }
           claimed match {
             case None => "busy (pass in flight)"
-            case Some((active, gen, stream0)) =>
+            case Some((active, gen, stream0, spec0, restart0, gc0)) =>
               try {
                 // GC generations superseded by PREVIOUS ticks (readers have
                 // had at least one full maintenance period to drain) — but
@@ -1147,8 +1183,14 @@ final class GraftDB(
                 // from the buffer and would otherwise leak) and surface in
                 // the status.
                 val gcErrs = scala.collection.mutable.ArrayBuffer.empty[String]
-                if (st.gcOldGenerations) {
+                if (gc0) {
                   val freed = st.synchronized {
+                    // a path equal to the CURRENT active is never GC-able:
+                    // the flip purges its dest from the queues, this is the
+                    // backstop for reloaded or duplicated entries — drop,
+                    // don't delete a serving directory
+                    val kept = st.pendingDeletes.filter(_ != st.activePath)
+                    st.pendingDeletes.clear(); st.pendingDeletes ++= kept
                     val (pinned, free) = st.pendingDeletes.partition(isLeased)
                     st.pendingDeletes.clear()
                     st.pendingDeletes ++= pinned
@@ -1169,7 +1211,21 @@ final class GraftDB(
                   st.synchronized {
                     st.activePath = newPath; st.gen = gen + 1
                     st.stream = newStream
-                    if (st.gcOldGenerations) st.pendingDeletes += active
+                    // the just-rebuilt dest must never sit in a GC queue:
+                    // crash debris at this number queued by staleSiblings
+                    // whose delete failed transiently above (re-queued)
+                    // would otherwise be GC'd on a LATER tick as the LIVE
+                    // generation — purge it from both queues now
+                    val kept = st.pendingDeletes.filter(_ != newPath)
+                    st.pendingDeletes.clear(); st.pendingDeletes ++= kept
+                    if (gc0) st.pendingDeletes += active
+                  }
+                  orphanGc.synchronized {
+                    if (orphanGc.exists(_ == newPath)) {
+                      val kept = orphanGc.filter(_ != newPath)
+                      orphanGc.clear(); orphanGc ++= kept
+                      persistOrphanGc()
+                    }
                   }
                   if (repoint) annIndexes.synchronized {
                     annIndexes.get(name.toLowerCase).foreach { d =>
@@ -1178,10 +1234,10 @@ final class GraftDB(
                   }
                 }
                 val dest = s"${st.basePath}-g${gen + 1}"
-                val passStatus = st.spec match {
+                val passStatus = spec0 match {
                   case DedupMaint(maxFiles) =>
                     val r = pipeline.Dedup.maintainIndex(spark, active, dest,
-                      maxFiles, stream0, st.restart)
+                      maxFiles, stream0, restart0)
                     if (r.compacted) flip(r.activePath, r.stream, repoint = false)
                     if (r.compacted) s"compacted -> ${r.activePath}"
                     else s"ok (${r.maxFilesPerPrefix} files/prefix)"
@@ -1200,7 +1256,7 @@ final class GraftDB(
                           "'maintainsource: <vector table>')")
                     val r = pipeline.Similarity.maintainIndex(spark, active,
                       dest, col(vecCol0), col(idCol0), nProbe, budget,
-                      stream0, st.restart)
+                      stream0, restart0)
                     if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
                     if (r.rebuilt) s"re-clustered -> ${r.activePath}"
                     else f"ok (probedFraction ${r.probedFraction}%.2f)"
@@ -1210,7 +1266,7 @@ final class GraftDB(
                     val corpus = catalog.get(source).df
                     val r = pipeline.Similarity.maintainIndexPq(spark, active,
                       dest, corpus, col(vecCol0), col(idCol0), nProbe, budget,
-                      stream0, st.restart)
+                      stream0, restart0)
                     if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
                     if (r.rebuilt) s"rebuilt -> ${r.activePath}"
                     else f"ok (probedFraction ${r.probedFraction}%.2f)"
@@ -1220,6 +1276,13 @@ final class GraftDB(
               } finally st.synchronized { st.inFlight = false }
           }
         } catch { case e: Exception => s"error: ${e.getMessage}" }
+      // the pass ran off the registry lock: if an ALTER detached or
+      // replaced this enrollment meanwhile, the state (and anything its
+      // flip just queued) is unreachable — hand the queue to the orphan
+      // GC instead of stranding the directories on disk
+      maintained.synchronized {
+        if (!maintained.get(name).exists(_ eq st)) orphanPendingDeletes(st)
+      }
       name -> status
     }
   }

@@ -132,7 +132,16 @@ object SchemaParser {
       case "maintainsource" => c.copy(maintainSource = Some(value.toLowerCase))
       case "maintaingc"     => c.copy(maintainGc = value.toBoolean)
       case "dedupindex"     => c.copy(dedupIndexPath = Some(value))
-      case "maintainfiles"  => c.copy(maintainFiles = value.toInt)
+      case "maintainfiles"  =>
+        val v = value.toInt
+        // fail loud at parse like the inert-dedupindex check: 0 would make
+        // EVERY tick a full blue/green rewrite of the whole index (each
+        // compaction leaves 1 file/prefix > 0) — unbounded I/O churn that
+        // reads as normal 'compacted -> ...' status lines
+        if (v < 1) throw new IllegalArgumentException(
+          s"maintainfiles must be >= 1 (got $v): 0 or less re-compacts " +
+            "the entire index on every maintenance tick")
+        c.copy(maintainFiles = v)
       case other =>
         throw new IllegalArgumentException(s"unknown table option '$other'")
     }

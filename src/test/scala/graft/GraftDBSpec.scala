@@ -1952,6 +1952,156 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedStats("nd")._3 === 0)
   }
 
+  test("a transiently failed GC delete never claims the next flip's dest") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // live generation at -g1 (base long GC'd); crash debris at -g2 — the
+    // exact number the NEXT flip will rebuild into
+    val idx = Files.createTempDirectory("gc-vs-dest").toString + "/i"
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(
+      (0L until 30L).map(i => (i, s"gcd seed text $i")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), s"$idx-g1", n = 1, numHashes = 64,
+      bands = 32)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idx-g2"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx-g2", "part-stale.parquet"), "junk")
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"gcd round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), s"$idx-g1", n = 1, numHashes = 64,
+        bands = 32, threshold = 0.9, admit = true)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("gc-vs-dest-db").toString, () => T0)
+    db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 1,
+      gcOldGenerations = true)
+    assert(db.maintainedState("nd").exists(_._1 == s"$idx-g1"))
+    assert(db.maintainedStats("nd")._3 === 1, "debris -g2 must be queued")
+    val rows = spark.read.parquet(s"$idx-g1").count()
+    // the debris delete fails transiently; the SAME tick then compacts
+    // into -g2 — the re-queued path now names the LIVE generation, and
+    // without the flip's purge the NEXT tick would delete it
+    db.gcDeleteHook = p =>
+      if (p == s"$idx-g2") throw new RuntimeException("transient fs error")
+    try {
+      val t1 = db.maintenanceTick()
+      assert(t1.exists { case (n, s) =>
+        n == "nd" && s.startsWith(s"compacted -> $idx-g2") &&
+          s.contains("gc errors") }, t1.toString)
+    } finally db.gcDeleteHook = _ => ()
+    assert(db.maintainedState("nd").exists(_._1 == s"$idx-g2"))
+    assert(db.maintainedStats("nd")._3 === 1,
+      s"only the superseded -g1 may await GC — the rebuilt dest must have " +
+        s"been purged from the queue (got ${db.maintainedStats("nd")})")
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")),
+      "superseded -g1 must be GC'd")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")),
+      "the live generation must survive the tick after the failed delete")
+    assert(spark.read.parquet(s"$idx-g2").count() === rows)
+    assert(db.maintainedStats("nd")._3 === 0)
+  }
+
+  test("a detach landing mid-pass hands the flip's queued generation to the orphan GC") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("midpass-detach").toString + "/i"
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(
+      (0L until 30L).map(i => (i, s"mpd seed text $i")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"mpd round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    val db = new GraftDB(spark,
+      s"""${tableYaml}nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin,
+      Files.createTempDirectory("midpass-detach-db").toString, () => T0)
+    val t1 = db.maintenanceTick() // flip -> -g1; base queued
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    for (r <- 3 to 4) // fragment -g1 so the NEXT tick compacts again
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"mpd round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), s"$idx-g1", n = 1, numHashes = 64,
+        bands = 32, threshold = 0.9, admit = true)
+    // the next tick GCs the base (hook fires) and then compacts -g1 into
+    // -g2; the ALTER inside the hook detaches the enrollment MID-PASS, so
+    // the pass's own `pendingDeletes += -g1` lands on an unreachable
+    // state — the post-pass handoff must move it to the orphan GC
+    var fired = false
+    db.gcDeleteHook = _ => if (!fired) { fired = true; db.alter(tableYaml) }
+    try {
+      val t2 = db.maintenanceTick()
+      assert(t2.exists { case (n, s) =>
+        n == "nd_idx" && s == s"compacted -> $idx-g2" }, t2.toString)
+    } finally db.gcDeleteHook = _ => ()
+    assert(fired, "the detach must have landed during the pass")
+    assert(db.maintainedState("nd_idx").isEmpty)
+    assert(db.orphanGcStats === ((1, 0)),
+      "the mid-pass flip's superseded generation must reach the orphan GC")
+    val t3 = db.maintenanceTick()
+    assert(t3.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      t3.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")),
+      "the orphaned -g1 must be reclaimed with the enrollment gone")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")))
+  }
+
+  test("zero-padded generation dirs resolve and GC as themselves") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // an externally restored copy named -g01: discovery must serve the
+    // ACTUAL directory (not a re-spelled -g1 that doesn't exist), and the
+    // stale-sibling scan must agree it is the active generation
+    val idx = Files.createTempDirectory("zero-pad").toString + "/i"
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(
+      (0L until 30L).map(i => (i, s"zp seed text $i")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), s"$idx-g01", n = 1, numHashes = 64,
+      bands = 32)
+    val db = new GraftDB(spark,
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n",
+      Files.createTempDirectory("zero-pad-db").toString, () => T0)
+    db.registerDedupMaintenance("nd", idx, maxFilesPerPrefix = 16,
+      gcOldGenerations = true)
+    assert(db.maintainedState("nd").exists(_._1 == s"$idx-g01"),
+      s"discovery must keep the listed suffix (got ${db.maintainedState("nd")})")
+    assert(db.maintainedStats("nd")._3 === 0,
+      "the active generation must not be queued for its own deletion")
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) => n == "nd" && s.startsWith("ok") },
+      t1.toString)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g01")),
+      "the serving directory must survive the tick")
+    assert(spark.read.parquet(s"$idx-g01").count() === 30L)
+  }
+
+  test("maintainfiles below 1 is rejected at parse") {
+    val e = intercept[IllegalArgumentException] {
+      new GraftDB(spark,
+        """combined:
+          |  sql: >
+          |    SELECT requests FROM inbound GROUP BY server, period(5m)
+          |nd_idx:
+          |  dedupindex: /tmp/nowhere
+          |  maintain: true
+          |  maintainfiles: 0
+          |""".stripMargin,
+        Files.createTempDirectory("maintfiles-zero").toString, () => T0)
+    }
+    assert(e.getMessage.contains("maintainfiles must be >= 1"), e.getMessage)
+  }
+
   test("the GC queue is restart-durable: a fresh enrollment re-queues stale generations") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
