@@ -813,8 +813,8 @@ final class GraftDB(
       // drain), and only once no reader lease pins them — the blue/green
       // contract's "caller deletes after readers drain", automated for the
       // daemon-owned case with in-flight queries tracked by [[pinPath]]
-      val pendingDeletes: scala.collection.mutable.Buffer[String] =
-        scala.collection.mutable.Buffer.empty,
+      val pendingDeletes: scala.collection.mutable.ArrayBuffer[String] =
+        scala.collection.mutable.ArrayBuffer.empty,
       // claimed by a tick for the duration of its (unlocked) Spark pass:
       // overlapping ticks (daemon + a manual one-shot) skip a claimed index
       // instead of double-compacting it
@@ -837,8 +837,8 @@ final class GraftDB(
   // no-ops on the next tick.
   private val orphanGcFile =
     java.nio.file.Paths.get(baseDir, "_orphan_gc.txt")
-  private val orphanGc: scala.collection.mutable.Buffer[String] = {
-    val b = scala.collection.mutable.Buffer.empty[String]
+  private val orphanGc: scala.collection.mutable.ArrayBuffer[String] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
     if (java.nio.file.Files.exists(orphanGcFile)) {
       val it = java.nio.file.Files.readAllLines(orphanGcFile).iterator()
       while (it.hasNext) {
@@ -957,8 +957,13 @@ final class GraftDB(
           val nm = p.getFileName.toString
           val suffix = nm.stripPrefix(prefix)
           if (nm.startsWith(prefix) && suffix.nonEmpty &&
-              suffix.length <= 9 && suffix.forall(_.isDigit))
-            out += ((s"$basePath-g$suffix", suffix.toInt, genComplete(p)))
+              suffix.forall(_.isDigit)) {
+            // a suffix too long for Int still ENUMERATES (staleSiblings
+            // must queue such junk for GC, not strand it) but carries
+            // N = -1 so discovery and dest numbering ignore it
+            val gen = if (suffix.length <= 9) suffix.toInt else -1
+            out += ((s"$basePath-g$suffix", gen, genComplete(p)))
+          }
         }
       } finally st.close()
     }
@@ -1048,7 +1053,10 @@ final class GraftDB(
     // deletes the prior generation, so after two flips only the newest -gN
     // exists and a first-gap probe would resolve the (deleted) base path,
     // then re-number the next flip OVER the live generation.
-    val complete = generationSiblings(basePath).filter(_._3)
+    // only N >= 1 counts: flips never write -g0, so a complete "-g0"
+    // sibling is foreign junk that must not beat a live base directory
+    // (it stays enumerable for staleSiblings to GC)
+    val complete = generationSiblings(basePath).filter(s => s._3 && s._2 > 0)
     if (complete.isEmpty) (basePath, 0)
     else {
       val (p, g, _) = complete.maxBy(_._2)
@@ -1063,9 +1071,15 @@ final class GraftDB(
       maxFilesPerPrefix: Int = 16,
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery] = None,
-      gcOldGenerations: Boolean = false): Unit =
+      gcOldGenerations: Boolean = false): Unit = {
+    // same guard as the yaml parser's maintainfiles check, so both fronts
+    // refuse the every-tick-full-rewrite misconfiguration
+    require(maxFilesPerPrefix >= 1,
+      s"maxFilesPerPrefix must be >= 1 (got $maxFilesPerPrefix): 0 or " +
+        "less re-compacts the entire index on every maintenance tick")
     enroll(name, path, DedupMaint(maxFilesPerPrefix), stream, restart,
       gcOldGenerations)
+  }
 
   /** Enroll an IVF index for daemon-driven probe-cost maintenance (the
     * drift re-cluster policy). If an ANN index of the same `name` is
@@ -1127,8 +1141,7 @@ final class GraftDB(
       }
       val freed = orphanGc.synchronized {
         if (orphanGc.exists(actives.contains)) {
-          val kept = orphanGc.filterNot(actives.contains)
-          orphanGc.clear(); orphanGc ++= kept
+          orphanGc.filterInPlace(p => !actives.contains(p))
           persistOrphanGc()
         }
         val (pinned, free) = orphanGc.partition(isLeased)
@@ -1189,8 +1202,7 @@ final class GraftDB(
                     // the flip purges its dest from the queues, this is the
                     // backstop for reloaded or duplicated entries — drop,
                     // don't delete a serving directory
-                    val kept = st.pendingDeletes.filter(_ != st.activePath)
-                    st.pendingDeletes.clear(); st.pendingDeletes ++= kept
+                    st.pendingDeletes.filterInPlace(_ != st.activePath)
                     val (pinned, free) = st.pendingDeletes.partition(isLeased)
                     st.pendingDeletes.clear()
                     st.pendingDeletes ++= pinned
@@ -1205,40 +1217,61 @@ final class GraftDB(
                     }
                   }
                 }
-                def flip(newPath: String,
+                def flip(newPath: String, newGen: Int,
                     newStream: Option[org.apache.spark.sql.streaming.StreamingQuery],
                     repoint: Boolean): Unit = {
                   st.synchronized {
-                    st.activePath = newPath; st.gen = gen + 1
+                    // a stream attached by a concurrent in-place re-enroll
+                    // since this pass's snapshot would be silently
+                    // clobbered by the overwrite below — stop it first
+                    // (the snapshot's own stream was already quiesced by
+                    // the rebuild, so it no-ops through the isActive
+                    // filter)
+                    quiesceStream(st.stream, keep = newStream)
+                    st.activePath = newPath; st.gen = newGen
                     st.stream = newStream
-                    // the just-rebuilt dest must never sit in a GC queue:
-                    // crash debris at this number queued by staleSiblings
-                    // whose delete failed transiently above (re-queued)
-                    // would otherwise be GC'd on a LATER tick as the LIVE
-                    // generation — purge it from both queues now
-                    val kept = st.pendingDeletes.filter(_ != newPath)
-                    st.pendingDeletes.clear(); st.pendingDeletes ++= kept
+                    // belt-and-braces: the just-rebuilt dest must never
+                    // sit in a GC queue (dest numbering already skips
+                    // every existing sibling)
+                    st.pendingDeletes.filterInPlace(_ != newPath)
                     if (gc0) st.pendingDeletes += active
                   }
                   orphanGc.synchronized {
-                    if (orphanGc.exists(_ == newPath)) {
-                      val kept = orphanGc.filter(_ != newPath)
-                      orphanGc.clear(); orphanGc ++= kept
+                    if (orphanGc.contains(newPath)) {
+                      orphanGc.filterInPlace(_ != newPath)
                       persistOrphanGc()
                     }
                   }
-                  if (repoint) annIndexes.synchronized {
-                    annIndexes.get(name.toLowerCase).foreach { d =>
-                      annIndexes(name.toLowerCase) = d.copy(path = newPath)
-                    }
+                  // never re-point a registration this pass no longer
+                  // owns: an ALTER that replaced or detached the
+                  // enrollment mid-pass has already pointed SIMSEARCH at
+                  // ITS index — overriding it would serve the abandoned
+                  // base's generation
+                  if (repoint) maintained.synchronized {
+                    if (maintained.get(name).exists(_ eq st))
+                      annIndexes.synchronized {
+                        annIndexes.get(name.toLowerCase).foreach { d =>
+                          annIndexes(name.toLowerCase) = d.copy(path = newPath)
+                        }
+                      }
                   }
                 }
-                val dest = s"${st.basePath}-g${gen + 1}"
+                // dest numbering skips EVERY existing sibling, complete or
+                // not: rebuilding into an on-disk number would overwrite
+                // crash debris in place and race the orphan drain (debris
+                // queued there may already be drained out of the queue,
+                // past the flip's purge) — a fresh number makes dest/GC
+                // collisions impossible by construction
+                val destGen = math.max(gen,
+                  generationSiblings(st.basePath).map(_._2).maxOption
+                    .getOrElse(0)) + 1
+                val dest = s"${st.basePath}-g$destGen"
                 val passStatus = spec0 match {
                   case DedupMaint(maxFiles) =>
                     val r = pipeline.Dedup.maintainIndex(spark, active, dest,
                       maxFiles, stream0, restart0)
-                    if (r.compacted) flip(r.activePath, r.stream, repoint = false)
+                    if (r.compacted)
+                      flip(r.activePath, destGen, r.stream, repoint = false)
                     if (r.compacted) s"compacted -> ${r.activePath}"
                     else s"ok (${r.maxFilesPerPrefix} files/prefix)"
                   case AnnMaint(vecCol0, idCol0, nProbe, budget) =>
@@ -1257,7 +1290,8 @@ final class GraftDB(
                     val r = pipeline.Similarity.maintainIndex(spark, active,
                       dest, col(vecCol0), col(idCol0), nProbe, budget,
                       stream0, restart0)
-                    if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
+                    if (r.rebuilt)
+                      flip(r.activePath, destGen, r.stream, repoint = true)
                     if (r.rebuilt) s"re-clustered -> ${r.activePath}"
                     else f"ok (probedFraction ${r.probedFraction}%.2f)"
                   case PqMaint(source, vecCol0, idCol0, nProbe, budget) =>
@@ -1267,7 +1301,8 @@ final class GraftDB(
                     val r = pipeline.Similarity.maintainIndexPq(spark, active,
                       dest, corpus, col(vecCol0), col(idCol0), nProbe, budget,
                       stream0, restart0)
-                    if (r.rebuilt) flip(r.activePath, r.stream, repoint = true)
+                    if (r.rebuilt)
+                      flip(r.activePath, destGen, r.stream, repoint = true)
                     if (r.rebuilt) s"rebuilt -> ${r.activePath}"
                     else f"ok (probedFraction ${r.probedFraction}%.2f)"
                 }
@@ -1281,7 +1316,13 @@ final class GraftDB(
       // flip just queued) is unreachable — hand the queue to the orphan
       // GC instead of stranding the directories on disk
       maintained.synchronized {
-        if (!maintained.get(name).exists(_ eq st)) orphanPendingDeletes(st)
+        if (!maintained.get(name).exists(_ eq st)) {
+          // the pass's flip may have stored a freshly RESTARTED stream on
+          // the unreachable state: stop it (no owner remains to quiesce it
+          // before a later GC of its write path)
+          quiesceStream(st.synchronized(st.stream), keep = None)
+          orphanPendingDeletes(st)
+        }
       }
       name -> status
     }

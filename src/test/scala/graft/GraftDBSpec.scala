@@ -1979,27 +1979,31 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.maintainedState("nd").exists(_._1 == s"$idx-g1"))
     assert(db.maintainedStats("nd")._3 === 1, "debris -g2 must be queued")
     val rows = spark.read.parquet(s"$idx-g1").count()
-    // the debris delete fails transiently; the SAME tick then compacts
-    // into -g2 — the re-queued path now names the LIVE generation, and
-    // without the flip's purge the NEXT tick would delete it
+    // the debris delete fails transiently in the SAME tick that compacts:
+    // dest numbering must SKIP the still-on-disk debris number (rebuilding
+    // into -g2 would leave the re-queued path naming the live generation,
+    // which the next tick would delete)
     db.gcDeleteHook = p =>
       if (p == s"$idx-g2") throw new RuntimeException("transient fs error")
     try {
       val t1 = db.maintenanceTick()
       assert(t1.exists { case (n, s) =>
-        n == "nd" && s.startsWith(s"compacted -> $idx-g2") &&
+        n == "nd" && s.startsWith(s"compacted -> $idx-g3") &&
           s.contains("gc errors") }, t1.toString)
     } finally db.gcDeleteHook = _ => ()
-    assert(db.maintainedState("nd").exists(_._1 == s"$idx-g2"))
-    assert(db.maintainedStats("nd")._3 === 1,
-      s"only the superseded -g1 may await GC — the rebuilt dest must have " +
-        s"been purged from the queue (got ${db.maintainedStats("nd")})")
+    assert(db.maintainedState("nd").exists(_._1 == s"$idx-g3"),
+      s"dest must skip the queued debris number (got ${db.maintainedState("nd")})")
+    assert(db.maintainedStats("nd")._3 === 2,
+      s"the re-queued debris AND the superseded -g1 await GC " +
+        s"(got ${db.maintainedStats("nd")})")
     db.maintenanceTick()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")),
       "superseded -g1 must be GC'd")
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")),
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")),
+      "the debris must drain once the failure clears")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g3")),
       "the live generation must survive the tick after the failed delete")
-    assert(spark.read.parquet(s"$idx-g2").count() === rows)
+    assert(spark.read.parquet(s"$idx-g3").count() === rows)
     assert(db.maintainedStats("nd")._3 === 0)
   }
 
