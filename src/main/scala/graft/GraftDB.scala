@@ -104,19 +104,25 @@ final class GraftDB(
     val declaredMaint = resolved.collect {
       case (name, (cfg, None)) if cfg.maintain => name.toLowerCase
     }.toSet
+    val detachedStreams =
+      scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
     maintained.synchronized {
       // a detached enrollment's queued generations go to the orphan GC
       // queue — detach must not strand superseded dirs on disk — and its
       // attached writer (a name shared with a programmatic stream-attached
-      // enrollment) is stopped, not left appending
+      // enrollment) is stopped, not left appending. Streams are collected
+      // here and quiesced BELOW, outside the registry lock (see enroll's
+      // deadlock note).
       (schemaMaintNames -- declaredMaint).foreach(n =>
         maintained.remove(n).foreach { old =>
-          quiesceStream(old.synchronized(old.stream), keep = None)
+          old.synchronized { val s = old.stream; old.stream = None; s }
+            .foreach(detachedStreams += _)
           orphanPendingDeletes(old)
         })
       schemaMaintNames.clear()
       schemaMaintNames ++= declaredMaint
     }
+    detachedStreams.foreach(s => quiesceStream(Some(s), keep = None))
     resolved.foreach {
       case (name, (cfg, None)) if cfg.annIndexPath.isDefined =>
         val declaredPath = cfg.annIndexPath.get
@@ -901,21 +907,26 @@ final class GraftDB(
   private def enroll(name: String, path: String, spec: MaintSpec,
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
-      gcOldGenerations: Boolean): Unit =
-    maintained.synchronized {
+      gcOldGenerations: Boolean): Unit = {
+    // a replaced stream is quiesced AFTER releasing the registry lock:
+    // stop()+awaitTermination() waits for the in-flight micro-batch, and a
+    // batch calling any maintained-locking API (maintainedState, a nested
+    // register) would deadlock against this monitor
+    val replaced: Option[StreamingQuery] = maintained.synchronized {
       maintained.get(name).filter(_.basePath == path) match {
         case Some(st) => st.synchronized {
           st.spec = spec
           st.gcOldGenerations = gcOldGenerations
-          if (stream.isDefined) {
-            quiesceStream(st.stream, keep = stream); st.stream = stream
-          }
+          val old = if (stream.isDefined) {
+            val o = st.stream; st.stream = stream; o
+          } else None
           if (restart.isDefined) st.restart = restart
+          old
         }
         case None =>
-          maintained.get(name).foreach { old =>
-            quiesceStream(old.synchronized(old.stream), keep = stream)
-            orphanPendingDeletes(old)
+          val old = maintained.get(name).flatMap { o =>
+            orphanPendingDeletes(o)
+            o.synchronized { val s = o.stream; o.stream = None; s }
           }
           val (active, gen) = discoverGeneration(path)
           val st = new MaintState(path, spec, active, gen, stream,
@@ -929,8 +940,11 @@ final class GraftDB(
           // dests of crashed flips) re-queues, lease-checked as always.
           if (gcOldGenerations) st.pendingDeletes ++= staleSiblings(path, active)
           maintained(name) = st
+          old
       }
     }
+    quiesceStream(replaced, keep = stream)
+  }
 
   /** Enumerate on-disk `<base>-gN` sibling generations:
     * (path, parsed N, complete?). ONE enumeration serves both
@@ -956,13 +970,19 @@ final class GraftDB(
           val p = it.next()
           val nm = p.getFileName.toString
           val suffix = nm.stripPrefix(prefix)
+          // validity is by VALUE, not name length: a generation number
+          // the engine could have written is any non-negative Int below
+          // Int.MaxValue (dest numbering needs +1 headroom). Anything
+          // else (e.g. a timestamp-suffixed backup like -g20260815120000)
+          // is a directory the engine could NOT have created, so it is
+          // ignored entirely — never discovered, never GC'd.
           if (nm.startsWith(prefix) && suffix.nonEmpty &&
               suffix.forall(_.isDigit)) {
-            // a suffix too long for Int still ENUMERATES (staleSiblings
-            // must queue such junk for GC, not strand it) but carries
-            // N = -1 so discovery and dest numbering ignore it
-            val gen = if (suffix.length <= 9) suffix.toInt else -1
-            out += ((s"$basePath-g$suffix", gen, genComplete(p)))
+            suffix.toLongOption
+              .filter(v => v >= 0 && v < Int.MaxValue)
+              .foreach { v =>
+                out += ((s"$basePath-g$suffix", v.toInt, genComplete(p)))
+              }
           }
         }
       } finally st.close()
@@ -1139,12 +1159,19 @@ final class GraftDB(
       val actives = maintained.synchronized {
         maintained.values.map(s => s.synchronized(s.activePath)).toSet
       }
+      // a path a SIMSEARCH registration currently serves stays pending (a
+      // later re-point frees it), like a lease — deleting it would break
+      // every query on that index between its preQuery pins
+      val serving = annIndexes.synchronized {
+        annIndexes.values.map(_.path).toSet
+      }
       val freed = orphanGc.synchronized {
         if (orphanGc.exists(actives.contains)) {
           orphanGc.filterInPlace(p => !actives.contains(p))
           persistOrphanGc()
         }
-        val (pinned, free) = orphanGc.partition(isLeased)
+        val (pinned, free) =
+          orphanGc.partition(p => isLeased(p) || serving.contains(p))
         orphanGc.clear(); orphanGc ++= pinned
         free.toList
       }
@@ -1220,14 +1247,15 @@ final class GraftDB(
                 def flip(newPath: String, newGen: Int,
                     newStream: Option[org.apache.spark.sql.streaming.StreamingQuery],
                     repoint: Boolean): Unit = {
-                  st.synchronized {
-                    // a stream attached by a concurrent in-place re-enroll
-                    // since this pass's snapshot would be silently
-                    // clobbered by the overwrite below — stop it first
-                    // (the snapshot's own stream was already quiesced by
-                    // the rebuild, so it no-ops through the isActive
-                    // filter)
-                    quiesceStream(st.stream, keep = newStream)
+                  // a stream attached by a concurrent in-place re-enroll
+                  // since this pass's snapshot would be silently clobbered
+                  // by the overwrite — collect it under the monitor, stop
+                  // it AFTER releasing (its micro-batch may call a
+                  // st-locking API; see enroll's deadlock note). The
+                  // snapshot's own stream was already quiesced by the
+                  // rebuild, so it no-ops through the isActive filter.
+                  val clobbered = st.synchronized {
+                    val c = st.stream
                     st.activePath = newPath; st.gen = newGen
                     st.stream = newStream
                     // belt-and-braces: the just-rebuilt dest must never
@@ -1235,7 +1263,9 @@ final class GraftDB(
                     // every existing sibling)
                     st.pendingDeletes.filterInPlace(_ != newPath)
                     if (gc0) st.pendingDeletes += active
+                    c
                   }
+                  quiesceStream(clobbered, keep = newStream)
                   orphanGc.synchronized {
                     if (orphanGc.contains(newPath)) {
                       orphanGc.filterInPlace(_ != newPath)
@@ -1315,15 +1345,34 @@ final class GraftDB(
       // replaced this enrollment meanwhile, the state (and anything its
       // flip just queued) is unreachable — hand the queue to the orphan
       // GC instead of stranding the directories on disk
-      maintained.synchronized {
-        if (!maintained.get(name).exists(_ eq st)) {
-          // the pass's flip may have stored a freshly RESTARTED stream on
-          // the unreachable state: stop it (no owner remains to quiesce it
-          // before a later GC of its write path)
-          quiesceStream(st.synchronized(st.stream), keep = None)
+      val orphanedStream = maintained.synchronized {
+        if (maintained.get(name).exists(_ eq st)) None
+        else {
+          val (s, finalActive, superseded) = st.synchronized {
+            val s0 = st.stream; st.stream = None
+            (s0, st.activePath, st.pendingDeletes.toSet)
+          }
+          // a detach that kept the `annindex:` entry re-registered it at
+          // the then-current generation BEFORE this pass flipped; if the
+          // registration now points at a path this pass superseded (and
+          // queued for GC), re-point it to the pass's final active so
+          // SIMSEARCH never serves a directory the orphan drain is about
+          // to delete
+          annIndexes.synchronized {
+            annIndexes.get(name.toLowerCase).foreach { d =>
+              if (superseded.contains(d.path))
+                annIndexes(name.toLowerCase) = d.copy(path = finalActive)
+            }
+          }
           orphanPendingDeletes(st)
+          // the pass's flip may have stored a freshly RESTARTED stream on
+          // the unreachable state: stop it below, outside the registry
+          // lock (no owner remains to quiesce it before a later GC of its
+          // write path)
+          s
         }
       }
+      quiesceStream(orphanedStream, keep = None)
       name -> status
     }
   }

@@ -2062,6 +2062,65 @@ class GraftDBSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")))
   }
 
+  test("a mid-pass ANN detach re-points SIMSEARCH to the pass's final generation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("midpass-ann").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+    def yaml(maintainLines: String) =
+      s"""${tableYaml}vidx:
+         |  annindex: $idx
+         |  annvec: embedding
+         |  annid: vec_id
+         |$maintainLines""".stripMargin
+    val enrolled = yaml(
+      "  maintain: true\n  maintainbudget: 0.0\n  maintainnprobe: 2\n  maintaingc: true\n")
+    val db = new GraftDB(spark, enrolled,
+      Files.createTempDirectory("midpass-ann-db").toString, () => T0)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val sql =
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id"
+    val t1 = db.maintenanceTick() // budget 0: flip -> -g1, base queued
+    assert(t1.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+    // the ALTER inside the GC hook detaches maintain: MID-PASS — the
+    // re-registration resolves the then-current -g1, and the pass then
+    // flips to -g2 without owning the enrollment (repoint skipped). The
+    // post-pass handoff must notice the registration points at a path the
+    // pass superseded and re-point it to the final generation.
+    var fired = false
+    db.gcDeleteHook = _ =>
+      if (!fired) { fired = true; db.alter(yaml("")) }
+    try {
+      val t2 = db.maintenanceTick()
+      assert(t2.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g2" }, t2.toString)
+    } finally db.gcDeleteHook = _ => ()
+    assert(fired)
+    assert(db.maintainedState("vidx").isEmpty)
+    assert(db.orphanGcStats === ((1, 0)),
+      "the superseded -g1 must be queued as an orphan")
+    assert(db.sqlTimed(sql, 120000L).length == 3)
+    val t3 = db.maintenanceTick()
+    assert(t3.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      s"the orphan must drain — a still-serving registration would pin it " +
+        s"forever (got $t3)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g2")))
+    assert(db.sqlTimed(sql, 120000L).length == 3,
+      "SIMSEARCH must serve the pass's final generation after the drain")
+  }
+
   test("zero-padded generation dirs resolve and GC as themselves") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
