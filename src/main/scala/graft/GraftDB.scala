@@ -115,8 +115,7 @@ final class GraftDB(
       // deadlock note).
       (schemaMaintNames -- declaredMaint).foreach(n =>
         maintained.remove(n).foreach { old =>
-          old.synchronized { val s = old.stream; old.stream = None; s }
-            .foreach(detachedStreams += _)
+          detachStream(old).foreach(detachedStreams += _)
           orphanPendingDeletes(old)
         })
       schemaMaintNames.clear()
@@ -885,6 +884,14 @@ final class GraftDB(
       catch { case _: Exception => () }
     }
 
+  /** Capture-and-null a state's attached stream under its monitor: the
+    * caller quiesces the returned handle AFTER releasing every registry
+    * lock. One primitive for all detach paths, so the exactly-once-
+    * quiesce invariant has a single definition.
+    */
+  private def detachStream(st: MaintState): Option[StreamingQuery] =
+    st.synchronized { val s = st.stream; st.stream = None; s }
+
   private def orphanPendingDeletes(st: MaintState): Unit = {
     val moved = st.synchronized {
       val ps = st.pendingDeletes.toList; st.pendingDeletes.clear(); ps
@@ -926,7 +933,7 @@ final class GraftDB(
         case None =>
           val old = maintained.get(name).flatMap { o =>
             orphanPendingDeletes(o)
-            o.synchronized { val s = o.stream; o.stream = None; s }
+            detachStream(o)
           }
           val (active, gen) = discoverGeneration(path)
           val st = new MaintState(path, spec, active, gen, stream,
@@ -1224,13 +1231,21 @@ final class GraftDB(
                 // the status.
                 val gcErrs = scala.collection.mutable.ArrayBuffer.empty[String]
                 if (gc0) {
+                  // a path a SIMSEARCH registration currently serves stays
+                  // pending, like a lease (same pin as the orphan drain):
+                  // an explicit registerAnnIndex at a prior generation must
+                  // not be deleted out from under its queries
+                  val serving = annIndexes.synchronized {
+                    annIndexes.values.map(_.path).toSet
+                  }
                   val freed = st.synchronized {
                     // a path equal to the CURRENT active is never GC-able:
                     // the flip purges its dest from the queues, this is the
                     // backstop for reloaded or duplicated entries — drop,
                     // don't delete a serving directory
                     st.pendingDeletes.filterInPlace(_ != st.activePath)
-                    val (pinned, free) = st.pendingDeletes.partition(isLeased)
+                    val (pinned, free) = st.pendingDeletes
+                      .partition(p => isLeased(p) || serving.contains(p))
                     st.pendingDeletes.clear()
                     st.pendingDeletes ++= pinned
                     free.toList
@@ -1262,10 +1277,16 @@ final class GraftDB(
                     // sit in a GC queue (dest numbering already skips
                     // every existing sibling)
                     st.pendingDeletes.filterInPlace(_ != newPath)
-                    if (gc0) st.pendingDeletes += active
                     c
                   }
                   quiesceStream(clobbered, keep = newStream)
+                  // queue the superseded path only AFTER its last possible
+                  // writer is stopped: queued-then-quiesced would let an
+                  // overlapping drain delete a directory the clobbered
+                  // stream is still appending to. A detach landing in the
+                  // window lands this entry on the unreachable state — the
+                  // post-pass handoff (which runs later) orphans it.
+                  if (gc0) st.synchronized { st.pendingDeletes += active }
                   orphanGc.synchronized {
                     if (orphanGc.contains(newPath)) {
                       orphanGc.filterInPlace(_ != newPath)
@@ -1295,6 +1316,13 @@ final class GraftDB(
                 val destGen = math.max(gen,
                   generationSiblings(st.basePath).map(_._2).maxOption
                     .getOrElse(0)) + 1
+                // the validity filter admits v < Int.MaxValue, so a dest AT
+                // Int.MaxValue would be undiscoverable after a restart —
+                // refuse loudly (per-index error status) rather than write
+                // a generation the engine itself can never resolve
+                if (destGen >= Int.MaxValue) throw new IllegalStateException(
+                  s"generation namespace exhausted for '${st.basePath}' " +
+                    s"(next would be $destGen): remove foreign -gN siblings")
                 val dest = s"${st.basePath}-g$destGen"
                 val passStatus = spec0 match {
                   case DedupMaint(maxFiles) =>
@@ -1348,9 +1376,9 @@ final class GraftDB(
       val orphanedStream = maintained.synchronized {
         if (maintained.get(name).exists(_ eq st)) None
         else {
-          val (s, finalActive, superseded) = st.synchronized {
-            val s0 = st.stream; st.stream = None
-            (s0, st.activePath, st.pendingDeletes.toSet)
+          val s = detachStream(st)
+          val (finalActive, superseded) = st.synchronized {
+            (st.activePath, st.pendingDeletes.toSet)
           }
           // a detach that kept the `annindex:` entry re-registered it at
           // the then-current generation BEFORE this pass flipped; if the
