@@ -106,22 +106,29 @@ final class GraftDB(
     }.toSet
     val detachedStreams =
       scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    val detachedStates =
+      scala.collection.mutable.ArrayBuffer.empty[MaintState]
     maintained.synchronized {
       // a detached enrollment's queued generations go to the orphan GC
       // queue — detach must not strand superseded dirs on disk — and its
       // attached writer (a name shared with a programmatic stream-attached
-      // enrollment) is stopped, not left appending. Streams are collected
-      // here and quiesced BELOW, outside the registry lock (see enroll's
-      // deadlock note).
+      // enrollment) is stopped, not left appending. Streams AND states are
+      // collected here and processed BELOW, outside the registry lock: the
+      // quiesce can deadlock against a micro-batch (see enroll's note) and
+      // the orphan handoff persists to disk — neither may run under the
+      // registry monitor.
       (schemaMaintNames -- declaredMaint).foreach(n =>
         maintained.remove(n).foreach { old =>
           detachStream(old).foreach(detachedStreams += _)
-          orphanPendingDeletes(old)
+          detachedStates += old
         })
       schemaMaintNames.clear()
       schemaMaintNames ++= declaredMaint
     }
     detachedStreams.foreach(s => quiesceStream(Some(s), keep = None))
+    // orphan AFTER the quiesce (flip discipline: a queue entry becomes
+    // drainable only once its last possible writer is stopped)
+    detachedStates.foreach(orphanPendingDeletes)
     resolved.foreach {
       case (name, (cfg, None)) if cfg.annIndexPath.isDefined =>
         val declaredPath = cfg.annIndexPath.get
@@ -718,14 +725,17 @@ final class GraftDB(
     * or failure), via a QueryExecutionListener keyed on this exact frame's
     * QueryExecution — so a caller collecting the frame several maintenance
     * ticks after issue still scans a live generation. Two backstops bound
-    * the cases the listener can't see: (1) a frame that is re-executed, or
-    * executed through a DERIVED frame (`df.write`, further transforms,
-    * `df.count()` after a first collect), is covered only for its first
-    * direct action; (2) a frame never executed at all would pin forever, so
-    * the leases also auto-expire after `graft.queryLeaseGraceMillis`
-    * (default 15 min) — swept by [[maintenanceTick]], visible as leasedGc
-    * in /metrics until then. The reference's analogue is an iteration
-    * holding row files until closed (row_store.go:681-725).
+    * the cases this listener can't see: (1) a frame that is re-executed,
+    * or executed through a DERIVED frame (`df.write`, further transforms,
+    * `df.count()` after a first collect), is released here only for its
+    * first direct action — every later execution is protected instead by
+    * [[execPinListener]], which re-pins the scanned generations at
+    * SQL-execution start; (2) a frame never executed at all would pin
+    * forever, so the issue-time leases also auto-expire after
+    * `graft.queryLeaseGraceMillis` (default 15 min) — swept by
+    * [[maintenanceTick]], visible as leasedGc in /metrics until then.
+    * The reference's analogue is an iteration holding row files until
+    * closed (row_store.go:681-725).
     */
   private def transferLeasesToExecution(
       df: DataFrame, pins: Seq[AutoCloseable]): Unit = {
@@ -842,35 +852,90 @@ final class GraftDB(
   // no-ops on the next tick.
   private val orphanGcFile =
     java.nio.file.Paths.get(baseDir, "_orphan_gc.txt")
+  private val baseDirCanon =
+    java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize
+
+  /** Canonical form for every path the orphan GC queue stores or compares:
+    * absolute + normalized. A RELATIVE registration path persisted verbatim
+    * and reloaded after a restart from a different working directory would
+    * resolve elsewhere — and the equality guards against actives/serving/
+    * leases (which hold the caller's original spelling) would miss — so the
+    * drain could recursively delete an unrelated directory. Canonicalizing
+    * at every enqueue AND on both sides of every comparison makes the
+    * queue's identity independent of spelling and of the enqueuing
+    * process's CWD.
+    */
+  private def canonPath(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
   private val orphanGc: scala.collection.mutable.ArrayBuffer[String] = {
     val b = scala.collection.mutable.ArrayBuffer.empty[String]
     if (java.nio.file.Files.exists(orphanGcFile)) {
       val it = java.nio.file.Files.readAllLines(orphanGcFile).iterator()
       while (it.hasNext) {
         val line = it.next().trim
-        if (line.nonEmpty) b += line
+        if (line.nonEmpty) {
+          // entries under baseDir are persisted RELATIVE to it (so a moved
+          // baseDir tree still drains its own orphans instead of stranding
+          // them as permanent no-op entries); absolute entries are indexes
+          // registered outside the store tree. Either way the in-memory
+          // form is canonical-absolute.
+          val p = java.nio.file.Paths.get(line)
+          val abs =
+            if (p.isAbsolute) p.normalize
+            else baseDirCanon.resolve(p).normalize
+          val s = abs.toString
+          if (!b.contains(s)) b += s
+        }
       }
     }
     b
   }
 
+  /** Most recent [[persistOrphanGc]] failure, cleared by the next success.
+    * While set, the orphan queue's RESTART durability is degraded (the
+    * in-memory queue still drains this process) — surfaced on the
+    * `_orphans` tick status row and in `/metrics` `orphanGc` so a wedged
+    * `_orphan_gc.txt` (read-only fs, disk full) is loud, not silent.
+    */
+  @volatile private var orphanPersistError: Option[String] = None
+
+  /** Test seam: runs before each [[persistOrphanGc]] file write — lets a
+    * spec inject a persistence failure (read-only-fs conditions are hard
+    * to stage as root), mirroring [[gcDeleteHook]].
+    */
+  @volatile private[graft] var orphanPersistHook: () => Unit = () => ()
+
   /** Rewrite the durable twin of [[orphanGc]]. Call with the queue's lock
     * held. Best-effort: a persistence failure never fails the mutation —
     * the in-memory queue still drains this process; only restart durability
-    * is degraded.
+    * is degraded (recorded in [[orphanPersistError]] until a later rewrite
+    * succeeds).
     */
   private def persistOrphanGc(): Unit =
     try {
+      orphanPersistHook()
       val parent = orphanGcFile.getParent
       if (parent != null) java.nio.file.Files.createDirectories(parent)
       val tmp = orphanGcFile.resolveSibling("_orphan_gc.txt.tmp")
+      // persist baseDir-residents relative to baseDir: the queue must
+      // survive the whole store tree being moved or re-mounted elsewhere
       java.nio.file.Files.write(tmp,
-        orphanGc.mkString("", "\n", "\n")
+        orphanGc.map { s =>
+          val p = java.nio.file.Paths.get(s)
+          if (p.startsWith(baseDirCanon) && p != baseDirCanon)
+            baseDirCanon.relativize(p).toString
+          else s
+        }.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, orphanGcFile,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Exception => () }
+      orphanPersistError = None
+    } catch { case e: Exception =>
+      orphanPersistError = Some(
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
   /** Stop+await a replaced or detached enrollment's attached stream (same
     * contract as the flip's quiesce): an unstopped writer would keep
@@ -892,13 +957,23 @@ final class GraftDB(
   private def detachStream(st: MaintState): Option[StreamingQuery] =
     st.synchronized { val s = st.stream; st.stream = None; s }
 
+  /** Hand a no-longer-reachable state's queued generations to the durable
+    * orphan queue — canonicalized and de-duplicated (a detach/re-enroll
+    * cycle replaying the same superseded dir must be a no-op, never a
+    * double entry). Callers invoke this OUTSIDE the `maintained` registry
+    * lock: the persist is filesystem I/O, and holding the registry monitor
+    * across it blocked every registration and [[maintainedState]] read.
+    */
   private def orphanPendingDeletes(st: MaintState): Unit = {
     val moved = st.synchronized {
       val ps = st.pendingDeletes.toList; st.pendingDeletes.clear(); ps
     }
     if (moved.nonEmpty) orphanGc.synchronized {
-      orphanGc ++= moved
-      persistOrphanGc()
+      val fresh = moved.map(canonPath).distinct.filterNot(orphanGc.contains)
+      if (fresh.nonEmpty) {
+        orphanGc ++= fresh
+        persistOrphanGc()
+      }
     }
   }
 
@@ -915,42 +990,59 @@ final class GraftDB(
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
       gcOldGenerations: Boolean): Unit = {
+    // the first enrollment makes GC possible — from here on, in-flight
+    // executions pin the generations their plans scan
+    ensureExecPinListener()
     // a replaced stream is quiesced AFTER releasing the registry lock:
     // stop()+awaitTermination() waits for the in-flight micro-batch, and a
     // batch calling any maintained-locking API (maintainedState, a nested
     // register) would deadlock against this monitor
-    val replaced: Option[StreamingQuery] = maintained.synchronized {
-      maintained.get(name).filter(_.basePath == path) match {
-        case Some(st) => st.synchronized {
-          st.spec = spec
-          st.gcOldGenerations = gcOldGenerations
-          val old = if (stream.isDefined) {
-            val o = st.stream; st.stream = stream; o
-          } else None
-          if (restart.isDefined) st.restart = restart
-          old
+    val (replaced, replacedState): (Option[StreamingQuery], Option[MaintState]) =
+      maintained.synchronized {
+        maintained.get(name).filter(_.basePath == path) match {
+          case Some(st) =>
+            val old = st.synchronized {
+              // a re-ALTER turning GC ON must re-derive the queue from
+              // disk, exactly like a fresh enrollment: generations
+              // superseded while GC was OFF have no other owner to queue
+              // them, and without this they stay stranded until a process
+              // restart re-enrolls and rescans
+              val gcTurnedOn = gcOldGenerations && !st.gcOldGenerations
+              st.spec = spec
+              st.gcOldGenerations = gcOldGenerations
+              if (gcTurnedOn)
+                st.pendingDeletes ++= staleSiblings(path, st.activePath)
+                  .filterNot(st.pendingDeletes.contains)
+              val o = if (stream.isDefined) {
+                val s = st.stream; st.stream = stream; s
+              } else None
+              if (restart.isDefined) st.restart = restart
+              o
+            }
+            (old, None)
+          case None =>
+            val oldState = maintained.get(name)
+            val old = oldState.flatMap(detachStream)
+            val (active, gen) = discoverGeneration(path)
+            val st = new MaintState(path, spec, active, gen, stream,
+              restart, gcOldGenerations)
+            // the GC QUEUE is restart-durable too: pendingDeletes lives in
+            // memory, so a restart between a flip and its GC would leak the
+            // superseded generation forever. gcOldGenerations is a DECLARED
+            // intent, so a fresh enrollment re-derives the queue from disk —
+            // every sibling generation that is not the discovered active
+            // (the GC'able base, generations a crash left behind, incomplete
+            // dests of crashed flips) re-queues, lease-checked as always.
+            if (gcOldGenerations) st.pendingDeletes ++= staleSiblings(path, active)
+            maintained(name) = st
+            (old, oldState)
         }
-        case None =>
-          val old = maintained.get(name).flatMap { o =>
-            orphanPendingDeletes(o)
-            detachStream(o)
-          }
-          val (active, gen) = discoverGeneration(path)
-          val st = new MaintState(path, spec, active, gen, stream,
-            restart, gcOldGenerations)
-          // the GC QUEUE is restart-durable too: pendingDeletes lives in
-          // memory, so a restart between a flip and its GC would leak the
-          // superseded generation forever. gcOldGenerations is a DECLARED
-          // intent, so a fresh enrollment re-derives the queue from disk —
-          // every sibling generation that is not the discovered active
-          // (the GC'able base, generations a crash left behind, incomplete
-          // dests of crashed flips) re-queues, lease-checked as always.
-          if (gcOldGenerations) st.pendingDeletes ++= staleSiblings(path, active)
-          maintained(name) = st
-          old
       }
-    }
     quiesceStream(replaced, keep = stream)
+    // the replaced state's queue moves to the orphan GC outside the
+    // registry lock (persist = file I/O) and after the quiesce (no writer
+    // may survive a queue entry's enqueue)
+    replacedState.foreach(orphanPendingDeletes)
   }
 
   /** Enumerate on-disk `<base>-gN` sibling generations:
@@ -1049,18 +1141,138 @@ final class GraftDB(
     }
   }
 
-  private def isLeased(path: String): Boolean =
-    pathLeases.synchronized(pathLeases.contains(path))
+  /** Canonical forms of every currently leased path — the comparison set
+    * for ALL GC decisions, so a lease taken under one spelling protects
+    * the directory under any spelling.
+    */
+  private def leasedCanon(): Set[String] =
+    pathLeases.synchronized(pathLeases.keysIterator.map(canonPath).toSet)
 
   private[graft] def leaseCount(path: String): Int =
     pathLeases.synchronized(pathLeases.getOrElse(path, 0))
+
+  // ---- execution-time generation pinning -------------------------------
+  // Issue-time leases ([[transferLeasesToExecution]]) cover a sql() frame's
+  // FIRST direct action. A DERIVED frame (df.write, further transforms) or
+  // a re-execution after the first action used to be covered only by the
+  // 15-minute grace window: past it, a maintenance flip + GC could delete
+  // the generation under the scan and fail the action with a raw
+  // FileNotFoundException (r18's documented residual). This listener
+  // closes the gap at the one point EVERY action passes — SQL-execution
+  // start: it walks the execution's plan for file relations rooted in a
+  // GC-able directory (queued per-index generations, orphan-queue entries,
+  // and active generations a mid-execution flip could queue) and pins them
+  // until execution end, so the GC defers deletion for exactly as long as
+  // some in-flight execution reads the directory — the reference's
+  // "unless an iteration holds them" retention (row_store.go:681-725)
+  // applied to the execution itself rather than the issuing call. The
+  // listener registers lazily at the first maintenance enrollment (a db
+  // that can never GC pays nothing per execution).
+
+  private val execPins =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[AutoCloseable]]()
+
+  /** Canonical candidate set: every directory this db's GC could delete
+    * now or after one more flip. Bounded by enrollment count + queue
+    * depths (driver-side metadata, a handful of entries).
+    */
+  private def gcablePaths(): Set[String] = {
+    val states = maintained.synchronized { maintained.values.toList }
+    val perIndex = states.flatMap(st =>
+      st.synchronized(st.activePath :: st.pendingDeletes.toList))
+    val orphans = orphanGc.synchronized { orphanGc.toList }
+    (perIndex ++ orphans).map(canonPath).toSet
+  }
+
+  private val execPinListener = new org.apache.spark.scheduler.SparkListener {
+    override def onOtherEvent(
+        event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+      event match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          try {
+            val candidates = gcablePaths()
+            if (candidates.nonEmpty) {
+              // the live QueryExecution is still registered while the
+              // execution runs; a null here means it already finished —
+              // nothing left to protect
+              val qe = org.apache.spark.sql.execution.SQLExecution
+                .getQueryExecution(s.executionId)
+              if (qe != null) {
+                val hit = scanRoots(qe).intersect(candidates)
+                if (hit.nonEmpty)
+                  execPins.put(s.executionId, hit.toSeq.map(pinPath))
+              }
+            }
+          } catch { case _: Exception => () }
+        case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+          // the bus is FIFO: the end event always follows its start event,
+          // so a taken pin is always released here (success OR failure)
+          val pins = execPins.remove(e.executionId)
+          if (pins != null)
+            pins.foreach(p => try p.close() catch { case _: Exception => () })
+        case _ => ()
+      }
+  }
+
+  /** Root directories of the execution's file scans (canonical), walked on
+    * the OPTIMIZED LOGICAL plan — unlike the physical plan it is not
+    * rewrapped by adaptive execution, so the relations are reachable by a
+    * plain traversal, and `collectWithSubqueries` reaches scans inside
+    * IN-subqueries and FROM-subqueries.
+    */
+  private def scanRoots(
+      qe: org.apache.spark.sql.execution.QueryExecution): Set[String] =
+    try {
+      qe.optimizedPlan.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(p => canonPath(p.toUri.getPath))
+            case _ => Nil
+          }
+      }.flatten.toSet
+    } catch { case _: Exception => Set.empty }
+
+  /** Backstop for a LOST SparkListenerSQLExecutionEnd (the listener bus
+    * drops events when its queue overflows under extreme load): any held
+    * execution pin whose executionId no longer maps to a live
+    * QueryExecution belongs to a finished execution — release it. This is
+    * exact liveness, not a time heuristic: Spark removes the registry
+    * entry in the execution's finally block, so a long-running execution
+    * keeps its pin for exactly as long as it runs. Races with the end
+    * handler are safe — [[pinPath]] closes are idempotent.
+    */
+  private def sweepDeadExecutionPins(): Unit = {
+    val it = execPins.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (org.apache.spark.sql.execution.SQLExecution
+          .getQueryExecution(e.getKey) == null) {
+        it.remove()
+        e.getValue.foreach(p =>
+          try p.close() catch { case _: Exception => () })
+      }
+    }
+  }
+
+  private val execPinRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def ensureExecPinListener(): Unit =
+    if (execPinRegistered.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(execPinListener)
 
   // schema-declared `annindex:` entries (and their `maintain:` enrollments)
   // register at boot — placed here so every registry they touch
   // (annIndexes, maintained, pathLeases) is initialized first (Scala runs
   // the class body in declaration order); live ALTERs re-register through
   // alter()
-  locally { registerSchemaAnnIndexes(resolveSchema(schemaText)) }
+  locally {
+    registerSchemaAnnIndexes(resolveSchema(schemaText))
+    // a reloaded orphan queue can GC even with zero enrollments — those
+    // drains must honor execution-time pins too
+    if (orphanGc.synchronized(orphanGc.nonEmpty)) ensureExecPinListener()
+  }
 
   /** Restart durability: discover the newest COMPLETE generation of a
     * maintained index from the blue/green naming scheme (`-g1`, `-g2`,
@@ -1152,8 +1364,10 @@ final class GraftDB(
   def maintenanceTick(): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     // release leases of issued-but-never-executed sql() frames past their
-    // grace window, so an abandoned frame can't pin a generation forever
+    // grace window, so an abandoned frame can't pin a generation forever —
+    // and execution pins orphaned by a dropped end event (exact liveness)
     sweepExpiredLeases()
+    sweepDeadExecutionPins()
     // drain the orphan queue first: generations queued by enrollments that
     // have since been detached or re-pointed. Same lease + per-path error
     // discipline as the per-index GC below; reported as a pseudo-row so the
@@ -1162,32 +1376,46 @@ final class GraftDB(
       // a queued orphan matching a CURRENT enrollment's active path is live
       // again (re-attached and flipped back into service, or a reloaded
       // entry colliding with a rebuilt generation): drop it from the queue,
-      // never delete a serving directory
+      // never delete a serving directory. All guard sets are CANONICALIZED
+      // before comparing — registrations may spell their paths relatively,
+      // and a spelling mismatch here turns "never delete a serving dir"
+      // into a recursive delete of exactly that dir.
       val actives = maintained.synchronized {
         maintained.values.map(s => s.synchronized(s.activePath)).toSet
-      }
+      }.map(canonPath)
       // a path a SIMSEARCH registration currently serves stays pending (a
       // later re-point frees it), like a lease — deleting it would break
       // every query on that index between its preQuery pins
       val serving = annIndexes.synchronized {
         annIndexes.values.map(_.path).toSet
-      }
+      }.map(canonPath)
+      val leased = leasedCanon()
       val freed = orphanGc.synchronized {
         if (orphanGc.exists(actives.contains)) {
           orphanGc.filterInPlace(p => !actives.contains(p))
           persistOrphanGc()
         }
         val (pinned, free) =
-          orphanGc.partition(p => isLeased(p) || serving.contains(p))
+          orphanGc.partition(p => leased.contains(p) || serving.contains(p))
         orphanGc.clear(); orphanGc ++= pinned
         free.toList
       }
-      if (freed.isEmpty) None
-      else {
+      if (freed.isEmpty) {
+        // a standing persist failure retries on every tick even when the
+        // drain is idle: the cause may be transient (disk-full resolved),
+        // and a success both restores restart durability and clears the
+        // flag — until then the degradation stays visible as a status row
+        if (orphanPersistError.isDefined)
+          orphanGc.synchronized { persistOrphanGc() }
+        orphanPersistError.map(e =>
+          "_orphans" -> s"idle (persist error: $e)")
+      } else {
         val errs = freed.flatMap { p =>
           try { gcDelete(p); None }
           catch { case e: Exception =>
-            orphanGc.synchronized { orphanGc += p }
+            orphanGc.synchronized {
+              if (!orphanGc.contains(p)) orphanGc += p
+            }
             Some(s"$p: ${e.getMessage}")
           }
         }
@@ -1195,12 +1423,15 @@ final class GraftDB(
         // listing some already-deleted paths, which reload and drain as
         // no-ops — never the reverse (a live dir missing from the file)
         orphanGc.synchronized { persistOrphanGc() }
-        Some("_orphans" -> (if (errs.isEmpty) s"gc'd ${freed.size}"
-          else s"gc errors: ${errs.mkString("; ")}"))
+        val base = if (errs.isEmpty) s"gc'd ${freed.size}"
+          else s"gc errors: ${errs.mkString("; ")}"
+        Some("_orphans" -> (base + orphanPersistError
+          .map(e => s" (persist error: $e)").getOrElse("")))
       }
     }
     val snapshot = maintained.synchronized { maintained.toSeq }
     orphanStatus.toSeq ++ snapshot.map { case (name, st) =>
+      var claimedThisTick = false
       val status =
         try {
           // claim the index and snapshot the pass inputs under ITS monitor.
@@ -1217,6 +1448,7 @@ final class GraftDB(
                 st.gcOldGenerations))
             }
           }
+          claimedThisTick = claimed.isDefined
           claimed match {
             case None => "busy (pass in flight)"
             case Some((active, gen, stream0, spec0, restart0, gc0)) =>
@@ -1234,18 +1466,23 @@ final class GraftDB(
                   // a path a SIMSEARCH registration currently serves stays
                   // pending, like a lease (same pin as the orphan drain):
                   // an explicit registerAnnIndex at a prior generation must
-                  // not be deleted out from under its queries
+                  // not be deleted out from under its queries. Guards
+                  // compare CANONICAL forms (spelling must not defeat a
+                  // pin — and execution-time pins are stored canonical).
                   val serving = annIndexes.synchronized {
                     annIndexes.values.map(_.path).toSet
-                  }
+                  }.map(canonPath)
+                  val leased = leasedCanon()
                   val freed = st.synchronized {
                     // a path equal to the CURRENT active is never GC-able:
                     // the flip purges its dest from the queues, this is the
                     // backstop for reloaded or duplicated entries — drop,
                     // don't delete a serving directory
                     st.pendingDeletes.filterInPlace(_ != st.activePath)
-                    val (pinned, free) = st.pendingDeletes
-                      .partition(p => isLeased(p) || serving.contains(p))
+                    val (pinned, free) = st.pendingDeletes.partition { p =>
+                      val c = canonPath(p)
+                      leased.contains(c) || serving.contains(c)
+                    }
                     st.pendingDeletes.clear()
                     st.pendingDeletes ++= pinned
                     free.toList
@@ -1287,10 +1524,13 @@ final class GraftDB(
                   // window lands this entry on the unreachable state — the
                   // post-pass handoff (which runs later) orphans it.
                   if (gc0) st.synchronized { st.pendingDeletes += active }
-                  orphanGc.synchronized {
-                    if (orphanGc.contains(newPath)) {
-                      orphanGc.filterInPlace(_ != newPath)
-                      persistOrphanGc()
+                  locally {
+                    val newCanon = canonPath(newPath)
+                    orphanGc.synchronized {
+                      if (orphanGc.contains(newCanon)) {
+                        orphanGc.filterInPlace(_ != newCanon)
+                        persistOrphanGc()
+                      }
                     }
                   }
                   // never re-point a registration this pass no longer
@@ -1372,35 +1612,44 @@ final class GraftDB(
       // the pass ran off the registry lock: if an ALTER detached or
       // replaced this enrollment meanwhile, the state (and anything its
       // flip just queued) is unreachable — hand the queue to the orphan
-      // GC instead of stranding the directories on disk
-      val orphanedStream = maintained.synchronized {
-        if (maintained.get(name).exists(_ eq st)) None
-        else {
-          val s = detachStream(st)
-          val (finalActive, superseded) = st.synchronized {
-            (st.activePath, st.pendingDeletes.toSet)
-          }
-          // a detach that kept the `annindex:` entry re-registered it at
-          // the then-current generation BEFORE this pass flipped; if the
-          // registration now points at a path this pass superseded (and
-          // queued for GC), re-point it to the pass's final active so
-          // SIMSEARCH never serves a directory the orphan drain is about
-          // to delete
-          annIndexes.synchronized {
-            annIndexes.get(name.toLowerCase).foreach { d =>
-              if (superseded.contains(d.path))
-                annIndexes(name.toLowerCase) = d.copy(path = finalActive)
+      // GC instead of stranding the directories on disk. Only the tick
+      // that CLAIMED the pass runs the handoff: a tick that observed
+      // `busy` would otherwise detachStream/quiesce a stream the owning
+      // pass's in-flight rebuild snapshotted (stopping it under the other
+      // pass's feet and racing its flip) — the owning pass's own handoff
+      // does the orphaning when it completes.
+      val (orphanedStream, orphanedState)
+          : (Option[StreamingQuery], Option[MaintState]) =
+        if (!claimedThisTick) (None, None)
+        else maintained.synchronized {
+          if (maintained.get(name).exists(_ eq st)) (None, None)
+          else {
+            val s = detachStream(st)
+            val (finalActive, superseded) = st.synchronized {
+              (st.activePath, st.pendingDeletes.toSet)
             }
+            // a detach that kept the `annindex:` entry re-registered it at
+            // the then-current generation BEFORE this pass flipped; if the
+            // registration now points at a path this pass superseded (and
+            // queued for GC), re-point it to the pass's final active so
+            // SIMSEARCH never serves a directory the orphan drain is about
+            // to delete
+            annIndexes.synchronized {
+              annIndexes.get(name.toLowerCase).foreach { d =>
+                if (superseded.contains(d.path))
+                  annIndexes(name.toLowerCase) = d.copy(path = finalActive)
+              }
+            }
+            // the pass's flip may have stored a freshly RESTARTED stream
+            // on the unreachable state: stop it below, outside the
+            // registry lock (no owner remains to quiesce it before a
+            // later GC of its write path); the queue handoff follows the
+            // quiesce, also outside the lock (it persists to disk)
+            (s, Some(st))
           }
-          orphanPendingDeletes(st)
-          // the pass's flip may have stored a freshly RESTARTED stream on
-          // the unreachable state: stop it below, outside the registry
-          // lock (no owner remains to quiesce it before a later GC of its
-          // write path)
-          s
         }
-      }
       quiesceStream(orphanedStream, keep = None)
+      orphanedState.foreach(orphanPendingDeletes)
       name -> status
     }
   }
@@ -1442,20 +1691,34 @@ final class GraftDB(
     * active path, generation number, superseded generations awaiting GC,
     * and how many of those a reader lease currently pins.
     */
-  def maintainedStats: Map[String, (String, Int, Int, Int)] =
+  def maintainedStats: Map[String, (String, Int, Int, Int)] = {
+    val leased = leasedCanon()
     maintained.synchronized { maintained.toMap }.map { case (n, st) =>
       n -> st.synchronized {
         (st.activePath, st.gen, st.pendingDeletes.size,
-          st.pendingDeletes.count(isLeased))
+          st.pendingDeletes.count(p => leased.contains(canonPath(p))))
       }
     }
+  }
 
   /** Orphan-GC queue depth for the `/metrics` surface: (total, currently
     * lease-pinned) superseded generations queued by detached or re-pointed
     * enrollments, awaiting the next tick's drain.
     */
-  def orphanGcStats: (Int, Int) =
-    orphanGc.synchronized { (orphanGc.size, orphanGc.count(isLeased)) }
+  def orphanGcStats: (Int, Int) = {
+    val leased = leasedCanon()
+    orphanGc.synchronized {
+      (orphanGc.size, orphanGc.count(leased.contains))
+    }
+  }
+
+  /** The most recent orphan-queue persistence failure, if the LAST
+    * `_orphan_gc.txt` rewrite failed (cleared by the next success). While
+    * set, the queue still drains this process but is NOT restart-durable —
+    * `/metrics` surfaces it so a wedged file (read-only fs, disk full) is
+    * visible without reading the daemon's tick log.
+    */
+  def orphanGcPersistError: Option[String] = orphanPersistError
 
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.

@@ -73,7 +73,12 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
       // the next tick): nonzero here after lifecycle churn is normal;
       // persistently nonzero means a lease is pinning an orphan
       { val (pending, leased) = db.orphanGcStats
-        s""""orphanGc":{"pending":$pending,"leased":$leased},""" } +
+        // persistError appears ONLY while the last _orphan_gc.txt rewrite
+        // failed (queue not restart-durable until a later rewrite
+        // succeeds) — absent in the healthy steady state
+        val persist = db.orphanGcPersistError
+          .map(e => s""","persistError":${jsonStr(e)}""").getOrElse("")
+        s""""orphanGc":{"pending":$pending,"leased":$leased$persist},""" } +
       s""""maintained":$maintained,"maintenance":$maint}"""
   }
 

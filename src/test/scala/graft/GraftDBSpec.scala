@@ -2466,6 +2466,341 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  // shared dedup-index fixture for the lifecycle specs below: a near-dup
+  // index at `idx` fragmented enough that a maintainfiles: 1 tick compacts
+  private def buildFragmentedNearDup(idx: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val seed = (0L until 30L).map(i => (i, s"lifecycle seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"lifecycle round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+  }
+
+  private val plainTableYaml =
+    "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
+
+  private def dedupYaml(idx: String, gc: Boolean): String =
+    s"""${plainTableYaml}nd_idx:
+       |  dedupindex: $idx
+       |  maintain: true
+       |  maintainfiles: 1
+       |  maintaingc: $gc
+       |""".stripMargin
+
+  test("re-ALTER turning maintaingc on re-queues generations superseded while GC was off") {
+    val idx = Files.createTempDirectory("gc-flip-on").toString + "/i"
+    buildFragmentedNearDup(idx)
+    val db = new GraftDB(spark, dedupYaml(idx, gc = false),
+      Files.createTempDirectory("gc-flip-on-db").toString, () => T0)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    // GC was off: the flip queued nothing, the superseded base survives
+    assert(db.maintainedStats("nd_idx")._3 === 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // a live re-ALTER turning GC ON must re-derive the queue from disk —
+    // without it the base stays stranded until a process restart rescans
+    db.alter(dedupYaml(idx, gc = true))
+    assert(db.maintainedStats("nd_idx")._3 === 1,
+      "flipping maintaingc on must queue generations superseded while off")
+    val t2 = db.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "nd_idx" && s.startsWith("ok") },
+      t2.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "the re-derived queue must drain the stranded base generation")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+  }
+
+  test("a detach/re-enroll cycle never duplicates an orphan queue entry") {
+    val idx = Files.createTempDirectory("orphan-dup").toString + "/i"
+    buildFragmentedNearDup(idx)
+    val baseDir = Files.createTempDirectory("orphan-dup-db").toString
+    val db = new GraftDB(spark, dedupYaml(idx, gc = true), baseDir, () => T0)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    db.alter(plainTableYaml) // detach: base -> orphan queue
+    assert(db.orphanGcStats === ((1, 0)))
+    // re-enroll at the same path (staleSiblings re-queues the same base on
+    // the fresh state), then detach again: the second handoff replays the
+    // SAME directory — the queue must de-duplicate, not double-enter
+    db.alter(dedupYaml(idx, gc = true))
+    db.alter(plainTableYaml)
+    assert(db.orphanGcStats === ((1, 0)),
+      "a replayed orphan enqueue must be a no-op, not a duplicate entry")
+    val t2 = db.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      t2.toString)
+    assert(db.orphanGcStats === ((0, 0)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+  }
+
+  test("orphan queue entries persist relative to baseDir and survive a baseDir move") {
+    val baseDir = Files.createTempDirectory("orphan-move-a").toString
+    val idx = s"$baseDir/idx/i"
+    buildFragmentedNearDup(idx)
+    val db = new GraftDB(spark, dedupYaml(idx, gc = true), baseDir, () => T0)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    db.alter(plainTableYaml) // detach: base -> orphan queue
+    assert(db.orphanGcStats === ((1, 0)))
+    // entries under baseDir are persisted RELATIVE to it: a moved or
+    // re-mounted store tree must still drain its own orphans instead of
+    // stranding them as permanent no-op entries pointing at the old mount
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(baseDir, "_orphan_gc.txt"))
+    assert(lines.size === 1 && lines.get(0) === "idx/i",
+      s"expected a baseDir-relative entry, got $lines")
+    val movedDir = Files.createTempDirectory("orphan-move-b").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(movedDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(baseDir),
+      java.nio.file.Paths.get(movedDir))
+    val db2 = new GraftDB(spark, plainTableYaml, movedDir, () => T0)
+    assert(db2.orphanGcStats === ((1, 0)),
+      "the reloaded queue must resolve relative entries against the NEW baseDir")
+    val t2 = db2.maintenanceTick()
+    assert(t2.exists { case (n, s) => n == "_orphans" && s == "gc'd 1" },
+      t2.toString)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(movedDir, "idx", "i")),
+      "the moved store's stale generation must be reclaimed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(movedDir, "idx", "i-g1")),
+      "the moved store's live generation must survive the drain")
+  }
+
+  test("a spelled-differently serving registration still pins its orphaned dir") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("orphan-spelling").toString
+    val idxI = s"$root/i"
+    val idxJ = s"$root/j"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxI)
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxJ)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("orphan-spelling-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idxI, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    val t1 = db.maintenanceTick() // budget 0: flip -> -g1, base queued
+    assert(t1.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $idxI-g1" }, t1.toString)
+    // re-point the enrollment at a different base: the old queue (holding
+    // the superseded base $idxI) moves to the orphan GC
+    db.registerAnnMaintenance("vidx", idxJ, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    val (pending0, _) = db.orphanGcStats
+    assert(pending0 >= 1, s"base must be orphaned, got ${db.orphanGcStats}")
+    // an explicit SIMSEARCH registration serves the orphaned dir — spelled
+    // with a redundant path segment. The serving guard compares CANONICAL
+    // paths, so the spelling difference must not defeat the pin (a string
+    // comparison would delete the directory out from under the queries)
+    db.registerAnnIndex("probe", s"$root/./i", "embedding", "vec_id",
+      quantized = false)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val probeSql =
+      s"SELECT score FROM SIMSEARCH('probe', [$vecLit], 3, 4) GROUP BY id"
+    db.maintenanceTick()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idxI)),
+      "a dir served under a different spelling must survive the drain")
+    assert(db.sqlTimed(probeSql, 120000L).length === 3,
+      "SIMSEARCH over the pinned spelling must keep working")
+    // re-point the probe off the orphaned dir: the next drain reclaims it
+    db.registerAnnIndex("probe", s"$idxI-g1", "embedding", "vec_id",
+      quantized = false)
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxI)),
+      "the orphan must drain once no registration serves it")
+    assert(db.sqlTimed(probeSql, 120000L).length === 3)
+  }
+
+  test("orphan-queue persistence failure is loud and self-heals") {
+    val idx = Files.createTempDirectory("orphan-persist").toString + "/i"
+    buildFragmentedNearDup(idx)
+    val db = new GraftDB(spark, dedupYaml(idx, gc = true),
+      Files.createTempDirectory("orphan-persist-db").toString, () => T0)
+    val t1 = db.maintenanceTick()
+    assert(t1.exists { case (n, s) =>
+      n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+    db.orphanPersistHook =
+      () => throw new java.io.IOException("injected persist failure")
+    try {
+      db.alter(plainTableYaml) // detach: enqueue attempts a persist -> fails
+      assert(db.orphanGcPersistError.exists(_.contains("injected")),
+        s"a failed _orphan_gc.txt rewrite must be recorded, " +
+          s"got ${db.orphanGcPersistError}")
+      // the in-memory queue still drains, and the degraded durability is
+      // visible on the tick's status row — not a silent catch-all swallow
+      val t2 = db.maintenanceTick()
+      assert(t2.exists { case (n, s) =>
+        n == "_orphans" && s.startsWith("gc'd 1") &&
+          s.contains("persist error: IOException: injected") }, t2.toString)
+    } finally db.orphanPersistHook = () => ()
+    // cause resolved: the next tick's idle retry rewrites the file and
+    // clears the flag — no restart needed to restore durability
+    val t3 = db.maintenanceTick()
+    assert(db.orphanGcPersistError.isEmpty,
+      "a successful rewrite must clear the persist-error flag")
+    assert(!t3.exists(_._1 == "_orphans"),
+      s"a healed queue must stop reporting the degradation (got $t3)")
+  }
+
+  test("an overlapping tick skips an in-flight pass without disturbing it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("busy-skip").toString
+    val idx = s"$root/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    // an incomplete junk sibling seeds the fresh enrollment's GC queue, so
+    // tick A has a gcDelete to block on before its rebuild
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idx-g1"))
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("busy-skip-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    assert(db.maintainedStats("vidx")._3 === 1, "junk sibling must be queued")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    db.gcDeleteHook = p => if (p == s"$idx-g1") {
+      entered.countDown()
+      release.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
+    @volatile var tickA: Seq[(String, String)] = Nil
+    val a = new Thread(() => { tickA = db.maintenanceTick() })
+    try {
+      a.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // tick B overlaps A mid-pass: it must skip the claimed index — no
+      // double compaction, no flip, no touch of A's claimed state
+      val tickB = db.maintenanceTick()
+      assert(tickB.exists { case (n, s) =>
+        n == "vidx" && s == "busy (pass in flight)" }, tickB.toString)
+      assert(db.maintainedState("vidx").exists(_._1 == idx),
+        "the overlapping tick must not flip the in-flight index")
+    } finally {
+      release.countDown()
+      a.join(120000)
+      db.gcDeleteHook = _ => ()
+    }
+    // A owns the pass end-to-end: the junk sibling was GC'd BEFORE dest
+    // numbering ran, so the rebuild lands on a fresh -g1 (no on-disk
+    // sibling remains to skip) and the base is queued for the NEXT tick
+    assert(tickA.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $idx-g1" }, tickA.toString)
+    assert(db.maintainedStats("vidx")._3 === 1, "base queued by A's flip")
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+  }
+
+  test("a derived frame executing across a flip and GC reads its pinned generation") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("exec-pin").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("exec-pin-db").toString, () => T0)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id",
+      quantized = false)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    System.setProperty("graft.queryLeaseGraceMillis", "1")
+    try {
+      // issue a frame against the BASE generation, then let its issue
+      // lease expire (the r18 residual: past the grace window a derived
+      // frame held nothing — a flip + GC killed it with FileNotFound)
+      val df = db.sql(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+      Thread.sleep(10)
+      val t1 = db.maintenanceTick() // sweeps the lease; budget 0 flips
+      assert(t1.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+      assert(db.leaseCount(idx) === 0, "the issue lease must be swept")
+      assert(db.maintainedStats("vidx")._3 === 1, "base queued for GC")
+      // stop further rebuilds (in-place budget retune) so later ticks are
+      // GC-only — the spec is about the pin, not repeated flips
+      db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+        nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+      // execute a DERIVED frame, held open mid-scan by a gate UDF: the
+      // execution-start listener must re-pin the base generation the
+      // frame's plan scans
+      GraftDBSpecGate.latch = new java.util.concurrent.CountDownLatch(1)
+      val gate = udf { d: Double =>
+        val l = GraftDBSpecGate.latch
+        if (l != null) l.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        d >= Double.MinValue
+      }
+      val derived = df.filter(gate(col("score")))
+      @volatile var rows: Array[Row] = null
+      @volatile var err: Throwable = null
+      val runner = new Thread(() => {
+        try rows = derived.collect()
+        catch { case e: Throwable => err = e }
+      })
+      runner.start()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (db.leaseCount(idx) == 0 && err == null &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      assert(err == null, s"derived execution failed early: $err")
+      assert(db.leaseCount(idx) > 0,
+        "execution start must pin the scanned generation")
+      // a GC tick lands MID-EXECUTION: the pinned base must survive it
+      db.maintenanceTick()
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "an in-flight execution's generation must not be GC'd")
+      GraftDBSpecGate.latch.countDown()
+      runner.join(120000)
+      assert(err == null, s"derived execution failed: $err")
+      assert(rows != null && rows.length === 3,
+        "the derived frame must read the pinned generation end-to-end")
+      // execution end releases the pin; the next tick reclaims the base
+      val d2 = System.nanoTime() + 60L * 1000000000L
+      while (db.leaseCount(idx) > 0 && System.nanoTime() < d2)
+        Thread.sleep(10)
+      assert(db.leaseCount(idx) === 0,
+        "execution end must release the execution pin")
+      db.maintenanceTick()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "the base must be reclaimed once no execution reads it")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+    } finally {
+      System.clearProperty("graft.queryLeaseGraceMillis")
+      val l = GraftDBSpecGate.latch
+      GraftDBSpecGate.latch = null
+      if (l != null) l.countDown()
+    }
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
@@ -2480,4 +2815,12 @@ class GraftDBSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maintain: true"), e.getMessage)
   }
 
+}
+
+/** Static holder for the exec-pin spec's gate latch: the UDF body reaches
+  * it as a static reference, so nothing non-serializable rides the closure
+  * (local-mode executors share the JVM).
+  */
+object GraftDBSpecGate {
+  @volatile var latch: java.util.concurrent.CountDownLatch = null
 }
