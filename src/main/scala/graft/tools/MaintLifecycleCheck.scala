@@ -157,6 +157,58 @@ object MaintLifecycleCheck {
     check(spark.read.parquet(s"$idx-g4").count() == preFlip,
       "final flip preserves every admitted row")
 
+    // lazy-frame lease transfer under the same multi-JVM executors: a
+    // sql() frame issued before a flip holds its issue lease across ticks
+    // (the superseded generation survives GC), the lease drains when the
+    // frame's first action completes, and the GC then proceeds — the
+    // QueryExecutionListener release path and the leasedGc metrics
+    // surface, previously spec-tested in local[32] only
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val annIdx = java.nio.file.Files
+      .createTempDirectory("maint-check-ann").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, annIdx)
+    val db5 = new graft.GraftDB(spark, tableYaml,
+      java.nio.file.Files.createTempDirectory("maint-check-db5").toString)
+    db5.registerAnnIndex("vidx", annIdx, "embedding", "vec_id",
+      quantized = false)
+    db5.registerAnnMaintenance("vidx", annIdx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val frame = db5.sql(
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+    check(db5.leaseCount(annIdx) == 1,
+      s"issued frame holds its lease (got ${db5.leaseCount(annIdx)})")
+    val t9 = db5.maintenanceTick() // budget 0: flip to -g1, base queued
+    check(t9.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $annIdx-g1" },
+      s"tick flips the ANN index under the leased frame (got $t9)")
+    db5.registerAnnMaintenance("vidx", annIdx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true) // stop rebuilds
+    db5.maintenanceTick()
+    check(exists(annIdx),
+      "the leased frame's generation survives a GC tick unexecuted")
+    val s5 = db5.maintainedStats("vidx")
+    check(s5._3 == 1 && s5._4 == 1,
+      s"stats while frame-leased: pendingGc=1 leasedGc=1 (got $s5)")
+    check(frame.collect().length == 3,
+      "the frame's first action reads the pinned generation")
+    // the execution listener releases on the bus — poll briefly
+    val lease0 = System.nanoTime()
+    while (db5.leaseCount(annIdx) > 0 &&
+        System.nanoTime() - lease0 < 60L * 1000000000L) Thread.sleep(20)
+    check(db5.leaseCount(annIdx) == 0,
+      "the issue lease drains when the frame's action completes")
+    db5.maintenanceTick()
+    check(!exists(annIdx) && exists(s"$annIdx-g1"),
+      "GC proceeds once the executed frame's lease is gone")
+
     println("[maint-check] PASS all lifecycle assertions")
     spark.stop()
   }

@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Maintenance-cost profile for the dedup index family across corpus
-  * sizes: puts numbers on the lifecycle's three cost classes so the
-  * 100 TB story is measured, not asserted.
+  * sizes: puts numbers AND exit-code-gated assertions on the lifecycle's
+  * three cost classes, so a maintenance cost regression fails the
+  * close-out instead of printing a worse table (closeout.sh runs this
+  * between the lifecycle check and the bench).
   *
   *  - `stat_tick`: [[graft.pipeline.Dedup.maintainIndex]] when nothing is
   *    fragmented — the per-tick steady-state cost every enrolled index
@@ -57,6 +59,8 @@ object MaintStress {
       spark.read.parquet(p).inputFiles.length
 
     val batchRows = 2000L
+    val measured = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Double)] // (corpus, stat, inc, compact)
     sizes.foreach { n =>
       val idx = java.nio.file.Files
         .createTempDirectory(s"maint-stress-$n").toString + "/i"
@@ -95,7 +99,37 @@ object MaintStress {
         f""""stat_tick_sec":$statSec%.3f,"incremental_${batchRows}_sec":$incSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"files_before":$before,""" +
         f""""files_after":$after,"rows":$rows}""")
+      measured += ((n, statSec, incSec, compactSec))
     }
+    // ---- cost-class assertions (exit-code-gated, like the lifecycle
+    // check). All bounds are SAME-RUN RATIOS between the smallest and the
+    // largest corpus, so ambient machine load cancels out; each carries a
+    // small absolute floor so sub-second noise can't flake the gate.
+    // Expected classes (BENCH_LOCAL.md r18 table): stat tick corpus-FLAT
+    // (one driver file listing), incremental overhead-dominated for a
+    // fixed batch, compaction fixed + corpus-LINEAR (blue/green rewrite).
+    def check(cond: Boolean, what: String): Unit =
+      if (cond) println(s"[maint-stress] OK   $what")
+      else { System.err.println(s"[maint-stress] FAIL $what"); sys.exit(1) }
+    if (measured.size >= 2) {
+      val (n0, stat0, inc0, comp0) = measured.head
+      val (n1, stat1, inc1, comp1) = measured.last
+      val growth = n1.toDouble / n0
+      check(stat1 <= math.max(3 * stat0, 1.0),
+        f"stat tick stays corpus-flat: $stat1%.3fs at ${n1} docs vs " +
+          f"$stat0%.3fs at ${n0} (bound max(3x, 1.0s))")
+      check(inc1 <= math.max(3 * inc0, 5.0),
+        f"fixed-batch incremental stays overhead-dominated: $inc1%.2fs at " +
+          f"${n1} docs vs $inc0%.2fs at ${n0} (bound max(3x, 5.0s))")
+      // a fixed+linear compaction grows AT MOST proportionally to the
+      // corpus; 2x slack + floor still fails loudly on a quadratic
+      // (growth^2 = ${growth*growth}x) regression
+      check(comp1 <= math.max(2 * comp0 * growth, 10.0),
+        f"compaction within the fixed+linear envelope: $comp1%.2fs at " +
+          f"${n1} docs vs $comp0%.2fs at ${n0} " +
+          f"(bound max(2x*${growth}%.0fx, 10.0s))")
+      println("[maint-stress] PASS all cost-class assertions")
+    } else println("[maint-stress] PASS (single size: table only)")
     spark.stop()
   }
 }
