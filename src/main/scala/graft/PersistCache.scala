@@ -20,19 +20,25 @@ private[graft] object PersistCache {
     * (`-Dgraft.maxPersistedCaches=` overrides — a knob, like
     * `spark.sql.pivotMaxValues`, for drivers with more memory).
     *
-    * Default 16: the cap bounds ENTRY COUNT, not bytes — each entry is a
+    * Default 24: the cap bounds ENTRY COUNT, not bytes — each entry is a
     * group-cardinality / fingerprint-sized intermediate at MEMORY_AND_DISK,
     * and the unified memory manager still evicts blocks LRU under real
-    * pressure (lineage recompute, the documented contract), so a larger
-    * cap risks churn, not OOM. The old cap of 8 sat below the number of
-    * distinct cache-registering queries in a realistic mixed workload,
-    * which turned every rerun into a full recompute: measured in r15's
-    * bench as a 3-round monotone drift of q_crosstab_shift
-    * (0.42→0.57→0.80 s) as rounds added registering queries — FIFO
-    * round-robin eviction, not ambient load.
+    * pressure (lineage recompute, the documented contract), so the cap's
+    * only cost class is churn when it sits BELOW the live site count, not
+    * OOM when it sits above. History: a cap of 8 below the workload's
+    * distinct registering queries turned every rerun into a full
+    * recompute — measured in r15's bench as a 3-round monotone drift of
+    * q_crosstab_shift (0.42→0.57→0.80 s; FIFO round-robin eviction, not
+    * ambient load). 16 was the r15 fix; by r18 the source sat at 12
+    * registering sites = the 75% tripwire bound (the suite fails when
+    * sites exceed 75% of the cap), so the next registering operator would
+    * have tripped it mid-round. 24 re-opens ≥6 sites of headroom at the
+    * 75% line (18); the no-churn/no-regression measurement at the new
+    * bound is in BENCH_LOCAL.md (r19), and EngineSpec pins that a session
+    * with MORE distinct sites than the old cap now stays fully resident.
     */
   def maxEntries: Int =
-    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(16)
+    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(24)
 
   private val fifo = new java.util.ArrayDeque[DataFrame]()
 

@@ -489,6 +489,27 @@ class EngineSpec extends AnyFunSuite {
     (sentinels :+ hot).foreach(_.unpersist(blocking = false))
   }
 
+  test("PersistCache: a 20-distinct-site session stays fully resident at the default cap") {
+    import org.apache.spark.sql.functions.col
+    // the r13/r15 churn precondition was live sites exceeding the cap
+    // (FIFO round-robin turned every rerun into a full recompute). The
+    // r19 cap (24) must hold a 20-distinct-query session — MORE sites
+    // than the r15 cap of 16 — with zero evictions, so reruns of every
+    // one of them stay cache hits. Skipped when the suite runs with an
+    // overridden cap below 20.
+    assume(sys.props.get("graft.maxPersistedCaches").isEmpty)
+    val frames = (0 until 20).map { i =>
+      graft.PersistCache.persist(
+        spark.range(5).select((col("id") + (11000 + i)).as("v")).toDF())
+    }
+    val resident = frames.count(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(resident === 20,
+      s"only $resident/20 sites resident at cap " +
+        s"${graft.PersistCache.maxEntries}: rerun churn is back")
+    frames.foreach(_.unpersist(blocking = false))
+  }
+
   test("CROSSTAB past the pivot-width guard fails fast with guidance") {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val big = spark.range(graft.planner.Planner.MaxPivotValues + 1).select(
