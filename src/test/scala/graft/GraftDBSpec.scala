@@ -2368,7 +2368,7 @@ class GraftDBSpec extends AnyFunSuite {
   test("seeded declarative-lifecycle fuzz: random yaml ALTER/restart schedules never leak or mis-serve") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    for (fseed <- Seq(303, 404)) {
+    for (fseed <- Seq(303, 404, 505)) {
       val rnd = new scala.util.Random(fseed)
       val vrnd = new scala.util.Random(fseed + 1)
       val vecs = (0L until 40L).map { i =>
@@ -2379,7 +2379,7 @@ class GraftDBSpec extends AnyFunSuite {
         col("vec_id"), nCentroids = 4, idx)
       val tableYaml =
         "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY server, period(5m)\n"
-      def yaml(maintain: Boolean, budget: Double) =
+      def yaml(maintain: Boolean, budget: Double, gc: Boolean = true) =
         s"""${tableYaml}vidx:
            |  annindex: $idx
            |  annvec: embedding
@@ -2388,7 +2388,7 @@ class GraftDBSpec extends AnyFunSuite {
           s"""  maintain: true
              |  maintainbudget: $budget
              |  maintainnprobe: 2
-             |  maintaingc: true
+             |  maintaingc: $gc
              |""".stripMargin else "")
       // ONE baseDir for the whole schedule: restarts must find the durable
       // orphan queue and re-derive generation state from disk
@@ -2414,8 +2414,8 @@ class GraftDBSpec extends AnyFunSuite {
       val t0 = db.maintenanceTick()
       assert(t0.exists { case (n, s) =>
         n == "vidx" && s == s"re-clustered -> $idx-g1" }, t0.toString)
-      for (op <- 1 to 12) {
-        rnd.nextInt(4) match {
+      for (op <- 1 to 14) {
+        rnd.nextInt(6) match {
           case 0 => // attach / re-tune: budget 0 flips on every tick,
             // budget 5 parks the enrollment — both through the yaml path
             current = yaml(maintain = true,
@@ -2431,6 +2431,24 @@ class GraftDBSpec extends AnyFunSuite {
             // generation discovery + the durable orphan queue carry the
             // schedule forward across the process boundary
             db = new GraftDB(spark, current, baseDir, () => T0)
+          case 4 => // GC OFF through the yaml: flips now strand superseded
+            // generations with NO owner in any queue — the close-out's
+            // gc-on re-enroll must re-derive them from disk (the r19
+            // false->true in-place path or a fresh enroll's staleSiblings)
+            current = yaml(maintain = true,
+              budget = if (rnd.nextBoolean()) 0.0 else 5.0, gc = false)
+            db.alter(current)
+          case 5 => // persist blip: one tick with the durable twin's
+            // rewrite failing (degradation recorded + reported), then a
+            // healed tick — the idle retry must clear the flag whatever
+            // state the queue is in
+            db.orphanPersistHook =
+              () => throw new java.io.IOException("fuzz blip")
+            try db.maintenanceTick()
+            finally db.orphanPersistHook = () => ()
+            db.maintenanceTick()
+            assert(db.orphanGcPersistError.isEmpty,
+              s"seed $fseed op $op: persist blip must self-heal")
         }
         assertServes(s"op $op")
       }
@@ -2444,6 +2462,9 @@ class GraftDBSpec extends AnyFunSuite {
         s"seed $fseed: pendingGc must drain, got ${db.maintainedStats("vidx")}")
       assert(db.orphanGcStats === ((0, 0)),
         s"seed $fseed: orphan queue must drain, got ${db.orphanGcStats}")
+      assert(db.orphanGcPersistError.isEmpty,
+        s"seed $fseed: durable twin must be healthy at close-out, " +
+          s"got ${db.orphanGcPersistError}")
       val active = db.maintainedState("vidx").get._1
       val base = java.nio.file.Paths.get(idx)
       val prefix = base.getFileName.toString + "-g"

@@ -1206,4 +1206,67 @@ class ServerSpec extends AnyFunSuite {
       assert(!get(s"/cached/${extraPls.last}").contains("\"status\":\"unknown\""))
     } finally srv.stop()
   }
+
+  test("/metrics surfaces an orphan-queue persistence failure until it heals") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("persist-err-idx").toString + "/i"
+    val seed = (0L until 30L).map(i => (i, s"persist err seed text $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.buildNearDupIndexIfMissing(seed, col("text"),
+      col("doc_id"), idx, n = 1, numHashes = 64, bands = 32)
+    for (r <- 1 to 2)
+      graft.pipeline.Dedup.nearDupIncremental(
+        (0L until 20L).map(i => (1000L * r + i, s"persist err round $r doc $i"))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), idx, n = 1, numHashes = 64, bands = 32,
+        threshold = 0.9, admit = true)
+    val tableYaml =
+      "combined:\n  sql: >\n    SELECT requests FROM inbound GROUP BY *, period(5m)\n"
+    val db = new GraftDB(spark,
+      s"""${tableYaml}nd_idx:
+         |  dedupindex: $idx
+         |  maintain: true
+         |  maintainfiles: 1
+         |  maintaingc: true
+         |""".stripMargin,
+      Files.createTempDirectory("persist-err-db").toString, () => T0)
+    val srv = new HttpServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val t1 = db.maintenanceTick() // flip -> -g1, base queued
+      assert(t1.exists { case (n, s) =>
+        n == "nd_idx" && s == s"compacted -> $idx-g1" }, t1.toString)
+      db.orphanPersistHook =
+        () => throw new java.io.IOException("injected metrics failure")
+      try {
+        // detach: the orphan enqueue attempts a persist, which fails —
+        // the degraded restart durability must be visible on /metrics,
+        // not only in the daemon's tick log
+        db.alter(tableYaml)
+        val client = HttpClient.newHttpClient()
+        val met = client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://localhost:$port/metrics"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+        assert(met.body().contains(
+          "\"persistError\":\"IOException: injected metrics failure\""),
+          met.body())
+        assert(met.body().contains("\"pending\":1"), met.body())
+      } finally db.orphanPersistHook = () => ()
+      // healed: the drain's post-delete rewrite succeeds and the flag
+      // disappears from the surface
+      val t2 = db.maintenanceTick()
+      assert(t2.exists { case (n, s) =>
+        n == "_orphans" && s.startsWith("gc'd 1") }, t2.toString)
+      val client2 = HttpClient.newHttpClient()
+      val met2 = client2.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(!met2.body().contains("persistError"), met2.body())
+      assert(met2.body().contains(
+        "\"orphanGc\":{\"pending\":0,\"leased\":0}"), met2.body())
+    } finally srv.stop()
+  }
 }
