@@ -2349,17 +2349,50 @@ class GraftDBSpec extends AnyFunSuite {
         }
       } catch { case t: Throwable => failures.add(t) }
     }, s"soak-query-$ti"))
+    // lazy-frame thread: issues a frame, lets flips/GC land under it
+    // (issue lease holds the planned generation), then executes a DERIVED
+    // frame (exec-pin listener path) before the frame's own first action
+    // (issue-lease release path) — the r19 lease-transfer machinery under
+    // the same constant-flip race as the eager readers
+    val lazyThread = new Thread(() => {
+      try {
+        var n = 0
+        while (!stop.get() || n == 0) {
+          val df = db.sql(sql)
+          Thread.sleep(60)
+          val derived = df.limit(3).collect()
+          if (derived.length != 3)
+            failures.add(new AssertionError(
+              s"lazy derived got ${derived.length} rows"))
+          val direct = df.collect()
+          if (direct.length != 3)
+            failures.add(new AssertionError(
+              s"lazy direct got ${direct.length} rows"))
+          n += 1
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, "soak-lazy")
     maint.start(); alter.start(); queryThreads.foreach(_.start())
+    lazyThread.start()
     maint.join(180000); stop.set(true)
     alter.join(30000); queryThreads.foreach(_.join(120000))
-    assert(!maint.isAlive && !alter.isAlive && queryThreads.forall(!_.isAlive),
-      "soak threads must drain")
+    lazyThread.join(120000)
+    assert(!maint.isAlive && !alter.isAlive && !lazyThread.isAlive &&
+      queryThreads.forall(!_.isAlive), "soak threads must drain")
     assert(failures.isEmpty,
       s"concurrent soak failures: ${failures.toArray.toSeq}")
     // quiesce: park the budget, drain the GC queue; the live generation
-    // still serves exactly k rows
+    // still serves exactly k rows. Exec-pin releases arrive on the
+    // listener bus (async), so the drain is a bounded poll, not a fixed
+    // tick count.
     db.alter(yaml(5.0))
-    db.maintenanceTick(); db.maintenanceTick()
+    db.maintenanceTick()
+    val drainDl = System.currentTimeMillis() + 60000
+    while (db.maintainedStats("vidx")._3 != 0 &&
+        System.currentTimeMillis() < drainDl) {
+      Thread.sleep(100)
+      db.maintenanceTick()
+    }
     assert(db.sqlTimed(sql, 120000L).length == 3)
     assert(db.maintainedStats("vidx")._3 === 0,
       db.maintainedStats("vidx").toString)
