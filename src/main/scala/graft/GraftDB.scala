@@ -1720,6 +1720,41 @@ final class GraftDB(
     */
   def orphanGcPersistError: Option[String] = orphanPersistError
 
+  /** The reference's `DB.Close` (/root/reference/zenodb.go:334-349):
+    * stop every writer this db owns and release its session-global hooks,
+    * so an embedder shuts down cleanly — and a long-lived SparkSession
+    * cycling many dbs (tests, multi-tenant drivers) doesn't accumulate
+    * streams and bus listeners. Quiesces attached table-merge streams and
+    * enrolled index-maintenance streams (stop + await, the flip's
+    * discipline), releases leftover issue-time leases and in-flight
+    * execution pins, and unregisters the execution-pin listener.
+    * Idempotent. Like the reference, Close never deletes data: stores and
+    * indexes stay on disk, enrollment/registration STATE survives in
+    * memory, and reads through [[sql]] keep working (the SparkSession is
+    * caller-owned) — only the writers and hooks are gone.
+    */
+  def close(): Unit = if (closedFlag.compareAndSet(false, true)) {
+    val tableStreams = activeStreams.synchronized {
+      val s = activeStreams.toList; activeStreams.clear(); s
+    }
+    tableStreams.foreach(q => quiesceStream(Some(q), keep = None))
+    val maintStreams = maintained.synchronized { maintained.values.toList }
+      .flatMap(detachStream)
+    maintStreams.foreach(q => quiesceStream(Some(q), keep = None))
+    val holds = expiringLeases.synchronized { expiringLeases.toList }
+    holds.foreach(releaseHold)
+    val it = execPins.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      e.getValue.foreach(p => try p.close() catch { case _: Exception => () })
+    }
+    if (execPinRegistered.get())
+      try spark.sparkContext.removeSparkListener(execPinListener)
+      catch { case _: Exception => () }
+  }
+
+  private val closedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** [[sql]] executed under a deadline ([[Engine.sqlTimed]]): expiry cancels
     * the query's job group and raises TimeoutException.
     */

@@ -30,6 +30,9 @@ object Server {
       watcher.foreach(_.interrupt())
       maintainer.foreach(_.stop())
       http.stop(); rpc.stop()
+      // the reference daemon closes its DB on shutdown (zeno.go defer
+      // db.Close): quiesce the db's own writers and session hooks too
+      db.close()
     }
   }
 

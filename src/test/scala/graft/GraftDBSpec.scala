@@ -2855,6 +2855,72 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("close() quiesces the db's writers and releases session hooks") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("close-db").toString
+    val ckpt = Files.createTempDirectory("close-ckpt").toString
+    val yaml =
+      """st:
+        |  sql: >
+        |    SELECT v FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 100000)
+    // an attached table-merge stream...
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("tsMs", "k", "v")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+      .drop("tsMs")
+    val tableQs = db.attachStream("s", stream, ckpt)
+    mem.addData((T0, "x", 1.0), (T0 + 100, "y", 2.0))
+    tableQs.foreach(_.processAllAvailable())
+    // ...an enrolled index-maintenance stream...
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("close-idx").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val vmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val annQ = graft.streaming.AnnIndexStream.attachIvf(
+      vmem.toDF().toDF("vec_id", "embedding"), col("embedding"),
+      col("vec_id"), idx, Files.createTempDirectory("close-annck").toString)
+    db.registerAnnIndex("vidx", idx, "embedding", "vec_id",
+      quantized = false)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, stream = Some(annQ))
+    // ...and an issued-but-never-executed frame holding its lease
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val simSql =
+      s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id"
+    db.sql(simSql)
+    assert(db.leaseCount(idx) === 1)
+    assert(tableQs.forall(_.isActive) && annQ.isActive)
+    // close: every writer this db owns stops; leases release; state and
+    // data survive (the reference's Close never deletes)
+    db.close()
+    assert(tableQs.forall(!_.isActive),
+      "close() must quiesce attached table streams")
+    assert(!annQ.isActive,
+      "close() must quiesce enrolled index-maintenance streams")
+    assert(db.leaseCount(idx) === 0,
+      "close() must release issued frames' leases")
+    assert(db.maintainedState("vidx").exists(_._1 == idx),
+      "enrollment state survives close (only the writer is gone)")
+    db.close() // idempotent
+    // reads still work: the SparkSession is caller-owned
+    assert(db.sqlTimed(simSql, 120000L).length === 3)
+    assert(db.sql("SELECT v FROM st GROUP BY k").collect().nonEmpty)
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
