@@ -179,6 +179,29 @@ final class GraftDB(
   /** stream name -> tables fed by it. */
   def tables: Map[String, MaterializedTable] = tableMap
 
+  /** Per-table insert-disposition counters since process start — the
+    * reference's `DB.TableStats` (/root/reference/zenodb.go:376-386).
+    */
+  def tableStats(table: String): MaterializedTable.TableStats =
+    tableMap.get(table.toLowerCase).map(_.stats).getOrElse(
+      MaterializedTable.TableStats(0L, 0L, 0L, 0L))
+
+  /** All tables' stats, keyed by table name — the reference's
+    * `DB.AllTableStats` (zenodb.go:388-403).
+    */
+  def allTableStats: Map[String, MaterializedTable.TableStats] =
+    tableMap.map { case (n, t) => n -> t.stats }
+
+  /** One-line human rendering — the reference's `DB.PrintTableStats`
+    * (zenodb.go:405-416).
+    */
+  def printTableStats(table: String): String = {
+    val s = tableStats(table)
+    s"$table (${java.time.Instant.ofEpochMilli(now())})\t" +
+      s"Filtered: ${s.filteredPoints}    Dropped: ${s.droppedPoints}    " +
+      s"Queued: ${s.queuedPoints}    Inserted: ${s.insertedPoints}"
+  }
+
   /** Fully consolidate a table's commit generations into one (explicit
     * maintenance — flushes already auto-compact incrementally; see
     * [[graft.streaming.MaterializedTable.compact]]). Returns day dirs

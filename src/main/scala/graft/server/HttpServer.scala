@@ -37,8 +37,13 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   def metricsJson(): String = {
     val tables = db.tables.toSeq.sortBy(_._1).map { case (name, t) =>
       val (gen, days, bytes, liveGens) = t.storeStats
+      // insert-disposition counters (reference TableStats): process-
+      // lifetime points queued/inserted/filtered(WHERE)/dropped(retention)
+      val st = t.stats
       s""""$name":{"generation":$gen,"days":$days,"bytes":$bytes,""" +
-        s""""liveGenerations":$liveGens,"cachedRelations":${t.relationCacheSize}}"""
+        s""""liveGenerations":$liveGens,"cachedRelations":${t.relationCacheSize},""" +
+        s""""queuedPoints":${st.queuedPoints},"insertedPoints":${st.insertedPoints},""" +
+        s""""filteredPoints":${st.filteredPoints},"droppedPoints":${st.droppedPoints}}"""
     }.mkString("{", ",", "}")
     val journals = db.journalStats.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
       s""""$s":{"entries":$n,"bytes":$b}"""

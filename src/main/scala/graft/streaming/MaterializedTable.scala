@@ -304,6 +304,24 @@ final class MaterializedTable(
   private[graft] def relationCacheSize: Int =
     relationCache.synchronized(relationCache.size())
 
+  // Insert-disposition counters since THIS process started — the
+  // reference's TableStats (zenodb.go:376-416, incremented at insert,
+  // insert.go:264-272). Counted by the observe() nodes in [[mergeBatch]];
+  // process-lifetime, like the reference's (not persisted).
+  private val statQueued = new java.util.concurrent.atomic.AtomicLong
+  private val statInserted = new java.util.concurrent.atomic.AtomicLong
+  private val statFiltered = new java.util.concurrent.atomic.AtomicLong
+  private val statDropped = new java.util.concurrent.atomic.AtomicLong
+
+  /** Points seen by insert since process start, by disposition:
+    * queued (arrived), inserted (reached the merge), filtered (dropped by
+    * the table WHERE), dropped (older than retention / outside the
+    * initial backfill bound).
+    */
+  def stats: MaterializedTable.TableStats = MaterializedTable.TableStats(
+    queuedPoints = statQueued.get(), insertedPoints = statInserted.get(),
+    filteredPoints = statFiltered.get(), droppedPoints = statDropped.get())
+
   private def openDaysCached(version: Long, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       bucketed: Boolean): DataFrame = {
@@ -458,8 +476,16 @@ final class MaterializedTable(
             col("__el").cast("double").as(c)): _*)
       }
 
+    // Insert-disposition counters (the reference's TableStats,
+    // zenodb.go:376-416 / insert.go:264-272): counted with
+    // `Dataset.observe` CollectMetrics nodes placed around the two insert
+    // filters, so the counts ride the SAME job that materializes the
+    // partial aggregation below — zero extra scans of the batch. Read
+    // back (and folded into the table's counters) after that job runs.
+    batch = batch.observe("graft_queued", count(lit(1)).as("n"))
     // table WHERE pre-filter (insert.go:175-189)
     query.where.foreach(w => batch = batch.filter(Builders.dim(w, dimResolve)))
+    batch = batch.observe("graft_after_where", count(lit(1)).as("n"))
     // points older than retention are always dropped (truncateBefore is
     // retention-only, table.go:362-364, consulted per-insert at
     // insert.go:131-136). Backfill bounds only the INITIAL catch-up — the
@@ -479,6 +505,7 @@ final class MaterializedTable(
       val truncateBefore = now() - horizons.min
       batch = batch.filter(col(tsCol) >= timestamp_millis(lit(truncateBefore)))
     }
+    batch = batch.observe("graft_retained", count(lit(1)).as("n"))
 
     val dims: Seq[(String, Column)] =
       if (query.groupByAll)
@@ -509,9 +536,27 @@ final class MaterializedTable(
 
     val keyNames = "_time" +: dims.map(_._1)
     val partialCached = partial.persist()
-    val touched: Set[Long] = partialCached
+    val touchedDf = partialCached
       .select((unix_millis(col("_time")) / DayMs).cast("long").as("d"))
-      .distinct().collect().map(_.getLong(0)).toSet
+      .distinct()
+    val touched: Set[Long] = touchedDf.collect().map(_.getLong(0)).toSet
+    // the touched-days job just materialized the cache THROUGH the
+    // CollectMetrics nodes above — fold their counts into the stats
+    // counters (queued = into the WHERE, filtered = WHERE drop,
+    // dropped = retention/backfill drop, inserted = reached the merge)
+    locally {
+      val om = touchedDf.queryExecution.observedMetrics
+      for {
+        q <- om.get("graft_queued").map(_.getLong(0))
+        w <- om.get("graft_after_where").map(_.getLong(0))
+        r <- om.get("graft_retained").map(_.getLong(0))
+      } {
+        statQueued.addAndGet(q)
+        statFiltered.addAndGet(q - w)
+        statDropped.addAndGet(w - r)
+        statInserted.addAndGet(r)
+      }
+    }
     if (touched.isEmpty) { partialCached.unpersist(); return }
 
     // merge ONLY the touched day partitions with the batch's partials.
@@ -857,6 +902,14 @@ final class MaterializedTable(
 }
 
 object MaterializedTable {
+  /** Per-table insert-disposition counters — the reference's `TableStats`
+    * (/root/reference/table.go:26-33), minus the flush-side ExpiredValues
+    * (our expiry is structural: whole days drop from the manifest, visible
+    * in the `/metrics` days count).
+    */
+  final case class TableStats(queuedPoints: Long, insertedPoints: Long,
+                              filteredPoints: Long, droppedPoints: Long)
+
   /** Test-only fault injection for the commit path: invoked at the named
     * points inside [[MaterializedTable.writeManifest]] ("manifest.pre-write",
     * "manifest.tmp-written", "manifest.moved"). A crash fuzz installs a

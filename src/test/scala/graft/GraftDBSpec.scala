@@ -2921,6 +2921,46 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.sql("SELECT v FROM st GROUP BY k").collect().nonEmpty)
   }
 
+  test("tableStats counts insert dispositions like the reference") {
+    import org.apache.spark.sql.functions.timestamp_millis
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tstats-db").toString
+    val yaml =
+      """st:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT v FROM s WHERE k = 'keep' GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 100000)
+    def batch(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("tsMs", "k", "v")
+        .withColumn("ts", timestamp_millis($"tsMs")).drop("tsMs")
+    // 6 queued: 3 inserted, 2 filtered by the table WHERE, 1 inside the
+    // WHERE but older than retention (WHERE is consulted first, like the
+    // reference's insert path)
+    db.insert("s", batch(
+      (T0, "keep", 1.0), (T0 + 100, "keep", 2.0), (T0 + 200, "keep", 3.0),
+      (T0 + 300, "drop", 4.0), (T0 + 400, "drop", 5.0),
+      (T0 - 7200000L, "keep", 6.0)))
+    assert(db.tableStats("st") ===
+      graft.streaming.MaterializedTable.TableStats(6, 3, 2, 1))
+    // counters accumulate across inserts (process-lifetime, reference
+    // semantics) and surface through allTableStats/printTableStats
+    db.insert("s", batch((T0 + 500, "keep", 7.0), (T0 + 600, "drop", 8.0)))
+    assert(db.tableStats("st") ===
+      graft.streaming.MaterializedTable.TableStats(8, 4, 3, 1))
+    assert(db.allTableStats("st").queuedPoints === 8)
+    val printed = db.printTableStats("st")
+    assert(printed.contains("Filtered: 3") && printed.contains("Inserted: 4"),
+      printed)
+    // an unknown table reads as zeros, like the reference's nil-table path
+    assert(db.tableStats("nope") ===
+      graft.streaming.MaterializedTable.TableStats(0, 0, 0, 0))
+    // and the merged store holds exactly the inserted points
+    val rows = db.sql("SELECT v, _points FROM st GROUP BY k").collect()
+    assert(rows.map(_.getAs[Double]("_points")).sum === 4.0)
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
