@@ -686,16 +686,25 @@ final class GraftDB(
     * (/root/reference/row_store.go:681-725). Returns the leases; the
     * caller releases them when done with the index files.
     */
+  /** Drain every attached stream's delivered-but-unprocessed data into
+    * the queryable state: table-merge streams AND enrolled
+    * index-maintenance streams. This is the reference's `DB.FlushAll`
+    * (/root/reference/zenodb.go:312-321) — its memstore flush maps to our
+    * un-committed micro-batches — and the same mechanic the
+    * `-- force_fresh` query hint applies per-query.
+    */
+  def flushAll(): Unit = {
+    val tableStreams =
+      activeStreams.synchronized { activeStreams.filter(_.isActive).toSeq }
+    val indexStreams =
+      maintained.synchronized { maintained.values.flatMap(_.stream).toSeq }
+    (tableStreams ++ indexStreams.filter(_.isActive))
+      .foreach(_.processAllAvailable())
+  }
+
   private def preQuery(query: String): (Seq[AutoCloseable], Catalog) = {
     val parsed = Parser.parse(query)
-    if (parsed.forceFresh) {
-      val tableStreams =
-        activeStreams.synchronized { activeStreams.filter(_.isActive).toSeq }
-      val indexStreams =
-        maintained.synchronized { maintained.values.flatMap(_.stream).toSeq }
-      (tableStreams ++ indexStreams.filter(_.isActive))
-        .foreach(_.processAllAvailable())
-    }
+    if (parsed.forceFresh) flushAll()
     sweepExpiredLeases()
     // ONE registry snapshot serves both the leases and the plan: the pinned
     // path and the scanned path are the same by construction — a flip

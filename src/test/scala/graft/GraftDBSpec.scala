@@ -2921,6 +2921,34 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.sql("SELECT v FROM st GROUP BY k").collect().nonEmpty)
   }
 
+  test("flushAll drains attached streams into the queryable state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("flushall-db").toString
+    val ckpt = Files.createTempDirectory("flushall-ckpt").toString
+    val yaml =
+      """st:
+        |  sql: >
+        |    SELECT v FROM s GROUP BY k, period(1s)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 100000)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("tsMs", "k", "v")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+      .drop("tsMs")
+    val qs = db.attachStream("s", stream, ckpt)
+    try {
+      mem.addData((T0, "x", 1.0), (T0 + 100, "x", 2.0))
+      // no processAllAvailable, no force_fresh hint: flushAll alone must
+      // make the delivered points queryable (the reference's DB.FlushAll)
+      db.flushAll()
+      val rows = db.sql("SELECT v FROM st GROUP BY k").collect()
+      assert(rows.length === 1 && rows(0).getAs[Double]("v") === 3.0)
+    } finally { db.close(); assert(qs.forall(!_.isActive)) }
+  }
+
   test("tableStats counts insert dispositions like the reference") {
     import org.apache.spark.sql.functions.timestamp_millis
     import spark.implicits._
