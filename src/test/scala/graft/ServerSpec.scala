@@ -873,12 +873,18 @@ class ServerSpec extends AnyFunSuite {
       assert(m.contains("\"activeStreams\":0"), m)
       assert(m.contains("\"asyncCacheEntries\":1"), m)
       val combined =
+        // [,}]: the row continues with the insert-disposition counters
+        // (queuedPoints...) since r19 — tolerate more fields after these
         ("\"combined\":\\{\"generation\":(\\d+),\"days\":(\\d+),\"bytes\":(\\d+)," +
-          "\"liveGenerations\":(\\d+),\"cachedRelations\":(\\d+)\\}").r
+          "\"liveGenerations\":(\\d+),\"cachedRelations\":(\\d+)[,}]").r
       val cm = combined.findFirstMatchIn(m).getOrElse(fail(s"no table stats: $m"))
       assert(cm.group(1).toLong >= 1 && cm.group(2).toInt >= 1 &&
         cm.group(3).toLong > 0, m)
       assert(cm.group(4).toInt >= 1, m) // live generations: compaction health
+      // the r19 insert-disposition counters ride the same row: the one
+      // inserted point must be counted
+      assert(m.contains("\"queuedPoints\":1") &&
+        m.contains("\"insertedPoints\":1"), m)
       val journal =
         "\"inbound\":\\{\"entries\":(\\d+),\"bytes\":(\\d+)\\}".r
       val jm = journal.findFirstMatchIn(m).getOrElse(fail(s"no journal stats: $m"))
