@@ -1764,6 +1764,11 @@ final class GraftDB(
     * indexes stay on disk, enrollment/registration STATE survives in
     * memory, and reads through [[sql]] keep working (the SparkSession is
     * caller-owned) — only the writers and hooks are gone.
+    *
+    * Ordering: stop whatever drives [[maintenanceTick]] BEFORE closing
+    * (the daemon's `stop()` does) — a pass racing close could restart a
+    * maintenance stream after close detached it, reattaching a writer to
+    * a closed db.
     */
   def close(): Unit = if (closedFlag.compareAndSet(false, true)) {
     val tableStreams = activeStreams.synchronized {
