@@ -379,6 +379,13 @@ object SparkEntry {
         |  SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS prev_rev
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
 
+    // §2.3 SHIFT with a POSITIVE duration = look-forward (the reference
+    // keeps the sign, seq.go:244; r19 restored it after an abs() collapse)
+    "q_shift_fwd" -> gqT(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev,
+        |  SHIFT(SUM(o_totalprice * 100) / 100, '30d') AS next_rev
+        |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
     // §2.3 SHIFT composed inside arithmetic (risk register SURVEY §7.4 #3)
     "q_shift_delta" -> gqT(
       """SELECT SUM(o_totalprice * 100) / 100 AS rev,
@@ -1606,6 +1613,17 @@ object SparkEntry {
         |SELECT COALESCE(a.t, p.t + $D30) AS _time, a.rev AS rev, p.rev AS prev_rev
         |FROM b a FULL JOIN b p ON p.t = a.t - $D30
         |WHERE COALESCE(a.t, p.t + $D30)
+        |  BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
+        |ORDER BY 1""".stripMargin,
+
+    "q_shift_fwd" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
+        |    sum(o_totalprice * 100) / 100 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(a.t, n.t - $D30) AS _time, a.rev AS rev, n.rev AS next_rev
+        |FROM b a FULL JOIN b n ON n.t = a.t + $D30
+        |WHERE COALESCE(a.t, n.t - $D30)
         |  BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
         |ORDER BY 1""".stripMargin,
 

@@ -43,8 +43,12 @@ final case class MPercentileOpt(child: MExpr, p: MExpr) extends MExpr
 final case class MIf(cond: DExpr, child: MExpr) extends MExpr
 /** Values outside [lo,hi] treated as unset, not clamped (expr/bounded.go). */
 final case class MBounded(child: MExpr, lo: Double, hi: Double) extends MExpr
-/** Read the wrapped aggregate from `offset` earlier (expr/shift.go:16-92).
-  * Offset is negative-in-SQL ('-1h') but stored positive here = look-back. */
+/** Read the wrapped aggregate from a shifted bucket (expr/shift.go:16-92).
+  * `offsetMillis` is the STORE-SIDE re-key offset — the NEGATION of the
+  * SQL duration: the idiomatic `'-1h'` stores +3600000 (bucket t shows
+  * t-1h's value = look-back), a positive SQL duration stores a negative
+  * offset (look-forward, the reference's sign semantics via seq.go:244's
+  * `shiftBack = -1 * Shift()`). */
 final case class MShift(child: MExpr, offsetMillis: Long, suffix: String)
     extends MExpr
 /** + - * / over aggregate results; / has the zenodb zero rule

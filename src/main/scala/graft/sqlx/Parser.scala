@@ -496,8 +496,17 @@ object Parser {
         } else MPercentileOpt(c, p)
       case "SHIFT" =>
         val inner = parseMOr(valueCtx = false); expectPunct(",")
-        val off = Math.abs(Durations.parseMillis(str()))
-        MShift(inner, off, Durations.format(off))
+        // the dialect keeps the duration's SIGN (the reference's canonical
+        // example is SHIFT(SUM(b), '-1h'), sql.go:35, and seq.go:244
+        // consumes it as shiftBack = -1 * Shift()): a NEGATIVE duration
+        // compares against the PAST, a positive one against the future.
+        // MShift stores the STORE-SIDE re-key offset — the negation — so
+        // the idiomatic '-1h' (and every stored golden) keeps the exact
+        // AST it always had: +3600000 = show bucket t-1h's value at t.
+        // Earlier rounds abs()'d here, silently collapsing '1h' onto
+        // look-back; r19 restores the reference's forward shift.
+        val userMs = Durations.parseMillis(str())
+        MShift(inner, -userMs, Durations.format(Math.abs(userMs)))
       case "LN" | "LOG2" | "LOG10" =>
         MMath(fn, parseMOr(valueCtx))
       case other => throw new IllegalArgumentException(s"measure fn $other")

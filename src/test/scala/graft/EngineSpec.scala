@@ -546,6 +546,25 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(3).getAs[Any]("/index.html_prev") == null) // b3 > /index span
   }
 
+  test("positive SHIFT looks forward (the reference's sign semantics)") {
+    // '-2s' compares each bucket to the PREVIOUS one (look-back, the
+    // idiom); '2s' must compare to the NEXT one — the reference keeps the
+    // duration's sign (seq.go:244 shiftBack = -1*Shift()), and the old
+    // abs() here silently collapsed both spellings onto look-back
+    val df = sql(
+      """SELECT requests, SHIFT(requests, '2s') AS next
+        |FROM inbound WHERE path IS NOT NULL
+        |GROUP BY _, period('2s') ORDER BY _time""".stripMargin)
+    val rows = df.collect()
+    // totals series per 2s bucket: [90, 12, 934, 28]
+    assert(rows.length == 4)
+    assert(approx(d(rows(0).getAs[Any]("next")), 12.0))
+    assert(approx(d(rows(1).getAs[Any]("next")), 934.0))
+    assert(approx(d(rows(2).getAs[Any]("next")), 28.0))
+    assert(rows(3).getAs[Any]("next") == null,
+      "nothing lies beyond the last bucket")
+  }
+
   test("SHIFT inside CROSSTABT shifts the totals series too") {
     val df = sql(
       """SELECT requests, SHIFT(requests, '-2s') AS prev

@@ -92,7 +92,13 @@ LIMIT 100, 10
       MWAvg(MField("a"), MField("b")))
     assert(q.fields.find(_.name == "ptile2_opt").get.expr ==
       MPercentileOpt(MField("ptile"), MConst(2.0)))
+    // the POSITIVE SQL spelling '1h' stores the NEGATED (store-side)
+    // offset: look-forward, the reference's sign semantics (seq.go:244).
+    // The idiomatic '-1h' stores +3600000 (look-back) — pinned below.
     assert(q.fields.find(_.name == "shifted").get.expr ==
+      MShift(MAgg(AggOp.Sum, MField("s")), -3600000L, "1h0m0s"))
+    assert(Parser.parse("SELECT SHIFT(SUM(s), '-1h') AS sh FROM t")
+      .fields.head.expr ==
       MShift(MAgg(AggOp.Sum, MField("s")), 3600000L, "1h0m0s"))
     // alias expansion: MYALIAS -> ANY(dim_l, HGET('hash', dim_m), dim_n)
     val anyOf = q.groupBy.collectFirst { case GroupExpr("any_of_three", e) => e }.get
