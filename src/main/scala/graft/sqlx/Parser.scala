@@ -92,12 +92,23 @@ object Parser {
         directive(input.substring(i, end))
         i = end
       } else if (c == '\'') {
+        // both SQL escape styles, like the reference's MySQL-dialect
+        // parser: backslash (`'it\'s'`) and doubled quote (`'it''s'`)
         val sb = new StringBuilder; i += 1
-        while (i < n && input.charAt(i) != '\'') {
-          if (input.charAt(i) == '\\' && i + 1 < n) { sb.append(input.charAt(i + 1)); i += 2 }
-          else { sb.append(input.charAt(i)); i += 1 }
+        var closed = false
+        while (i < n && !closed) {
+          val ch = input.charAt(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(input.charAt(i + 1)); i += 2 }
+          else if (ch == '\'') {
+            if (peek(1) == '\'') { sb.append('\''); i += 2 }
+            else { closed = true; i += 1 }
+          }
+          else { sb.append(ch); i += 1 }
         }
-        i += 1
+        // the old lexer treated end-of-input as an implicit close — a
+        // truncated query then parsed as a DIFFERENT valid query instead
+        // of failing loud
+        require(closed, s"unterminated string literal: '${sb.toString.take(40)}")
         toks += TStr(sb.toString)
       } else if (c == '`') {
         val e = input.indexOf('`', i + 1)
@@ -107,8 +118,22 @@ object Parser {
       } else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val start = i
         while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+        // scientific notation (1.5e-3, 2E8): an e/E followed by an
+        // optionally-signed digit run stays ONE number token — without
+        // this the mantissa lexed as a duration-style ident and the
+        // parser refused the literal
+        val isExp = i < n &&
+          (input.charAt(i) == 'e' || input.charAt(i) == 'E') && {
+            val j = if (peek(1) == '+' || peek(1) == '-') i + 2 else i + 1
+            j < n && input.charAt(j).isDigit
+          }
+        if (isExp) {
+          i += 1
+          if (i < n && (input.charAt(i) == '+' || input.charAt(i) == '-')) i += 1
+          while (i < n && input.charAt(i).isDigit) i += 1
+          toks += TNum(input.substring(start, i).toDouble)
         // number followed directly by a duration unit? lex as ident (5s, 1d)
-        if (i < n && input.charAt(i).isLetter) {
+        } else if (i < n && input.charAt(i).isLetter) {
           while (i < n && (input.charAt(i).isLetterOrDigit)) i += 1
           toks += TIdent(input.substring(start, i).toLowerCase)
         } else toks += TNum(input.substring(start, i).toDouble)
@@ -300,6 +325,11 @@ object Parser {
         val a = num().toInt
         if (eatPunct(",")) { offset = a; limit = Some(num().toInt) }
         else limit = Some(a)
+        // reject at parse with the values named, instead of whatever
+        // Spark's limit/offset operators throw mid-plan
+        require(offset >= 0 && limit.forall(_ >= 0),
+          s"LIMIT/OFFSET must be non-negative (got " +
+            s"limit=${limit.getOrElse(-1)}, offset=$offset)")
       }
       if (top) require(cur == TEnd, s"trailing tokens at $cur")
 
@@ -331,6 +361,10 @@ object Parser {
         case TNum(_)   => Math.round(num())                  // bare millis
         case other => throw new IllegalArgumentException(s"expected duration, got $other")
       }
+      // period(0s)/stride(0s) would reach the planner as a zero bucket
+      // width and surface as a divide-by-zero deep inside Spark — refuse
+      // here with the argument named
+      require(ms != 0, "period/stride duration must be non-zero")
       Math.abs(ms).millis
     }
 

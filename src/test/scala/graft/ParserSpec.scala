@@ -209,4 +209,33 @@ LIMIT 100, 10
         "SELECT score FROM SIMSEARCH('idx', TABLE, 3, 2) GROUP BY qid"))
       intercept[IllegalArgumentException](Parser.parse(bad))
   }
+
+  test("lexer hardening: quote escapes, unterminated strings, scientific notation") {
+    import graft.sqlx._
+    // both SQL escape styles yield ONE string token (the reference's
+    // MySQL-dialect parser accepts both)
+    val doubled = Parser.parse("SELECT v FROM t WHERE s = 'it''s'")
+    val backslash = Parser.parse("SELECT v FROM t WHERE s = 'it\\'s'")
+    for (q <- Seq(doubled, backslash))
+      assert(q.where.contains(DCmp("=", DCol("s"), DConst("it's"))), q.where)
+    // a truncated query must fail loud, not silently parse as a DIFFERENT
+    // valid query with an implicitly-closed literal
+    val e = intercept[IllegalArgumentException](
+      Parser.parse("SELECT v FROM t WHERE s = 'oops"))
+    assert(e.getMessage.contains("unterminated string"), e.getMessage)
+    // scientific-notation literals lex as one number (previously the
+    // mantissa lexed as a duration-style ident and the parse failed)
+    val sci = Parser.parse("SELECT v FROM t WHERE a > -1.5e-3 AND b < 2E8")
+    val cmp = sci.where.get.asInstanceOf[DAnd]
+    assert(cmp.l.asInstanceOf[DCmp].r == DConst(-1.5e-3))
+    assert(cmp.r.asInstanceOf[DCmp].r == DConst(2.0e8))
+    // guards with the offending value named, instead of a Spark-internal
+    // failure mid-plan
+    val z = intercept[IllegalArgumentException](
+      Parser.parse("SELECT v FROM t GROUP BY k, period(0s)"))
+    assert(z.getMessage.contains("non-zero"), z.getMessage)
+    val lim = intercept[IllegalArgumentException](
+      Parser.parse("SELECT v FROM t LIMIT -1"))
+    assert(lim.getMessage.contains("non-negative"), lim.getMessage)
+  }
 }
