@@ -895,7 +895,10 @@ final class GraftDB(
     * drain could recursively delete an unrelated directory. Canonicalizing
     * at every enqueue AND on both sides of every comparison makes the
     * queue's identity independent of spelling and of the enqueuing
-    * process's CWD.
+    * process's CWD. Symlinked spellings are intentionally NOT resolved
+    * (`toRealPath` would make an entry's canonical form change when the
+    * underlying dir is deleted mid-lifecycle, breaking self-equality):
+    * register each index under one physical path.
     */
   private def canonPath(p: String): String =
     java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
