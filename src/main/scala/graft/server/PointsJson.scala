@@ -13,7 +13,14 @@ object PointsJson {
 
   def toDataFrame(spark: SparkSession, jsonLines: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.json(
+    // FAILFAST: a malformed line must 400 the request, like the
+    // reference's per-line decode error (web/insert.go:34-38). The
+    // default PERMISSIVE mode would fold bad lines into a
+    // `_corrupt_record` column that then flowed into the store as a
+    // literal DIM — silently materializing garbage group keys. Schema
+    // VARIANCE across lines stays fine (points carry heterogeneous
+    // dims; absent fields read null) — only unparseable JSON fails.
+    val raw = spark.read.option("mode", "FAILFAST").json(
       spark.createDataset(jsonLines.split("\n").toSeq.filter(_.trim.nonEmpty)))
     // ts: epoch millis number, RFC3339 string, or absent (=now)
     val withTs =

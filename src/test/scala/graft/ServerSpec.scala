@@ -1275,4 +1275,45 @@ class ServerSpec extends AnyFunSuite {
         "\"orphanGc\":{\"pending\":0,\"leased\":0}"), met2.body())
     } finally srv.stop()
   }
+
+  test("malformed insert JSON fails the request instead of inserting garbage dims") {
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    val yaml =
+      """combined:
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      // one good line, one truncated line: PERMISSIVE json parsing used to
+      // fold the bad line into a `_corrupt_record` column that merged into
+      // the store as a literal dim — the batch must 400 instead
+      val bad = Seq(
+        s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 5}}""",
+        s"""{"ts": $T0, "dims": {"server"""
+      ).mkString("\n")
+      val ins = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(bad)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ins.statusCode() == 400, ins.body())
+      assert(db.tableStats("combined").queuedPoints === 0,
+        "a rejected batch must not reach the merge")
+      // heterogeneous-but-valid lines still insert (points carry
+      // different dim/val sets by design)
+      val ok = Seq(
+        s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 5}}""",
+        s"""{"ts": $T0, "dims": {"path": "/a"}, "vals": {"requests": 7}}"""
+      ).mkString("\n")
+      val ins2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(ok)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ins2.statusCode() == 200 && ins2.body().contains("\"inserted\":2"),
+        ins2.body())
+    } finally srv.stop()
+  }
 }
