@@ -94,7 +94,18 @@ object SchemaParser {
       }
     }
     flush()
+    // config mistakes fail HERE, named, not as a late NPE/parse error deep
+    // in db construction or — worse — as silently wrong behavior
+    locally {
+      val dup = tables.groupBy(_.name).collectFirst {
+        case (n, cs) if cs.size > 1 => n
+      }
+      // resolveSchema keys tables by name: a duplicate would silently drop
+      // all but the LAST definition (a yaml copy-paste typo eating a table)
+      require(dup.isEmpty, s"duplicate table '${dup.getOrElse("")}' in schema")
+    }
     tables.foreach { c =>
+      require(c.name.nonEmpty, "schema entry with an empty name")
       // an inert dedupindex declaration is always a misconfiguration: the
       // entry's only purpose is enrolling the daemon — fail loud at parse
       if (c.dedupIndexPath.isDefined && !c.maintain)
@@ -102,6 +113,19 @@ object SchemaParser {
           s"dedupindex entry '${c.name}' declares no maintenance — " +
             "add 'maintain: true' (dedupindex entries exist to enroll " +
             "the daemon's fragmentation maintenance)")
+      if (c.annIndexPath.isEmpty && c.dedupIndexPath.isEmpty)
+        require(c.sql.nonEmpty,
+          s"table '${c.name}' needs sql: (only annindex:/dedupindex: " +
+            "entries are sql-less)")
+      // a NEGATIVE horizon silently drops every inserted point (the
+      // truncation cutoff lands in the future); zero retains nothing
+      for ((k, v) <- Seq(
+          "retentionperiod" -> c.retentionMillis,
+          "backfill" -> c.backfillMillis,
+          "maxflushlatency" -> c.maxFlushLatencyMillis,
+          "minflushlatency" -> c.minFlushLatencyMillis))
+        v.foreach(ms => require(ms > 0,
+          s"table '${c.name}': $k must be positive (got ${ms}ms)"))
     }
     tables.toSeq
   }

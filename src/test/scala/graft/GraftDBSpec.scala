@@ -2989,6 +2989,40 @@ class GraftDBSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("_points")).sum === 4.0)
   }
 
+  test("schema misconfigurations fail loud at parse, named") {
+    import graft.schema.SchemaParser
+    def bad(yaml: String, mustMention: String): Unit = {
+      val e = intercept[IllegalArgumentException](SchemaParser.parse(yaml))
+      assert(e.getMessage.contains(mustMention),
+        s"expected '$mustMention' in: ${e.getMessage}")
+    }
+    // duplicate names: resolveSchema keys by name, so the LAST definition
+    // would silently eat the first (a copy-paste typo dropping a table)
+    bad("""t:
+          |  sql: >
+          |    SELECT v FROM s GROUP BY k
+          |t:
+          |  sql: >
+          |    SELECT w FROM s GROUP BY k
+          |""".stripMargin, "duplicate table 't'")
+    // sql-less table: previously surfaced as a bare parser error at db
+    // construction, with no hint which entry was broken
+    bad("t:\n  retentionperiod: 1h\n", "table 't' needs sql:")
+    // negative retention: the truncation cutoff lands in the FUTURE and
+    // every inserted point silently drops
+    bad("""t:
+          |  retentionperiod: -1h
+          |  sql: >
+          |    SELECT v FROM s GROUP BY k
+          |""".stripMargin, "retentionperiod must be positive")
+    bad("""t:
+          |  maxflushlatency: -5s
+          |  sql: >
+          |    SELECT v FROM s GROUP BY k
+          |""".stripMargin, "maxflushlatency must be positive")
+    bad(":\n  sql: >\n    SELECT v FROM s GROUP BY k\n", "empty name")
+  }
+
   test("dedupindex schema entries require maintain: true") {
     val e = intercept[IllegalArgumentException] {
       new GraftDB(spark,
