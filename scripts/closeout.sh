@@ -41,9 +41,11 @@ grep -q 'PASS all lifecycle assertions' "$OUT/maint-check.log"
 # classes (corpus-flat stat tick, overhead-dominated incremental,
 # fixed+linear compaction) and FAILS on a violated same-run ratio bound —
 # a cost-class regression breaks the close-out instead of printing a
-# worse table.
+# worse table. Grep the EXACT full-pass line: the single-size fallback
+# also prints "PASS (single size: table only)", and a sizes-config
+# regression to one corpus size must fail this gate, not slide through.
 sbt -batch "runMain graft.tools.MaintStress" | tee "$OUT/maint-stress.log"
-grep -q 'PASS' "$OUT/maint-stress.log"
+grep -q 'PASS all cost-class assertions' "$OUT/maint-stress.log"
 SPARK_GRAFT_SF_DIR="${BENCH_SF:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.Bench" | tee "$OUT/bench-cluster.log"
 cp target/bench.json "$OUT/bench-cluster.json"
@@ -57,7 +59,11 @@ cp target/bench.json "$OUT/bench-cluster.json"
 # below the band means a faster machine, not a penalty; see r19 note) —
 # and the median uses ONLY the four endpoint probes, never group_size or
 # the mid-series localization probes.
-python3 - "$OUT/bench-cluster.json" <<'EOF'
+# The multi-JVM capture is a first-class round record, not just NOTES
+# prose: write BENCH_cluster_rNN.json at the repo root with the same
+# calibration fields as the local capture, so round-over-round
+# executor-real perf is machine-comparable (ROUND env selects NN).
+python3 - "$OUT/bench-cluster.json" "${ROUND:-20}" <<'EOF'
 import json, sys, statistics
 j = json.load(open(sys.argv[1]))
 c = j.get("calibration", {})
@@ -69,5 +75,12 @@ norm = j["value"] * min(1.0, FLOOR / med) if cal and med > 0 else float("nan")
 print(f"[closeout] total={j['value']:.2f}s"
       f" calibration_median={med:.3f}s"
       f" load_normalized_total={norm:.2f}s (floor {FLOOR}, factor<=1)")
+j["master"] = "local-cluster[4,8,4096]"
+j["cal_med"] = round(med, 4)
+j["cal_norm_clamped"] = round(norm, 4)
+out = f"BENCH_cluster_r{sys.argv[2]}.json"
+with open(out, "w") as f:
+    json.dump(j, f)
+print(f"[closeout] wrote {out}")
 EOF
 echo "close-out artifacts in $OUT (vcluster/ + bench-cluster.json)"

@@ -392,6 +392,14 @@ object SparkEntry {
         |  SUM(o_totalprice * 100) / 100 - SHIFT(SUM(o_totalprice * 100) / 100, '-30d') AS delta
         |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
 
+    // §2.3 forward SHIFT composed inside arithmetic — pins the restored
+    // positive sign (r19) through the same composition path q_shift_delta
+    // pins for the look-back sign
+    "q_shift_fwd_delta" -> gqT(
+      """SELECT SUM(o_totalprice * 100) / 100 AS rev,
+        |  SUM(o_totalprice * 100) / 100 - SHIFT(SUM(o_totalprice * 100) / 100, '30d') AS delta_next
+        |FROM orders GROUP BY _, period('30d') ORDER BY _time""".stripMargin),
+
     // §2.3 CROSSHIFT macro (expands to one SHIFT column per interval step:
     // xr, xr_1w, xr_2w — sql.go:480-512)
     "q_crosshift" -> gqT(
@@ -414,6 +422,13 @@ object SparkEntry {
     // §2.4 SHIFT composed inside CROSSTAB (per-pivot-series shift)
     "q_crosstab_shift" -> gqT(
       """SELECT SUM(l_quantity) AS qty, SHIFT(SUM(l_quantity), '-90d') AS prev_qty
+        |FROM lineitem GROUP BY CROSSTAB(l_returnflag), period('90d')
+        |ORDER BY _time""".stripMargin),
+
+    // §2.4 forward SHIFT composed inside CROSSTAB (per-pivot-series
+    // look-forward — the positive-sign twin of q_crosstab_shift)
+    "q_crosstab_shift_fwd" -> gqT(
+      """SELECT SUM(l_quantity) AS qty, SHIFT(SUM(l_quantity), '90d') AS next_qty
         |FROM lineitem GROUP BY CROSSTAB(l_returnflag), period('90d')
         |ORDER BY _time""".stripMargin),
 
@@ -1640,6 +1655,19 @@ object SparkEntry {
         |    BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
         |ORDER BY 1""".stripMargin,
 
+    "q_shift_fwd_delta" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(o_orderdate) / $D30) * $D30 AS BIGINT) AS t,
+        |    sum(o_totalprice * 100) / 100 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(a.t, n.t - $D30) AS _time, a.rev AS rev,
+        |  a.rev - n.rev AS delta_next
+        |FROM b a FULL JOIN b n ON n.t = a.t + $D30
+        |WHERE (a.rev IS NOT NULL OR a.rev - n.rev IS NOT NULL)
+        |  AND COALESCE(a.t, n.t - $D30)
+        |    BETWEEN (SELECT min(t) FROM b) AND (SELECT max(t) FROM b)
+        |ORDER BY 1""".stripMargin,
+
     "q_crosshift" ->
       s"""WITH b AS (
         |  SELECT CAST(floor(epoch_ms(o_orderdate) / $W1) * $W1 AS BIGINT) AS t,
@@ -1693,6 +1721,28 @@ object SparkEntry {
         |  sum(CASE WHEN rf = 'n' THEN prev END) AS n_prev_qty,
         |  sum(CASE WHEN rf = 'r' THEN qty END) AS r_qty,
         |  sum(CASE WHEN rf = 'r' THEN prev END) AS r_prev_qty
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_crosstab_shift_fwd" ->
+      s"""WITH b AS (
+        |  SELECT CAST(floor(epoch_ms(l_shipdate) / $D90) * $D90 AS BIGINT) AS t,
+        |    lower(l_returnflag) AS rf, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |bounds AS (SELECT rf, min(t) AS tmin, max(t) AS tmax FROM b GROUP BY 1),
+        |s0 AS (
+        |  SELECT COALESCE(a.t, n.t - $D90) AS t, COALESCE(a.rf, n.rf) AS rf,
+        |    a.qty AS qty, n.qty AS nxt
+        |  FROM b a FULL JOIN b n ON n.t = a.t + $D90 AND n.rf = a.rf),
+        |s AS (
+        |  SELECT s0.* FROM s0 JOIN bounds ON s0.rf = bounds.rf
+        |  WHERE s0.t BETWEEN bounds.tmin AND bounds.tmax)
+        |SELECT t AS _time,
+        |  sum(CASE WHEN rf = 'a' THEN qty END) AS a_qty,
+        |  sum(CASE WHEN rf = 'a' THEN nxt END) AS a_next_qty,
+        |  sum(CASE WHEN rf = 'n' THEN qty END) AS n_qty,
+        |  sum(CASE WHEN rf = 'n' THEN nxt END) AS n_next_qty,
+        |  sum(CASE WHEN rf = 'r' THEN qty END) AS r_qty,
+        |  sum(CASE WHEN rf = 'r' THEN nxt END) AS r_next_qty
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_having" ->
