@@ -666,8 +666,12 @@ final class GraftDB(
                        baseTable: Option[String] = None,
                        refineK: Int = 0): Unit =
     annIndexes.synchronized {
+      // file:-scheme spellings normalize at entry, like enroll(): the
+      // probe's driver-side meta read and the serving-pin guards both
+      // need the plain local path
       annIndexes(name.toLowerCase) =
-        AnnIndexDef(path, vecCol, idCol, quantized, baseTable, refineK)
+        AnnIndexDef(stripFileScheme(path), vecCol, idCol, quantized,
+          baseTable, refineK)
     }
 
   /** Per-query entry work shared by [[sql]]/[[sqlTimed]]/[[sqlWithStats]].
@@ -746,7 +750,7 @@ final class GraftDB(
   def sql(query: String): DataFrame = {
     val (pins, cat) = preQuery(query)
     val df =
-      try Engine.sql(cat, query, now)
+      try rethrowIfGcLoss(Engine.sql(cat, query, now))
       catch { case e: Throwable => pins.foreach(_.close()); throw e }
     if (pins.nonEmpty) transferLeasesToExecution(df, pins)
     df
@@ -903,6 +907,53 @@ final class GraftDB(
   private def canonPath(p: String): String =
     java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
+  /** `file:`-scheme spellings are accepted anywhere an index path
+    * registers: Hadoop prints plan roots as `file:/...`, and a
+    * registration spelled that way must resolve, list siblings, pin, and
+    * GC exactly like its plain-path twin — so normalize to the plain
+    * local path at entry. Non-file schemes pass through untouched (an
+    * object-store path can't be listed or deleted by the local
+    * maintenance machinery; it still compares consistently via
+    * [[canonKey]]).
+    */
+  private def stripFileScheme(p: String): String =
+    if (p.startsWith("file:")) {
+      val u = try new java.net.URI(p) catch { case _: Exception => null }
+      if (u != null && u.getScheme == "file" &&
+          u.getPath != null && u.getPath.nonEmpty) u.getPath
+      else p
+    } else p
+
+  /** Canonical COMPARISON key for every GC/pin decision. Plain local
+    * paths and `file:` URIs canonicalize to the absolute normalized local
+    * path; any other scheme keeps scheme + authority + normalized path —
+    * so a store on an object store or HDFS pins by its full URI and can
+    * never cross-match a local path (or another filesystem's path) that
+    * happens to share the directory suffix. Before r20 only the URI's
+    * path component was compared, which both silently no-op'd pins off
+    * local FS and let `s3a://bucket/x` collide with `hdfs://nn/x`.
+    */
+  private def canonKey(p: String): String = {
+    val colon = p.indexOf(':')
+    val hasScheme = colon > 0 && colon + 1 < p.length && p(colon + 1) == '/' &&
+      p.head.isLetter &&
+      p.substring(0, colon).forall(c => c.isLetterOrDigit || "+.-".contains(c))
+    if (!hasScheme) canonPath(p)
+    else {
+      val u = try new java.net.URI(p) catch { case _: Exception => null }
+      if (u == null || u.getScheme == null) canonPath(p)
+      else if (u.getScheme == "file")
+        canonPath(Option(u.getPath).filter(_.nonEmpty)
+          .getOrElse(p.stripPrefix("file:")))
+      else {
+        val norm = java.nio.file.Paths.get(
+          Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
+          .normalize.toString
+        s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}$norm"
+      }
+    }
+  }
+
   private val orphanGc: scala.collection.mutable.ArrayBuffer[String] = {
     val b = scala.collection.mutable.ArrayBuffer.empty[String]
     if (java.nio.file.Files.exists(orphanGcFile)) {
@@ -1021,13 +1072,26 @@ final class GraftDB(
     * re-enrollment at a DIFFERENT base path replaces the state, handing the
     * old queue to [[orphanGc]].
     */
-  private def enroll(name: String, path: String, spec: MaintSpec,
+  private def enroll(name: String, rawPath: String, spec: MaintSpec,
       stream: Option[org.apache.spark.sql.streaming.StreamingQuery],
       restart: Option[String => org.apache.spark.sql.streaming.StreamingQuery],
       gcOldGenerations: Boolean): Unit = {
+    // a file:-scheme spelling registers as its plain local path, so
+    // generation discovery, sibling listing, and GC all run against the
+    // real directory (and an in-place retune spelled either way matches)
+    val path = stripFileScheme(rawPath)
     // the first enrollment makes GC possible — from here on, in-flight
     // executions pin the generations their plans scan
     ensureExecPinListener()
+    // a re-ALTER turning GC ON must re-derive the queue from disk,
+    // exactly like a fresh enrollment: generations superseded while GC
+    // was OFF have no other owner to queue them, and without this they
+    // stay stranded until a process restart re-enrolls and rescans. The
+    // DECISION is taken under the state's monitor below; the directory
+    // listing itself runs after the registry lock is released
+    // (filesystem I/O must not block registrations or maintainedState
+    // reads), with the append re-checking reachability.
+    var rescanFrom: Option[(MaintState, String)] = None
     // a replaced stream is quiesced AFTER releasing the registry lock:
     // stop()+awaitTermination() waits for the in-flight micro-batch, and a
     // batch calling any maintained-locking API (maintainedState, a nested
@@ -1037,17 +1101,10 @@ final class GraftDB(
         maintained.get(name).filter(_.basePath == path) match {
           case Some(st) =>
             val old = st.synchronized {
-              // a re-ALTER turning GC ON must re-derive the queue from
-              // disk, exactly like a fresh enrollment: generations
-              // superseded while GC was OFF have no other owner to queue
-              // them, and without this they stay stranded until a process
-              // restart re-enrolls and rescans
               val gcTurnedOn = gcOldGenerations && !st.gcOldGenerations
               st.spec = spec
               st.gcOldGenerations = gcOldGenerations
-              if (gcTurnedOn)
-                st.pendingDeletes ++= staleSiblings(path, st.activePath)
-                  .filterNot(st.pendingDeletes.contains)
+              if (gcTurnedOn) rescanFrom = Some((st, st.activePath))
               val o = if (stream.isDefined) {
                 val s = st.stream; st.stream = stream; s
               } else None
@@ -1078,6 +1135,27 @@ final class GraftDB(
     // registry lock (persist = file I/O) and after the quiesce (no writer
     // may survive a queue entry's enqueue)
     replacedState.foreach(orphanPendingDeletes)
+    // GC-turned-on rescan, off every registry lock. A flip landing since
+    // the snapshot may have changed the active — the drain-time backstop
+    // (pendingDeletes never contains the CURRENT active) and the flip's
+    // dest purge keep a now-live generation out of the GC. If a
+    // concurrent re-enrollment replaced the state meanwhile, the scanned
+    // directories have no surviving owner — orphan them like any other
+    // unreachable queue.
+    rescanFrom.foreach { case (st, active) =>
+      val stale = staleSiblings(path, active)
+      if (stale.nonEmpty) {
+        val reachable =
+          maintained.synchronized { maintained.get(name).exists(_ eq st) }
+        if (reachable) st.synchronized {
+          st.pendingDeletes ++= stale.filterNot(st.pendingDeletes.contains)
+        } else orphanGc.synchronized {
+          val fresh =
+            stale.map(canonPath).distinct.filterNot(orphanGc.contains)
+          if (fresh.nonEmpty) { orphanGc ++= fresh; persistOrphanGc() }
+        }
+      }
+    }
   }
 
   /** Enumerate on-disk `<base>-gN` sibling generations:
@@ -1181,7 +1259,7 @@ final class GraftDB(
     * the directory under any spelling.
     */
   private def leasedCanon(): Set[String] =
-    pathLeases.synchronized(pathLeases.keysIterator.map(canonPath).toSet)
+    pathLeases.synchronized(pathLeases.keysIterator.map(canonKey).toSet)
 
   private[graft] def leaseCount(path: String): Int =
     pathLeases.synchronized(pathLeases.getOrElse(path, 0))
@@ -1193,14 +1271,20 @@ final class GraftDB(
   // 15-minute grace window: past it, a maintenance flip + GC could delete
   // the generation under the scan and fail the action with a raw
   // FileNotFoundException (r18's documented residual). This listener
-  // closes the gap at the one point EVERY action passes — SQL-execution
+  // narrows the gap at the one point EVERY action passes — SQL-execution
   // start: it walks the execution's plan for file relations rooted in a
   // GC-able directory (queued per-index generations, orphan-queue entries,
   // and active generations a mid-execution flip could queue) and pins them
-  // until execution end, so the GC defers deletion for exactly as long as
-  // some in-flight execution reads the directory — the reference's
-  // "unless an iteration holds them" retention (row_store.go:681-725)
-  // applied to the execution itself rather than the issuing call. The
+  // until execution end, so the GC defers deletion for as long as some
+  // in-flight execution reads the directory — the reference's "unless an
+  // iteration holds them" retention (row_store.go:681-725) applied to the
+  // execution itself rather than the issuing call. The window is NARROWED,
+  // not zero: the pin is taken on the (asynchronous) listener bus, so an
+  // execution whose file scans begin before the start event is processed
+  // can still race a concurrent tick — which is why BOTH GC drains re-check
+  // the lease set immediately before each delete, and why a loss that
+  // slips through everything rethrows with the actionable GC'd-generation
+  // message ([[rethrowIfGcLoss]]) instead of a raw FileNotFound. The
   // listener registers lazily at the first maintenance enrollment (a db
   // that can never GC pays nothing per execution).
 
@@ -1216,7 +1300,7 @@ final class GraftDB(
     val perIndex = states.flatMap(st =>
       st.synchronized(st.activePath :: st.pendingDeletes.toList))
     val orphans = orphanGc.synchronized { orphanGc.toList }
-    (perIndex ++ orphans).map(canonPath).toSet
+    (perIndex ++ orphans).map(canonKey).toSet
   }
 
   private val execPinListener = new org.apache.spark.scheduler.SparkListener {
@@ -1262,7 +1346,10 @@ final class GraftDB(
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           l.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(p => canonPath(p.toUri.getPath))
+              // the FULL URI feeds the key: file:-scheme roots compare as
+              // local paths; any other scheme keeps scheme+authority so an
+              // object-store generation pins (and can't cross-match)
+              fs.location.rootPaths.map(p => canonKey(p.toString))
             case _ => Nil
           }
       }.flatten.toSet
@@ -1398,6 +1485,11 @@ final class GraftDB(
     */
   def maintenanceTick(): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
+    // a closed db must not run maintenance: a pass would restart the very
+    // streams close() just quiesced, reattaching a writer to a closed db.
+    // The daemon orders its shutdown correctly (tick driver stops first);
+    // this guard covers an embedder that doesn't — loud no-op, not silent
+    if (closedFlag.get) return Seq("_closed" -> "db closed; tick skipped")
     // release leases of issued-but-never-executed sql() frames past their
     // grace window, so an abandoned frame can't pin a generation forever —
     // and execution pins orphaned by a dropped end event (exact liveness)
@@ -1417,13 +1509,13 @@ final class GraftDB(
       // into a recursive delete of exactly that dir.
       val actives = maintained.synchronized {
         maintained.values.map(s => s.synchronized(s.activePath)).toSet
-      }.map(canonPath)
+      }.map(canonKey)
       // a path a SIMSEARCH registration currently serves stays pending (a
       // later re-point frees it), like a lease — deleting it would break
       // every query on that index between its preQuery pins
       val serving = annIndexes.synchronized {
         annIndexes.values.map(_.path).toSet
-      }.map(canonPath)
+      }.map(canonKey)
       val leased = leasedCanon()
       val freed = orphanGc.synchronized {
         if (orphanGc.exists(actives.contains)) {
@@ -1445,21 +1537,36 @@ final class GraftDB(
         orphanPersistError.map(e =>
           "_orphans" -> s"idle (persist error: $e)")
       } else {
+        var kept = 0
         val errs = freed.flatMap { p =>
-          try { gcDelete(p); None }
-          catch { case e: Exception =>
+          // delete-time lease re-check: exec pins land asynchronously on
+          // the listener bus, so a pin can appear between this drain's
+          // snapshot and the delete — a just-pinned path requeues for the
+          // next tick instead of being deleted under its reader
+          if (leasedCanon().contains(canonKey(p))) {
             orphanGc.synchronized {
               if (!orphanGc.contains(p)) orphanGc += p
             }
-            Some(s"$p: ${e.getMessage}")
-          }
+            kept += 1
+            None
+          } else
+            try { gcDelete(p); None }
+            catch { case e: Exception =>
+              orphanGc.synchronized {
+                if (!orphanGc.contains(p)) orphanGc += p
+              }
+              Some(s"$p: ${e.getMessage}")
+            }
         }
         // persist AFTER the deletes: a crash mid-drain leaves the file
         // listing some already-deleted paths, which reload and drain as
         // no-ops — never the reverse (a live dir missing from the file)
         orphanGc.synchronized { persistOrphanGc() }
-        val base = if (errs.isEmpty) s"gc'd ${freed.size}"
-          else s"gc errors: ${errs.mkString("; ")}"
+        val base =
+          if (errs.nonEmpty) s"gc errors: ${errs.mkString("; ")}"
+          else if (kept > 0)
+            s"gc'd ${freed.size - kept} (requeued $kept leased)"
+          else s"gc'd ${freed.size}"
         Some("_orphans" -> (base + orphanPersistError
           .map(e => s" (persist error: $e)").getOrElse("")))
       }
@@ -1506,7 +1613,7 @@ final class GraftDB(
                   // pin — and execution-time pins are stored canonical).
                   val serving = annIndexes.synchronized {
                     annIndexes.values.map(_.path).toSet
-                  }.map(canonPath)
+                  }.map(canonKey)
                   val leased = leasedCanon()
                   val freed = st.synchronized {
                     // a path equal to the CURRENT active is never GC-able:
@@ -1515,7 +1622,7 @@ final class GraftDB(
                     // don't delete a serving directory
                     st.pendingDeletes.filterInPlace(_ != st.activePath)
                     val (pinned, free) = st.pendingDeletes.partition { p =>
-                      val c = canonPath(p)
+                      val c = canonKey(p)
                       leased.contains(c) || serving.contains(c)
                     }
                     st.pendingDeletes.clear()
@@ -1523,12 +1630,20 @@ final class GraftDB(
                     free.toList
                   }
                   freed.foreach { p =>
-                    try gcDelete(p)
-                    catch {
-                      case e: Exception =>
-                        st.synchronized { st.pendingDeletes += p }
-                        gcErrs += s"$p: ${e.getMessage}"
-                    }
+                    // delete-time lease re-check (cheap map read): exec
+                    // pins land asynchronously on the listener bus, so a
+                    // pin can appear between the snapshot above and this
+                    // delete — requeue a just-pinned path for the next
+                    // tick instead of deleting it under its reader
+                    if (leasedCanon().contains(canonKey(p)))
+                      st.synchronized { st.pendingDeletes += p }
+                    else
+                      try gcDelete(p)
+                      catch {
+                        case e: Exception =>
+                          st.synchronized { st.pendingDeletes += p }
+                          gcErrs += s"$p: ${e.getMessage}"
+                      }
                   }
                 }
                 def flip(newPath: String, newGen: Int,
@@ -1581,6 +1696,14 @@ final class GraftDB(
                         }
                       }
                   }
+                  // close() racing this pass (the tick-entry guard only
+                  // catches ticks STARTING after close): never leave a
+                  // freshly restarted writer attached to a closed db —
+                  // re-detach and stop it. Idempotent with close()'s own
+                  // detach; whichever runs second sees the handle and
+                  // quiesces it.
+                  if (closedFlag.get)
+                    quiesceStream(detachStream(st), keep = None)
                 }
                 // dest numbering skips EVERY existing sibling, complete or
                 // not: rebuilding into an on-disk number would overwrite
@@ -1698,7 +1821,53 @@ final class GraftDB(
   private def gcDelete(path: String): Unit = {
     gcDeleteHook(path)
     deleteRecursively(java.nio.file.Paths.get(path))
+    // remember what this db's GC reclaimed (bounded, driver-side strings):
+    // a later execution failing on one of these paths can then name the
+    // CAUSE and the remedy instead of surfacing a raw FileNotFound —
+    // the reference's iterator-close contract names the file
+    // (row_store.go:681-725); we name the fix
+    gcHistory.synchronized {
+      gcHistory += canonKey(path)
+      while (gcHistory.size > 512) gcHistory -= gcHistory.head
+    }
   }
+
+  // canonical paths of generations this db's GC deleted (insertion order,
+  // bounded at 512 — far above any plausible per-process flip count)
+  private val gcHistory = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Rethrow a failure caused by reading a generation this db's GC already
+    * deleted as an actionable error: "generation <path> was GC'd by index
+    * maintenance; re-issue the query" (the re-issued query resolves the
+    * CURRENT generation through the registry). Matches any throwable in
+    * the cause chain whose message names a [[gcHistory]] path that no
+    * longer exists — that covers scan-time FileNotFoundException, java.nio
+    * NoSuchFileException from driver-side meta reads, and the probe's own
+    * "no parseable index meta" refusal, all of which otherwise suggest the
+    * wrong remedy. Everything else rethrows untouched.
+    */
+  private def rethrowIfGcLoss[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        val history = gcHistory.synchronized { gcHistory.toList }
+        var c: Throwable = e
+        var hit: Option[String] = None
+        var hops = 0
+        while (c != null && hit.isEmpty && hops < 16) {
+          val msg = Option(c.getMessage).getOrElse("")
+          if (msg.nonEmpty)
+            hit = history.find(p => msg.contains(p) &&
+              !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          c = c.getCause; hops += 1
+        }
+        hit match {
+          case Some(p) => throw new IllegalStateException(
+            s"generation $p was GC'd by index maintenance; " +
+              "re-issue the query", e)
+          case None => throw e
+        }
+    }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -1731,7 +1900,7 @@ final class GraftDB(
     maintained.synchronized { maintained.toMap }.map { case (n, st) =>
       n -> st.synchronized {
         (st.activePath, st.gen, st.pendingDeletes.size,
-          st.pendingDeletes.count(p => leased.contains(canonPath(p))))
+          st.pendingDeletes.count(p => leased.contains(canonKey(p))))
       }
     }
   }
@@ -1769,9 +1938,11 @@ final class GraftDB(
     * caller-owned) — only the writers and hooks are gone.
     *
     * Ordering: stop whatever drives [[maintenanceTick]] BEFORE closing
-    * (the daemon's `stop()` does) — a pass racing close could restart a
-    * maintenance stream after close detached it, reattaching a writer to
-    * a closed db.
+    * (the daemon's `stop()` does). The db also defends itself against an
+    * embedder that doesn't: a tick STARTING after close is a loud no-op
+    * (`_closed` status row), and a pass already in flight re-detaches and
+    * quiesces any stream its flip restarted once it sees the closed flag —
+    * either way no writer stays attached to a closed db.
     */
   def close(): Unit = if (closedFlag.compareAndSet(false, true)) {
     val tableStreams = activeStreams.synchronized {
@@ -1800,7 +1971,7 @@ final class GraftDB(
     */
   def sqlTimed(query: String, timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
     val (pins, cat) = preQuery(query)
-    try Engine.sqlTimed(cat, query, timeoutMs, now)
+    try rethrowIfGcLoss(Engine.sqlTimed(cat, query, timeoutMs, now))
     finally pins.foreach(_.close())
   }
 
@@ -1811,7 +1982,7 @@ final class GraftDB(
     */
   def sqlWithStats(query: String, timeoutMs: Long): Engine.QueryResult = {
     val (pins, cat) = preQuery(query)
-    try Engine.sqlWithStats(cat, query, timeoutMs, now)
+    try rethrowIfGcLoss(Engine.sqlWithStats(cat, query, timeoutMs, now))
     finally pins.foreach(_.close())
   }
 }

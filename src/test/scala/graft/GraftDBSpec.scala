@@ -192,17 +192,26 @@ class GraftDBSpec extends AnyFunSuite {
       Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/replayed",
         Integer.valueOf(200), Double.box(11.0), null)), 1), schema)
     db.insert("inbound", points().unionAll(preExisting))
+    // the backfill-bound drop is COUNTED: both horizons apply between the
+    // stats observe nodes, so droppedPoints covers initial-catch-up
+    // backfill drops as well as retention drops
+    assert(db.tableStats("combined").droppedPoints === 1,
+      s"backfill drop must be counted, got ${db.tableStats("combined")}")
     // ongoing ingest: the SAME 30-min-old lateness is now inside retention
     // (1h) and backfill no longer applies → merges
     val lateOk = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(new java.sql.Timestamp(T0 - 1800000), "56.234.163.23", "/old",
         Integer.valueOf(200), Double.box(7.0), null)), 1), schema)
     db.insert("inbound", lateOk)
+    assert(db.tableStats("combined").droppedPoints === 1,
+      "an accepted late point must not count as dropped")
     // ongoing ingest: 2h old is beyond retention → dropped
     val ancient = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(new java.sql.Timestamp(T0 - 7200000), "56.234.163.23", "/ancient",
         Integer.valueOf(200), Double.box(100.0), null)), 1), schema)
     db.insert("inbound", ancient)
+    assert(db.tableStats("combined").droppedPoints === 2,
+      s"retention drop must also count, got ${db.tableStats("combined")}")
     val rows = db.sql(
       "SELECT requests FROM combined GROUP BY _ ORDER BY _time").collect()
     assert(approx(d(rows.map(r => d(r.getAs[Any]("requests"))).sum), 1071.0))
@@ -1209,6 +1218,12 @@ class GraftDBSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === rowsBefore,
       "reader of the pinned old generation must complete")
     lease.close()
+    // the read above also took an EXECUTION pin (released at SQL-execution
+    // end, asynchronously on the listener bus) — await quiescence with a
+    // bound instead of racing the bus, like the exec-pin specs do
+    val quiesce = System.nanoTime() + 60L * 1000000000L
+    while (db.leaseCount(idx) > 0 && System.nanoTime() < quiesce)
+      Thread.sleep(10)
     assert(db.leaseCount(idx) === 0)
     // next tick after the lease drains: the old generation is GC'd
     db.maintenanceTick()
@@ -1267,6 +1282,12 @@ class GraftDBSpec extends AnyFunSuite {
     }
     qt.join(120000L)
     assert(rows != null && rows.length == 3, "spanning query must complete")
+    // the query's issue lease released synchronously at sqlTimed's return;
+    // its EXECUTION pin releases at SQL-execution end on the async listener
+    // bus — await quiescence with a bound instead of racing the bus
+    val quiesce = System.nanoTime() + 60L * 1000000000L
+    while (db.leaseCount(idx) > 0 && System.nanoTime() < quiesce)
+      Thread.sleep(10)
     assert(db.leaseCount(idx) === 0)
     // with the lease drained, the following tick GC's the old generation
     db.maintenanceTick()
@@ -3035,6 +3056,283 @@ class GraftDBSpec extends AnyFunSuite {
         Files.createTempDirectory("dedup-inert").toString, () => T0)
     }
     assert(e.getMessage.contains("maintain: true"), e.getMessage)
+  }
+
+  test("a lease landing between the GC snapshot and the delete still protects the path") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("gc-recheck").toString
+    val idx = s"$root/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    // two incomplete junk siblings seed the fresh enrollment's GC queue
+    // with two deletable paths, so one tick issues two gcDeletes
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idx-g7"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idx-g8"))
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("gc-recheck-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    assert(db.maintainedStats("vidx")._3 === 2, "both junk siblings queued")
+    // simulate an exec pin landing AFTER the tick snapshotted the lease
+    // set (pins arrive asynchronously on the listener bus): the hook for
+    // whichever sibling deletes first pins the OTHER — the delete-time
+    // lease re-check must requeue it instead of deleting under the pin
+    @volatile var pinned: (String, AutoCloseable) = null
+    db.gcDeleteHook = p => if (pinned == null) {
+      val other = if (p.endsWith("-g7")) s"$idx-g8" else s"$idx-g7"
+      pinned = (other, db.pinPath(other))
+    }
+    try {
+      db.maintenanceTick()
+      assert(pinned != null, "the tick must have deleted one sibling")
+      val alive = pinned._1
+      val gone = if (alive.endsWith("-g7")) s"$idx-g8" else s"$idx-g7"
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gone)))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(alive)),
+        "a lease taken after the tick's snapshot must still protect the path")
+      assert(db.maintainedStats("vidx")._3 === 1,
+        "the protected path must be requeued, not dropped")
+    } finally {
+      db.gcDeleteHook = _ => ()
+      if (pinned != null) pinned._2.close()
+    }
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g7")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g8")))
+  }
+
+  test("an orphan lease landing between the drain snapshot and the delete requeues the entry") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("orphan-recheck").toString
+    val idxA = s"$root/a"
+    val idxB = s"$root/b"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxA)
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxB)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idxA-g7"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idxA-g8"))
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("orphan-recheck-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idxA, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    // re-point at a different base: the two queued junk siblings move to
+    // the durable orphan queue
+    db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    assert(db.orphanGcStats._1 === 2, db.orphanGcStats.toString)
+    @volatile var pinned: (String, AutoCloseable) = null
+    db.gcDeleteHook = p => if (pinned == null) {
+      val other = if (p.endsWith("-g7")) s"$idxA-g8" else s"$idxA-g7"
+      pinned = (other, db.pinPath(other))
+    }
+    try {
+      db.maintenanceTick()
+      assert(pinned != null, "the drain must have deleted one orphan")
+      val alive = pinned._1
+      val gone = if (alive.endsWith("-g7")) s"$idxA-g8" else s"$idxA-g7"
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gone)))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(alive)),
+        "a lease taken after the drain's snapshot must still protect the orphan")
+      assert(db.orphanGcStats._1 === 1,
+        "the protected orphan must be requeued, not dropped")
+    } finally {
+      db.gcDeleteHook = _ => ()
+      if (pinned != null) pinned._2.close()
+    }
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxA-g7")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxA-g8")))
+  }
+
+  test("a flip racing close() must not leave a restarted writer attached") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(79)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("close-race").toString
+    val idx = s"$root/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("close-race-db").toString, () => T0)
+    val inRestart = new java.util.concurrent.CountDownLatch(1)
+    val closeDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var restarted: org.apache.spark.sql.streaming.StreamingQuery = null
+    val restart: String => org.apache.spark.sql.streaming.StreamingQuery =
+      dest => {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.AnnIndexStream.attachIvf(
+          mem.toDF().toDF("vec_id", "embedding"), col("embedding"),
+          col("vec_id"), dest, s"$root/ckpt-${dest.hashCode}")
+        restarted = q
+        inRestart.countDown()
+        // hold the pass here until close() lands: the flip that follows
+        // must not leave this freshly restarted writer attached to a
+        // closed db (the embedder ordered close wrong — the db must
+        // still not leak a stream)
+        closeDone.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        q
+      }
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, restart = Some(restart))
+    @volatile var tick: Seq[(String, String)] = Nil
+    val t = new Thread(() => { tick = db.maintenanceTick() })
+    t.start()
+    assert(inRestart.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "the pass must reach its restart")
+    db.close()
+    closeDone.countDown()
+    t.join(240000)
+    assert(tick.exists { case (n, s) =>
+      n == "vidx" && s.startsWith("re-clustered") }, tick.toString)
+    assert(restarted != null && !restarted.isActive,
+      "a stream restarted by a pass racing close() must be quiesced")
+    assert(db.maintainedState("vidx").forall(_._2.forall(!_.isActive)),
+      "no active stream may stay attached after close()")
+    // a tick issued AFTER close is a loud no-op, not a restart vector
+    val t2 = db.maintenanceTick()
+    assert(t2 === Seq("_closed" -> "db closed; tick skipped"), t2.toString)
+  }
+
+  test("a file:-scheme registration resolves, pins, and GCs like its plain-path twin") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("scheme-pin").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("scheme-pin-db").toString, () => T0)
+    // register BOTH fronts under the file:-scheme spelling Hadoop plan
+    // roots print — generation discovery, SIMSEARCH meta reads, the
+    // serving/lease guards, and exec pins must all behave exactly as the
+    // plain-path spelling does
+    db.registerAnnIndex("vidx", s"file:$idx", "embedding", "vec_id",
+      quantized = false)
+    db.registerAnnMaintenance("vidx", s"file:$idx", "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    assert(db.maintainedState("vidx").exists(_._1 == idx),
+      "a file:-scheme registration must resolve to its plain path")
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    System.setProperty("graft.queryLeaseGraceMillis", "1")
+    try {
+      val df = db.sql(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id")
+      Thread.sleep(10)
+      val t1 = db.maintenanceTick() // sweeps the issue lease; budget 0 flips
+      assert(t1.exists { case (n, s) =>
+        n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+      assert(db.maintainedStats("vidx")._3 === 1, "base queued for GC")
+      // retune in place (same file:-spelled base) so later ticks are GC-only
+      db.registerAnnMaintenance("vidx", s"file:$idx", "embedding", "vec_id",
+        nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+      assert(db.maintainedStats("vidx")._3 === 1,
+        "the file:-spelled retune must update in place, not re-enroll")
+      // a derived frame executing across the flip: the exec-pin listener
+      // must pin the base generation even though registration and plan
+      // roots spell the directory differently
+      GraftDBSpecGate.latch = new java.util.concurrent.CountDownLatch(1)
+      val gate = udf { d: Double =>
+        val l = GraftDBSpecGate.latch
+        if (l != null) l.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        d >= Double.MinValue
+      }
+      val derived = df.filter(gate(col("score")))
+      @volatile var rows: Array[Row] = null
+      @volatile var err: Throwable = null
+      val runner = new Thread(() => {
+        try rows = derived.collect()
+        catch { case e: Throwable => err = e }
+      })
+      runner.start()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (db.leaseCount(idx) == 0 && err == null &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      assert(err == null, s"derived execution failed early: $err")
+      assert(db.leaseCount(idx) > 0,
+        "execution start must pin the generation under either spelling")
+      db.maintenanceTick()
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "an in-flight execution's generation must not be GC'd")
+      GraftDBSpecGate.latch.countDown()
+      runner.join(120000)
+      assert(err == null, s"derived execution failed: $err")
+      assert(rows != null && rows.length === 3)
+      val d2 = System.nanoTime() + 60L * 1000000000L
+      while (db.leaseCount(idx) > 0 && System.nanoTime() < d2)
+        Thread.sleep(10)
+      db.maintenanceTick()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "the base must be reclaimed once no execution reads it")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx-g1")))
+    } finally {
+      System.clearProperty("graft.queryLeaseGraceMillis")
+      val l = GraftDBSpecGate.latch
+      GraftDBSpecGate.latch = null
+      if (l != null) l.countDown()
+    }
+  }
+
+  test("an execution starting after its generation was GC'd names the remedy") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("gc-remedy").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("gc-remedy-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    val t1 = db.maintenanceTick() // budget 0: flip -> -g1, base queued
+    assert(t1.exists { case (n, s) =>
+      n == "vidx" && s == s"re-clustered -> $idx-g1" }, t1.toString)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    db.maintenanceTick() // GC the superseded base
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // a registration still pointing at the reclaimed generation: a query
+    // through it must fail with the remedy, not a raw FileNotFound
+    db.registerAnnIndex("stale", idx, "embedding", "vec_id",
+      quantized = false)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val e = intercept[Exception] {
+      db.sqlTimed(
+        s"SELECT score FROM SIMSEARCH('stale', [$vecLit], 3, 4) GROUP BY id",
+        120000L)
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("was GC'd by index maintenance") &&
+      e.getMessage.contains("re-issue the query") &&
+      e.getMessage.contains(idx),
+      s"expected the GC-loss remedy message, got: $e")
   }
 
 }
