@@ -316,7 +316,17 @@ final class MaterializedTable(
   /** Points seen by insert since process start, by disposition:
     * queued (arrived), inserted (reached the merge), filtered (dropped by
     * the table WHERE), dropped (older than retention / outside the
-    * initial backfill bound).
+    * initial backfill bound — both horizons apply between the observe
+    * nodes, so both dispositions are counted).
+    *
+    * AT-LEAST-ONCE under micro-batch retries: the observe counts fold in
+    * when the touched-days job runs, so a foreachBatch retry after a
+    * mid-batch failure re-counts that batch's points. The DATA stays
+    * exactly-once (the batch ledger dedupes the merge); only these
+    * monitoring counters can over-count, and only on a retry — don't
+    * reconcile them against the ledger. The reference's counters are
+    * exact because they increment per-insert in-process (insert.go:
+    * 264-272); ours ride the Spark job instead (zero extra scans).
     */
   def stats: MaterializedTable.TableStats = MaterializedTable.TableStats(
     queuedPoints = statQueued.get(), insertedPoints = statInserted.get(),
@@ -483,9 +493,11 @@ final class MaterializedTable(
     // partial aggregation below — zero extra scans of the batch. Read
     // back (and folded into the table's counters) after that job runs.
     batch = batch.observe("graft_queued", count(lit(1)).as("n"))
+    val queuedDf = batch
     // table WHERE pre-filter (insert.go:175-189)
     query.where.foreach(w => batch = batch.filter(Builders.dim(w, dimResolve)))
     batch = batch.observe("graft_after_where", count(lit(1)).as("n"))
+    val afterWhereDf = batch
     // points older than retention are always dropped (truncateBefore is
     // retention-only, table.go:362-364, consulted per-insert at
     // insert.go:131-136). Backfill bounds only the INITIAL catch-up — the
@@ -506,6 +518,7 @@ final class MaterializedTable(
       batch = batch.filter(col(tsCol) >= timestamp_millis(lit(truncateBefore)))
     }
     batch = batch.observe("graft_retained", count(lit(1)).as("n"))
+    val retainedDf = batch
 
     val dims: Seq[(String, Column)] =
       if (query.groupByAll)
@@ -546,16 +559,23 @@ final class MaterializedTable(
     // dropped = retention/backfill drop, inserted = reached the merge)
     locally {
       val om = touchedDf.queryExecution.observedMetrics
-      for {
+      val observed = for {
         q <- om.get("graft_queued").map(_.getLong(0))
         w <- om.get("graft_after_where").map(_.getLong(0))
         r <- om.get("graft_retained").map(_.getLong(0))
-      } {
-        statQueued.addAndGet(q)
-        statFiltered.addAndGet(q - w)
-        statDropped.addAndGet(w - r)
-        statInserted.addAndGet(r)
-      }
+      } yield (q, w, r)
+      // a batch whose rows are ALL filtered out can be re-planned to an
+      // empty relation (adaptive execution's empty propagation), which
+      // eliminates the CollectMetrics nodes with the rest of the subtree —
+      // exactly the batch whose drops most need counting. Fall back to
+      // direct counts: the path is rare and the batch is by definition
+      // small enough that nothing of it survived the filters.
+      val (q, w, r) = observed.getOrElse(
+        (queuedDf.count(), afterWhereDf.count(), retainedDf.count()))
+      statQueued.addAndGet(q)
+      statFiltered.addAndGet(q - w)
+      statDropped.addAndGet(w - r)
+      statInserted.addAndGet(r)
     }
     if (touched.isEmpty) { partialCached.unpersist(); return }
 

@@ -449,7 +449,8 @@ class PlanSpec extends AnyFunSuite {
     // the build, not wait for a judge sweep. Keyed windows are legitimate
     // per-group ranking in exactly these three gates:
     val windowWhitelist = Set("q_dedup_exact", "q_embed_top_pairs",
-      "q_crosstab_shift", "q_tfidf_keywords", "q_curation", "q_ann_batch",
+      "q_crosstab_shift", "q_crosstab_shift_fwd", "q_tfidf_keywords",
+      "q_curation", "q_ann_batch",
       "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
       "q_ann_filtered_batch", "q_ann_pq_filtered_batch",
       "q_ann_filtered_fast", "q_ann_dialect_batch", "q_line_dedup",
