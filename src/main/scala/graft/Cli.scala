@@ -89,9 +89,19 @@ object Cli {
       } else if (line == "\\csv") {
         csvOn = !csvOn
         println(s"csv output ${if (csvOn) "on" else "off"}")
+      } else if (line.startsWith("\\") && !line.startsWith("\\i ")) {
+        // an unrecognized backslash command must not fall through to the
+        // SQL parser — the resulting "bad token '\\'" error points at the
+        // wrong problem
+        println(s"unknown command ${line.takeWhile(!_.isWhitespace)} " +
+          "(try \\q, \\stats, \\csv, \\i <stream> <file.jsonl>)")
       } else if (line.nonEmpty) {
         try run(line, statsOn, csvOn)
-        catch { case e: Exception => println(s"error: ${e.getMessage}") }
+        catch { case e: Exception =>
+          // e.getMessage is null for e.g. NullPointerException — print
+          // the class instead of the string "null"
+          println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
+        }
       }
       print("graft> ")
     }
@@ -116,8 +126,12 @@ object Cli {
     // (::1, 9000) instead of a cryptic NumberFormatException
     val sep = args(0).lastIndexOf(':')
     require(sep > 0 && sep < args(0).length - 1, s"expected host:port, got ${args(0)}")
+    val port = args(0).substring(sep + 1).toIntOption
+      .filter(p => p > 0 && p <= 65535)
+      .getOrElse(throw new IllegalArgumentException(
+        s"expected host:port with a numeric port (1-65535), got ${args(0)}"))
     val client = new server.RpcClient(args(0).substring(0, sep),
-      args(0).substring(sep + 1).toInt, snappy = true)
+      port, snappy = true)
     def run(line: String, statsOn: Boolean, csvOn: Boolean): Unit = parseInsert(line) match {
       case Some((stream, path)) =>
         // stream the file as 500-line POINTS frames (never whole-file);

@@ -25,7 +25,8 @@ import graft.GraftDB
 final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
                        cacheTtlMillis: Long = HttpServer.CacheTtlMillis,
                        maxCacheEntries: Int = HttpServer.MaxCacheEntries,
-                       maxBodyBytes: Int = HttpServer.MaxBodyBytes) {
+                       maxBodyBytes: Int = HttpServer.MaxBodyBytes,
+                       maxPendingAsync: Int = HttpServer.MaxPendingAsync) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   private val startedAt = System.currentTimeMillis()
@@ -115,8 +116,16 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   private def timeoutOf(ex: HttpExchange): Option[Long] =
     Option(ex.getRequestURI.getQuery)
       .flatMap(_.split("&").find(_.startsWith("timeout=")))
-      .map(s => graft.sqlx.Durations.parseMillis(
-        java.net.URLDecoder.decode(s.stripPrefix("timeout="), "UTF-8")))
+      .map { s =>
+        val ms = graft.sqlx.Durations.parseMillis(
+          java.net.URLDecoder.decode(s.stripPrefix("timeout="), "UTF-8"))
+        // refuse instead of treating it as already-expired: `timeout=0s`
+        // or a negative duration would submit a job group only to cancel
+        // it immediately and answer completed=false — a misconfiguration
+        // the caller should hear about, not a degenerate partial result
+        require(ms > 0, s"timeout must be positive, got ${ms}ms")
+        ms
+      }
 
   def start(): Int = {
     server.createContext("/insert/", (ex: HttpExchange) => handle(ex) {
@@ -137,7 +146,9 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     // by the SQL text, runs the query on a background thread, and returns the
     // entry's permalink immediately; `/cached/{permalink}` polls it.
     server.createContext("/async", (ex: HttpExchange) => handle(ex) {
-      asyncQuery(sqlOf(ex))
+      // the deadline rides along: an async query with `timeout=` caps the
+      // background run exactly like /run (partial result, completed=false)
+      asyncQuery(sqlOf(ex), timeoutOf(ex))
     })
     server.createContext("/cached/", (ex: HttpExchange) => handle(ex) {
       cachedResult(ex.getRequestURI.getPath.stripPrefix("/cached/")
@@ -384,17 +395,31 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
     }
   }
 
-  private def asyncQuery(sql: String): String = {
+  private def asyncQuery(sql: String, timeoutMs: Option[Long] = None): String = {
     val now = System.currentTimeMillis()
     sweepExpired(now)
-    val entry = bySql.compute(sql, (_, old) =>
+    // the timeout is part of the cache identity: a deadline-truncated
+    // result must never be served to a caller who asked for the full one
+    // (and vice versa)
+    val key = s"${timeoutMs.getOrElse(-1L)}:$sql"
+    val entry = bySql.compute(key, (_, old) =>
       if (old != null && now - old.created < cacheTtlMillis) old
       else {
+        // a fresh entry launches a background Spark job: refuse when the
+        // backlog of still-running entries is at the cap — the
+        // alternative (sweepExpired's eviction) would orphan a running
+        // job whose submitter can never find its result, and an unbounded
+        // burst of distinct queries would otherwise pile up driver threads
+        var pending = 0
+        byPermalink.forEach((_, e) => if (e.status == "pending") pending += 1)
+        require(pending < maxPendingAsync,
+          s"async query backlog full ($pending running); " +
+            "poll /cached/{permalink} for submitted queries or retry later")
         if (old != null) byPermalink.remove(old.permalink)
         val e = new CacheEntry(java.util.UUID.randomUUID().toString, now)
         byPermalink.put(e.permalink, e)
         val t = new Thread(() => {
-          try { e.payload = runToJson(sql); e.status = "succeeded" }
+          try { e.payload = runToJson(sql, timeoutMs); e.status = "succeeded" }
           catch { case ex: Exception =>
             e.payload = String.valueOf(ex.getMessage); e.status = "failed" }
         }, s"graft-async-${e.permalink}")
@@ -438,6 +463,12 @@ object HttpServer {
 
   /** Hard cap on live async cache entries (oldest evicted first). */
   val MaxCacheEntries: Int = 1024
+
+  /** Cap on CONCURRENTLY RUNNING async queries: a fresh /async beyond this
+    * refuses loudly (400) instead of stacking another driver thread +
+    * Spark job. Settled cache entries don't count — only in-flight runs.
+    */
+  val MaxPendingAsync: Int = 64
 
   /** The embedded query console (the reference's web/index.go page shape:
     * SQL textarea → POST /run → rows table + per-column cardinalities +

@@ -68,6 +68,40 @@ class CliSpec extends AnyFunSuite {
     assert(replErr.toString.matches("(?s).*-- \\d+\\.\\d\\d s.*"), replErr.toString)
   }
 
+  test("REPL survives nasty input: unknown commands, malformed \\i, bad SQL") {
+    val dir = Files.createTempDirectory("graft-cli-nasty").toString
+    val yaml = "t:\n  sql: >\n    SELECT v FROM s GROUP BY k, period(1s)\n"
+    val schemaFile = Files.createTempFile("schema", ".yaml")
+    Files.writeString(schemaFile, yaml)
+    val out = new java.io.ByteArrayOutputStream()
+    val oldIn = System.in
+    // an unknown backslash command, a \i missing its file, a parse error,
+    // then a clean \q — every bad line must produce a pointed message and
+    // the session must survive to the next prompt
+    System.setIn(new java.io.ByteArrayInputStream(
+      "\\x\n\\i onlystream\nSELECT garbage((\n\\q\n".getBytes))
+    try Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array(schemaFile.toString, dir))
+    } finally System.setIn(oldIn)
+    val printed = out.toString
+    assert(printed.contains("unknown command \\x"), printed)
+    assert(printed.contains("error: usage: \\i <stream> <file.jsonl>"), printed)
+    // the parse error names the SQL problem, not a backslash confusion
+    assert(printed.contains("error:") && !printed.contains("error: null"),
+      printed)
+  }
+
+  test("remote CLI refuses a non-numeric or out-of-range port by name") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array("--connect", "localhost:notaport"))
+    }
+    assert(e.getMessage.contains("numeric port"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.main(Array("--connect", "localhost:99999"))
+    }
+    assert(e2.getMessage.contains("numeric port"), e2.getMessage)
+  }
+
   test("remote CLI queries a running RPC server over the compressed transport") {
     // the reference CLI is a remote client (zeno-cli.go:68 dials the rpc
     // server through the snappy conn); --connect is that surface

@@ -1213,6 +1213,93 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("query endpoints refuse nasty params loudly: bad timeouts, async backlog, timeout-keyed cache") {
+    val dir = Files.createTempDirectory("graft-http-nasty").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new HttpServer(spark, db, 0, maxPendingAsync = 1)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def getR(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      def plOf(body: String): String = "\"permalink\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(body).map(_.group(1))
+        .getOrElse(fail(s"no permalink in: $body"))
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/insert/inbound"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"ts": $T0, "dims": {"server": "s1"}, "vals": {"requests": 9}}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      val sql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY server", "UTF-8")
+
+      // non-positive and malformed timeouts: 400 naming the problem — NOT
+      // a degenerate completed=false partial result (timeout=0s used to
+      // submit a job group just to cancel it immediately)
+      for (t <- Seq("0s", "-5s")) {
+        val r = getR(s"/run?sql=$sql&timeout=$t")
+        assert(r.statusCode() == 400, s"$t -> ${r.statusCode()} ${r.body()}")
+        assert(r.body().contains("timeout must be positive"), r.body())
+      }
+      locally {
+        val r = getR(s"/run?sql=$sql&timeout=junk")
+        assert(r.statusCode() == 400, s"junk -> ${r.statusCode()} ${r.body()}")
+        assert(r.body().contains("bad duration"), r.body())
+      }
+
+      def awaitSettled(pl: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        var c = getR(s"/cached/$pl").body()
+        while (c.contains("\"status\":\"pending\"") &&
+               System.currentTimeMillis() < deadline) {
+          Thread.sleep(100); c = getR(s"/cached/$pl").body()
+        }
+        assert(!c.contains("\"status\":\"pending\""), c)
+      }
+
+      // the timeout is part of the async cache identity: the same SQL with
+      // and without a deadline must not share a permalink (a truncated
+      // result must never serve a caller who asked for the full one).
+      // Settle each before the next — maxPendingAsync=1 here, so two
+      // in-flight submissions would (correctly) trip the backlog refusal
+      val plPlain = plOf(getR(s"/async?sql=$sql").body())
+      awaitSettled(plPlain)
+      val plTimed = plOf(getR(s"/async?sql=$sql&timeout=60s").body())
+      awaitSettled(plTimed)
+      assert(plPlain != plTimed, "timeout must be part of the cache key")
+      assert(plOf(getR(s"/async?sql=$sql&timeout=60s").body()) == plTimed,
+        "same sql+timeout must reuse its entry")
+
+      // async backlog cap (maxPendingAsync=1): while one slow query runs,
+      // a SECOND distinct submission refuses loudly instead of stacking
+      // another driver thread or silently orphaning the running job
+      val slowUdf = org.apache.spark.sql.functions.udf {
+        (s: String) => Thread.sleep(3000L); s
+      }
+      graft.functions.Redis.registerScript("spec_slow_async", (a, _) => slowUdf(a))
+      val slowSql = java.net.URLEncoder.encode(
+        "SELECT requests FROM combined GROUP BY LUA('spec_slow_async', server, server) AS sv",
+        "UTF-8")
+      val plSlow = plOf(getR(s"/async?sql=$slowSql").body())
+      val refused = getR(s"/async?sql=$sql&timeout=59s")
+      assert(refused.statusCode() == 400, s"${refused.statusCode()} ${refused.body()}")
+      assert(refused.body().contains("async query backlog full"), refused.body())
+      // the in-flight query is untouched by the refusal, and once it
+      // settles the backlog admits new submissions again
+      awaitSettled(plSlow)
+      assert(getR(s"/cached/$plSlow").body().contains("\"status\":\"succeeded\""))
+      val after = getR(s"/async?sql=$sql&timeout=59s")
+      assert(after.statusCode() == 200, s"${after.statusCode()} ${after.body()}")
+    } finally srv.stop()
+  }
+
   test("/metrics surfaces an orphan-queue persistence failure until it heals") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
