@@ -1080,6 +1080,17 @@ final class GraftDB(
     // generation discovery, sibling listing, and GC all run against the
     // real directory (and an in-place retune spelled either way matches)
     val path = stripFileScheme(rawPath)
+    // a REMOTE scheme (s3a://, hdfs://) must refuse GC-enabled enrollment
+    // loudly: the maintenance machinery lists siblings and deletes
+    // generations through java.nio, which silently no-ops on a URI it
+    // can't resolve — on an object store that means old generations leak
+    // forever while the tick reports success. Pins/guards already compare
+    // remote URIs correctly (canonKey); the LISTING/DELETE side needs a
+    // Hadoop FileSystem integration before this require can drop.
+    if (gcOldGenerations) require(canonKey(path) == canonPath(path),
+      s"maintaingc requires a local filesystem index path; got '$rawPath' " +
+        "— generation listing/GC runs on the local FS (object-store " +
+        "maintenance needs a Hadoop FileSystem integration)")
     // the first enrollment makes GC possible — from here on, in-flight
     // executions pin the generations their plans scan
     ensureExecPinListener()

@@ -3294,6 +3294,24 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("GC-enabled enrollment refuses a remote-scheme path loudly") {
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("remote-scheme-db").toString, () => T0)
+    // the maintenance machinery lists siblings and deletes generations via
+    // java.nio — on an object-store URI those silently no-op, so GC there
+    // would leak every superseded generation while reporting success
+    val e = intercept[IllegalArgumentException] {
+      db.registerAnnMaintenance("vidx", "s3a://bucket/idx", "embedding",
+        "vec_id", nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    }
+    assert(e.getMessage.contains("local filesystem index path"), e.getMessage)
+    // without GC the enrollment is legitimate (pins and guards compare
+    // remote URIs correctly; nothing lists or deletes)
+    db.registerAnnMaintenance("vidx2", "s3a://bucket/idx", "embedding",
+      "vec_id", nProbe = 4, scanBudget = 2.0)
+    assert(db.maintainedState("vidx2").exists(_._1 == "s3a://bucket/idx"))
+  }
+
   test("an execution starting after its generation was GC'd names the remedy") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
