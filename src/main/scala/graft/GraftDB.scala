@@ -954,6 +954,12 @@ final class GraftDB(
     }
   }
 
+  // entries the reload REFUSED (original line spellings) — surfaced on the
+  // `_orphans` tick row and kept for the process lifetime, since a corrupt
+  // durable queue is an operator problem, not a transient
+  private val orphanReloadRejected =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
   private val orphanGc: scala.collection.mutable.ArrayBuffer[String] = {
     val b = scala.collection.mutable.ArrayBuffer.empty[String]
     if (java.nio.file.Files.exists(orphanGcFile)) {
@@ -970,13 +976,35 @@ final class GraftDB(
           val abs =
             if (p.isAbsolute) p.normalize
             else baseDirCanon.resolve(p).normalize
-          val s = abs.toString
-          if (!b.contains(s)) b += s
+          // the file is on-disk state anything can corrupt — the same
+          // trust class as schema yaml. The drain RECURSIVELY DELETES
+          // entries, so the reload refuses anything the engine could not
+          // have written: a relative entry is only ever persisted for a
+          // store resident, so one resolving OUTSIDE baseDir (e.g. "..")
+          // would aim the drain at an arbitrary directory; an absolute
+          // entry that IS the store or an ancestor of it (including "/")
+          // would delete the store itself.
+          val legal =
+            if (p.isAbsolute) !baseDirCanon.startsWith(abs)
+            else abs.startsWith(baseDirCanon) && abs != baseDirCanon
+          if (!legal) orphanReloadRejected += line
+          else {
+            val s = abs.toString
+            if (!b.contains(s)) b += s
+          }
         }
       }
     }
     b
   }
+
+  /** `_orphan_gc.txt` lines the reload refused (spelled as found): entries
+    * that escape the store tree or name the store/an ancestor of it —
+    * paths the engine never writes, whose recursive delete would destroy
+    * data the queue doesn't own. Surfaced on the `_orphans` tick row.
+    */
+  def orphanGcReloadRejects: Seq[String] =
+    orphanReloadRejected.toList
 
   /** Most recent [[persistOrphanGc]] failure, cleared by the next success.
     * While set, the orphan queue's RESTART durability is degraded (the
@@ -1272,6 +1300,17 @@ final class GraftDB(
   private def leasedCanon(): Set[String] =
     pathLeases.synchronized(pathLeases.keysIterator.map(canonKey).toSet)
 
+  /** True when `guards` names `entryCanon` itself OR any path UNDER it.
+    * The drains delete RECURSIVELY, so an entry that is an ancestor of a
+    * guarded (leased/serving/active) path is exactly as protected as the
+    * path — exact-equality alone would let a queue entry naming a parent
+    * directory take a live generation down with it.
+    */
+  private def coversOrContains(guards: Set[String],
+      entryCanon: String): Boolean =
+    guards.contains(entryCanon) ||
+      guards.exists(_.startsWith(entryCanon + "/"))
+
   private[graft] def leaseCount(path: String): Int =
     pathLeases.synchronized(pathLeases.getOrElse(path, 0))
 
@@ -1533,11 +1572,26 @@ final class GraftDB(
           orphanGc.filterInPlace(p => !actives.contains(p))
           persistOrphanGc()
         }
+        // ancestor-aware: an entry CONTAINING a leased/serving/active
+        // path stays pending too (the recursive delete would take the
+        // live path with it); exact active matches were dropped above —
+        // an ancestor of an active is a DIFFERENT directory, kept pending
+        // until nothing lives under it
+        val guardAll = leased ++ serving ++ actives
         val (pinned, free) =
-          orphanGc.partition(p => leased.contains(p) || serving.contains(p))
+          orphanGc.partition(p => coversOrContains(guardAll, p))
         orphanGc.clear(); orphanGc ++= pinned
         free.toList
       }
+      // standing degradations stay visible on every tick's status row: a
+      // persist failure (until a rewrite succeeds) and reload-rejected
+      // queue entries (for the process lifetime — a corrupt durable queue
+      // is an operator problem)
+      def notes: Seq[String] =
+        orphanPersistError.map(e => s"persist error: $e").toSeq ++
+          (if (orphanReloadRejected.isEmpty) Nil
+           else Seq(s"rejected ${orphanReloadRejected.size} invalid " +
+             "reload entries"))
       if (freed.isEmpty) {
         // a standing persist failure retries on every tick even when the
         // drain is idle: the cause may be transient (disk-full resolved),
@@ -1545,8 +1599,9 @@ final class GraftDB(
         // flag — until then the degradation stays visible as a status row
         if (orphanPersistError.isDefined)
           orphanGc.synchronized { persistOrphanGc() }
-        orphanPersistError.map(e =>
-          "_orphans" -> s"idle (persist error: $e)")
+        val ns = notes
+        if (ns.isEmpty) None
+        else Some("_orphans" -> s"idle (${ns.mkString("; ")})")
       } else {
         var kept = 0
         val errs = freed.flatMap { p =>
@@ -1554,7 +1609,7 @@ final class GraftDB(
           // the listener bus, so a pin can appear between this drain's
           // snapshot and the delete — a just-pinned path requeues for the
           // next tick instead of being deleted under its reader
-          if (leasedCanon().contains(canonKey(p))) {
+          if (coversOrContains(leasedCanon(), canonKey(p))) {
             orphanGc.synchronized {
               if (!orphanGc.contains(p)) orphanGc += p
             }
@@ -1578,8 +1633,9 @@ final class GraftDB(
           else if (kept > 0)
             s"gc'd ${freed.size - kept} (requeued $kept leased)"
           else s"gc'd ${freed.size}"
-        Some("_orphans" -> (base + orphanPersistError
-          .map(e => s" (persist error: $e)").getOrElse("")))
+        val ns = notes
+        Some("_orphans" -> (base +
+          (if (ns.isEmpty) "" else s" (${ns.mkString("; ")})")))
       }
     }
     val snapshot = maintained.synchronized { maintained.toSeq }
@@ -1632,9 +1688,12 @@ final class GraftDB(
                     // backstop for reloaded or duplicated entries — drop,
                     // don't delete a serving directory
                     st.pendingDeletes.filterInPlace(_ != st.activePath)
+                    // ancestor-aware like the orphan drain: the CURRENT
+                    // active joins the guard set so an entry containing it
+                    // can never drain from under the registration
+                    val guardAll = leased ++ serving + canonKey(st.activePath)
                     val (pinned, free) = st.pendingDeletes.partition { p =>
-                      val c = canonKey(p)
-                      leased.contains(c) || serving.contains(c)
+                      coversOrContains(guardAll, canonKey(p))
                     }
                     st.pendingDeletes.clear()
                     st.pendingDeletes ++= pinned
@@ -1646,7 +1705,7 @@ final class GraftDB(
                     // pin can appear between the snapshot above and this
                     // delete — requeue a just-pinned path for the next
                     // tick instead of deleting it under its reader
-                    if (leasedCanon().contains(canonKey(p)))
+                    if (coversOrContains(leasedCanon(), canonKey(p)))
                       st.synchronized { st.pendingDeletes += p }
                     else
                       try gcDelete(p)

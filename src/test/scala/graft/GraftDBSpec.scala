@@ -3294,6 +3294,86 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("orphan-queue reload rejects entries that escape the store tree") {
+    // _orphan_gc.txt is on-disk state an operator or another process can
+    // corrupt — the same trust class as schema yaml / insert JSON. A
+    // relative entry like ".." resolves OUTSIDE baseDir, and a later
+    // drain would recursively delete whatever it lands on; an absolute
+    // entry naming an ancestor of the store (or "/") would delete the
+    // store itself. Reload must drop them, loudly.
+    val baseDir = Files.createTempDirectory("orphan-escape").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(baseDir, "_orphan_gc.txt"),
+      Seq(
+        "..",                                     // escapes the store tree
+        "../../etc",                              // ditto, deeper
+        "/",                                      // filesystem root
+        java.nio.file.Paths.get(baseDir).getParent.toString, // store ancestor
+        baseDir,                                  // the store itself
+        "idx/stale"                               // the one legitimate entry
+      ).mkString("", "\n", "\n"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(baseDir, "idx", "stale"))
+    val db = new GraftDB(spark, plainTableYaml, baseDir, () => T0)
+    assert(db.orphanGcStats._1 === 1,
+      s"only the in-tree entry may reload, got ${db.orphanGcStats}")
+    assert(db.orphanGcReloadRejects.size === 5, db.orphanGcReloadRejects)
+    val t = db.maintenanceTick()
+    assert(t.exists { case (n, s) =>
+      n == "_orphans" && s.startsWith("gc'd 1") &&
+        s.contains("rejected 5 invalid reload entries") }, t.toString)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(baseDir, "idx", "stale")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(baseDir)),
+      "the store tree itself must never be a drain target")
+    // the rewritten durable twin carries none of the rejected garbage
+    val rewritten = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(baseDir, "_orphan_gc.txt"))
+    assert(!rewritten.iterator().hasNext ||
+      rewritten.size == 1 && rewritten.get(0).isEmpty, rewritten.toString)
+  }
+
+  test("an orphan entry that is an ancestor of a live path stays pinned") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("ancestor-pin").toString
+    val idx = s"$root/nest/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val baseDir = Files.createTempDirectory("ancestor-pin-db").toString
+    // a (corrupt or operator-written) queue entry naming the PARENT of a
+    // live index: exact-equality guards don't see it, but deleting it
+    // would take the live generation down with it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(baseDir, "_orphan_gc.txt"), s"$root/nest\n")
+    val db = new GraftDB(spark, plainTableYaml, baseDir, () => T0)
+    assert(db.orphanGcStats._1 === 1)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    val t = db.maintenanceTick()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      s"an ancestor of a live path must never be drained (tick: $t)")
+    assert(db.orphanGcStats._1 === 1,
+      "the ancestor entry stays pending while anything lives under it")
+    // re-point the enrollment elsewhere (programmatic enrollments survive
+    // schema ALTERs by design): nothing lives under the entry anymore,
+    // so the next drain reclaims it normally
+    val idxB = s"$root/other/j"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idxB)
+    db.registerAnnMaintenance("vidx", idxB, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    db.maintenanceTick()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/nest")),
+      "once nothing lives under it, the ancestor entry drains normally")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idxB)))
+  }
+
   test("GC-enabled enrollment refuses a remote-scheme path loudly") {
     val db = new GraftDB(spark, plainTableYaml,
       Files.createTempDirectory("remote-scheme-db").toString, () => T0)
