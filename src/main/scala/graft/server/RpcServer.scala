@@ -135,10 +135,17 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
       val first = Framing.read(in).getOrElse(return)
       val (verbLine, body) = Framing.split(first)
       val verb = verbLine.split("\\s+", 2)
+      // a verb missing its argument must answer with its usage, not the
+      // index-out-of-bounds text the bare split would throw
+      def arg(usage: String): String =
+        if (verb.length > 1 && verb(1).trim.nonEmpty) verb(1)
+        else throw new IllegalArgumentException(s"usage: $usage")
       verb(0) match {
-        case "INSERT" => handleInsert(verb(1), in, out)
+        case "INSERT" =>
+          handleInsert(arg("INSERT <stream>"), in, out)
         case "QUERY"  => handleQuery(body, out)
-        case "FOLLOW" => handleFollow(verb(1), out)
+        case "FOLLOW" =>
+          handleFollow(arg("FOLLOW <stream> [since=<marker>]"), out)
         case other    => Framing.write(out, s"ERR unknown verb $other")
       }
     } catch {
@@ -193,7 +200,10 @@ final class RpcServer(spark: SparkSession, db: GraftDB, port: Int) {
     val toks = argLine.trim.split("\\s+")
     val stream = toks(0).toLowerCase
     val since = toks.drop(1).collectFirst {
-      case t if t.startsWith("since=") => t.stripPrefix("since=").toLong
+      case t if t.startsWith("since=") =>
+        val raw = t.stripPrefix("since=")
+        raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"bad since= marker: '$raw' (expected a numeric journal marker)"))
     }
     val head = db.followMarker(stream)
     if (since.exists(_ > head)) {

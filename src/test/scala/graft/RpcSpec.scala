@@ -570,4 +570,44 @@ class RpcSpec extends AnyFunSuite {
       assert(String.valueOf(ex.getMessage).contains("ERR"))
     } finally srv.stop()
   }
+
+  test("verbs answer nasty input with usage errors, not index crashes") {
+    val dir = Files.createTempDirectory("graft-rpc-nasty").toString
+    val yaml =
+      """combined:
+        |  retentionperiod: 1h
+        |  sql: >
+        |    SELECT requests FROM inbound GROUP BY *, period(5m)
+        |""".stripMargin
+    val db = new GraftDB(spark, yaml, dir, () => T0 + 10000)
+    val srv = new RpcServer(spark, db, 0)
+    val port = srv.start()
+    // raw plain-transport frame: length-prefixed UTF-8 (first byte of the
+    // int prefix is 0x00, so the server's snappy sniff picks plain)
+    def raw(frame: String): String = {
+      val sock = new java.net.Socket("localhost", port)
+      try {
+        sock.setSoTimeout(15000)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val bytes = frame.getBytes("UTF-8")
+        out.writeInt(bytes.length); out.write(bytes); out.flush()
+        val len = in.readInt()
+        val buf = new Array[Byte](len); in.readFully(buf)
+        new String(buf, "UTF-8")
+      } finally sock.close()
+    }
+    try {
+      // bare verbs used to die with the split's index-out-of-bounds text
+      assert(raw("FOLLOW").contains("usage: FOLLOW <stream> [since=<marker>]"),
+        raw("FOLLOW"))
+      assert(raw("INSERT").contains("usage: INSERT <stream>"), raw("INSERT"))
+      assert(raw("FOLLOW   ").contains("usage: FOLLOW"), raw("FOLLOW   "))
+      // a non-numeric resume marker names the field, not a bare
+      // NumberFormatException
+      assert(raw("FOLLOW inbound since=junk").contains("bad since= marker"),
+        raw("FOLLOW inbound since=junk"))
+      assert(raw("BOGUS x").contains("unknown verb"), raw("BOGUS x"))
+    } finally srv.stop()
+  }
 }
