@@ -75,10 +75,15 @@ object Bench {
       // native expressions + similarity plan family
       val vecs = Seq((1, Array(1.0f, 0.0f)), (2, Array(0.5f, 0.5f)))
         .toDF("id", "v")
+      // key the warmup window on a real column: partitionBy(lit(1)) gets
+      // constant-folded to an EMPTY spec, planning a single-partition
+      // WindowExec whose "No Partition Defined" WARN (4 lines per run on
+      // this 2-row frame) reads like a scale problem in the bench logs
       vecs.select(col("id"), graft.pipeline.Similarity.cosineQuantized(
           col("v"), lit(Array(1.0f, 1.0f))).as("s"),
           bit_xor(xxhash64(col("id"))).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))).as("x"))
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id"))).as("x"))
         .orderBy(col("s").desc).limit(5).collect()
       // TextScore expression + HOF/md5/conv stack (dedup + text families)
       val docs = Seq((1L, "warm up text alpha"), (2L, "beta gamma")).toDF("id", "text")

@@ -1131,6 +1131,15 @@ final class GraftDB(
     // (filesystem I/O must not block registrations or maintainedState
     // reads), with the append re-checking reachability.
     var rescanFrom: Option[(MaintState, String)] = None
+    // fresh-enrollment discovery obeys the same discipline as the
+    // gcTurnedOn rescan: the directory listings run OUTSIDE the registry
+    // lock. Precomputed optimistically — an in-place retune ignores them
+    // (ALTERs are control-plane-rare, the wasted listing is cheap), and a
+    // dir the orphan drain deletes between this scan and the lock just
+    // queues a no-op delete (gcDelete checks existence).
+    val (preActive, preGen) = discoverGeneration(path)
+    val preStale =
+      if (gcOldGenerations) staleSiblings(path, preActive) else Nil
     // a replaced stream is quiesced AFTER releasing the registry lock:
     // stop()+awaitTermination() waits for the in-flight micro-batch, and a
     // batch calling any maintained-locking API (maintainedState, a nested
@@ -1154,8 +1163,7 @@ final class GraftDB(
           case None =>
             val oldState = maintained.get(name)
             val old = oldState.flatMap(detachStream)
-            val (active, gen) = discoverGeneration(path)
-            val st = new MaintState(path, spec, active, gen, stream,
+            val st = new MaintState(path, spec, preActive, preGen, stream,
               restart, gcOldGenerations)
             // the GC QUEUE is restart-durable too: pendingDeletes lives in
             // memory, so a restart between a flip and its GC would leak the
@@ -1164,7 +1172,7 @@ final class GraftDB(
             // every sibling generation that is not the discovered active
             // (the GC'able base, generations a crash left behind, incomplete
             // dests of crashed flips) re-queues, lease-checked as always.
-            if (gcOldGenerations) st.pendingDeletes ++= staleSiblings(path, active)
+            if (gcOldGenerations) st.pendingDeletes ++= preStale
             maintained(name) = st
             (old, oldState)
         }
