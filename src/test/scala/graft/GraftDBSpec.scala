@@ -2272,8 +2272,12 @@ class GraftDBSpec extends AnyFunSuite {
             if (pins.nonEmpty && rnd.nextBoolean()) pins.remove(0).close()
             else pins += db.pinPath(active)
           case 4 => // restart: leases die with the process; discovery +
-            // the re-derived GC queue must carry the schedule forward
+            // the re-derived GC queue must carry the schedule forward.
+            // The embedder contract closes the old instance first (quiesce
+            // writers, release pins, drop the exec-pin listener) — doing it
+            // here puts close() itself under the fuzz's random schedules
             pins.foreach(_.close()); pins.clear()
+            db.close()
             db = new GraftDB(spark, yaml,
               Files.createTempDirectory(s"lc-fuzz-db-$fseed-$op").toString,
               () => T0)
