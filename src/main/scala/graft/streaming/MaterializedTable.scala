@@ -160,7 +160,22 @@ final class MaterializedTable(
     */
   private def readManifest(): MaterializedTable.Manifest =
     if (!Files.exists(manifestPath)) MaterializedTable.Manifest.Empty
-    else {
+    else try readManifestBody()
+    catch {
+      // the manifest is on-disk state anything can corrupt; the parse
+      // already refuses loudly (never falls back to Empty — that would
+      // silently treat a populated store as FRESH, re-running the initial
+      // backfill bound and re-merging ledgered batches). Name the file
+      // and the remedy instead of surfacing a bare NumberFormatException.
+      case e: Exception => throw new IllegalStateException(
+        s"corrupt table manifest at $manifestPath (${e.getMessage}): " +
+          "refusing to treat the store as fresh — restore the manifest " +
+          "from a copy, or remove the whole store directory deliberately",
+        e)
+    }
+
+  private def readManifestBody(): MaterializedTable.Manifest =
+    locally {
       val lines = Files.readString(manifestPath).split("\n").filter(_.nonEmpty)
       val v = lines.head.stripPrefix("v=").toLong
       val (schemaLines, rest0) = lines.tail.partition(_.startsWith("s="))

@@ -3378,6 +3378,28 @@ class GraftDBSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idxB)))
   }
 
+  test("a corrupt MANIFEST refuses loudly, never re-initializes the store") {
+    val dir = Files.createTempDirectory("manifest-corrupt").toString
+    val db = new GraftDB(spark, plainTableYaml, dir, () => T0)
+    db.insert("inbound", points())
+    assert(db.sql("SELECT requests FROM combined GROUP BY server")
+      .collect().nonEmpty)
+    // corrupt the on-disk manifest the way a partial edit or bit rot
+    // would; a silent fall-back to an EMPTY manifest here would treat the
+    // populated store as fresh (re-running backfill bounds, re-merging
+    // ledgered batches) — the refusal must name the file and the remedy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "combined", "MANIFEST"), "v=junk\nnope")
+    val db2 = new GraftDB(spark, plainTableYaml, dir, () => T0)
+    val e = intercept[IllegalStateException] {
+      db2.sql("SELECT requests FROM combined GROUP BY server").collect()
+    }
+    assert(e.getMessage.contains("corrupt table manifest") &&
+      e.getMessage.contains("MANIFEST") &&
+      e.getMessage.contains("refusing to treat the store as fresh"),
+      e.getMessage)
+  }
+
   test("GC-enabled enrollment refuses a remote-scheme path loudly") {
     val db = new GraftDB(spark, plainTableYaml,
       Files.createTempDirectory("remote-scheme-db").toString, () => T0)
