@@ -32,13 +32,20 @@ private[graft] object PersistCache {
     * ambient load). 16 was the r15 fix; by r18 the source sat at 12
     * registering sites = the 75% tripwire bound (the suite fails when
     * sites exceed 75% of the cap), so the next registering operator would
-    * have tripped it mid-round. 24 re-opens ≥6 sites of headroom at the
-    * 75% line (18); the no-churn/no-regression measurement at the new
-    * bound is in BENCH_LOCAL.md (r19), and EngineSpec pins that a session
-    * with MORE distinct sites than the old cap now stays fully resident.
+    * have tripped it mid-round. 24 re-opened ≥6 sites of headroom at the
+    * 75% line (18); the no-churn/no-regression measurement at that bound
+    * is in BENCH_LOCAL.md (r19), and EngineSpec pins that a session with
+    * MORE distinct sites than the old cap now stays fully resident. r21's
+    * optimization pass added 6 sites (the incremental-dedup family now
+    * caches its candidate-bounded reused frames instead of letting
+    * broadcast subtrees replay index scans — OPTIMIZATION_r21.md), taking
+    * sources to 18 = the old 75% line exactly; 32 restores the same ≥6
+    * sites of headroom (bound 24). Entry size class is unchanged —
+    * candidate-/batch-bounded frames, the same class the broadcast bound
+    * already admits per entry — so the memory argument above carries.
     */
   def maxEntries: Int =
-    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(24)
+    sys.props.get("graft.maxPersistedCaches").map(_.toInt).getOrElse(32)
 
   private val fifo = new java.util.ArrayDeque[DataFrame]()
 

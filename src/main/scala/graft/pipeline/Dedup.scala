@@ -197,13 +197,18 @@ object Dedup {
     }
     val smallByStats = maxBroadcastHashes > 0 &&
       estRows >= 0 && estRows <= BigInt(maxBroadcastHashes)
-    val (bh, small) =
-      if (smallByStats) (bh0, true)
-      else if (maxBroadcastHashes <= 0) (bh0, false)
-      else {
-        val p = bh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (p, p.count() <= maxBroadcastHashes)
-      }
+    // PERSIST the compact (hash, id) winners frame (FIFO-capped scan-saver):
+    // it has up to four consumers — the hits probe broadcast, the anti-join,
+    // the admit append, and the survivors broadcast — and broadcast
+    // exchanges never reuse each other's subtrees, so uncached each would
+    // re-run the batch's md5+agg pass. Persisting is lazy, so the
+    // stats-proven daily path stays job-free; the counted fallback reuses
+    // the same cache for its count.
+    val bh = graft.PersistCache.persist(bh0)
+    val small =
+      if (smallByStats) true
+      else if (maxBroadcastHashes <= 0) false
+      else bh.count() <= maxBroadcastHashes
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // pin the index SNAPSHOT by explicit file list: the survivor plan below
     // stays deterministic even after this call's own append lands new files
@@ -225,7 +230,11 @@ object Dedup {
       else spark.read.parquet(preFiles: _*).select(col("__h"))
         .join(maybeB(bh.select(col("__h"))), Seq("__h"), "left_semi")
         .distinct()
-    val fresh = bh.join(maybeB(hits), Seq("__h"), "left_anti")
+    // fresh (≤ the batch's distinct hashes — the bh memory class) is read
+    // by the admit append AND the survivors broadcast: persist it so the
+    // survivors broadcast doesn't replay the index-probe anti-join
+    val fresh = graft.PersistCache.persist(
+      bh.join(maybeB(hits), Seq("__h"), "left_anti"))
     if (admit) {
       // Bump the append counter in `_index.txt` BEFORE the parquet append:
       // the counter is what stops a later corpus-keyed rebuild from
@@ -259,13 +268,9 @@ object Dedup {
       .join(maybeB(survivors),
         col("__bh0") === col("__h") && idCol === col("__id"), "left_semi")
       .drop("__bh0")
-    // release the winners cache (counted path only) before returning: it
-    // already served the path-choice count (and the admit append); holding
-    // it would grow session storage by one entry per batch forever. The
-    // caller's evaluation recomputes the compact hash frame from lineage —
-    // one batch-hash scan, which correctness never depended on the cache
-    // for.
-    if (!smallByStats && maxBroadcastHashes > 0) bh.unpersist(blocking = false)
+    // bh/fresh stay enrolled in the PersistCache FIFO: per-batch caches are
+    // evicted round-robin past the cap instead of growing session storage
+    // forever (the eviction contract this file's per-batch persists share).
     out
   }
 
@@ -534,8 +539,13 @@ object Dedup {
         val ix = spark.read.parquet(preFiles: _*)
         val iBand = ix.select(col("id").as("hid"),
           posexplode(col("bnd")).as(Seq("band", "bh")))
-        val cand = iBand.join(maybeB(bBand), Seq("band", "bh"))
-          .select(col("bid"), col("hid")).distinct()
+        // PERSIST the distinct candidate pairs (collision-bounded): the hid
+        // prune broadcast and the verification join would otherwise each
+        // replay the banded index scan — broadcast exchanges never reuse
+        // each other's subtrees (the containmentIncremental measurement)
+        val cand = graft.PersistCache.persist(
+          iBand.join(maybeB(bBand), Seq("band", "bh"))
+            .select(col("bid"), col("hid")).distinct())
         // verify exactly on the stored hash sets. The candidate-hid prune
         // broadcasts under the same `small` flag so the index hs scan stays
         // map-only on the daily path (exactIncremental's `hits` discipline;
@@ -577,8 +587,10 @@ object Dedup {
       .select(col("id_b").as("id"))
     // losers stays duplicate-bearing on purpose: every consumer is an
     // anti-join (duplicate keys are free there), so the distincts would
-    // only add shuffles. The set is candidate-bounded either way.
-    val losers = histDup.unionByName(dominated)
+    // only add shuffles. The set is candidate-bounded either way — and
+    // PERSISTED, so the admit-path survivors anti-join and the returned
+    // batch anti-join don't each replay the verification DAG.
+    val losers = graft.PersistCache.persist(histDup.unionByName(dominated))
     val survivors = prep.join(losers, Seq("id"), "left_anti")
     if (admit) {
       // counter bump BEFORE the parquet append (see exactIncremental: the
@@ -994,7 +1006,15 @@ object Dedup {
               .join(maybeB(bProbes), Seq("ph"))
               .select(col("bid"), col("hid"))
           }
-        val cand = cand1.unionByName(cand2).distinct()
+        // PERSIST the distinct candidate pairs (collision-bounded, ids
+        // only): `cand` has two consumers — the hid prune broadcast and the
+        // verification join — and broadcast exchanges never reuse each
+        // other's subtrees, so uncached each consumer would replay the
+        // whole candidate generation (postings scan + both probe joins).
+        // Measured on the sf0.1 gate: the final plan scanned post/ 6× and
+        // docs/ 9× before cand/losers were cached, 1×/2× after.
+        val cand = graft.PersistCache.persist(
+          cand1.unionByName(cand2).distinct())
         // the candidate-hid prune broadcasts under the same `small` flag so
         // the docs/ hs scan stays map-only on the daily path (the
         // nearDupIncremental discipline; the set is collision-bounded)
@@ -1031,7 +1051,10 @@ object Dedup {
         interIB / least(size(col("sha")), size(col("shb"))).cast("double"))
       .filter(col("__c") >= threshold)
       .select(col("id_b").as("id"))
-    val losers = histDup.unionByName(dominated)
+    // candidate-bounded loser ids, PERSISTED: consumed by the survivors
+    // anti-join (admit path) and the returned batch anti-join — without the
+    // cache each consumer replays the whole verification DAG above
+    val losers = graft.PersistCache.persist(histDup.unionByName(dominated))
     val survivors = prep.join(losers, Seq("id"), "left_anti")
     if (admit) {
       val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
