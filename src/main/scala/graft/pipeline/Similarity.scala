@@ -40,17 +40,67 @@ object Similarity {
     dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
+  /** Driver-side twin of [[quantize]] for LITERAL query vectors. Catalyst
+    * does not constant-fold higher-order functions, so `quantize(lit(q))`
+    * inside a score expression re-evaluates the interpreted transform for
+    * every ROW (and [[cosineQuantized]] does it twice); folding the query
+    * side at plan-build time removes it entirely. Must stay bit-identical
+    * to the Column path (PipelineSpec pins it): Spark's Round(x, 0) on a
+    * double is BigDecimal.valueOf(x).setScale(0, HALF_UP), and the ANSI
+    * long cast REFUSES NaN/±Inf — mirror that refusal so a poisoned query
+    * vector fails fast here exactly as it would in the Column path.
+    */
+  private[graft] def quantizeLocal(v: Seq[Float]): Array[Long] =
+    v.map { f =>
+      val d = f.toDouble * 1000000.0
+      require(!d.isNaN && !d.isInfinite,
+        s"cannot quantize non-finite query component $f")
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    }.toArray
+
+  /** [[cosineQuantized]] of a PRE-quantized corpus column against a
+    * pre-quantized local query vector: the per-pair/per-row work collapses
+    * to native VecDots (the corpus transform runs once wherever `xq` was
+    * projected; the query side is a plan-time literal). Arithmetic is the
+    * exact [[cosineQuantized]] sequence — long dots, corpus-sqrt ×
+    * query-sqrt in that order — so scores are bit-identical.
+    */
+  private[graft] def cosineQuantizedPre(xq: Column, qArr: Array[Long]): Column = {
+    val qn = math.sqrt(qArr.map(x => x * x).sum.toDouble) // exact long sum
+    graft.functions.VecDot(xq, lit(qArr)).cast("double") /
+      (sqrt(graft.functions.VecDot(xq, xq).cast("double")) * lit(qn))
+  }
+
+  /** Pre-quantized two-Column twin ([[cosineQuantized]] with both sides
+    * already carrying `quantize(...)` arrays and their sqrt'd norms): used
+    * by the batch retrieval joins so the O(dim) interpreted transforms run
+    * once per ROW instead of 2× per JOINED PAIR, leaving only the native
+    * cross-dot per pair. `xn`/`qn` must be
+    * `sqrt(VecDot(q, q).cast("double"))` of their side — the exact
+    * [[cosineQuantized]] factors in the exact order.
+    */
+  private[graft] def cosineQuantizedPre2(xq: Column, xn: Column, qq: Column,
+                                         qn: Column): Column =
+    graft.functions.VecDot(xq, qq).cast("double") / (xn * qn)
+
   /** Brute-force top-k by cosine against one query vector. Catalyst plans
     * sort+limit as TakeOrderedAndProject — no global sort materializes.
     */
   def topK(df: DataFrame, vecCol: Column, idCol: Column,
-           query: Seq[Float], k: Int, quantized: Boolean = false): DataFrame = {
-    val q = lit(query.toArray)
-    val score = if (quantized) cosineQuantized(vecCol, q) else cosine(vecCol, q)
-    df.select(idCol.as("id"), score.as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-  }
+           query: Seq[Float], k: Int, quantized: Boolean = false): DataFrame =
+    if (quantized)
+      // corpus side quantized once per row in its own projection; query
+      // side folded at plan time — same scores, no per-row HOF re-folding
+      df.select(idCol.as("id"), quantize(vecCol).as("__xq"))
+        .select(col("id"),
+          cosineQuantizedPre(col("__xq"), quantizeLocal(query)).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(k)
+    else
+      df.select(idCol.as("id"), cosine(vecCol, lit(query.toArray)).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(k)
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections onto
     * seeded pseudo-random planes. Vectors in the same bucket are cosine-close
@@ -596,6 +646,17 @@ object Similarity {
     * counter bump. Serialize all writers of one index; readers are
     * unaffected.
     */
+  /** (indexPath, batch-plan hash, dedup flag, meta-content hash) of appends
+    * PROVEN no-ops (0 fresh rows) by a full anti-join check in this JVM:
+    * replaying the same batch against an index whose meta is byte-identical
+    * re-proves the same 0, so the index id scan + count can be skipped —
+    * the [[ivfValidated]] memo discipline applied to the append replay. Any
+    * REAL append bumps the `appends=` counter, changing the meta content
+    * and the key, which forces a fresh check.
+    */
+  private val appendNoopMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Boolean, Int)]()
+
   private def appendIndexed(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, metaPath: java.nio.file.Path,
                             lines: java.util.List[String], bodyLen: Int,
@@ -603,6 +664,10 @@ object Similarity {
                             indexIdCol: Column, dedupAgainstIndex: Boolean,
                             maxBroadcastIds: Long = 4000000L)
                            (encode: DataFrame => DataFrame): Long = {
+    import scala.jdk.CollectionConverters._
+    val memoKey = (indexPath, batch.queryExecution.analyzed.semanticHash(),
+      dedupAgainstIndex, lines.asScala.mkString("\n").hashCode)
+    if (appendNoopMemo.contains(memoKey)) return 0L
     // pin the index SNAPSHOT by explicit file list: Spark's
     // recache-on-write would otherwise re-plan the scan against the
     // mutated index (same hazard as Dedup.exactIncremental)
@@ -656,7 +721,7 @@ object Similarity {
       lastAppendPlan = fresh.queryExecution.executedPlan.toString
     try {
       val n = fresh.count()
-      if (n == 0L) return 0L
+      if (n == 0L) { appendNoopMemo.add(memoKey); return 0L }
       val body = (0 until bodyLen).map(lines.get(_))
       writeMetaAtomic(metaPath,
         (body :+ s"appends=${saturatedBump(parseAppends(lines))}")
@@ -1019,14 +1084,18 @@ object Similarity {
               extraFilter: Option[Column] = None): DataFrame = {
     val probes = centroids.sortBy { case (i, c) => (-cosLocal(c, query), i) }
       .take(nProbe).map(_._1)
-    val q = lit(query.toArray)
-    val score = if (quantized) cosineQuantized(vecCol, q) else cosine(vecCol, q)
-    spark.read.parquet(indexPath)
+    val pruned = spark.read.parquet(indexPath)
       .filter(col("__c").isin(probes: _*))
       .filter(extraFilter.getOrElse(lit(true)))
-      .select(idCol.as("id"), score.as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
+    val scored =
+      if (quantized)
+        // row-side quantize once per row; literal query folded at plan time
+        pruned.select(idCol.as("id"), quantize(vecCol).as("__xq"))
+          .select(col("id"),
+            cosineQuantizedPre(col("__xq"), quantizeLocal(query)).as("score"))
+      else pruned.select(idCol.as("id"),
+        cosine(vecCol, lit(query.toArray)).as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
   }
 
   /** Batched ANN: top-k corpus neighbors for EVERY row of a query
@@ -1058,12 +1127,28 @@ object Similarity {
     }
     val cellRank = Window.partitionBy(col("__qid"))
       .orderBy(col("__cs").desc, col("__cc"))
-    val assigned = queries.select(qIdCol.as("__qid"), qVecCol.as("__qv"))
+    // quantized mode pre-computes each side's quantization + norm ONCE PER
+    // ROW (queries here, index rows below): cosineQuantized inline in the
+    // join projection would re-fold the interpreted quantize transforms
+    // 2× per JOINED PAIR — measured as the dominant stage of the sf0.1
+    // batch gates (16 s of task time for a 0.07 MB shuffle). The
+    // assignment frame carries (q̂_quantized, norm) instead of the raw
+    // vector — same broadcast size class, and the raw vector is not
+    // needed downstream.
+    val qprep = queries.select(qIdCol.as("__qid"), qVecCol.as("__qv"))
+    val assigned0 = (if (quantized)
+        qprep.withColumn("__qq", quantize(col("__qv")))
+          .withColumn("__qn", sqrt(
+            graft.functions.VecDot(col("__qq"), col("__qq")).cast("double")))
+      else qprep)
       .crossJoin(broadcast(cdf))
       .withColumn("__cs", cosine(col("__qv"), col("__cv")))
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
-      .select(col("__qid"), col("__qv"), col("__cc"))
+    val assigned =
+      if (quantized) assigned0.select(col("__qid"), col("__qq"), col("__qn"),
+        col("__cc"))
+      else assigned0.select(col("__qid"), col("__qv"), col("__cc"))
     // ≤ nCentroids ints — prunes the scan to the union of probed cells
     val probed = assigned.select(col("__cc")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1071,13 +1156,22 @@ object Similarity {
     // ivfTopK's: the metadata predicate composes with the cell partition
     // filter and pushes into the pruned parquet scan, so candidates are
     // filtered BEFORE ranking for EVERY query of the batch
-    val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+    val idx0 = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
       .filter(extraFilter.getOrElse(lit(true)))
+    val idx =
+      if (quantized) idx0.select(idCol.as("__xid"), col("__c"),
+          quantize(vecCol).as("__xq"))
+        .withColumn("__xn", sqrt(
+          graft.functions.VecDot(col("__xq"), col("__xq")).cast("double")))
+      else idx0
     val asn = if (broadcastQueries) broadcast(assigned) else assigned
-    val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
-                else cosine(vecCol, col("__qv"))
+    val score =
+      if (quantized) cosineQuantizedPre2(col("__xq"), col("__xn"),
+        col("__qq"), col("__qn"))
+      else cosine(vecCol, col("__qv"))
+    val outId = if (quantized) col("__xid") else idCol
     idx.join(asn, idx("__c") === asn("__cc"))
-      .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
+      .select(col("__qid").as("qid"), outId.as("id"), score.as("__s"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("id")))
         .cast("long"))
@@ -1376,11 +1470,27 @@ object Similarity {
         .filter(col("__cr") <= refineK)
         .select(col("__qid"), col("__id"))
       // raw query vectors re-enter here, one row per query (ids must be
-      // unique per query row, as in any retrieval join)
-      val qtab = queries.select(qIdCol.as("__qid2"), qVecCol.as("__qv"))
-      val score = if (quantized) cosineQuantized(vecCol, col("__qv"))
-                  else cosine(vecCol, col("__qv"))
-      base.join(maybeB(cand), idCol === col("__id"))
+      // unique per query row, as in any retrieval join). Quantized mode
+      // pre-quantizes the query side per QUERY ROW and the candidate side
+      // once per surviving pair (a single transform instead of
+      // cosineQuantized's four interpreted re-folds per pair).
+      val qtab =
+        if (quantized) queries
+          .select(qIdCol.as("__qid2"), quantize(qVecCol).as("__qq"))
+          .withColumn("__qn", sqrt(
+            graft.functions.VecDot(col("__qq"), col("__qq")).cast("double")))
+        else queries.select(qIdCol.as("__qid2"), qVecCol.as("__qv"))
+      val joined0 = base.join(maybeB(cand), idCol === col("__id"))
+      val joined =
+        if (quantized) joined0.withColumn("__xq", quantize(vecCol))
+          .withColumn("__xn", sqrt(
+            graft.functions.VecDot(col("__xq"), col("__xq")).cast("double")))
+        else joined0
+      val score =
+        if (quantized) cosineQuantizedPre2(col("__xq"), col("__xn"),
+          col("__qq"), col("__qn"))
+        else cosine(vecCol, col("__qv"))
+      joined
         .join(maybeB(qtab), col("__qid") === col("__qid2"))
         .select(col("__qid").as("qid"), idCol.as("id"), score.as("__s"))
         .withColumn("rank", row_number().over(
@@ -1429,14 +1539,17 @@ object Similarity {
     else {
       val cand = adc.orderBy(col("__adc").desc, col("__id")).limit(refineK)
         .select(col("__id"))
-      val q = lit(query.toArray)
-      val score = if (quantized) cosineQuantized(vecCol, q)
-                  else cosine(vecCol, q)
       // rank on the UNROUNDED score (the oracle's ORDER BY), round only in
-      // the final projection
-      base.join(broadcast(cand), idCol === col("__id"))
-        .select(idCol.as("id"), score.as("__s"))
-        .orderBy(col("__s").desc, col("id")).limit(k)
+      // the final projection; quantized mode folds the literal query side
+      // at plan time and quantizes each candidate row once
+      val scored =
+        if (quantized) base.join(broadcast(cand), idCol === col("__id"))
+          .select(idCol.as("id"), quantize(vecCol).as("__xq"))
+          .select(col("id"),
+            cosineQuantizedPre(col("__xq"), quantizeLocal(query)).as("__s"))
+        else base.join(broadcast(cand), idCol === col("__id"))
+          .select(idCol.as("id"), cosine(vecCol, lit(query.toArray)).as("__s"))
+      scored.orderBy(col("__s").desc, col("id")).limit(k)
         .select(col("id"), round(col("__s"), 6).as("score"))
     }
   }

@@ -419,6 +419,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann == plain) // probing ALL centroids must recover exact top-k
   }
 
+  test("quantizeLocal is bit-identical to the quantize Column over floats") {
+    // The literal-query fast path (cosineQuantizedPre) folds the query
+    // side at plan-build time with quantizeLocal; any divergence from the
+    // Column path would flip oracle hashes. Pin them equal over random
+    // floats plus the adversarial set: HALF_UP half-way points both signs
+    // (where Math.round would differ on negatives), zero, subnormals, and
+    // magnitudes around the 1e6 scale. Non-finite components refuse on
+    // BOTH paths (ANSI cast vs the local require), asserted separately.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val adversarial = Seq(0.0f, -0.0f, 0.5e-6f, -0.5e-6f, 1.5e-6f, -1.5e-6f,
+      2.5e-6f, -2.5e-6f, 1e-7f, -1e-7f, 0.9999995e-6f, -0.9999995e-6f,
+      1.0f, -1.0f, 123.456789f, -123.456789f, 3.4e8f, -3.4e8f,
+      Float.MinPositiveValue, -Float.MinPositiveValue)
+    val floats = adversarial ++
+      Seq.fill(2000)(rnd.nextGaussian().toFloat) ++
+      Seq.fill(500)((rnd.nextGaussian() * 1e-6).toFloat) ++
+      Seq.fill(500)((rnd.nextGaussian() * 1e6).toFloat)
+    val arr = floats.toArray
+    val sparkSide = spark.range(1)
+      .select(Similarity.quantize(lit(arr)).as("q"))
+      .head().getSeq[Long](0)
+    val localSide = Similarity.quantizeLocal(arr.toSeq).toSeq
+    assert(sparkSide == localSide)
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeLocal(Seq(Float.NaN))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeLocal(Seq(Float.PositiveInfinity))
+    }
+  }
+
   test("IVF pruned probe: recall@10 on clustered data, partition-pruned scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
