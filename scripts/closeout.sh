@@ -69,15 +69,23 @@ j = json.load(open(sys.argv[1]))
 c = j.get("calibration", {})
 cal = [c[k] for k in ("a_start", "a_end", "b_start", "b_end")
        if isinstance(c.get(k), (int, float)) and c[k] > 0]
-med = statistics.median(cal) if cal else float("nan")
+# When the capture carries no calibration block, med/norm are UNKNOWN:
+# write null (valid JSON) rather than a bare NaN token, which json.dump
+# would emit and strict parsers reject — exactly in the degraded case the
+# record exists to document. The normalized field is also a poor measure
+# under multi-JVM masters (the 0.12 floor is single-JVM; r20's cluster
+# record "normalized" 64.87s to 25.09s) — keep raw as the comparable
+# number and label the norm clamped+estimated.
+med = statistics.median(cal) if cal else None
 FLOOR = 0.12  # unloaded calibration band, see BENCH_LOCAL.md
-norm = j["value"] * min(1.0, FLOOR / med) if cal and med > 0 else float("nan")
+norm = j["value"] * min(1.0, FLOOR / med) if med else None
 print(f"[closeout] total={j['value']:.2f}s"
-      f" calibration_median={med:.3f}s"
-      f" load_normalized_total={norm:.2f}s (floor {FLOOR}, factor<=1)")
+      f" calibration_median={med if med is None else round(med, 3)}s"
+      f" load_normalized_total={norm if norm is None else round(norm, 2)}s"
+      f" (floor {FLOOR}, factor<=1)")
 j["master"] = "local-cluster[4,8,4096]"
-j["cal_med"] = round(med, 4)
-j["cal_norm_clamped"] = round(norm, 4)
+j["cal_med"] = None if med is None else round(med, 4)
+j["cal_norm_clamped"] = None if norm is None else round(norm, 4)
 out = f"BENCH_cluster_r{sys.argv[2]}.json"
 with open(out, "w") as f:
     json.dump(j, f)

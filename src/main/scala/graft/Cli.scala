@@ -89,7 +89,11 @@ object Cli {
       } else if (line == "\\csv") {
         csvOn = !csvOn
         println(s"csv output ${if (csvOn) "on" else "off"}")
-      } else if (line.startsWith("\\") && !line.startsWith("\\i ")) {
+      } else if (line.startsWith("\\") && !line.startsWith("\\i ") &&
+          line != "\\i") {
+        // bare "\i" falls through to run(), whose usage error names the
+        // arguments — "unknown command \i" while the help text lists \i
+        // pointed at the wrong problem
         // an unrecognized backslash command must not fall through to the
         // SQL parser — the resulting "bad token '\\'" error points at the
         // wrong problem
@@ -168,7 +172,11 @@ object Cli {
 
   /** `\i <stream> <file.jsonl>` → Some((stream, path)). */
   private def parseInsert(line: String): Option[(String, String)] =
-    if (!line.startsWith("\\i ")) None
+    // bare "\i" is an \i invocation missing its arguments, not SQL: answer
+    // with the usage error instead of the SQL lexer's "bad token '\'"
+    if (line == "\\i") throw new IllegalArgumentException(
+      "usage: \\i <stream> <file.jsonl>")
+    else if (!line.startsWith("\\i ")) None
     else line.drop(3).trim.split("\\s+", 2) match {
       case Array(stream, path) => Some((stream, path.trim))
       case _ => throw new IllegalArgumentException(

@@ -1923,6 +1923,14 @@ final class GraftDB(
     * NoSuchFileException from driver-side meta reads, and the probe's own
     * "no parseable index meta" refusal, all of which otherwise suggest the
     * wrong remedy. Everything else rethrows untouched.
+    *
+    * The match requires a PATH BOUNDARY after the history entry: sibling
+    * generations are named `<base>-gN`, so a failure naming the CURRENT
+    * generation (its meta corrupted, its dir deleted externally) also
+    * CONTAINS the GC'd base path as a prefix — a raw substring match
+    * misreported those as "re-issue the query", a remedy the caller can
+    * retry forever. A path mention ends at end-of-message or any character
+    * that cannot continue a path segment name ([-_a-zA-Z0-9]).
     */
   private def rethrowIfGcLoss[T](body: => T): T =
     try body
@@ -1935,7 +1943,7 @@ final class GraftDB(
         while (c != null && hit.isEmpty && hops < 16) {
           val msg = Option(c.getMessage).getOrElse("")
           if (msg.nonEmpty)
-            hit = history.find(p => msg.contains(p) &&
+            hit = history.find(p => GraftDB.namesWholePath(msg, p) &&
               !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           c = c.getCause; hops += 1
         }
@@ -2066,6 +2074,25 @@ final class GraftDB(
 }
 
 object GraftDB {
+
+  /** True iff `msg` mentions `p` as a WHOLE path (followed by end-of-string
+    * or a character that cannot continue a path segment name) — the
+    * boundary rule rethrowIfGcLoss needs because sibling generations are
+    * named `<base>-gN` and a raw substring match on `<base>` also fires on
+    * messages naming a LIVE sibling.
+    */
+  private[graft] def namesWholePath(msg: String, p: String): Boolean = {
+    var i = msg.indexOf(p)
+    while (i >= 0) {
+      val j = i + p.length
+      if (j >= msg.length || {
+        val ch = msg.charAt(j)
+        !(Character.isLetterOrDigit(ch) || ch == '-' || ch == '_')
+      }) return true
+      i = msg.indexOf(p, i + 1)
+    }
+    false
+  }
   /** The reference's `-vtime` mode (server/server.go:632, zenodb.go
     * virtual time): a logical clock advanced by the timestamps of inserted
     * points instead of the wall. Pass one as the `now` constructor argument

@@ -357,6 +357,9 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   }
   private val bySql = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
   private val byPermalink = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
+  // in-flight async runs (claimed at submission, released in the worker's
+  // finally): the backlog cap's source of truth — map scans raced
+  private val runningAsync = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drop every expired entry from both maps (the reference expires cache
     * entries, web/cache.go). Runs inline on each async/cached access —
@@ -366,7 +369,13 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
   private def sweepExpired(now: Long): Unit = {
     val dead = new java.util.ArrayList[String]()
     byPermalink.forEach { (pl, e) =>
-      if (now - e.created >= cacheTtlMillis) dead.add(pl)
+      // never TTL-expire a still-'pending' entry: its Spark job is RUNNING
+      // and its submitter polls this permalink — eviction would orphan the
+      // job and remove it from every view of the backlog. A run outliving
+      // the TTL settles eventually (runs carry their own deadline) and is
+      // swept on the next pass.
+      if (now - e.created >= cacheTtlMillis && e.status != "pending")
+        dead.add(pl)
     }
     dead.forEach { pl =>
       val e = byPermalink.remove(pl)
@@ -409,19 +418,29 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
         // backlog of still-running entries is at the cap — the
         // alternative (sweepExpired's eviction) would orphan a running
         // job whose submitter can never find its result, and an unbounded
-        // burst of distinct queries would otherwise pile up driver threads
-        var pending = 0
-        byPermalink.forEach((_, e) => if (e.status == "pending") pending += 1)
-        require(pending < maxPendingAsync,
-          s"async query backlog full ($pending running); " +
-            "poll /cached/{permalink} for submitted queries or retry later")
+        // burst of distinct queries would otherwise pile up driver
+        // threads. Admission is an ATOMIC claim on the in-flight counter
+        // (incrementAndGet, decremented in the worker's finally): the old
+        // count-the-map check let two concurrent submissions under
+        // DISTINCT keys both read the same count and both admit past the
+        // cap.
+        val claimed = runningAsync.incrementAndGet()
+        if (claimed > maxPendingAsync) {
+          runningAsync.decrementAndGet()
+          throw new IllegalArgumentException(
+            s"requirement failed: async query backlog full " +
+              s"(${claimed - 1} running); " +
+              "poll /cached/{permalink} for submitted queries or retry later")
+        }
         if (old != null) byPermalink.remove(old.permalink)
         val e = new CacheEntry(java.util.UUID.randomUUID().toString, now)
         byPermalink.put(e.permalink, e)
         val t = new Thread(() => {
-          try { e.payload = runToJson(sql, timeoutMs); e.status = "succeeded" }
-          catch { case ex: Exception =>
-            e.payload = String.valueOf(ex.getMessage); e.status = "failed" }
+          try {
+            try { e.payload = runToJson(sql, timeoutMs); e.status = "succeeded" }
+            catch { case ex: Exception =>
+              e.payload = String.valueOf(ex.getMessage); e.status = "failed" }
+          } finally runningAsync.decrementAndGet()
         }, s"graft-async-${e.permalink}")
         t.setDaemon(true)
         t.start()

@@ -103,9 +103,29 @@ object JobProfile {
     graft.SparkEntry.queries("q_sum_group")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
+    def runIngest(tag: String): Unit = {
+      Thread.sleep(150)
+      acc.reset()
+      spark.sparkContext.setJobDescription(s"ingest_events $tag")
+      val t0 = System.nanoTime()
+      val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+      val db = new graft.GraftDB(spark,
+        "ev:\n  sql: >\n    SELECT value, AVG(value) AS av FROM evs GROUP BY event_type, user_id, period(1h)\n",
+        dir)
+      db.insert("evs", graft.Catalog.fromParquetDir(spark, sfDir, Seq("events"))
+        .get("events").df)
+      val t2 = System.nanoTime()
+      Thread.sleep(150)
+      println(f"ingest_events ${" " * 15} $tag%-4s wall=${(t2 - t0) / 1e9}%7.3fs ${acc.line}")
+      if (sys.props.get("graft.profileStages").contains("true"))
+        acc.topStages(10).foreach(println)
+    }
     val names =
       if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => run(n, "cold"); run(n, "warm") }
+    names.foreach { n =>
+      if (n == "ingest_events") { runIngest("cold"); runIngest("warm") }
+      else { run(n, "cold"); run(n, "warm") }
+    }
     spark.stop()
   }
 }

@@ -3459,6 +3459,55 @@ class GraftDBSpec extends AnyFunSuite {
       s"expected the GC-loss remedy message, got: $e")
   }
 
+  test("a failure naming the CURRENT generation is not misreported as GC loss") {
+    // Sibling generations are named <base>-gN, so any failure message
+    // naming the current generation also CONTAINS the GC'd base path as a
+    // prefix. Pre-fix, the raw substring match in rethrowIfGcLoss turned a
+    // corrupt current-generation meta into "generation <base> was GC'd;
+    // re-issue the query" — a remedy the caller can retry forever (this
+    // spec failed with exactly that message before the path-boundary
+    // match).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(92)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("gc-sibling").toString + "/i"
+    graft.pipeline.Similarity.ivfBuildIfMissing(vecs, col("embedding"),
+      col("vec_id"), nCentroids = 4, idx)
+    val db = new GraftDB(spark, plainTableYaml,
+      Files.createTempDirectory("gc-sibling-db").toString, () => T0)
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 0.0, gcOldGenerations = true)
+    db.maintenanceTick() // budget 0: flip -> -g1, base queued
+    db.registerAnnMaintenance("vidx", idx, "embedding", "vec_id",
+      nProbe = 4, scanBudget = 2.0, gcOldGenerations = true)
+    db.maintenanceTick() // GC the superseded base: idx lands in gcHistory
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
+    // corrupt the CURRENT generation's meta: the probe's refusal names
+    // <idx>-g1, whose message substring-contains the GC'd <idx>
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx-g1", "_centroids.txt"), "garbage\n")
+    val qv = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val vecLit = qv.map(f => new java.math.BigDecimal(f.toString)
+      .toPlainString).mkString(",")
+    val e = intercept[Exception] {
+      db.sqlTimed(
+        s"SELECT score FROM SIMSEARCH('vidx', [$vecLit], 3, 4) GROUP BY id",
+        120000L)
+    }
+    assert(e.getMessage == null ||
+      !e.getMessage.contains("was GC'd by index maintenance"),
+      s"current-generation corruption misreported as GC loss: $e")
+    // boundary unit cases: the prefix relation that caused the misreport
+    assert(!GraftDB.namesWholePath(s"no meta at $idx-g1", idx))
+    assert(GraftDB.namesWholePath(s"no meta at $idx", idx))
+    assert(GraftDB.namesWholePath(s"read '$idx' failed", idx))
+    assert(GraftDB.namesWholePath(s"$idx/post missing", idx))
+  }
+
 }
 
 /** Static holder for the exec-pin spec's gate latch: the UDF body reaches
