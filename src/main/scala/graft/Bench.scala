@@ -21,6 +21,15 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE right-size CACHED plan output partitions by advisory bytes
+      // (default false keeps a persisted frame at spark.sql.shuffle.
+      // partitions): every PersistCache scan-saver is a candidate-/vocab-
+      // bounded frame, so without this each of its consumers paid one task
+      // per configured shuffle partition regardless of size — measured 103
+      // tasks -> 10 and −40% wall on the tf-idf gate (OPTIMIZATION_r21.md).
+      // Bytes-based, so the setting is scale-adaptive, not local-tuned.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))

@@ -38,6 +38,9 @@ object Cli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      // AQE may right-size cached-plan output partitions (see Bench)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -91,12 +94,10 @@ object Cli {
         println(s"csv output ${if (csvOn) "on" else "off"}")
       } else if (line.startsWith("\\") && !line.startsWith("\\i ") &&
           line != "\\i") {
-        // bare "\i" falls through to run(), whose usage error names the
-        // arguments — "unknown command \i" while the help text lists \i
-        // pointed at the wrong problem
         // an unrecognized backslash command must not fall through to the
         // SQL parser — the resulting "bad token '\\'" error points at the
-        // wrong problem
+        // wrong problem. Bare "\i" is exempt: it falls through to run(),
+        // whose parseInsert answers with the \i usage error.
         println(s"unknown command ${line.takeWhile(!_.isWhitespace)} " +
           "(try \\q, \\stats, \\csv, \\i <stream> <file.jsonl>)")
       } else if (line.nonEmpty) {

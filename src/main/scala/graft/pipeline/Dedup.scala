@@ -149,18 +149,61 @@ object Dedup {
     exactIndexValidated.put(memoKey, header)
   }
 
+  // Read-only (admit = false) incremental-dedup PLANS are pure functions of
+  // (index snapshot, batch plan, recipe): memo them per session so a
+  // repeated gate/serving query skips re-listing the snapshot, re-running
+  // the two-tier sizing, and re-deriving the probe bounds — construction
+  // cost measured at 0.5–1.3 s per call on the sf0.1 gates. The `_index.txt`
+  // CONTENT is the snapshot identity: every admit bumps the appends counter
+  // BEFORE its data lands (the counter-first crash ordering), and blue/green
+  // compaction flips to a new path, so any mutation changes the key. An
+  // index without a meta file has no such identity — those never memo.
+  // The memo holds a LAZY plan, never results: every execution still
+  // computes from the parquet snapshot pinned inside the plan.
+  private val readOnlyPlans = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String, Int), DataFrame]()
+
+  private def memoReadOnly(op: String, indexPath: String, batch: DataFrame,
+                           recipe: String)(build: => DataFrame): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
+    if (!java.nio.file.Files.exists(metaPath)) return build
+    val meta = java.nio.file.Files.readString(metaPath)
+    val key = (batch.sparkSession, s"$op@$indexPath\n$meta", recipe,
+      batch.queryExecution.analyzed.semanticHash())
+    val hit = readOnlyPlans.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      if (readOnlyPlans.size >= 64) readOnlyPlans.clear() // bounded, rebuild-safe
+      readOnlyPlans.put(key, built)
+      built
+    }
+  }
+
   /** Batch rows that survive exact dedup against BOTH the batch itself
     * (lowest `idCol` per text wins) and the persistent index at
     * `indexPath`. With `admit = true` the survivors' hashes are appended to
     * the index first (the daily-ingest mode: re-running the same batch then
     * yields zero rows); `admit = false` is a pure read (the gate/oracle
-    * mode). The surviving-id set is bounded by batch size and is
-    * materialized BEFORE any append so the returned plan never observes the
-    * index rows this call added.
+    * mode, plan-memoized per snapshot — see [[memoReadOnly]]). The
+    * surviving-id set is bounded by batch size and is materialized BEFORE
+    * any append so the returned plan never observes the index rows this
+    * call added.
     */
   def exactIncremental(batch: DataFrame, keyCol: Column, idCol: Column,
                        indexPath: String, admit: Boolean = true,
-                       maxBroadcastHashes: Long = 4000000L): DataFrame = {
+                       maxBroadcastHashes: Long = 4000000L): DataFrame =
+    if (!admit) memoReadOnly("exact", indexPath, batch,
+      s"$keyCol|$idCol|$maxBroadcastHashes")(
+      exactIncrementalImpl(batch, keyCol, idCol, indexPath, admit = false,
+        maxBroadcastHashes))
+    else exactIncrementalImpl(batch, keyCol, idCol, indexPath, admit = true,
+      maxBroadcastHashes)
+
+  private def exactIncrementalImpl(batch: DataFrame, keyCol: Column,
+                                   idCol: Column, indexPath: String,
+                                   admit: Boolean,
+                                   maxBroadcastHashes: Long): DataFrame = {
     val spark = batch.sparkSession
     // intra-batch winners: one shuffle on the compact 32-hex hash
     val bh0 = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
@@ -498,7 +541,20 @@ object Dedup {
                          bands: Int, threshold: Double,
                          admit: Boolean = true,
                          maxBroadcastBandRows: Long = 4000000L,
-                         stripes: Int = 1): DataFrame = {
+                         stripes: Int = 1): DataFrame =
+    if (!admit) memoReadOnly("neardup", indexPath, batch,
+      s"$textCol|$idCol|$n|$numHashes|$bands|$threshold|$maxBroadcastBandRows|$stripes")(
+      nearDupIncrementalImpl(batch, textCol, idCol, indexPath, n, numHashes,
+        bands, threshold, admit = false, maxBroadcastBandRows, stripes))
+    else nearDupIncrementalImpl(batch, textCol, idCol, indexPath, n,
+      numHashes, bands, threshold, admit = true, maxBroadcastBandRows, stripes)
+
+  private def nearDupIncrementalImpl(batch: DataFrame, textCol: Column,
+                                     idCol: Column, indexPath: String,
+                                     n: Int, numHashes: Int, bands: Int,
+                                     threshold: Double, admit: Boolean,
+                                     maxBroadcastBandRows: Long,
+                                     stripes: Int): DataFrame = {
     require(stripes >= 1, "stripes must be >= 1")
     val spark = batch.sparkSession
     val prep = graft.PersistCache.persist(
@@ -910,7 +966,20 @@ object Dedup {
                              indexPath: String, n: Int, threshold: Double,
                              numProbes: Int = 16, admit: Boolean = true,
                              maxBroadcastRows: Long = 4000000L,
-                             stripes: Int = 1): DataFrame = {
+                             stripes: Int = 1): DataFrame =
+    if (!admit) memoReadOnly("containment", indexPath, batch,
+      s"$textCol|$idCol|$n|$threshold|$numProbes|$maxBroadcastRows|$stripes")(
+      containmentIncrementalImpl(batch, textCol, idCol, indexPath, n,
+        threshold, numProbes, admit = false, maxBroadcastRows, stripes))
+    else containmentIncrementalImpl(batch, textCol, idCol, indexPath, n,
+      threshold, numProbes, admit = true, maxBroadcastRows, stripes)
+
+  private def containmentIncrementalImpl(batch: DataFrame, textCol: Column,
+                                         idCol: Column, indexPath: String,
+                                         n: Int, threshold: Double,
+                                         numProbes: Int, admit: Boolean,
+                                         maxBroadcastRows: Long,
+                                         stripes: Int): DataFrame = {
     require(stripes >= 1, "stripes must be >= 1")
     val spark = batch.sparkSession
     val prep = graft.PersistCache.persist(
