@@ -1149,9 +1149,14 @@ object Similarity {
       if (quantized) assigned0.select(col("__qid"), col("__qq"), col("__qn"),
         col("__cc"))
       else assigned0.select(col("__qid"), col("__qv"), col("__cc"))
-    // ≤ nCentroids ints — prunes the scan to the union of probed cells
-    val probed = assigned.select(col("__cc")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ≤ nCentroids ints — prunes the scan to the union of probed cells.
+    // Full-probe configs (nProbe >= nCentroids — the exact-equivalence
+    // oracle mode) probe every cell by construction, so the union is known
+    // without running the assignment as a driver job.
+    val probed =
+      if (nProbe >= centroids.length) centroids.map(_._1)
+      else assigned.select(col("__cc")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     // the PRE-FILTER mode of filtered retrieval, same contract as
     // ivfTopK's: the metadata predicate composes with the cell partition
     // filter and pushes into the pruned parquet scan, so candidates are
@@ -1436,8 +1441,10 @@ object Similarity {
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
       .select(col("__qid"), col("__qhat"), col("__cc"))
-    val probed = assigned.select(col("__cc")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probed =
+      if (nProbe >= coarse.length) coarse.map(_._1)
+      else assigned.select(col("__cc")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     // pre-filter mode over the KEPT metadata columns (ivfPqBuild `keep`):
     // the predicate composes with the cell partition filter into the
     // pruned codes scan, so candidates are filtered BEFORE the ADC
