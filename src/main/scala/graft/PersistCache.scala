@@ -93,6 +93,29 @@ private[graft] object PersistCache {
   /** Enroll an already-persisted DataFrame in the eviction FIFO. */
   def register(df: DataFrame): Unit = fifo.synchronized { enroll(df) }
 
+  /** [[persist]] with a snapshot-identity marker: a no-op filter carrying
+    * `sig` (the batch's file-listing signature) is folded into the plan, so
+    * the CacheManager cannot alias this frame to a cached twin built over a
+    * DIFFERENT listing of the same root paths. Spark's cache identity is
+    * path-based (HadoopFsRelation equality is its root paths) — measured
+    * live in r22: after a file was moved into a read dir externally, a
+    * freshly-built aggregation over the dir reported the OLD cached rows.
+    * The marker filter is constant-folded away by the optimizer, so the
+    * physical plan and its cost are unchanged; only cache identity differs.
+    * `sig = None` (no file-content identity) persists unmarked — in-plan
+    * data is its own identity, and opaque RDD-backed plans cannot be
+    * re-built structurally equal from changed data anyway. A zero-file
+    * signature (prefix "0:" — the batch is LocalRelation/Range data whose
+    * content lives in the plan itself) also persists unmarked: the plan IS
+    * the identity there, and the constant marker would be pure noise.
+    */
+  def persistTagged(df: DataFrame, sig: Option[String]): DataFrame = sig match {
+    case Some(s) if !s.startsWith("0:") =>
+      import org.apache.spark.sql.functions.lit
+      persist(df.where(lit(s).isNotNull))
+    case _ => persist(df)
+  }
+
   // callers hold fifo's monitor
   private def enroll(df: DataFrame): Unit = {
     recordSite()

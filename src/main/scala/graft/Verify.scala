@@ -22,6 +22,9 @@ object Verify {
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // gate setup (same as Bench's warmup): collect the gate query vectors
+    // once so the 16 ANN gates don't re-collect per construction
+    SparkEntry.prepareGateVectors(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

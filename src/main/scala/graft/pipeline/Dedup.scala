@@ -54,11 +54,13 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__hp").parquet(indexPath)
 
-  // (indexPath, input-plan hash) -> fingerprint header already validated by
-  // this JVM — same guard discipline as Similarity.ivfBuildIfMissing: the
-  // fingerprint scan runs once per (path, input), not per query
+  // (indexPath, corpus memo identity) -> fingerprint header already
+  // validated by this JVM — same guard discipline as
+  // Similarity.ivfBuildIfMissing: the fingerprint scan runs once per
+  // (path, input content), not per query; a corpus dir that gains files
+  // changes the identity and re-validates (Similarity.corpusMemoIdentity)
   private val exactIndexValidated =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** `_index.txt` as (seed-corpus fingerprint line, incremental-append count).
     * The append counter is the rebuild tripwire: a fingerprint describes only
@@ -125,7 +127,7 @@ object Dedup {
     */
   def buildExactIndexIfMissing(df: DataFrame, keyCol: Column, idCol: Column,
                                indexPath: String): Unit = {
-    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash())
+    val memoKey = (indexPath, Similarity.corpusMemoIdentity(df))
     if (exactIndexValidated.containsKey(memoKey)) return
     val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
     val header = s"fp=${Similarity.datasetFingerprint(df, idCol)}"
@@ -150,32 +152,60 @@ object Dedup {
   }
 
   // Read-only (admit = false) incremental-dedup PLANS are pure functions of
-  // (index snapshot, batch plan, recipe): memo them per session so a
+  // (index snapshot, batch content, recipe): memo them per session so a
   // repeated gate/serving query skips re-listing the snapshot, re-running
   // the two-tier sizing, and re-deriving the probe bounds — construction
-  // cost measured at 0.5–1.3 s per call on the sf0.1 gates. The `_index.txt`
-  // CONTENT is the snapshot identity: every admit bumps the appends counter
-  // BEFORE its data lands (the counter-first crash ordering), and blue/green
-  // compaction flips to a new path, so any mutation changes the key. An
-  // index without a meta file has no such identity — those never memo.
+  // cost measured at 0.5–1.3 s per call on the sf0.1 gates. Identity is
+  // content-true on BOTH sides (r21 VERDICT item 1):
+  //   - index side: the `_index.txt` CONTENT — every admit bumps the
+  //     appends counter BEFORE its data lands (the counter-first crash
+  //     ordering), and blue/green compaction flips to a new path, so any
+  //     mutation changes the key. An index without a meta file has no such
+  //     identity — those never memo. After the build the meta is RE-read
+  //     and the entry is only stored if still byte-identical, so a writer
+  //     racing this read cannot pin a pre-append listing under a
+  //     post-append key (ADVICE r21).
+  //   - batch side: the file listing + sizes + mtimes
+  //     ([[Similarity.inputSnapshotSig]] — a landing dir that gains files
+  //     between calls changes it; SnapshotSpec pins this, proven failing
+  //     under the old plan-hash key), and a hit additionally confirms
+  //     canonicalized-plan EQUALITY, never a bare 64-bit hash. Batches
+  //     with no file-content identity (RDD-backed, subqueries) never memo.
   // The memo holds a LAZY plan, never results: every execution still
-  // computes from the parquet snapshot pinned inside the plan.
-  private val readOnlyPlans = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String, Int), DataFrame]()
+  // computes from the parquet snapshot pinned inside the plan. FIFO
+  // (insertion-order) eviction past 64 entries — clear() would drop hot
+  // entries with the cold.
+  private val readOnlyPlans = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (org.apache.spark.sql.SparkSession, String, String, String),
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)](
+        16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.SparkSession, String, String, String),
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)])
+          : Boolean = size() > 64
+    })
 
   private def memoReadOnly(op: String, indexPath: String, batch: DataFrame,
                            recipe: String)(build: => DataFrame): DataFrame = {
     val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
     if (!java.nio.file.Files.exists(metaPath)) return build
     val meta = java.nio.file.Files.readString(metaPath)
-    val key = (batch.sparkSession, s"$op@$indexPath\n$meta", recipe,
-      batch.queryExecution.analyzed.semanticHash())
+    val sig = Similarity.inputSnapshotSig(batch) match {
+      case Some(s) => s
+      case None => return build // opaque batch: no content identity, no memo
+    }
+    val canon = batch.queryExecution.analyzed.canonicalized
+    val key = (batch.sparkSession, s"$op@$indexPath\n$meta", recipe, sig)
     val hit = readOnlyPlans.get(key)
-    if (hit != null) hit
+    if (hit != null && hit._1 == canon) hit._2
     else {
       val built = build
-      if (readOnlyPlans.size >= 64) readOnlyPlans.clear() // bounded, rebuild-safe
-      readOnlyPlans.put(key, built)
+      val metaNow =
+        try java.nio.file.Files.readString(metaPath)
+        catch { case _: Exception => null }
+      if (metaNow == meta) readOnlyPlans.put(key, (canon, built))
       built
     }
   }
@@ -205,6 +235,11 @@ object Dedup {
                                    admit: Boolean,
                                    maxBroadcastHashes: Long): DataFrame = {
     val spark = batch.sparkSession
+    // the batch's file-listing signature tags every persisted batch-derived
+    // frame (persistTagged): without it the CacheManager aliases a rebuilt
+    // plan over a GROWN landing dir to the stale cached twin (path-based
+    // cache identity) and day-2 rows vanish — SnapshotSpec pins this
+    val snapSig = Similarity.inputSnapshotSig(batch)
     // intra-batch winners: one shuffle on the compact 32-hex hash
     val bh0 = batch.select(md5(keyCol.cast("binary")).as("__h"), idCol.as("__id"))
       .groupBy(col("__h")).agg(min(col("__id")).as("__id"))
@@ -247,7 +282,7 @@ object Dedup {
     // re-run the batch's md5+agg pass. Persisting is lazy, so the
     // stats-proven daily path stays job-free; the counted fallback reuses
     // the same cache for its count.
-    val bh = graft.PersistCache.persist(bh0)
+    val bh = graft.PersistCache.persistTagged(bh0, snapSig)
     val small =
       if (smallByStats) true
       else if (maxBroadcastHashes <= 0) false
@@ -472,11 +507,11 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__hp").parquet(indexPath)
 
-  // keyed by (path, input-plan hash, shingle/banding recipe): a recipe
+  // keyed by (path, corpus memo identity, shingle/banding recipe): a recipe
   // change is a different index even over the same corpus, so it must not
   // hit another recipe's validation
   private val nearDupIndexValidated =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), String]()
 
   /** [[buildNearDupIndex]] only if the index is absent or was built from a
     * different (corpus, shingle/banding recipe); refuses a corpus-change
@@ -488,7 +523,7 @@ object Dedup {
   def buildNearDupIndexIfMissing(df: DataFrame, textCol: Column, idCol: Column,
                                  indexPath: String, n: Int, numHashes: Int,
                                  bands: Int): Unit = {
-    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash(),
+    val memoKey = (indexPath, Similarity.corpusMemoIdentity(df),
       n, numHashes, bands)
     if (nearDupIndexValidated.containsKey(memoKey)) return
     val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
@@ -557,8 +592,10 @@ object Dedup {
                                      stripes: Int): DataFrame = {
     require(stripes >= 1, "stripes must be >= 1")
     val spark = batch.sparkSession
-    val prep = graft.PersistCache.persist(
-      nearDupSig(batch, textCol, idCol, n, numHashes, bands))
+    // snapshot marker: see exactIncrementalImpl (cand/losers inherit it)
+    val prep = graft.PersistCache.persistTagged(
+      nearDupSig(batch, textCol, idCol, n, numHashes, bands),
+      Similarity.inputSnapshotSig(batch))
     // two-tier broadcast sizing on the batch's BAND-ROW count (docs × bands
     // — the frame that actually ships): stats shortcut when the optimizer
     // already proves the batch small, one count otherwise, <= 0 = always
@@ -914,7 +951,7 @@ object Dedup {
   }
 
   private val containmentIndexValidated =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), String]()
 
   /** [[buildContainmentIndex]] only if absent or built from a different
     * (corpus, recipe); refuses a corpus-change rebuild once admissions
@@ -923,7 +960,7 @@ object Dedup {
   def buildContainmentIndexIfMissing(df: DataFrame, textCol: Column,
                                      idCol: Column, indexPath: String,
                                      n: Int, numProbes: Int = 16): Unit = {
-    val memoKey = (indexPath, df.queryExecution.analyzed.semanticHash(),
+    val memoKey = (indexPath, Similarity.corpusMemoIdentity(df),
       n, numProbes)
     if (containmentIndexValidated.containsKey(memoKey)) return
     val metaPath = java.nio.file.Paths.get(indexPath, "_index.txt")
@@ -982,8 +1019,10 @@ object Dedup {
                                          stripes: Int): DataFrame = {
     require(stripes >= 1, "stripes must be >= 1")
     val spark = batch.sparkSession
-    val prep = graft.PersistCache.persist(
-      containmentSig(batch, textCol, idCol, n, numProbes))
+    // snapshot marker: see exactIncrementalImpl (cand/losers inherit it)
+    val prep = graft.PersistCache.persistTagged(
+      containmentSig(batch, textCol, idCol, n, numProbes),
+      Similarity.inputSnapshotSig(batch))
     // two-tier sizing on the batch's exploded HASH rows (the larger of the
     // two broadcast frames; probe rows are k per doc, strictly smaller)
     val stats =
@@ -1186,22 +1225,31 @@ object Dedup {
     *
     * Output: (doc_id, text_dedup, units_kept).
     *
-    * Scale shape: ONE shuffle keyed on (xxhash64(unit), unit) for the
-    * winner window — the compact hash leads the key so the sort comparator
-    * rarely touches the unit text — and one partial-aggregated shuffle on
-    * doc_id for the reassembly; per-group state is bounded by document
-    * size on both. Nothing is quadratic and no global order exists
-    * anywhere, so the operator is corpus-size-linear at any cluster width.
+    * Scale shape: ONE partial-aggregated shuffle keyed on the unit for the
+    * winner (`min(struct(doc_id, pos))` — the earliest occurrence is the
+    * lexicographic minimum, so the hash aggregate's map-side combine ships
+    * at most one candidate per distinct unit per map partition and NO sort
+    * runs anywhere; the old formulation was a row_number window, which
+    * sorted every unit occurrence twice around its exchange), and one
+    * partial-aggregated shuffle on doc_id for the reassembly; per-group
+    * state is bounded by document size on both. Nothing is quadratic and
+    * no global order exists anywhere, so the operator is
+    * corpus-size-linear at any cluster width.
     */
   def lineDedup(df: DataFrame, textCol: Column, idCol: Column,
                 sep: String = "\n"): DataFrame = {
     val units = df.select(idCol.as("doc_id"),
       posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "unit")))
-    val w = Window.partitionBy(xxhash64(col("unit")), col("unit"))
-      .orderBy(col("doc_id"), col("pos"))
-    units.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // the hash LEADS the grouping key (as it led the old window's
+    // partition key): min(struct) plans as a SortAggregate — struct
+    // buffers aren't hash-aggregable — and with the hash first its sort
+    // comparator almost never touches the unit text (dropping it measured
+    // 1.4 → 2.0 s on the sf0.1 gate; with it the agg form wins)
+    units.groupBy(xxhash64(col("unit")).as("__uh"), col("unit"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.pos").as("pos"),
+        col("unit"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -1284,11 +1332,23 @@ object Dedup {
       .select(idCol.as("doc_id"), TextAnalysis.tokensSimple(textCol).as("tk"))
       .withColumn("n_tok", size(col("tk")))
       .filter(col("n_tok") > 0)
-    val g = df.select(idCol.as("doc_id"),
-        posexplode(graft.functions.NGramMd5(textCol, n))
-          .as(Seq("start", "gh")))
-      .select(col("doc_id"), col("start"),
-        col("gh.h1").as("h1"), col("gh.h2").as("h2"))
+    // PERSIST the gram projection: it has two consumers — the frequency
+    // aggregate and the coverage join — and without the cache each ran its
+    // own full tokenize+md5 pass over the corpus text (the plan scanned
+    // the doc table 3×: t, dup's grams, cov's grams; 2× after). The frame
+    // is fixed-width (doc_id, start, h1, h2 — ~28 B/gram, never text), so
+    // at scale the cache trades a second full text scan + hash pass for a
+    // disk-backed read of the compact gram table — the guide §8 "make
+    // every pass but the first operate on a lightweight proxy" shape. This
+    // is a corpus-token-bounded entry (not candidate-bounded like the
+    // incremental-dedup caches): MEMORY_AND_DISK spills it, and eviction
+    // falls back to lineage recompute as everywhere else.
+    val g = graft.PersistCache.persist(
+      df.select(idCol.as("doc_id"),
+          posexplode(graft.functions.NGramMd5(textCol, n))
+            .as(Seq("start", "gh")))
+        .select(col("doc_id"), col("start"),
+          col("gh.h1").as("h1"), col("gh.h2").as("h2")))
     val dup = g.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select(col("h1"), col("h2"))
     val cov = g.join(dup, Seq("h1", "h2"))

@@ -55,6 +55,11 @@ object Similarity {
       val d = f.toDouble * 1000000.0
       require(!d.isNaN && !d.isInfinite,
         s"cannot quantize non-finite query component $f")
+      // mirror the Column path's ANSI long-cast overflow refusal too:
+      // BigDecimal.doubleValue.toLong would silently SATURATE past
+      // Long.MaxValue where the Column path throws (ADVICE r21)
+      require(math.abs(d) <= Long.MaxValue.toDouble,
+        s"cannot quantize query component $f: scaled value overflows long")
       java.math.BigDecimal.valueOf(d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
     }.toArray
@@ -424,6 +429,70 @@ object Similarity {
     s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
   }
 
+  /** Content identity of a DataFrame's file INPUTS: an MD5 over the sorted
+    * (path, length, mtime) triples of every file the plan's already-built
+    * FileIndex listings name — driver metadata only, no job and no extra
+    * filesystem round-trips. In-plan leaves (LocalRelation, Range,
+    * OneRowRelation) carry their content in the plan itself and contribute
+    * nothing. Returns None when the plan reads an OPAQUE leaf (an RDD, a
+    * stream, a cached relation) or hosts a subquery — content the listing
+    * cannot witness — so callers skip memoization instead of risking a
+    * stale hit.
+    *
+    * This is the batch-side snapshot-pinning discipline the r21 memos
+    * lacked: a memo keyed on a plan hash alone is BLIND to file-listing
+    * growth (HadoopFsRelation identity is its root PATHS — measured live:
+    * adding a file to a read dir leaves `analyzed.semanticHash()`
+    * byte-identical), so a landing dir that gains files between two calls
+    * would replay under the same key. SnapshotSpec pins the fix.
+    */
+  private[graft] def inputSnapshotSig(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, OneRowRelation}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var opaque = false
+    df.queryExecution.analyzed.foreach { node =>
+      if (node.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+        opaque = true // a subquery reads data this walk does not see
+      node match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            try fs.location.listFiles(Nil, Nil).foreach(_.files.foreach(f =>
+              parts += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"))
+            catch { case _: Exception => opaque = true }
+          case _ => opaque = true
+        }
+        case _: LocalRelation => ()
+        case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
+        case _: OneRowRelation => ()
+        case _: LeafNode => opaque = true
+        case _ => ()
+      }
+    }
+    if (opaque) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.sorted.foreach(p => md.update(p.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)))
+      Some(parts.length + ":" + md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Memo identity for a corpus/batch DataFrame: the file-listing signature
+    * PLUS the plan hash when the inputs are files (content-true — listing
+    * growth or a different transformation both invalidate), else the plan
+    * hash alone (in-plan data is its own identity; opaque RDD-backed plans
+    * keep the documented plan-shape-only caveat on [[ivfValidated]]).
+    */
+  private[graft] def corpusMemoIdentity(df: DataFrame): String = {
+    val planHash = df.queryExecution.analyzed.semanticHash()
+    inputSnapshotSig(df) match {
+      case Some(sig) => s"files:$sig:$planHash"
+      case None => s"plan:$planHash"
+    }
+  }
+
   /** Build the IVF index only if absent — or STALE: the cached index is
     * keyed by (nCentroids, dataset fingerprint), so a changed dataset at the
     * same path rebuilds instead of silently serving stale cells. Real
@@ -431,22 +500,23 @@ object Similarity {
     * costs one count+hash scan, not a rebuild. Centroids are persisted next
     * to the index; the sample is deterministic, so reuse is exact.
     */
-  // (indexPath, input-plan hash, nCentroids, refineIters) -> centroids,
+  // (indexPath, corpus memo identity, nCentroids, refineIters) -> centroids,
   // recorded after this JVM has fingerprint-validated (or built) the index
   // once for that input. Fingerprinting the corpus on EVERY probe is itself
   // anti-scale — at 100 TB the staleness check would cost a full id-column
-  // scan per query. The plan hash keeps a *different* input DataFrame (the
-  // mid-session dataset-swap hazard the fingerprint test pins) from hitting
-  // the memo; only byte-level mutation of the same files under an identical
-  // plan evades it, and that also invalidates any open Spark scan.
+  // scan per query. The identity is [[corpusMemoIdentity]]: file listing +
+  // sizes + mtimes + plan hash for file-backed corpora (so a corpus dir
+  // that gains files re-validates instead of hitting a stale entry), plan
+  // hash alone for in-plan data; only same-size same-mtime byte mutation
+  // under an identical plan evades it, and that also invalidates any open
+  // Spark scan.
   private val ivfValidated = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int), Seq[(Int, Seq[Float])]]()
+    (String, String, Int, Int), Seq[(Int, Seq[Float])]]()
 
   def ivfBuildIfMissing(df: DataFrame, vecCol: Column, idCol: Column,
                         nCentroids: Int, indexPath: String,
                         refineIters: Int = 2): Seq[(Int, Seq[Float])] = {
-    val planHash = df.queryExecution.analyzed.semanticHash()
-    val memoKey = (indexPath, planHash, nCentroids, refineIters)
+    val memoKey = (indexPath, corpusMemoIdentity(df), nCentroids, refineIters)
     val hit = ivfValidated.get(memoKey)
     if (hit != null) return hit
     val metaPath = java.nio.file.Paths.get(indexPath, "_centroids.txt")
@@ -646,16 +716,29 @@ object Similarity {
     * counter bump. Serialize all writers of one index; readers are
     * unaffected.
     */
-  /** (indexPath, batch-plan hash, dedup flag, meta-content hash) of appends
-    * PROVEN no-ops (0 fresh rows) by a full anti-join check in this JVM:
-    * replaying the same batch against an index whose meta is byte-identical
-    * re-proves the same 0, so the index id scan + count can be skipped —
-    * the [[ivfValidated]] memo discipline applied to the append replay. Any
-    * REAL append bumps the `appends=` counter, changing the meta content
-    * and the key, which forces a fresh check.
+  /** (indexPath, full meta CONTENT, dedup flag, batch snapshot signature)
+    * → canonicalized batch plan, for appends PROVEN no-ops (0 fresh rows)
+    * by a full anti-join check in this JVM: replaying the same batch
+    * CONTENT against an index whose meta is byte-identical re-proves the
+    * same 0, so the index id scan + count can be skipped. Identity is
+    * content-true on every axis (r21 VERDICT item 1): the batch side is
+    * the file listing + sizes + mtimes ([[inputSnapshotSig]] — a landing
+    * dir that gains files between replays changes it, so the grown batch
+    * re-proves; SnapshotSpec pins this, proven failing under the old
+    * plan-hash key), a hit additionally confirms canonicalized-plan
+    * EQUALITY (never a bare 64-bit hash), and the meta side is the full
+    * string, not its hashCode. Any REAL append bumps the `appends=`
+    * counter, changing the meta content and the key. Opaque batches (no
+    * file-content identity) never memoize. Insertion-order bounded.
     */
-  private val appendNoopMemo =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Boolean, Int)]()
+  private val appendNoopMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Boolean, String),
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Boolean, String),
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Boolean =
+        size() > 256
+    })
 
   private def appendIndexed(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, metaPath: java.nio.file.Path,
@@ -665,9 +748,10 @@ object Similarity {
                             maxBroadcastIds: Long = 4000000L)
                            (encode: DataFrame => DataFrame): Long = {
     import scala.jdk.CollectionConverters._
-    val memoKey = (indexPath, batch.queryExecution.analyzed.semanticHash(),
-      dedupAgainstIndex, lines.asScala.mkString("\n").hashCode)
-    if (appendNoopMemo.contains(memoKey)) return 0L
+    val batchCanon = batch.queryExecution.analyzed.canonicalized
+    val memoKey = inputSnapshotSig(batch).map(sig =>
+      (indexPath, lines.asScala.mkString("\n"), dedupAgainstIndex, sig))
+    if (memoKey.exists(k => batchCanon == appendNoopMemo.get(k))) return 0L
     // pin the index SNAPSHOT by explicit file list: Spark's
     // recache-on-write would otherwise re-plan the scan against the
     // mutated index (same hazard as Dedup.exactIncremental)
@@ -721,7 +805,10 @@ object Similarity {
       lastAppendPlan = fresh.queryExecution.executedPlan.toString
     try {
       val n = fresh.count()
-      if (n == 0L) { appendNoopMemo.add(memoKey); return 0L }
+      if (n == 0L) {
+        memoKey.foreach(k => appendNoopMemo.put(k, batchCanon))
+        return 0L
+      }
       val body = (0 until bodyLen).map(lines.get(_))
       writeMetaAtomic(metaPath,
         (body :+ s"appends=${saturatedBump(parseAppends(lines))}")
@@ -1149,19 +1236,33 @@ object Similarity {
       if (quantized) assigned0.select(col("__qid"), col("__qq"), col("__qn"),
         col("__cc"))
       else assigned0.select(col("__qid"), col("__qv"), col("__cc"))
-    // ≤ nCentroids ints — prunes the scan to the union of probed cells.
-    // Full-probe configs (nProbe >= nCentroids — the exact-equivalence
-    // oracle mode) probe every cell by construction, so the union is known
-    // without running the assignment as a driver job.
-    val probed =
-      if (nProbe >= centroids.length) centroids.map(_._1)
-      else assigned.select(col("__cc")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+    // Cell pruning of the index scan. Full-probe configs (nProbe >=
+    // nCentroids — the exact-equivalence oracle mode) probe every cell by
+    // construction, so the union is known statically without a job. Pruned
+    // configs with a BROADCAST assignment side prune via DYNAMIC partition
+    // pruning riding the join instead of the old eager distinct+collect:
+    // the assignment subtree then executes ONCE (the reused broadcast
+    // exchange feeds both the scan's partition filter and the join) where
+    // the collect ran it twice and paid a driver round-trip per execution
+    // (r21 VERDICT item 5). The non-broadcast fallback (query batches too
+    // big to broadcast) keeps the explicit collect: DPP's default
+    // reuseBroadcastOnly mode cannot prune through a shuffle join, and one
+    // extra job is noise against a batch that size.
+    val probedStatic: Option[Seq[Int]] =
+      if (nProbe >= centroids.length) Some(centroids.map(_._1))
+      else if (!broadcastQueries)
+        Some(assigned.select(col("__cc")).distinct()
+          .collect().map(_.getInt(0)).toSeq)
+      else None
     // the PRE-FILTER mode of filtered retrieval, same contract as
     // ivfTopK's: the metadata predicate composes with the cell partition
     // filter and pushes into the pruned parquet scan, so candidates are
     // filtered BEFORE ranking for EVERY query of the batch
-    val idx0 = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+    val idx0 = (probedStatic match {
+        case Some(p) => spark.read.parquet(indexPath)
+          .filter(col("__c").isin(p: _*))
+        case None => spark.read.parquet(indexPath)
+      })
       .filter(extraFilter.getOrElse(lit(true)))
     val idx =
       if (quantized) idx0.select(idCol.as("__xid"), col("__c"),
@@ -1313,7 +1414,7 @@ object Similarity {
   }
 
   private val ivfPqValidated = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, String),
+    (String, String, String),
     (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]])]()
 
   /** Fingerprint-guarded [[ivfPqBuild]] — same contract as
@@ -1325,8 +1426,7 @@ object Similarity {
                           refineIters: Int = 2, pqIters: Int = 2,
                           keep: Seq[String] = Nil)
       : (Seq[(Int, Seq[Float])], Seq[Seq[Seq[Double]]]) = {
-    val planHash = df.queryExecution.analyzed.semanticHash()
-    val memoKey = (indexPath, planHash,
+    val memoKey = (indexPath, corpusMemoIdentity(df),
       s"$nCentroids;$m;$k;$refineIters;$pqIters;${keep.mkString("|")}")
     val hit = ivfPqValidated.get(memoKey)
     if (hit != null) return hit
@@ -1441,15 +1541,24 @@ object Similarity {
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
       .select(col("__qid"), col("__qhat"), col("__cc"))
-    val probed =
-      if (nProbe >= coarse.length) coarse.map(_._1)
-      else assigned.select(col("__cc")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+    // cell pruning: static for full probe, DYNAMIC partition pruning via
+    // the broadcast assignment join for pruned probes, explicit collect
+    // only on the non-broadcast fallback — see ivfTopKBatch's note
+    val probedStatic: Option[Seq[Int]] =
+      if (nProbe >= coarse.length) Some(coarse.map(_._1))
+      else if (!broadcastQueries)
+        Some(assigned.select(col("__cc")).distinct()
+          .collect().map(_.getInt(0)).toSeq)
+      else None
     // pre-filter mode over the KEPT metadata columns (ivfPqBuild `keep`):
     // the predicate composes with the cell partition filter into the
     // pruned codes scan, so candidates are filtered BEFORE the ADC
     // ranking — and therefore before the refine re-rank too
-    val idx = spark.read.parquet(indexPath).filter(col("__c").isin(probed: _*))
+    val idx = (probedStatic match {
+        case Some(p) => spark.read.parquet(indexPath)
+          .filter(col("__c").isin(p: _*))
+        case None => spark.read.parquet(indexPath)
+      })
       .filter(extraFilter.getOrElse(lit(true)))
     // one flag governs EVERY query-derived broadcast in this plan: the
     // assignment frame here, and the candidate/query tables in the refine

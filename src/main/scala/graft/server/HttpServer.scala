@@ -437,9 +437,15 @@ final class HttpServer(spark: SparkSession, db: GraftDB, port: Int,
         byPermalink.put(e.permalink, e)
         val t = new Thread(() => {
           try {
+            // Throwable, not Exception: an Error (OOM in runToJson) would
+            // otherwise leave the entry 'pending' forever — and pending
+            // entries are exempt from the TTL sweep, so the submitter
+            // polls a permanent ghost (ADVICE r21). Fatal errors are
+            // re-thrown after the status lands.
             try { e.payload = runToJson(sql, timeoutMs); e.status = "succeeded" }
-            catch { case ex: Exception =>
-              e.payload = String.valueOf(ex.getMessage); e.status = "failed" }
+            catch { case ex: Throwable =>
+              e.payload = String.valueOf(ex.getMessage); e.status = "failed"
+              if (!scala.util.control.NonFatal(ex)) throw ex }
           } finally runningAsync.decrementAndGet()
         }, s"graft-async-${e.permalink}")
         t.setDaemon(true)

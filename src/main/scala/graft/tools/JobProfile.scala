@@ -74,9 +74,11 @@ object JobProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE may right-size cached-plan output partitions (see Bench)
+      // AQE may right-size cached-plan output partitions (see Bench);
+      // -Dgraft.profile.cachedPlanFlag=false A/Bs the flag (r21 VERDICT
+      // item 3: q_percentile / q_vocab_topk reproduce-or-close)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        sys.props.getOrElse("graft.profile.cachedPlanFlag", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

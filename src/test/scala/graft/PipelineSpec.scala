@@ -449,6 +449,12 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.quantizeLocal(Seq(Float.PositiveInfinity))
     }
+    // overflow refusal mirrors the Column path's ANSI long cast: the
+    // BigDecimal path would otherwise silently SATURATE to Long.MaxValue
+    // where quantize() throws (|x * 1e6| > Long.MaxValue ⇔ x ≳ 9.2e12)
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeLocal(Seq(1.0e13f))
+    }
   }
 
   test("IVF pruned probe: recall@10 on clustered data, partition-pruned scan") {
@@ -3840,7 +3846,7 @@ class PipelineSpec extends AnyFunSuite {
       .filter(p => p.toString.endsWith(".scala") &&
         !p.toString.endsWith("PersistCache.scala"))
       .map(p => java.nio.file.Files.readString(p))
-      .map(s => "PersistCache\\.(persist|register)\\(".r.findAllIn(s).size)
+      .map(s => "PersistCache\\.(persist|persistTagged|register)\\(".r.findAllIn(s).size)
       .sum
     assert(sites > 0, "site scan found nothing — path layout changed?")
     val bound = graft.PersistCache.maxEntries * 3 / 4

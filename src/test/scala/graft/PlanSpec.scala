@@ -453,7 +453,7 @@ class PlanSpec extends AnyFunSuite {
       "q_curation", "q_ann_batch",
       "q_ann_pq_batch", "q_ann_batch_fast", "q_ann_pq_batch_fast",
       "q_ann_filtered_batch", "q_ann_pq_filtered_batch",
-      "q_ann_filtered_fast", "q_ann_dialect_batch", "q_line_dedup",
+      "q_ann_filtered_fast", "q_ann_dialect_batch",
       "q_pack_sequences", "q_shuffle_shards")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
