@@ -403,16 +403,39 @@ object TextAnalysis {
     val ctxCounts = biCounts.groupBy(col("w1"))
       .agg(sum(col("__cbi")).as("__cw1"))
     val vocab = biCounts.select(countDistinct(col("w2")).as("__v"))
-    // unseen (w1,w2) under a foreign lmCorpus: count 0 (add-one smoothing
-    // still yields a finite probability); unseen CONTEXT w1: c(w1)=0
-    val scored = bigramsOf(df)
-      .join(biCounts, Seq("w1", "w2"), "left")
-      .join(ctxCounts, Seq("w1"), "left")
+    // Per-DISTINCT-bigram quantized log-prob, derived once on the LM side:
+    // the scoring pass used to re-derive log((c+1)/(c(w1)+V)) per token
+    // OCCURRENCE through three joins (pair counts, context counts, the
+    // vocab scalar); attaching one compact (w1, w2, __lq) relation keeps
+    // the per-occurrence path at a single hash probe — at corpus scale
+    // occurrences outnumber distinct bigrams by orders of magnitude.
+    // Bit-identical: the same deterministic arithmetic over the same
+    // operands, evaluated per distinct pair instead of per occurrence.
+    val lm = biCounts.join(ctxCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        round(log((coalesce(col("__cbi"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("__cw1"), lit(0L)) + col("__v")).cast("double"))
-          * 1000000.0).cast("long").as("__lq"))
+      .select(col("w1"), col("w2"),
+        round(log((col("__cbi") + 1).cast("double") /
+          (col("__cw1") + col("__v")).cast("double")) * 1000000.0)
+          .cast("long").as("__lq"))
+    val base = bigramsOf(df).join(lm, Seq("w1", "w2"), "left")
+    val scored = lmCorpus match {
+      case None =>
+        // self-scored: every scored bigram is in the LM by construction
+        // (trainBi IS bigramsOf(df)), so the unseen-fallback joins below
+        // would be dead weight on the per-occurrence path
+        base.select(col("doc_id"), col("__lq"))
+      case Some(_) =>
+        // unseen (w1,w2) under a foreign lmCorpus: count 0 (add-one
+        // smoothing still yields a finite probability); unseen CONTEXT
+        // w1: c(w1)=0 — the per-occurrence formula, verbatim
+        base.join(ctxCounts, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            coalesce(col("__lq"),
+              round(log(lit(1.0) /
+                (coalesce(col("__cw1"), lit(0L)) + col("__v")).cast("double"))
+                * 1000000.0).cast("long")).as("__lq"))
+    }
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("__lq")).cast("double") /
